@@ -1,0 +1,239 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale notes (100 TB corpus):
+- exact: one shuffle on a 128-bit content hash — never on raw text.
+- MinHash-LSH: O(n) signature computation (all JVM-side md5 — no
+  Python), band-bucket equi-join produces candidates, exact Jaccard
+  verification only on candidates. No O(n^2) stage.
+- SimHash: 64-bit signatures, hamming-ball bucketing by block
+  permutation.
+- All determinstic (md5-based hashing) so the DuckDB oracle can
+  reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def normalized_text(col=None):
+    """Lowercase, collapse whitespace — shared normalization."""
+    c = F.col("text") if col is None else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col=None):
+    return F.split(normalized_text(col), " ")
+
+
+def shingles(n: int = 3, col=None):
+    """Word n-gram shingles as an array of strings (space-joined).
+
+    Expressed with transform over a sequence of start offsets —
+    pure Catalyst array expressions, no UDF.
+    """
+    toks = tokens(col)
+    cnt = F.array_size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep min doc_id per content
+    hash. Shuffles 32-hex-char hashes, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5(normalized_text().cast("binary")))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signature(num_hashes: int, col=None):
+    """MinHash over word 3-shingles with ``num_hashes`` independent
+    hash functions h_i(s) = md5(s || '#' || i).
+
+    md5 gives uniformly distributed hex strings; taking the lexical
+    MIN per seed is the classic MinHash estimator. Deterministic and
+    reproducible in any engine with md5 — which is exactly what the
+    correctness oracle needs.
+    """
+    sh = shingles(3, col)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary"))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified by exact
+    shingle Jaccard >= threshold.
+
+    Pipeline: signature (map-only) -> explode bands -> equi-join on
+    (band_id, band_key) for candidates -> exact verification on
+    candidates only. The band join is the single shuffle.
+    """
+    rows = num_hashes // bands
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", minhash_signature(num_hashes).alias("sig"), shingles(3).alias("sh")
+    )
+    banded = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.array_size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    uni = F.array_size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", r6(inter / uni))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (>= threshold), blocked by
+    shared shingle to avoid the full cross product: pairs are only
+    generated for documents sharing at least one shingle (inverted
+    index join), then exact Jaccard from distinct-shingle counts.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles(n)).alias("sh")
+    )
+    sizes = d.select("doc_id", F.array_size("sh").alias("sz"))
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard", r6(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash signature per document.
+
+    Token hash = first 15 hex chars of md5 via conv() -> bigint
+    (deterministic in any engine, unlike xxhash64); signature bit j =
+    sign of the vote sum over distinct tokens. Implemented as explode
+    + one groupBy with 60 conditional-sum aggregates — a single
+    distributed pass, map-side combinable, linear at 100 TB.
+    """
+    tok = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    ).cast("long")
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(id_col, sig.alias("sig"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: bucket by 4 x 15-bit blocks (a pair
+    within hamming distance <= max_hamming over 60 bits must agree
+    exactly on at least one block when max_hamming < 4*... pigeonhole
+    with 4 blocks holds for distance <= 3; wider distances are a
+    recall/cost tradeoff) and verify hamming distance on candidates.
+    """
+    d = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    blocks = [
+        F.shiftright(F.col("sig"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    db = d.select("doc_id", "sig", *blocks)
+    pairs = None
+    for i in range(4):
+        a = db.alias("a")
+        b = db.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,0 +1,133 @@
+"""Gold layer: monthly KPI marts (reference ``gold.py:21-166``).
+
+Spark-first shape:
+- one groupBy per flow (created / closed) with map-side partial agg;
+- buckets are conditional aggregates inside the SAME groupBy (the
+  reference does one merge per bucket — gold.py:97-107 — which at
+  scale would be 4 extra shuffles; here it's zero extra);
+- backlog cumsum is a window over the merged monthly grid, one
+  shuffle on (component, priority_tier);
+- the global mart reuses the component mart (no rescan of silver).
+
+Exact percentiles (median/p90) match the pandas/DuckDB definition
+(linear interpolation). For the 100 TB path every operator takes
+``approx=True`` to switch to ``percentile_approx`` which aggregates
+partially and never materializes a per-group sorted list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.labels import LakehouseRules
+from ..functions.timefns import month_str
+
+KPI_KEYS = ["month", "component", "priority_tier"]
+
+
+def _resolution_metrics(buckets: list[int], approx: bool) -> list:
+    res = F.col("resolution_hours")
+    if approx:
+        median = F.percentile_approx(res, 0.5, 10000)
+        p90 = F.percentile_approx(res, 0.9, 10000)
+    else:
+        median = F.percentile(res, 0.5)
+        p90 = F.percentile(res, 0.9)
+    aggs = [
+        F.count("issue_id").alias("closed_count"),
+        F.avg(res).alias("avg_resolution_hours"),
+        median.alias("median_resolution_hours"),
+        p90.alias("p90_resolution_hours"),
+    ]
+    for b in buckets:
+        aggs.append(
+            F.avg(F.when(res <= float(b), 1.0).otherwise(0.0)).alias(
+                f"share_closed_within_{int(b)}h"
+            )
+        )
+    return aggs
+
+
+def kpi_monthly_component_tier(
+    silver: DataFrame,
+    rules: LakehouseRules | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Monthly KPI per (month, component, priority_tier), defects only.
+
+    Reference gold.py:53-123: created flow, closed flow with
+    resolution stats + share-closed-within buckets, outer-merged,
+    counts zero-filled, backlog_end = running cumsum(created-closed)
+    per (component, tier) ordered by month.
+    """
+    rules = rules or LakehouseRules()
+    buckets = rules.time_buckets_hours
+    defects = silver.filter(F.col("ticket_kind") == "defect")
+
+    created = (
+        defects.filter(F.col("created_at").isNotNull())
+        .withColumn("month", month_str(F.col("created_at")))
+        .groupBy(*KPI_KEYS)
+        .agg(F.count("issue_id").alias("created_count"))
+    )
+
+    closed = (
+        defects.filter(F.col("closed_at").isNotNull() & F.col("created_at").isNotNull())
+        .withColumn("month", month_str(F.col("closed_at")))
+        .groupBy(*KPI_KEYS)
+        .agg(*_resolution_metrics(buckets, approx))
+    )
+
+    kpi = created.join(closed, on=KPI_KEYS, how="full_outer")
+    kpi = kpi.withColumn("created_count", F.coalesce("created_count", F.lit(0)).cast("long"))
+    kpi = kpi.withColumn("closed_count", F.coalesce("closed_count", F.lit(0)).cast("long"))
+
+    w = (
+        Window.partitionBy("component", "priority_tier")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kpi = kpi.withColumn(
+        "backlog_end", F.sum(F.col("created_count") - F.col("closed_count")).over(w)
+    )
+    return kpi
+
+
+def kpi_monthly_global(
+    kpi_component: DataFrame,
+    rules: LakehouseRules | None = None,
+) -> DataFrame:
+    """Global monthly mart (reference gold.py:125-151): per-month sums
+    plus closed-count-weighted averages of the resolution metrics.
+
+    The reference computes weighted averages in a pandas
+    ``groupby().apply`` (driver-side); here each weighted average is
+    ``sum(metric*w)/sum(w)`` — associative, map-side combinable.
+    """
+    rules = rules or LakehouseRules()
+    buckets = rules.time_buckets_hours
+
+    sums = kpi_component.groupBy("month").agg(
+        F.sum("created_count").alias("created_count"),
+        F.sum("closed_count").alias("closed_count"),
+        F.sum("backlog_end").alias("backlog_end"),
+    )
+
+    metric_cols = [
+        "avg_resolution_hours",
+        "median_resolution_hours",
+        "p90_resolution_hours",
+    ] + [f"share_closed_within_{int(b)}h" for b in buckets]
+
+    # weighted over rows that have closed activity (closed_kpi rows in
+    # the reference exist only where closed_count > 0; after the outer
+    # merge those are exactly the rows with closed_count > 0)
+    ck = kpi_component.filter(F.col("closed_count") > 0)
+    w = F.col("closed_count").cast("double")
+    # reference weighted_avg (gold.py:137-140): numerator skips NaN
+    # rows (pandas sum), denominator is the FULL weight sum.
+    weighted = ck.groupBy("month").agg(
+        *[(F.sum(F.col(c) * w) / F.sum(w)).alias(c) for c in metric_cols]
+    )
+    return sums.join(weighted, on="month", how="left")

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode kernel is
+a STUB (deterministic fake measurements keyed on payload bytes) —
+but the Spark-side contract is real: schema, batch iteration, column
+pruning, partition sizing. Swapping the stub for PIL/ffmpeg is a
+one-function change that does not touch the plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.registry import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("payload", T.BinaryType()),      # opaque encoded bytes
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("feature_hash", T.StringType()),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from documents: payload
+    = utf-8 bytes of the text (stands in for encoded media)."""
+    d = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str) -> tuple[int, int, float]:
+    """STUB decode: deterministic pseudo-measurements from content.
+
+    Real deployment: PIL.Image.open / soundfile / pyav frame probe.
+    Raising NotImplementedError here would be honest too; a
+    deterministic fake lets the batch plumbing be tested end-to-end.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    duration = round((h[2] % 600) / 10.0, 1) if kind in ("audio", "video") else 0.0
+    return width, height, duration
+
+
+def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches; payload bytes never
+    round-trip through Python row objects. Upstream column pruning
+    still applies (we select only the needed columns first).
+    """
+    pruned = media.select("media_id", "kind", "payload")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, dur = _decode_stub(payload, kind)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "kind": kind,
+                        "width": w,
+                        "height": h,
+                        "duration_s": dur,
+                        "feature_hash": hashlib.md5(payload or b"").hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return pruned.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata + extracted-feature mart over the synthetic media
+    table (rows-only correctness: stub decode is engine-specific)."""
+    media = synth_media(spark, sf_dir)
+    feats = extract_features(media)
+    meta = media.select("media_id", "mime", "n_bytes")
+    return (
+        feats.join(meta, on="media_id")
+        .select("media_id", "kind", "mime", "n_bytes", "width", "height", "duration_s", "feature_hash")
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_bruteforce_topk``: exact cosine top-k of a small query set
+  against the corpus. The query set is broadcast; the corpus streams
+  through in one pass (no shuffle of the corpus), then a per-query
+  top-k window. At 100 TB this is the classic brute-force scoring
+  pass: map-side join + partial top-k via window over (query, score).
+- ``neardup_embedding_cosine``: all corpus pairs with cosine >= tau,
+  blocked to avoid the full cross product at scale.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing (deterministic,
+  md5-seeded) — candidates only probe matching buckets; the scale
+  path when the query set is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", to_double(F.col("embedding")).alias("vec"), "label")
+
+
+def ann_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries``
+    vectors (excluding self-matches). Deterministic tiebreak on
+    vec_id."""
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+def neardup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine >= threshold.
+
+    Blocking: pairs must share the sign-pattern bucket of their first
+    hyperplane projections? For exact semantics the oracle needs ALL
+    qualifying pairs, so blocking must be lossless. We use the label
+    column as a coarse block ONLY when it is lossless... it is not,
+    so the exact operator does the (n^2)/2 self-join but on
+    dimension-reduced rows (id + vec) with AQE handling skew; the
+    LSH variant below is the lossy-at-scale path.
+    """
+    corpus = _corpus(spark, sf_dir)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", r6(cosine(F.col("vec_a"), F.col("vec_b"))))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — no
+    RNG state, reproducible across engines and runs."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            # map first 8 hex chars to [-1, 1)
+            row.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH signature buckets;
+    queries only score candidates in their own bucket (plus hamming-1
+    probes for recall). Approximate by construction -> rows-only
+    correctness check.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes)
+    corpus = _corpus(spark, sf_dir)
+
+    def signature(vec_col):
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+        sig = F.lit(0)
+        for b in bits:
+            sig = sig + b
+        return sig.cast("long")
+
+    sigd = corpus.withColumn("bucket", signature(F.col("vec")))
+    queries = sigd.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # multi-probe: own bucket + hamming-1 neighbors
+    probes = queries.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    cand = sigd.join(F.broadcast(probes), on="bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim")
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )

@@ -1,0 +1,647 @@
+"""Query registry: every §2 operator as (spark, sf_dir) -> DataFrame,
+plus the DuckDB oracle SQL twin used by the driver's correctness
+gate. Column names and rounding are aligned on both sides
+(sums -> 2dp, averages/ratios -> 6dp, timestamps -> second strings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.labels import LakehouseRules
+from .operators import dedup, gold, multimodal, relational as R, silver, similarity, text
+
+BUCKETS = LakehouseRules().time_buckets_hours
+
+
+def fmt_ts(c, alias):
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+# ---------------------------------------------------------------- A. lakehouse
+
+
+def q_silver_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = silver.silver_issues(spark, sf_dir)
+    return s.select(
+        "issue_id",
+        "state",
+        fmt_ts(F.col("created_at"), "created_ts"),
+        fmt_ts(F.col("closed_at"), "closed_ts"),
+        "ticket_kind",
+        "priority_tier",
+        "component",
+        F.round("resolution_hours", 6).alias("resolution_hours"),
+    )
+
+
+def q_label_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silver.label_catalog(silver.synth_issues(spark, sf_dir))
+
+
+def q_gold_component_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kpi = gold.kpi_monthly_component_tier(silver.silver_issues(spark, sf_dir))
+    cols = [
+        "month",
+        "component",
+        "priority_tier",
+        "created_count",
+        "closed_count",
+        F.round("avg_resolution_hours", 6).alias("avg_resolution_hours"),
+        F.round("median_resolution_hours", 6).alias("median_resolution_hours"),
+        F.round("p90_resolution_hours", 6).alias("p90_resolution_hours"),
+    ]
+    cols += [
+        F.round(f"share_closed_within_{b}h", 6).alias(f"share_closed_within_{b}h")
+        for b in BUCKETS
+    ]
+    cols += [F.col("backlog_end").cast("long").alias("backlog_end")]
+    return kpi.select(*cols)
+
+
+def q_gold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kpi = gold.kpi_monthly_component_tier(silver.silver_issues(spark, sf_dir))
+    g = gold.kpi_monthly_global(kpi)
+    cols = [
+        "month",
+        F.col("created_count").cast("long").alias("created_count"),
+        F.col("closed_count").cast("long").alias("closed_count"),
+        F.col("backlog_end").cast("long").alias("backlog_end"),
+        F.round("avg_resolution_hours", 6).alias("avg_resolution_hours"),
+        F.round("median_resolution_hours", 6).alias("median_resolution_hours"),
+        F.round("p90_resolution_hours", 6).alias("p90_resolution_hours"),
+    ]
+    cols += [
+        F.round(f"share_closed_within_{b}h", 6).alias(f"share_closed_within_{b}h")
+        for b in BUCKETS
+    ]
+    return g.select(*cols)
+
+
+# SQL building blocks shared by the lakehouse oracles --------------------------
+
+_SILVER_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), silver AS (
+  SELECT
+    o.o_orderkey AS issue_id,
+    CASE WHEN o.o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS state,
+    o.o_orderdate AS created_at,
+    CASE WHEN o.o_orderstatus = 'F' THEN ls.last_ship END AS closed_at,
+    CASE WHEN o.o_orderkey % 2 = 0 THEN 'defect'
+         WHEN o.o_orderkey % 3 = 0 THEN 'docs'
+         WHEN o.o_orderkey % 5 = 0 THEN 'enhancement'
+         WHEN o.o_orderkey % 7 = 0 THEN 'question'
+         ELSE 'other' END AS ticket_kind,
+    CASE WHEN o.o_orderpriority LIKE '1%' THEN 'P0'
+         WHEN o.o_orderpriority LIKE '2%' THEN 'P1'
+         WHEN o.o_orderkey % 2 = 0 THEN 'P2'
+         ELSE 'NA' END AS priority_tier,
+    CASE WHEN o.o_orderkey % 13 <> 0 THEN c.c_mktsegment
+         WHEN o.o_orderkey % 17 = 0 THEN 'Performance'
+         ELSE 'other' END AS component,
+    CASE WHEN o.o_orderstatus = 'F' AND ls.last_ship IS NOT NULL
+         THEN (epoch(ls.last_ship) - epoch(o.o_orderdate)) / 3600.0 END AS resolution_hours
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+)
+"""
+
+_share_cols_sql = ",\n    ".join(
+    f"avg(CASE WHEN resolution_hours <= {b} THEN 1.0 ELSE 0.0 END) AS share_closed_within_{b}h"
+    for b in BUCKETS
+)
+_share_round_sql = ",\n  ".join(
+    f"round(share_closed_within_{b}h, 6) AS share_closed_within_{b}h" for b in BUCKETS
+)
+
+_KPI_SQL = (
+    _SILVER_SQL
+    + f"""
+, defects AS (SELECT * FROM silver WHERE ticket_kind = 'defect')
+, created_kpi AS (
+  SELECT strftime(created_at, '%Y-%m') AS month, component, priority_tier,
+         count(*) AS created_count
+  FROM defects WHERE created_at IS NOT NULL GROUP BY 1, 2, 3
+), closed_kpi AS (
+  SELECT strftime(closed_at, '%Y-%m') AS month, component, priority_tier,
+    count(*) AS closed_count,
+    avg(resolution_hours) AS avg_resolution_hours,
+    quantile_cont(resolution_hours, 0.5) AS median_resolution_hours,
+    quantile_cont(resolution_hours, 0.9) AS p90_resolution_hours,
+    {_share_cols_sql}
+  FROM defects WHERE closed_at IS NOT NULL AND created_at IS NOT NULL
+  GROUP BY 1, 2, 3
+), merged AS (
+  SELECT
+    coalesce(c.month, z.month) AS month,
+    coalesce(c.component, z.component) AS component,
+    coalesce(c.priority_tier, z.priority_tier) AS priority_tier,
+    coalesce(c.created_count, 0) AS created_count,
+    coalesce(z.closed_count, 0) AS closed_count,
+    z.avg_resolution_hours, z.median_resolution_hours, z.p90_resolution_hours,
+    {", ".join(f"z.share_closed_within_{b}h" for b in BUCKETS)}
+  FROM created_kpi c
+  FULL OUTER JOIN closed_kpi z
+    ON c.month = z.month AND c.component = z.component AND c.priority_tier = z.priority_tier
+), kpi AS (
+  SELECT *,
+    sum(created_count - closed_count) OVER (
+      PARTITION BY component, priority_tier ORDER BY month
+      ROWS UNBOUNDED PRECEDING) AS backlog_end
+  FROM merged
+)
+"""
+)
+
+ORACLE_SILVER = (
+    _SILVER_SQL
+    + """
+SELECT issue_id, state,
+  strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_ts,
+  strftime(closed_at, '%Y-%m-%d %H:%M:%S') AS closed_ts,
+  ticket_kind, priority_tier, component,
+  round(resolution_hours, 6) AS resolution_hours
+FROM silver
+"""
+)
+
+ORACLE_LABEL_CATALOG = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), lab AS (
+  SELECT o.o_orderkey AS k, c.c_mktsegment AS seg, o.o_orderpriority AS prio
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), exploded AS (
+  SELECT CASE WHEN prio LIKE '1%' THEN 'Blocker'
+              WHEN prio LIKE '2%' THEN 'Regression' END AS label FROM lab
+  UNION ALL
+  SELECT CASE WHEN k % 2 = 0 THEN 'Bug' WHEN k % 3 = 0 THEN 'Docs'
+              WHEN k % 5 = 0 THEN 'Enhancement' WHEN k % 7 = 0 THEN 'Usage Question' END FROM lab
+  UNION ALL
+  SELECT CASE WHEN k % 13 <> 0 THEN 'component: ' || seg END FROM lab
+  UNION ALL
+  SELECT CASE WHEN k % 17 = 0 THEN 'Performance' END FROM lab
+  UNION ALL
+  SELECT CASE WHEN k % 11 = 0 THEN 'Needs Triage' END FROM lab
+)
+SELECT label, count(*) AS count FROM exploded WHERE label IS NOT NULL GROUP BY 1
+"""
+
+ORACLE_GOLD_COMPONENT = (
+    _KPI_SQL
+    + f"""
+SELECT month, component, priority_tier, created_count, closed_count,
+  round(avg_resolution_hours, 6) AS avg_resolution_hours,
+  round(median_resolution_hours, 6) AS median_resolution_hours,
+  round(p90_resolution_hours, 6) AS p90_resolution_hours,
+  {_share_round_sql},
+  CAST(backlog_end AS BIGINT) AS backlog_end
+FROM kpi
+"""
+)
+
+ORACLE_GOLD_GLOBAL = (
+    _KPI_SQL
+    + f"""
+, sums AS (
+  SELECT month, sum(created_count) AS created_count, sum(closed_count) AS closed_count,
+         sum(backlog_end) AS backlog_end
+  FROM kpi GROUP BY 1
+), weighted AS (
+  SELECT month,
+    sum(avg_resolution_hours * closed_count) / sum(closed_count) AS avg_resolution_hours,
+    sum(median_resolution_hours * closed_count) / sum(closed_count) AS median_resolution_hours,
+    sum(p90_resolution_hours * closed_count) / sum(closed_count) AS p90_resolution_hours,
+    {", ".join(f"sum(share_closed_within_{b}h * closed_count) / sum(closed_count) AS share_closed_within_{b}h" for b in BUCKETS)}
+  FROM kpi WHERE closed_count > 0 GROUP BY 1
+)
+SELECT s.month,
+  CAST(s.created_count AS BIGINT) AS created_count,
+  CAST(s.closed_count AS BIGINT) AS closed_count,
+  CAST(s.backlog_end AS BIGINT) AS backlog_end,
+  round(w.avg_resolution_hours, 6) AS avg_resolution_hours,
+  round(w.median_resolution_hours, 6) AS median_resolution_hours,
+  round(w.p90_resolution_hours, 6) AS p90_resolution_hours,
+  {", ".join(f"round(w.share_closed_within_{b}h, 6) AS share_closed_within_{b}h" for b in BUCKETS)}
+FROM sums s LEFT JOIN weighted w ON s.month = w.month
+"""
+)
+
+
+# ------------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # A. lakehouse parity
+        "silver_issues": q_silver_issues,
+        "label_catalog": q_label_catalog,
+        "gold_kpi_component_tier": q_gold_component_tier,
+        "gold_kpi_global": q_gold_global,
+        # B. relational core
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "market_segment_share": R.market_segment_share,
+        "topk_per_group": R.topk_per_group,
+        "rollup_orders": R.rollup_orders,
+        "cube_events": R.cube_events,
+        "pivot_events": R.pivot_events,
+        "asof_join_orders_events": R.asof_join_orders_events,
+        "range_join_events": R.range_join_events,
+        "sessionize_events": R.sessionize_events,
+        "funnel_events": R.funnel_events,
+        "windowed_agg_events": R.windowed_agg_events,
+        "semi_anti_join": R.semi_anti_join,
+        "json_extract_events": R.json_extract_events,
+        # C. LLM-data pipeline
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_count": text.token_count,
+        "doc_fingerprint": text.doc_fingerprint,
+        "corpus_stats": text.corpus_stats,
+        "multimodal_meta": multimodal.multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {
+        "silver_issues": ORACLE_SILVER,
+        "label_catalog": ORACLE_LABEL_CATALOG,
+        "gold_kpi_component_tier": ORACLE_GOLD_COMPONENT,
+        "gold_kpi_global": ORACLE_GOLD_GLOBAL,
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+        "q3_shipping_priority": """
+SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""",
+        "market_segment_share": """
+SELECT c.c_mktsegment AS segment,
+  count(*) AS order_count,
+  round(sum(o.o_totalprice), 2) AS total_revenue,
+  round(sum(CASE WHEN o.o_orderpriority LIKE '1%' THEN o.o_totalprice END), 2) AS urgent_revenue,
+  round(avg(o.o_totalprice), 6) AS avg_order_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+        "topk_per_group": """
+WITH ranked AS (
+  SELECT o_orderpriority,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+    o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey,
+       round(o_totalprice, 6) AS o_totalprice
+FROM ranked WHERE rank <= 3
+""",
+        "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        "cube_events": """
+SELECT event_type, user_id % 10 AS user_bucket, count(*) AS event_count,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY CUBE (event_type, user_bucket)
+""",
+        "pivot_events": """
+SELECT user_id,
+  round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click_value,
+  round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view_value,
+  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase_value,
+  round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 6) AS signup_value,
+  round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 6) AS error_value
+FROM events GROUP BY 1
+""",
+        "asof_join_orders_events": """
+SELECT o.o_orderkey,
+  o.o_custkey % 20 AS user_id,
+  e.event_id AS last_event_id,
+  e.event_type AS last_event_type,
+  round(e.value, 6) AS last_event_value
+FROM orders o
+ASOF LEFT JOIN events e
+  ON o.o_custkey % 20 = e.user_id AND e.ts <= o.o_orderdate
+""",
+        "range_join_events": """
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       count(e.ts) AS errors_after
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'error'
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 300 SECONDS
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+        "sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  count(*) AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  round(sum(value), 6) AS session_value
+FROM sess GROUP BY 1, 2
+""",
+        "funnel_events": """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+  CAST(t_signup IS NOT NULL AS INT) AS reached_signup,
+  CAST(t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup AS INT) AS reached_click,
+  CAST(t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup
+       AND t_purchase IS NOT NULL AND t_purchase > t_click AS INT) AS reached_purchase
+FROM per_user
+""",
+        "windowed_agg_events": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS event_count, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "semi_anti_join": """
+WITH w AS (
+  SELECT c_nationkey, count(*) AS customers_with_orders FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1
+), wo AS (
+  SELECT c_nationkey, count(*) AS customers_without_orders FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1
+)
+SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS nationkey,
+  coalesce(customers_with_orders, 0) AS customers_with_orders,
+  coalesce(customers_without_orders, 0) AS customers_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+""",
+        "json_extract_events": """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "neardup_embedding_cosine": """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+""",
+        "ann_bruteforce_topk": """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < 8),
+scored AS (
+  SELECT q_id, vec_id,
+    round(list_dot_product(q_vec, v) /
+          (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q, c WHERE vec_id <> q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= 5
+""",
+        "lang_id": _lang_id_oracle(),
+        "quality_score": _quality_oracle(),
+        "token_count": """
+SELECT doc_id,
+  len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+  length(text) AS n_chars
+FROM documents
+""",
+        "doc_fingerprint": _fingerprint_oracle(),
+        "corpus_stats": """
+WITH d AS (
+  SELECT source,
+    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 6) AS avg_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY 1
+""",
+    }
+    return out
+
+
+def _norm_toks_sql() -> str:
+    return "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """CTE producing (doc_id, s) word n-gram shingle rows."""
+    return f"""
+docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i
+  FROM docs
+),
+shing AS (
+  SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS s FROM starts
+)"""
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH {_shingle_cte(3)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
+sig AS (
+  SELECT doc_id, j, min(md5(s || '#' || CAST(j AS VARCHAR))) AS mh
+  FROM sd, seeds GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {rows} AS band_id,
+         string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sd sa ON sa.doc_id = c.doc_a
+  JOIN sd sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.3) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+  round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
+"""
+
+
+def _lang_id_oracle() -> str:
+    from .functions.textfns import LANG_MARKERS
+
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {m} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH d AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+scored AS (SELECT doc_id, {", ".join(score_exprs)} FROM d)
+SELECT doc_id, {case} AS pred_lang FROM scored
+"""
+
+
+def _quality_oracle() -> str:
+    from .functions.textfns import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_norm_toks_sql()} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    len(list_filter(toks, t -> list_contains([{stop}], t)))
+      / greatest(len(toks), 1) AS stopword_ratio,
+    1.0 - len(list_distinct(toks)) / greatest(len(toks), 1) AS repetition_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(repetition_ratio, 6) AS repetition_ratio,
+  round(
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+    + (1.0 - repetition_ratio) * 0.3
+    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2, 6) AS quality_score
+FROM feat
+"""
+
+
+def _fingerprint_oracle(window: int = 8, keep_every: int = 4) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+    {_norm_toks_sql()} AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, fingerprint, toks,
+    unnest(list_filter(generate_series(1, greatest(len(toks) - {window - 1}, 1)),
+                       i -> (i - 1) % {keep_every} = 0)) AS i
+  FROM d
+), fps AS (
+  SELECT doc_id, fingerprint, i, md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS fp
+  FROM starts
+)
+SELECT doc_id, fingerprint, count(*) AS n_rolling_fps,
+       min_by(fp, i) AS first_rolling_fp
+FROM fps GROUP BY 1, 2
+"""

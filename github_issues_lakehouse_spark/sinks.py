@@ -1,0 +1,56 @@
+"""Writers: the Bronze->Silver->Gold persistence layer, Spark-native.
+
+The reference persists each layer as single pandas-written files
+(silver.py:183-196, gold.py:153-162). Here writes are distributed,
+partitioned, and idempotent:
+
+- ``write_partitioned``: parquet partitioned by given columns (e.g.
+  month) — the layout that enables partition pruning for downstream
+  month-range queries at 100 TB.
+- ``merge_upsert``: keep-latest-per-key merge of a new batch into an
+  existing table (the reference's "dedup across runs"), implemented
+  as read+union+window+overwrite; on Delta/Iceberg (not installed in
+  this container) the same operator maps to MERGE INTO — the API is
+  format-gated, not format-bound.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def merge_upsert(spark, new_batch: DataFrame, path: str, key: str, order_col: str) -> None:
+    """Upsert ``new_batch`` into the parquet table at ``path``,
+    keeping the latest row per ``key`` by ``order_col``.
+
+    Plain-parquet fallback for MERGE INTO: union + row_number window
+    + atomic directory swap (write to temp, move into place) so a
+    failed job never leaves a half-written table.
+    """
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        unioned = existing.unionByName(new_batch, allowMissingColumns=True)
+    else:
+        unioned = new_batch
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last())
+    merged = unioned.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(path) or ".")
+    tmp_out = os.path.join(tmp, "data")
+    merged.write.mode("overwrite").parquet(tmp_out)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp_out, path)
+    shutil.rmtree(tmp, ignore_errors=True)

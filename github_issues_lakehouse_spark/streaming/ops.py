@@ -1,0 +1,130 @@
+"""Structured Streaming operators — streaming twins of the batch
+event operators. The reference pipeline is batch-only; a lakehouse
+ingesting GitHub events continuously needs these three primitives:
+
+- windowed counts with watermark (late-data-tolerant KPI feed),
+- stateful gap sessionization (``applyInPandasWithState``),
+- streaming dedup within a watermark horizon (the streaming form of
+  the silver cross-run dedup).
+
+All take any streaming DataFrame with the ``events`` schema
+(event_id, ts, user_id, event_type, value) so tests can feed them
+from file sources and production from Kafka — source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark; late
+    rows beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count", "total_value")
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
+    """Stateful gap-based sessionization: emits a session when the
+    user's event gap exceeds ``gap_minutes`` (or state times out).
+
+    Keyed state per user via ``applyInPandasWithState`` — Arrow
+    batches, bounded state with processing-time timeout.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, end_ms, n, val = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                        "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                        "n_events": [n],
+                        "session_value": [val],
+                    }
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = []
+        if state.exists:
+            start_ms, end_ms, n, val = state.get
+        else:
+            start_ms = end_ms = None  # type: ignore[assignment]
+            n, val = 0, 0.0
+        for _, r in rows.iterrows():
+            t_ms = int(r["ts"].value // 1_000_000)
+            if start_ms is None:
+                start_ms, end_ms, n, val = t_ms, t_ms, 1, float(r["value"])
+            elif t_ms - end_ms > gap_ms:
+                out.append((start_ms, end_ms, n, val))
+                start_ms, end_ms, n, val = t_ms, t_ms, 1, float(r["value"])
+            else:
+                end_ms = t_ms
+                n += 1
+                val += float(r["value"])
+        state.update((start_ms, end_ms, n, val))
+        state.setTimeoutDuration(gap_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, *_ in out],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, *_ in out],
+                    "n_events": [n_ for *_, n_, _v in out],
+                    "session_value": [v for *_, v in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (streaming twin of silver ``merge_keep_latest``)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

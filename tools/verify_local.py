@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate: run each
+queries() entry on Spark and its oracle_sql() twin on DuckDB at the
+same SF, compare row count, sorted column names, and an
+order-insensitive value hash.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+
+def canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, render
+    every value to a stable string, sort rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if v != v:
+                    vals.append("nan")
+                elif v == int(v) and abs(v) < 1e15:
+                    vals.append(str(int(v)))
+                else:
+                    vals.append(repr(round(v, 9)))
+            elif v is None:
+                vals.append("")
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return hashlib.md5("\x02".join(out).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.session import get_spark
+
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = Q.queries()
+    oracles = Q.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL  {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            h1 = canon([list(r) for r in srows], scols)
+            h2 = canon([list(r) for r in drows], dcols)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                # show a sample diff
+                s_set = {}
+                d_set = {}
+                idx_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                for r in srows:
+                    key = tuple(str(list(r)[i]) for i in idx_s)
+                    s_set[key] = r
+                for r in drows:
+                    key = tuple(str(list(r)[i]) for i in idx_d)
+                    d_set[key] = r
+                only_s = [s_set[k] for k in list(s_set.keys() - d_set.keys())[:3]]
+                only_d = [d_set[k] for k in list(d_set.keys() - s_set.keys())[:3]]
+                for r in only_s:
+                    print(f"    spark-only: {r}")
+                for r in only_d:
+                    print(f"    duck-only:  {r}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
