@@ -56,19 +56,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(num_hashes: int, col=None):
-    """MinHash over word 3-shingles with ``num_hashes`` independent
-    hash functions h_i(s) = md5(s || '#' || i).
+def minhash_signature_from(sh: "F.Column", num_hashes: int):
+    """MinHash signature over an ALREADY-MATERIALIZED shingle column,
+    with ``num_hashes`` independent hash functions
+    h_i(s) = md5(s || '#' || i).
 
     md5 gives uniformly distributed hex strings; taking the lexical
     MIN per seed is the classic MinHash estimator. Deterministic and
     reproducible in any engine with md5 — which is exactly what the
-    correctness oracle needs.
+    correctness oracle needs. Taking a Column (not recomputing the
+    shingles inline) matters: inlining would re-evaluate the whole
+    tokenize+shingle expression tree once per hash function.
     """
-    sh = shingles(3, col)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary"))))
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary")))
+            )
             for i in range(num_hashes)
         ]
     )
@@ -84,17 +88,31 @@ def dedup_minhash_lsh(
     """MinHash + banded LSH near-duplicate pairs, verified by exact
     shingle Jaccard >= threshold.
 
-    Pipeline: signature (map-only) -> explode bands -> equi-join on
-    (band_id, band_key) for candidates -> exact verification on
-    candidates only. The band join is the single shuffle.
+    Pipeline (each stage linear, no O(n^2)):
+    1. one pass materializes shingles + signature per doc
+       (repartitioned first: a single small parquet file would
+       otherwise put the whole hash pass on one core — and at 100 TB
+       the same repartition spreads skewed file splits);
+    2. explode bands -> self-equi-join on (band_id, band_key)
+       carrying ONLY doc ids (narrow shuffle rows — shingle arrays
+       would multiply shuffle bytes by the band count);
+    3. distinct candidate pairs join the shingle sets back for exact
+       Jaccard verification on candidates only.
     """
     rows = num_hashes // bands
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", minhash_signature(num_hashes).alias("sig"), shingles(3).alias("sh")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("sh", shingles(3))
     )
-    banded = d.select(
+    with_sig = docs.select(
         "doc_id",
-        "sh",
+        F.array_distinct("sh").alias("shd"),
+        minhash_signature_from(F.col("sh"), num_hashes).alias("sig"),
+    ).persist()
+
+    banded = with_sig.select(
+        "doc_id",
         F.explode(
             F.array(
                 *[
@@ -108,7 +126,7 @@ def dedup_minhash_lsh(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -119,18 +137,18 @@ def dedup_minhash_lsh(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    inter = F.array_size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    uni = F.array_size(F.array_union("sh_a", "sh_b"))
+    sets = with_sig.select("doc_id", "shd")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.array_size(F.array_intersect(F.col("sa.shd"), F.col("sb.shd")))
+    uni = F.array_size(F.array_union(F.col("sa.shd"), F.col("sb.shd")))
     return (
-        cand.withColumn("jaccard", r6(inter / uni))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", r6(inter / uni))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -144,8 +162,10 @@ def dedup_ngram_jaccard(
     generated for documents sharing at least one shingle (inverted
     index join), then exact Jaccard from distinct-shingle counts.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(shingles(n)).alias("sh")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.array_distinct(shingles(n)).alias("sh"))
     )
     sizes = d.select("doc_id", F.array_size("sh").alias("sz"))
     inv = d.select("doc_id", F.explode("sh").alias("shingle"))
@@ -181,9 +201,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     + one groupBy with 60 conditional-sum aggregates — a single
     distributed pass, map-side combinable, linear at 100 TB.
     """
-    tok = docs.select(
-        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
-    )
+    tok = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"))
     h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast(
         "decimal(20,0)"
     ).cast("long")

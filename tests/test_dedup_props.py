@@ -1,0 +1,65 @@
+"""Property tests (SURVEY.md §5.5): dedup idempotence, KPI backlog
+conservation, MinHash determinism."""
+
+from pyspark.sql import functions as F
+
+from github_issues_lakehouse_spark.operators import dedup, gold, silver
+from github_issues_lakehouse_spark.operators.silver import merge_keep_latest
+
+from .conftest import SF_DIR
+
+
+def test_exact_dedup_idempotent(spark):
+    d1 = dedup.dedup_exact(spark, SF_DIR)
+    # dedup of the already-unique keep set changes nothing
+    kept = d1.select(F.col("keep_doc_id").alias("doc_id")).distinct()
+    assert kept.count() == d1.count()
+
+
+def test_merge_keep_latest_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1)], "k int, v string, ver int"
+    )
+    once = merge_keep_latest(df, "k", "ver")
+    twice = merge_keep_latest(once, "k", "ver")
+    assert sorted([tuple(r) for r in once.collect()]) == sorted(
+        [tuple(r) for r in twice.collect()]
+    )
+    assert once.count() == 2
+    assert {(r.k, r.v) for r in once.collect()} == {(1, "b"), (2, "c")}
+
+
+def test_backlog_conservation(spark):
+    """Sum(created) - sum(closed) == final backlog summed over groups
+    (the reference's backlog is a running difference — gold.py:120-123)."""
+    s = silver.silver_issues(spark, SF_DIR)
+    kpi = gold.kpi_monthly_component_tier(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component", "priority_tier").orderBy(F.col("month").desc())
+    final = kpi.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    total_created = kpi.agg(F.sum("created_count")).first()[0]
+    total_closed = kpi.agg(F.sum("closed_count")).first()[0]
+    final_backlog = final.agg(F.sum("backlog_end")).first()[0]
+    assert total_created - total_closed == final_backlog
+
+
+def test_minhash_deterministic(spark):
+    a = dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    b = dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "completely different words about spark query engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in dedup.simhash_signatures(docs).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13

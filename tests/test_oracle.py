@@ -1,0 +1,56 @@
+"""Oracle parity tests: every §2 query with a DuckDB twin must match
+on row count, column names, and order-insensitive value hash — the
+same comparison the external driver runs (SURVEY.md §5.1)."""
+
+import hashlib
+
+import pytest
+
+from github_issues_lakehouse_spark import queries as Q
+
+from .conftest import SF_DIR
+
+QUERIES = Q.queries()
+ORACLES = Q.oracle_sql()
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if v != v:
+                    vals.append("nan")
+                elif v == int(v) and abs(v) < 1e15:
+                    vals.append(str(int(v)))
+                else:
+                    vals.append(repr(round(v, 9)))
+            elif v is None:
+                vals.append("")
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return hashlib.md5("\x02".join(out).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [list(r) for r in sdf.collect()]
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = [list(r) for r in res.fetchall()]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
