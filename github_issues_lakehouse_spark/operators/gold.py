@@ -34,9 +34,17 @@ def _resolution_metrics(buckets: list[int], approx: bool) -> list:
     else:
         median = F.percentile(res, 0.5)
         p90 = F.percentile(res, 0.9)
+    # avg from EXACT integer microsecond sums: float summation order
+    # (engine, partitioning) would otherwise wobble the last ulp and
+    # break deterministic rounding. unix_micros on the LTZ cast —
+    # any tz shift cancels in the difference.
+    res_us = F.unix_micros(F.col("closed_at").cast("timestamp")) - F.unix_micros(
+        F.col("created_at").cast("timestamp")
+    )
+    cnt = F.count("issue_id")
     aggs = [
-        F.count("issue_id").alias("closed_count"),
-        F.avg(res).alias("avg_resolution_hours"),
+        cnt.alias("closed_count"),
+        ((F.sum(res_us).cast("double") / cnt) / 3600000000.0).alias("avg_resolution_hours"),
         median.alias("median_resolution_hours"),
         p90.alias("p90_resolution_hours"),
     ]

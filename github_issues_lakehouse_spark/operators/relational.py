@@ -31,6 +31,22 @@ def r2(c):
     return F.round(c, 2)
 
 
+def money(c):
+    """Exact DECIMAL(12,2) view of a price/discount column.
+
+    Revenue expressions multiply two 2-decimal values -> 4-decimal
+    products whose sums land EXACTLY on .005 rounding boundaries;
+    float summation order (partitioning, engine) then decides the
+    rounding direction. Decimal arithmetic keeps the sum exact in
+    every engine, so the final round is deterministic."""
+    return c.cast("decimal(12,2)")
+
+
+def decimal_revenue(price_col, discount_col):
+    """sum(price * (1 - discount)) with exact decimal arithmetic."""
+    return F.sum(money(price_col) * (F.lit(1).cast("decimal(12,2)") - money(discount_col)))
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + groupBy multi-aggregate.
 
@@ -39,19 +55,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     friendly.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = money(F.col("l_extendedprice")) * (one - money(F.col("l_discount")))
+    # re-narrow before the second multiply: 26+13 digits would blow the
+    # 38-digit decimal cap (Spark silently rescales, DuckDB errors)
+    charge = disc_price.cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(8,2)") + F.col("l_tax").cast("decimal(8,2)")
+    )
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(charge)).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
+            r2(F.sum(money(F.col("l_quantity"))).cast("double")).alias("sum_qty"),
+            r2(F.sum(money(F.col("l_extendedprice"))).cast("double")).alias("sum_base_price"),
+            r2(F.sum(disc_price).cast("double")).alias("sum_disc_price"),
+            r2(F.sum(charge).cast("double")).alias("sum_charge"),
+            r6(F.sum(money(F.col("l_quantity"))).cast("double") / cnt).alias("avg_qty"),
+            r6(F.sum(money(F.col("l_extendedprice"))).cast("double") / cnt).alias("avg_price"),
+            r6(F.sum(money(F.col("l_discount"))).cast("double") / cnt).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -63,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILD
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = decimal_revenue(F.col("l_extendedprice"), F.col("l_discount")).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -88,7 +110,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") ->
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = decimal_revenue(F.col("l_extendedprice"), F.col("l_discount")).cast("double")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -106,12 +128,14 @@ def market_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     j = o.join(c, o.o_custkey == c.c_custkey)
-    urgent = F.when(F.col("o_orderpriority").startswith("1"), F.col("o_totalprice"))
+    urgent = F.when(F.col("o_orderpriority").startswith("1"), money(F.col("o_totalprice")))
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("order_count"),
-        r2(F.sum("o_totalprice")).alias("total_revenue"),
-        r2(F.sum(urgent)).alias("urgent_revenue"),
-        r6(F.avg("o_totalprice")).alias("avg_order_value"),
+        r2(F.sum(money(F.col("o_totalprice"))).cast("double")).alias("total_revenue"),
+        r2(F.sum(urgent).cast("double")).alias("urgent_revenue"),
+        r6(F.sum(money(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_order_value"
+        ),
     )
 
 

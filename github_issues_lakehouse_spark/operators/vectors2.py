@@ -1,0 +1,66 @@
+"""Vector aggregation operators over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import norm, to_double
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, mean L2 norm, and the
+    per-dimension mean of the first 4 dimensions.
+
+    Element-wise means via posexplode + groupBy would shuffle
+    n_rows x dim rows; for fixed probe dimensions the projection
+    stays columnar (element_at) and the aggregate is map-side
+    combinable. A full-centroid variant at scale uses
+    ``F.aggregate`` over a summed array accumulator instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    return (
+        e.select("label", norm(v).alias("nrm"), *[
+            F.element_at(v, i + 1).alias(f"d{i}") for i in range(4)
+        ])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("nrm")).alias("avg_norm"),
+            *[r6(F.avg(f"d{i}")).alias(f"mean_d{i}") for i in range(4)],
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k tokens per source by TF-IDF (ln(n_sources/df) idf,
+    term-frequency within source). Explode -> two aggregations ->
+    window top-k; every stage map-side combinable, one shuffle per
+    aggregation. Deterministic tiebreak on token."""
+    from pyspark.sql import Window
+
+    from ..functions.textfns import norm_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(norm_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_sources = d.select("source").distinct().count()
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # rank on the ROUNDED score: ln() differs in the last ulp across
+    # engines, and distinct (tf, df) pairs can be mathematically equal
+    # (2*ln4 == 4*ln2) — rounding makes the ordering engine-invariant,
+    # the token tiebreak makes it total
+    scored = tf.join(F.broadcast(df_), on="token").withColumn(
+        "tfidf", r6(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "token", "tfidf")
+    )

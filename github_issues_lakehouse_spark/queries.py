@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.labels import LakehouseRules
-from .operators import dedup, gold, multimodal, relational as R, silver, similarity, text
+from .operators import dedup, gold, multimodal, relational as R, relational2 as R2, silver, similarity, text, vectors2 as V2
 
 BUCKETS = LakehouseRules().time_buckets_hours
 
@@ -65,14 +65,16 @@ def q_gold_component_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     kpi = gold.kpi_monthly_component_tier(silver.silver_issues(spark, sf_dir))
     g = gold.kpi_monthly_global(kpi)
+    # weighted metrics are sums of (group-stat x weight) products whose
+    # order differs across engines -> 4dp keeps rounding deterministic
     cols = [
         "month",
         F.col("created_count").cast("long").alias("created_count"),
         F.col("closed_count").cast("long").alias("closed_count"),
         F.col("backlog_end").cast("long").alias("backlog_end"),
-        F.round("avg_resolution_hours", 6).alias("avg_resolution_hours"),
-        F.round("median_resolution_hours", 6).alias("median_resolution_hours"),
-        F.round("p90_resolution_hours", 6).alias("p90_resolution_hours"),
+        F.round("avg_resolution_hours", 4).alias("avg_resolution_hours"),
+        F.round("median_resolution_hours", 4).alias("median_resolution_hours"),
+        F.round("p90_resolution_hours", 4).alias("p90_resolution_hours"),
     ]
     cols += [
         F.round(f"share_closed_within_{b}h", 6).alias(f"share_closed_within_{b}h")
@@ -131,7 +133,8 @@ _KPI_SQL = (
 ), closed_kpi AS (
   SELECT strftime(closed_at, '%Y-%m') AS month, component, priority_tier,
     count(*) AS closed_count,
-    avg(resolution_hours) AS avg_resolution_hours,
+    (CAST(sum(epoch_us(closed_at) - epoch_us(created_at)) AS DOUBLE) / count(*))
+      / 3600000000.0 AS avg_resolution_hours,
     quantile_cont(resolution_hours, 0.5) AS median_resolution_hours,
     quantile_cont(resolution_hours, 0.9) AS p90_resolution_hours,
     {_share_cols_sql}
@@ -225,9 +228,9 @@ SELECT s.month,
   CAST(s.created_count AS BIGINT) AS created_count,
   CAST(s.closed_count AS BIGINT) AS closed_count,
   CAST(s.backlog_end AS BIGINT) AS backlog_end,
-  round(w.avg_resolution_hours, 6) AS avg_resolution_hours,
-  round(w.median_resolution_hours, 6) AS median_resolution_hours,
-  round(w.p90_resolution_hours, 6) AS p90_resolution_hours,
+  round(w.avg_resolution_hours, 4) AS avg_resolution_hours,
+  round(w.median_resolution_hours, 4) AS median_resolution_hours,
+  round(w.p90_resolution_hours, 4) AS p90_resolution_hours,
   {", ".join(f"round(w.share_closed_within_{b}h, 6) AS share_closed_within_{b}h" for b in BUCKETS)}
 FROM sums s LEFT JOIN weighted w ON s.month = w.month
 """
@@ -260,6 +263,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg_events": R.windowed_agg_events,
         "semi_anti_join": R.semi_anti_join,
         "json_extract_events": R.json_extract_events,
+        "distinct_agg_orders": R2.distinct_agg_orders,
+        "having_active_customers": R2.having_active_customers,
+        "exists_urgent_customers": R2.exists_urgent_customers,
+        "scalar_subquery_above_avg": R2.scalar_subquery_above_avg,
+        "set_ops_customers": R2.set_ops_customers,
+        "string_funcs_parts": R2.string_funcs_parts,
+        "date_arith_orders": R2.date_arith_orders,
+        "count_distribution": R2.count_distribution,
+        "nation_pair_volume": R2.nation_pair_volume,
+        "part_revenue_rank": R2.part_revenue_rank,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -273,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": text.token_count,
         "doc_fingerprint": text.doc_fingerprint,
         "corpus_stats": text.corpus_stats,
+        "embedding_centroids": V2.embedding_centroids,
+        "tfidf_top_terms": V2.tfidf_top_terms,
         "multimodal_meta": multimodal.multimodal_meta,
     }
 
@@ -285,13 +300,13 @@ def oracle_sql() -> dict[str, str]:
         "gold_kpi_global": ORACLE_GOLD_GLOBAL,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -300,7 +315,7 @@ GROUP BY 1, 2
         "q3_shipping_priority": """
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -313,7 +328,7 @@ LIMIT 10
 """,
         "q5_region_revenue": """
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -326,9 +341,9 @@ GROUP BY 1
         "market_segment_share": """
 SELECT c.c_mktsegment AS segment,
   count(*) AS order_count,
-  round(sum(o.o_totalprice), 2) AS total_revenue,
-  round(sum(CASE WHEN o.o_orderpriority LIKE '1%' THEN o.o_totalprice END), 2) AS urgent_revenue,
-  round(avg(o.o_totalprice), 6) AS avg_order_value
+  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_revenue,
+  round(CAST(sum(CASE WHEN o.o_orderpriority LIKE '1%' THEN CAST(o.o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS urgent_revenue,
+  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """,
@@ -442,6 +457,102 @@ SELECT event_type, count(*) AS n,
   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events GROUP BY 1
 """,
+
+        "distinct_agg_orders": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_customers,
+       count(*) AS order_count, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1
+""",
+        "having_active_customers": """
+SELECT o_custkey AS custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY 1 HAVING count(*) > 12
+""",
+        "exists_urgent_customers": """
+SELECT c_custkey AS custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%')
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.event_type = 'error' AND e.value > 90 AND e.user_id = c.c_custkey % 20)
+""",
+        "scalar_subquery_above_avg": """
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+       round(ga, 6) AS global_avg
+FROM orders, (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS ga FROM orders)
+WHERE o_totalprice > ga * 1.5
+""",
+        "set_ops_customers": """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS cohort FROM buyers WHERE user_id IN (SELECT user_id FROM erring)
+UNION ALL
+SELECT user_id, 'buy_only' FROM buyers WHERE user_id NOT IN (SELECT user_id FROM erring)
+UNION ALL
+SELECT user_id, 'error_only' FROM erring WHERE user_id NOT IN (SELECT user_id FROM buyers)
+""",
+        "string_funcs_parts": """
+SELECT p_partkey, upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 5) AS name_prefix,
+       length(p_name) AS name_len,
+       p_brand || '/' || p_type AS brand_type,
+       length(p_name) - length(replace(p_name, 'a', '')) AS n_a
+FROM part WHERE p_name LIKE '%a%'
+""",
+        "date_arith_orders": """
+SELECT year(o.o_orderdate) AS yr, quarter(o.o_orderdate) AS qtr,
+  count(*) AS n_lineitems,
+  round(avg((epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0), 6) AS avg_ship_delay_days,
+  round(max((epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0), 6) AS max_ship_delay_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+        "count_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY 1
+""",
+        "nation_pair_volume": """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2
+""",
+        "part_revenue_rank": """
+WITH rev AS (
+  SELECT p.p_brand, p.p_partkey,
+         round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+            ORDER BY revenue DESC, p_partkey ASC) AS rank
+  FROM rev
+)
+SELECT p_brand, CAST(rank AS INT) AS rank, p_partkey, revenue
+FROM ranked WHERE rank <= 5
+""",
+        "embedding_centroids": """
+WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT label, count(*) AS n,
+  round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+  round(avg(v[1]), 6) AS mean_d0,
+  round(avg(v[2]), 6) AS mean_d1,
+  round(avg(v[3]), 6) AS mean_d2,
+  round(avg(v[4]), 6) AS mean_d3
+FROM c GROUP BY 1
+""",
+        "tfidf_top_terms": _tfidf_oracle(),
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_doc_id, count(*) AS dup_count
@@ -496,6 +607,26 @@ FROM d GROUP BY 1
 """,
     }
     return out
+
+
+def _tfidf_oracle(k: int = 3) -> str:
+    return f"""
+WITH d AS (SELECT source, {_norm_toks_sql()} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS token FROM d),
+tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n FROM d),
+scored AS (
+  SELECT tf.source, tf.token, round(tf.tf * ln(ns.n / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN ns
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, token, tfidf
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _norm_toks_sql() -> str:
