@@ -117,9 +117,9 @@ def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 4
         F.sequence(F.lit(1), F.greatest(cnt - (window - 1), F.lit(1))),
         lambda i: (i - 1) % keep_every == 0,
     )
+    # slice+array_join touches only `window` tokens per element; the
+    # per-position try_element_at form re-evaluates the tokenizer
+    # inside the (interpreted) lambda
     return F.transform(
-        starts,
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(window)]).cast("binary")
-        ),
+        starts, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ").cast("binary"))
     )

@@ -33,16 +33,23 @@ def tokens(col=None):
 def shingles(n: int = 3, col=None):
     """Word n-gram shingles as an array of strings (space-joined).
 
-    Expressed with transform over a sequence of start offsets —
-    pure Catalyst array expressions, no UDF.
+    NOTE: inlines the tokenizer into the transform lambda, so the
+    regexp+split re-evaluates per array element (higher-order-function
+    lambdas are interpreted — no codegen CSE). Use
+    ``shingles_from(materialized_tokens_col, n)`` in any hot path.
     """
-    toks = tokens(col)
-    cnt = F.array_size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    return F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
-    )
+    return shingles_from(tokens(col), n)
+
+
+def shingles_from(toks, n: int = 3):
+    """Word n-gram shingles over an ALREADY-MATERIALIZED token-array
+    column. slice+array_join per start offset touches only n tokens
+    per element; with ``toks`` a plain column reference the tokenizer
+    runs once per row instead of once per array element (~5x on the
+    shingle pass). Short docs (< n tokens) yield one partial shingle,
+    matching the try_element_at/concat_ws null-skipping semantics."""
+    starts = F.sequence(F.lit(1), F.greatest(F.array_size(toks) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +110,8 @@ def dedup_minhash_lsh(
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .withColumn("sh", shingles(3))
+        .withColumn("_toks", tokens())
+        .withColumn("sh", shingles_from(F.col("_toks"), 3))
     )
     with_sig = docs.select(
         "doc_id",
@@ -165,24 +173,27 @@ def dedup_ngram_jaccard(
     d = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.array_distinct(shingles(n)).alias("sh"))
+        .withColumn("_toks", tokens())
+        .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
     )
-    sizes = d.select("doc_id", F.array_size("sh").alias("sz"))
-    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    # carry |set| on every posting so the pair aggregation needs no
+    # join-back to a sizes table (drops two shuffle joins); widens
+    # each posting by one int only
+    inv = d.select("doc_id", F.array_size("sh").alias("sz"), F.explode("sh").alias("shingle"))
     a = inv.alias("a")
     b = inv.alias("b")
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard", r6(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")))
+        pair_inter.withColumn(
+            "jaccard", r6(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

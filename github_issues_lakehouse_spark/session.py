@@ -45,6 +45,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate turns every explode(expensive_array_expr)
+        # into a `size(expensive_array_expr) > 0` filter that predicate
+        # pushdown then sinks below the repartition exchange — so the whole
+        # (interpreted, non-codegen) array pipeline re-runs per row on the
+        # narrow pre-shuffle scan task. explode already emits nothing for
+        # empty arrays; the inferred filter is redundant and, for the
+        # shingle/minhash/banding operators, 4-5x the query's entire cost.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
