@@ -200,6 +200,57 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs:
+    every document in a near-dup pair gets a cluster_id = the minimum
+    doc_id reachable through the similarity graph (the canonical
+    "which docs are the same document" grouping a dedup pipeline
+    feeds to its keep-one policy).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; converges in <= diameter
+    rounds (near-dup clusters are shallow — a handful of rounds).
+    localCheckpoint truncates lineage so plans don't grow across
+    iterations; each round is one shuffle join + one aggregation,
+    all distributed — the driver only checks the convergence count.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60
 
 

@@ -1,0 +1,145 @@
+"""Relational core, batch 3: window-function suite (running totals,
+lag deltas, moving averages), statistical aggregates, GROUPING SETS,
+and time-series gap-fill — rounding out the warehouse surface.
+
+Scale notes: every window here partitions on a natural high-cardinality
+key (customer, user) — one shuffle, then per-partition sort; no global
+ordering anywhere. The gap-fill grid is (days x event_types), tiny
+relative to the fact table, built with a broadcast cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import money, r2, r6
+
+
+def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order count and cumulative spend over
+    time. Frame = ROWS UNBOUNDED PRECEDING with a total order
+    (o_orderdate, o_orderkey) so the running sum is deterministic;
+    decimal accumulation keeps it exact in every engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+        r2(F.sum(money(F.col("o_totalprice"))).over(w).cast("double")).alias("running_spend"),
+    )
+
+
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: days since the customer's previous order (NULL for the
+    first). One shuffle on customer, per-partition sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event value per user (frame-ordered, so
+    the float accumulation order is pinned by the frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        r6(F.avg(F.col("value").cast("decimal(12,2)")).over(w).cast("double")).alias(
+            "moving_avg_value"
+        ),
+    )
+
+
+def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance,
+    correlation and covariance between quantity and price. Single-pass
+    moment aggregates — map-side combinable at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(q), 6).alias("stddev_qty"),
+        F.round(F.var_samp(q), 4).alias("var_qty"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((year, segment), (year), (segment), ())
+    — the general form behind ROLLUP/CUBE, via the SQL API. Subtotal
+    keys are rendered as 'ALL' so no grouping_id is needed for a
+    portable result."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("gs_orders")
+    c.createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(CAST(year(o.o_orderdate) AS STRING), 'ALL') AS yr,
+               coalesce(c.c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+                 AS total_revenue
+        FROM gs_orders o JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((year(o.o_orderdate), c.c_mktsegment),
+                                (year(o.o_orderdate)), (c.c_mktsegment), ())
+        """
+    )
+
+
+def daily_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: daily event counts per
+    type, zero-filled for (day, type) combinations with no events.
+    The grid (days x types) is tiny relative to the fact table and is
+    built driver-free: sequence() over the min/max day, broadcast
+    cross join against the distinct types, left join the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+    )
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            r2(F.coalesce(F.col("total_value").cast("double"), F.lit(0.0))).alias(
+                "total_value"
+            ),
+        )
+    )

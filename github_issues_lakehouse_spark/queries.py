@@ -12,7 +12,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.labels import LakehouseRules
-from .operators import dedup, gold, multimodal, relational as R, relational2 as R2, silver, similarity, text, vectors2 as V2
+from .operators import (
+    dedup,
+    gold,
+    multimodal,
+    relational as R,
+    relational2 as R2,
+    relational3 as R3,
+    silver,
+    similarity,
+    text,
+    vectors2 as V2,
+)
 
 BUCKETS = LakehouseRules().time_buckets_hours
 
@@ -22,6 +33,47 @@ def fmt_ts(c, alias):
 
 
 # ---------------------------------------------------------------- A. lakehouse
+
+
+def q_bronze_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the typed bronze issues table (pre-enrichment) — ids,
+    state, timestamps, raw label array (joined for hashing)."""
+    b = silver.synth_issues(spark, sf_dir)
+    return b.select(
+        "issue_id",
+        "state",
+        fmt_ts(F.col("created_at"), "created_ts"),
+        fmt_ts(F.col("closed_at"), "closed_ts"),
+        F.array_join("labels", "|").alias("labels_str"),
+        F.array_size("labels").cast("long").alias("n_labels"),
+    )
+
+
+def q_silver_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: cross-run merge dedup — two synthetic ingest runs of the
+    events table (run 2 re-delivers every third event with updated
+    values), keep-latest per event_id."""
+    e = load_events_for_merge(spark, sf_dir)
+    merged = silver.merge_keep_latest(e, key="event_id", order_col="run_id")
+    return merged.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("run_id").cast("long").alias("run_id"),
+    )
+
+
+def load_events_for_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    run1 = e.withColumn("run_id", F.lit(1))
+    run2 = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") + 100)
+        .withColumn("run_id", F.lit(2))
+    )
+    return run1.unionByName(run2)
 
 
 def q_silver_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +295,9 @@ FROM sums s LEFT JOIN weighted w ON s.month = w.month
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A. lakehouse parity
+        "bronze_issues": q_bronze_issues,
         "silver_issues": q_silver_issues,
+        "silver_merge_dedup": q_silver_merge_dedup,
         "label_catalog": q_label_catalog,
         "gold_kpi_component_tier": q_gold_component_tier,
         "gold_kpi_global": q_gold_global,
@@ -273,9 +327,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distribution": R2.count_distribution,
         "nation_pair_volume": R2.nation_pair_volume,
         "part_revenue_rank": R2.part_revenue_rank,
+        "running_customer_totals": R3.running_customer_totals,
+        "order_gap_days": R3.order_gap_days,
+        "moving_avg_user_value": R3.moving_avg_user_value,
+        "stats_summary_lineitem": R3.stats_summary_lineitem,
+        "grouping_sets_revenue": R3.grouping_sets_revenue,
+        "daily_gapfill_events": R3.daily_gapfill_events,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
@@ -298,6 +359,48 @@ def oracle_sql() -> dict[str, str]:
         "label_catalog": ORACLE_LABEL_CATALOG,
         "gold_kpi_component_tier": ORACLE_GOLD_COMPONENT,
         "gold_kpi_global": ORACLE_GOLD_GLOBAL,
+        "bronze_issues": """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), b AS (
+  SELECT o.o_orderkey AS issue_id,
+    CASE WHEN o.o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS state,
+    o.o_orderdate AS created_at,
+    CASE WHEN o.o_orderstatus = 'F' THEN ls.last_ship END AS closed_at,
+    list_filter([
+      CASE WHEN o.o_orderpriority LIKE '1%' THEN 'Blocker'
+           WHEN o.o_orderpriority LIKE '2%' THEN 'Regression' END,
+      CASE WHEN o.o_orderkey % 2 = 0 THEN 'Bug'
+           WHEN o.o_orderkey % 3 = 0 THEN 'Docs'
+           WHEN o.o_orderkey % 5 = 0 THEN 'Enhancement'
+           WHEN o.o_orderkey % 7 = 0 THEN 'Usage Question' END,
+      CASE WHEN o.o_orderkey % 13 <> 0 THEN 'component: ' || c.c_mktsegment END,
+      CASE WHEN o.o_orderkey % 17 = 0 THEN 'Performance' END,
+      CASE WHEN o.o_orderkey % 11 = 0 THEN 'Needs Triage' END
+    ], x -> x IS NOT NULL) AS labels
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+)
+SELECT issue_id, state,
+  strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_ts,
+  strftime(closed_at, '%Y-%m-%d %H:%M:%S') AS closed_ts,
+  array_to_string(labels, '|') AS labels_str,
+  len(labels) AS n_labels
+FROM b
+""",
+        "silver_merge_dedup": """
+WITH runs AS (
+  SELECT event_id, event_type, value, 1 AS run_id FROM events
+  UNION ALL
+  SELECT event_id, event_type, value + 100, 2 FROM events WHERE event_id % 3 = 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY run_id DESC) AS rn
+  FROM runs
+)
+SELECT event_id, event_type, round(value, 2) AS value, CAST(run_id AS BIGINT) AS run_id
+FROM r WHERE rn = 1
+""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
@@ -542,6 +645,65 @@ WITH rev AS (
 SELECT p_brand, CAST(rank AS INT) AS rank, p_partkey, revenue
 FROM ranked WHERE rank <= 5
 """,
+        "running_customer_totals": """
+SELECT o_custkey AS custkey, o_orderkey,
+  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "order_gap_days": """
+SELECT o_custkey AS custkey, o_orderkey,
+  date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+""",
+        "moving_avg_user_value": """
+SELECT user_id, event_id,
+  round(CAST(avg(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg_value
+FROM events
+""",
+        "stats_summary_lineitem": """
+SELECT l_returnflag, count(*) AS n,
+  round(stddev_samp(l_quantity), 6) AS stddev_qty,
+  round(var_samp(l_quantity), 4) AS var_qty,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY 1
+""",
+        "grouping_sets_revenue": """
+SELECT coalesce(CAST(year(o.o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       coalesce(c.c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((year(o.o_orderdate), c.c_mktsegment),
+                        (year(o.o_orderdate)), (c.c_mktsegment), ())
+""",
+        "daily_gapfill_events": """
+WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(12,2))) AS tv
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+  coalesce(d.n, 0) AS n_events,
+  round(coalesce(CAST(d.tv AS DOUBLE), 0.0), 2) AS total_value
+FROM (SELECT day, event_type FROM days, types) g
+LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+""",
+        "dedup_clusters": _clusters_oracle(),
         "embedding_centroids": """
 WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT label, count(*) AS n,
@@ -681,6 +843,28 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _clusters_oracle() -> str:
+    """Connected components over the minhash near-dup pairs: min
+    reachable node id per node via a recursive CTE (the SQL twin of
+    the Spark-side iterative min-label propagation)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1
 """
 
 
