@@ -721,7 +721,10 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
 FROM documents GROUP BY 1
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "multimodal_meta": _multimodal_oracle(),
         "neardup_embedding_cosine": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -843,6 +846,104 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """60-bit SimHash twin: DuckDB parses '0x'||hex to BIGINT, so the
+    md5-derived token hash, per-bit votes, block bucketing and
+    hamming verification replicate bit-for-bit."""
+    from .operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
+    blocks = ", ".join(f"(sig >> {15 * i}) & 32767 AS b{i}" for i in range(4))
+    block_match = " OR ".join(f"a.b{i} = b.b{i}" for i in range(4))
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({_norm_toks_sql()}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
+blocks AS (SELECT doc_id, sig, {blocks} FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.doc_id < b.doc_id AND ({block_match})
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+def _multimodal_oracle() -> str:
+    """The decode stub derives all measurements from md5(payload) with
+    payload = utf-8 text bytes, so the whole mapInPandas feature pass
+    has an exact SQL twin."""
+    return """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    md5(text) AS fh,
+    strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, 'application/x-fake-' || kind AS mime, n_bytes,
+  16 + ('0x' || substr(fh, 1, 2))::BIGINT % 240 AS width,
+  16 + ('0x' || substr(fh, 3, 2))::BIGINT % 240 AS height,
+  CASE WHEN kind IN ('audio', 'video')
+       THEN round((('0x' || substr(fh, 5, 2))::BIGINT % 600) / 10.0, 1)
+       ELSE 0.0 END AS duration_s,
+  fh AS feature_hash
+FROM m
+"""
+
+
+def _ann_lsh_oracle(n_queries: int = 8, k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Hyperplane-LSH twin: the planes are md5-derived constants and
+    the projection is a left-associated sum (same fold order as the
+    Spark aggregate()), so bucket assignment matches exactly; cosine
+    is rounded to 6dp on both sides."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    projs = []
+    for p_idx, plane in enumerate(planes):
+        terms = " + ".join(f"v[{d + 1}] * ({coef!r})" for d, coef in enumerate(plane))
+        projs.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << p_idx} ELSE 0 END")
+    bucket = " + ".join(projs)
+    probe_buckets = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigd AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM c),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket FROM sigd WHERE vec_id < {n_queries}),
+probes AS (SELECT q_id, q_vec, unnest([{probe_buckets}]) AS bucket FROM q),
+cand AS (
+  SELECT DISTINCT p.q_id, s.vec_id
+  FROM probes p JOIN sigd s ON p.bucket = s.bucket
+  WHERE s.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+    round(list_dot_product(q.q_vec, s.v) /
+          (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(s.v, s.v))), 6)
+      AS cos_sim
+  FROM cand
+  JOIN q ON cand.q_id = q.q_id
+  JOIN sigd s ON cand.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {k}
 """
 
 
