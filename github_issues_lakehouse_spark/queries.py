@@ -19,6 +19,7 @@ from .operators import (
     relational as R,
     relational2 as R2,
     relational3 as R3,
+    scale,
     silver,
     similarity,
     text,
@@ -349,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": text.corpus_stats,
         "embedding_centroids": V2.embedding_centroids,
         "tfidf_top_terms": V2.tfidf_top_terms,
+        "sample_stratified": scale.sample_stratified,
+        "training_corpus_filter": scale.training_corpus_filter,
         "multimodal_meta": multimodal.multimodal_meta,
     }
 
@@ -715,6 +718,17 @@ SELECT label, count(*) AS n,
 FROM c GROUP BY 1
 """,
         "tfidf_top_terms": _tfidf_oracle(),
+        "sample_stratified": """
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || ':' || source) AS h
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rk
+  FROM h
+)
+SELECT source, rk, doc_id, h FROM ranked WHERE rk <= 10
+""",
+        "training_corpus_filter": _corpus_filter_oracle(),
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_doc_id, count(*) AS dup_count
@@ -846,6 +860,22 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _corpus_filter_oracle(min_quality: float = 0.8) -> str:
+    """Composite gate: exact-dedup keeper AND english AND quality —
+    built by nesting the standalone oracles, the same way the Spark
+    operator composes the standalone operators."""
+    return f"""
+SELECT q.doc_id, l.pred_lang, q.n_tokens, q.quality_score
+FROM ({_quality_oracle()}) q
+JOIN ({_lang_id_oracle()}) l ON q.doc_id = l.doc_id
+WHERE q.doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+)
+AND l.pred_lang = 'en' AND q.quality_score >= {min_quality}
 """
 
 

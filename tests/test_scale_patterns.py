@@ -1,0 +1,74 @@
+"""Scale-pattern behaviors: salted joins match plain joins, bucketed
+tables join without exchanges (SURVEY.md §6)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_issues_lakehouse_spark.operators.scale import salted_join
+from github_issues_lakehouse_spark.plans.introspect import _plan_str
+from github_issues_lakehouse_spark.sinks import write_bucketed
+from github_issues_lakehouse_spark.sources.registry import load_table
+
+from .conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+    salted = salted_join(o, c, "o_custkey", "c_custkey", n_salts=4).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (99, "z")], "k int, v string")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k2 int, w int")
+    out = salted_join(a, b, "k", "k2", n_salts=4, how="left")
+    rows = {(r.k, r.w) for r in out.collect()}
+    assert rows == {(1, 10), (2, 20), (99, None)}
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp(prefix="bucket_test_")
+    yield d
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8, path=f"{warehouse}/o")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8, path=f"{warehouse}/l")
+
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy("o_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    # force the sort-merge path so the assertion targets the shuffle
+    # (with broadcast on, the small side would broadcast instead)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_str(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, "bucketed co-located join must not shuffle:\n" + plan
+
+    # same rows as the plain-parquet join
+    plain = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
