@@ -746,7 +746,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
 FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
         "ann_bruteforce_topk": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
