@@ -285,12 +285,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return per_doc.select(id_col, sig.alias("sig"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: bucket by 4 x 15-bit blocks (a pair
-    within hamming distance <= max_hamming over 60 bits must agree
-    exactly on at least one block when max_hamming < 4*... pigeonhole
-    with 4 blocks holds for distance <= 3; wider distances are a
-    recall/cost tradeoff) and verify hamming distance on candidates.
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: bucket by 4 x 15-bit blocks and verify
+    hamming distance on candidates. By pigeonhole, any pair within
+    hamming distance 3 of the 60-bit signature agrees exactly on at
+    least one of the 4 blocks, so the default is lossless (full
+    recall); raising max_hamming above 3 trades recall for reach.
     """
     d = simhash_signatures(load_table(spark, sf_dir, "documents"))
     blocks = [

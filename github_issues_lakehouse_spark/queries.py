@@ -879,7 +879,7 @@ AND l.pred_lang = 'en' AND q.quality_score >= {min_quality}
 """
 
 
-def _simhash_oracle(max_hamming: int = 8) -> str:
+def _simhash_oracle(max_hamming: int = 3) -> str:
     """60-bit SimHash twin: DuckDB parses '0x'||hex to BIGINT, so the
     md5-derived token hash, per-bit votes, block bucketing and
     hamming verification replicate bit-for-bit."""
