@@ -67,6 +67,51 @@ def test_stream_dedup_drops_duplicates(spark, events_dir):
     assert got.count() == n_unique
 
 
+def test_watermark_drops_late_rows(spark):
+    """A row arriving after its window's state was finalized+evicted
+    (window.end < watermark at a prior batch boundary) is dropped: the
+    window is emitted exactly once, without the late row.
+
+    Note the guarantee's shape: eviction in batch N uses the watermark
+    computed from batch N-1's data, so the late row must arrive two
+    batches after the event that advanced the watermark — a late row
+    in the very next batch may still merge into the un-evicted state
+    (allowed by Spark's "may aggregate late data" semantics).
+    """
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    try:
+        batches = [
+            # b1 advances max event time to 13:00 -> wm 12:50 next batch
+            [(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+             (2, "2024-01-01 13:00:00", 1, "click", 1.0)],
+            # b2: end of this batch evicts+emits the 10:00 window (count 1)
+            [(3, "2024-01-01 13:05:00", 1, "click", 1.0)],
+            # b3: ~3h late vs a 10-minute watermark -> must be dropped
+            [(4, "2024-01-01 10:10:00", 1, "click", 1.0)],
+        ]
+        for i, rows in enumerate(batches, 1):
+            pdf = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+            pdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+            _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{d}/b1").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*/*.parquet")
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+        got = _run_stream(spark, agg, "late_win").collect()
+        win10 = [r for r in got if r.window_start.hour == 10]
+        assert len(win10) == 1, f"window must be emitted exactly once: {got}"
+        assert win10[0].event_count == 1, "late row must not re-open the window"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sessionize_stream_emits_sessions(spark, events_dir):
     schema = load_table(spark, SF_DIR, "events").schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
