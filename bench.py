@@ -18,19 +18,25 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "nation_pair_volume",
     "gold_kpi_component_tier",
     "gold_kpi_global",
     "topk_per_group",
+    "running_customer_totals",
     "asof_join_orders_events",
     "sessionize_events",
     "windowed_agg_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "neardup_embedding_cosine",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "training_corpus_filter",
 ]
 
 

@@ -293,26 +293,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     recall); raising max_hamming above 3 trades recall for reach.
     """
     d = simhash_signatures(load_table(spark, sf_dir, "documents"))
-    blocks = [
-        F.shiftright(F.col("sig"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"b{i}")
-        for i in range(4)
-    ]
-    db = d.select("doc_id", "sig", *blocks)
-    pairs = None
-    for i in range(4):
-        a = db.alias("a")
-        b = db.alias("b")
-        p = a.join(
+    # one banded equi-join (like MinHash LSH) instead of one self-join
+    # per block: explode each doc into (block_id, block_value) postings
+    # and join on both — a single shuffle on the posting key
+    posting = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bid"),
+                    F.shiftright(F.col("sig"), 15 * i)
+                    .bitwiseAND(F.lit((1 << 15) - 1))
+                    .alias("bval"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+    db = d.select("doc_id", "sig", posting.alias("p")).select(
+        "doc_id", "sig", "p.bid", "p.bval"
+    )
+    a = db.alias("a")
+    b = db.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+            (F.col("a.bid") == F.col("b.bid"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         pairs.withColumn("hamming", hamming)
