@@ -97,6 +97,70 @@ def neardup_embedding_cosine(
     )
 
 
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    inverted lists by nearest centroid; each query scores only the
+    lists of its ``n_probe`` nearest centroids.
+
+    Centroids are the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in for a k-means pass (at scale: run k-means||
+    once offline, broadcast the centroid table; the assignment and
+    probe plan below is unchanged). Assignment scores are rounded to
+    6dp before the argmax so the cell choice is reproducible across
+    engines; ties break on centroid id.
+    """
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def assign(df, id_col, vec_col, keep_rank):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "c_id",
+            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id").asc())
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep_rank)
+            .select(id_col, F.col("c_id").alias("cell"))
+        )
+
+    cells = assign(corpus, "vec_id", "vec", 1)
+    corpus_cells = corpus.join(cells, "vec_id")
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    probes = assign(
+        queries.select(F.col("q_id"), F.col("q_vec")), "q_id", "q_vec", n_probe
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim")
+        )
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes derived from md5 — no
     RNG state, reproducible across engines and runs."""

@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
         "token_count": text.token_count,
@@ -738,6 +739,7 @@ FROM documents GROUP BY 1
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "multimodal_meta": _multimodal_oracle(),
         "neardup_embedding_cosine": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -967,6 +969,54 @@ scored AS (
   FROM cand
   JOIN q ON cand.q_id = q.q_id
   JOIN sigd s ON cand.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle(n_queries: int = 8, k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """IVF twin: centroid assignment by rounded cosine argmax (ties on
+    centroid id), query probes its n_probe nearest cells."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS c_vec FROM c WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, c_id, {cos.format(a="v", b="c_vec")} AS c_sim
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < {n_queries}),
+qassign AS (
+  SELECT q_id, c_id, {cos.format(a="q_vec", b="c_vec")} AS c_sim
+  FROM q, cents
+),
+probes AS (
+  SELECT q_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM qassign) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, cc.vec_id
+  FROM probes p JOIN cells cc ON p.cell = cc.cell
+  WHERE cc.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         {cos.format(a="q.q_vec", b="cv.v")} AS cos_sim
+  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c cv ON cand.vec_id = cv.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
