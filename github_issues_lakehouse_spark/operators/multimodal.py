@@ -82,14 +82,29 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
     still applies (we select only the needed columns first).
     """
     pruned = media.select("media_id", "kind", "payload")
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
+    # NOTE: the closure must be fully self-contained (no references to
+    # this package's module-level symbols): the driver harness imports
+    # the entry module by path, so Python workers cannot re-import
+    # `github_issues_lakehouse_spark` — cloudpickle must serialize the
+    # whole kernel by value.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import pandas as _pd
+
+        def decode_stub(payload, kind):
+            h = hashlib.md5(payload or b"").digest()
+            width = 16 + h[0] % 240
+            height = 16 + h[1] % 240
+            duration = round((h[2] % 600) / 10.0, 1) if kind in ("audio", "video") else 0.0
+            return width, height, duration
 
         for pdf in batches:
             rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                w, h, dur = _decode_stub(payload, kind)
+                w, h, dur = decode_stub(payload, kind)
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -100,7 +115,7 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
                         "feature_hash": hashlib.md5(payload or b"").hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield _pd.DataFrame(rows, columns=out_cols)
 
     return pruned.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
