@@ -110,6 +110,46 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_suite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p25/p50/p75/p95) of quantity and price per
+    return flag — linear-interpolation definition on both engines.
+    The 100 TB path swaps percentile() for percentile_approx() (one
+    pass, mergeable sketches); exact is kept here because the oracle
+    pins exact semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile(q, pc), 4).alias(f"qty_p{int(pc * 100)}")
+            for pc in (0.25, 0.5, 0.75, 0.95)
+        ],
+        *[
+            F.round(F.percentile(p, pc), 4).alias(f"price_p{int(pc * 100)}")
+            for pc in (0.5, 0.95)
+        ],
+    )
+
+
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling suite over the (closed_at-nullable) issues shape:
+    null-safe equality, coalesce, nullif, count(col) vs count(*),
+    conditional counting of nulls."""
+    from .silver import synth_issues
+
+    b = synth_issues(spark, sf_dir)
+    return b.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("closed_at").alias("n_closed_non_null"),
+        F.sum(F.when(F.col("closed_at").isNull(), 1).otherwise(0)).alias("n_closed_null"),
+        F.count(F.nullif(F.col("state"), F.lit("open"))).alias("n_nullif_open"),
+        F.min(F.coalesce(F.col("closed_at"), F.col("created_at"))).cast("date").cast("string").alias("min_effective_date"),
+        F.sum(
+            F.when(F.col("closed_at").eqNullSafe(F.lit(None).cast("timestamp_ntz")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq_null"),
+    )
+
+
 def daily_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap fill: daily event counts per
     type, zero-filled for (day, type) combinations with no events.

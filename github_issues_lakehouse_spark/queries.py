@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary_lineitem": R3.stats_summary_lineitem,
         "grouping_sets_revenue": R3.grouping_sets_revenue,
         "daily_gapfill_events": R3.daily_gapfill_events,
+        "percentile_suite_lineitem": R3.percentile_suite_lineitem,
+        "null_semantics_orders": R3.null_semantics_orders,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -708,6 +710,36 @@ FROM (SELECT day, event_type FROM days, types) g
 LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
 """,
         "dedup_clusters": _clusters_oracle(),
+        "percentile_suite_lineitem": """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+  round(quantile_cont(l_quantity, 0.95), 4) AS qty_p95,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+FROM lineitem GROUP BY 1
+""",
+        "null_semantics_orders": """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), b AS (
+  SELECT o.o_orderkey,
+    CASE WHEN o.o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS state,
+    o.o_orderdate AS created_at,
+    CASE WHEN o.o_orderstatus = 'F' THEN ls.last_ship END AS closed_at
+  FROM orders o
+  LEFT JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+)
+SELECT state,
+  count(*) AS n_rows,
+  count(closed_at) AS n_closed_non_null,
+  sum(CASE WHEN closed_at IS NULL THEN 1 ELSE 0 END) AS n_closed_null,
+  count(nullif(state, 'open')) AS n_nullif_open,
+  CAST(CAST(min(coalesce(closed_at, created_at)) AS DATE) AS VARCHAR) AS min_effective_date,
+  sum(CASE WHEN closed_at IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+FROM b GROUP BY 1
+""",
         "embedding_centroids": """
 WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT label, count(*) AS n,
