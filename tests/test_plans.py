@@ -35,3 +35,31 @@ def test_q5_broadcasts_dims(spark):
 def test_no_cartesian_product(name, spark):
     df = Q.queries()[name](spark, SF_DIR)
     assert_no_cartesian(df)
+
+
+def _shuffle_count(df):
+    import re
+
+    from github_issues_lakehouse_spark.plans.introspect import _plan_str
+
+    return len(re.findall(r"\(\d+\) Exchange\b", _plan_str(df)))
+
+
+def test_q1_single_shuffle(spark):
+    """Partial agg -> one exchange -> final agg; anything more would
+    re-shuffle 100 TB of lineitem."""
+    assert _shuffle_count(R.q1_pricing_summary(spark, SF_DIR)) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-and-window as-of join must shuffle exactly once (on
+    the user key) — a per-row range join would show extra exchanges."""
+    assert _shuffle_count(R.asof_join_orders_events(spark, SF_DIR)) == 1
+
+
+def test_nation_pair_broadcasts_dims(spark):
+    from github_issues_lakehouse_spark.operators import relational2 as R2
+
+    df = R2.nation_pair_volume(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3, "supplier + both nation copies broadcast"
+    assert _shuffle_count(df) <= 2, "facts shuffle at most on join key + agg"
