@@ -1,0 +1,91 @@
+"""10x scale stress: replicate the sf0.1 testdata (shifted ids,
+per-replica text perturbation so replicas are near- but not exact
+duplicates) into /tmp/stress and run the shuffle-heavy operators.
+
+Validates the scaling claims in SURVEY.md §6 empirically: each
+operator's wall time should grow ~linearly with input size (the
+near-dup PAIR listings are quadratic in duplicate-cluster size by
+definition — the cluster output form, dedup_clusters, is the scale
+path there).
+
+    python tools/stress.py [mult]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+HEAVY = [
+    "sessionize_events",
+    "asof_join_orders_events",
+    "windowed_agg_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "lang_id",
+    "training_corpus_filter",
+    "silver_merge_dedup",
+    "moving_avg_user_value",
+]
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = "/root/testdata/sf0.1"
+    dst = "/tmp/stress"
+
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.session import get_spark
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    spark = get_spark(app_name="stress")
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/documents.parquet")
+    )
+    e = load_table(spark, src, "events")
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/events.parquet")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    qs = Q.queries()
+    for name in HEAVY:
+        t0 = time.time()
+        n = qs[name](spark, dst).count()
+        print(f"{name}: {n} rows {time.time() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
