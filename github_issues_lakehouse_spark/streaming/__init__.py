@@ -1,1 +1,7 @@
-from .ops import windowed_event_counts, sessionize_stream, stream_dedup  # noqa: F401
+from .ops import (  # noqa: F401
+    enrich_stream_with_dim,
+    sessionize_stream,
+    stream_dedup,
+    stream_merge_to_parquet,
+    windowed_event_counts,
+)

@@ -128,3 +128,38 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon
     (streaming twin of silver ``merge_keep_latest``)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on_mod: int = 20) -> DataFrame:
+    """Stream-static join: enrich the event stream with a customer
+    dimension (user_id maps onto custkey space via mod, matching the
+    batch as-of/semi-join conventions). The static side is broadcast
+    per micro-batch — no stream-side state, re-read on dim refresh."""
+    from pyspark.sql import functions as F
+
+    d = dim.select(
+        (F.col("c_custkey") % on_mod).alias("join_uid"), "c_mktsegment"
+    ).dropDuplicates(["join_uid"])
+    return events.join(F.broadcast(d), events.user_id == d.join_uid, "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "c_mktsegment"
+    )
+
+
+def stream_merge_to_parquet(
+    events: DataFrame, path: str, checkpoint: str, key: str = "event_id", order_col: str = "ts"
+):
+    """The streaming -> lakehouse bridge: each micro-batch is
+    merge-upserted (keep-latest per key) into a parquet table via
+    ``foreachBatch``. On Delta/Iceberg the body becomes MERGE INTO;
+    the stream wiring is identical. Returns the started query."""
+    from ..sinks import merge_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, path, key=key, order_col=order_col)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

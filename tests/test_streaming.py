@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from github_issues_lakehouse_spark.sources.registry import load_table
 from github_issues_lakehouse_spark.streaming import (
+    enrich_stream_with_dim,
     sessionize_stream,
     stream_dedup,
+    stream_merge_to_parquet,
     windowed_event_counts,
 )
 
@@ -65,6 +67,37 @@ def test_stream_dedup_drops_duplicates(spark, events_dir):
     got = _run_stream(spark, deduped, "dedup_stream")
     n_unique = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert got.count() == n_unique
+
+
+def test_stream_static_dim_enrichment(spark, events_dir):
+    """Stream-static broadcast join matches its batch twin."""
+    schema = load_table(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    dim = load_table(spark, SF_DIR, "customer")
+    got = _run_stream(spark, enrich_stream_with_dim(stream, dim), "enriched")
+    batch = enrich_stream_with_dim(load_table(spark, SF_DIR, "events"), dim)
+    assert got.count() == batch.count()
+    g = {(r.event_id, r.c_mktsegment) for r in got.collect()}
+    b = {(r.event_id, r.c_mktsegment) for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_merge_to_parquet_keeps_latest(spark, events_dir):
+    """foreachBatch merge-upsert lands a keyed table with unique
+    event_ids (the streaming->silver bridge)."""
+    d = tempfile.mkdtemp(prefix="stream_merge_")
+    try:
+        schema = load_table(spark, SF_DIR, "events").schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        doubled = stream.unionByName(stream)  # duplicate delivery
+        q = stream_merge_to_parquet(doubled, f"{d}/tbl", f"{d}/ckpt")
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{d}/tbl")
+        n_unique = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+        assert out.count() == n_unique
+        assert out.select("event_id").distinct().count() == n_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_watermark_drops_late_rows(spark):
