@@ -120,6 +120,53 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
     return pruned.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_offset_s", T.DoubleType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_s: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (every
+    ``every_s`` seconds of stub-decoded duration) — the 1-to-N Arrow
+    expansion every video pipeline needs (decode batch in, frame
+    batch out; a real deployment swaps the hash for pyav frame
+    bytes + a feature extractor, same schema contract).
+
+    The kernel is self-contained (no package-level references) so
+    foreign-cwd drivers can run it; all outputs derive from
+    md5(payload) so the SQL oracle reproduces them exactly.
+    """
+    media = synth_media(spark, sf_dir).filter(F.col("kind") == "video")
+    pruned = media.select("media_id", "payload")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "t_offset_s": [], "frame_hash": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                h = hashlib.md5(payload).digest()
+                n_frames = (h[2] % 600) // (10 * every_s) + 1
+                for i in range(n_frames):
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(i)
+                    out["t_offset_s"].append(float(i * every_s))
+                    out["frame_hash"].append(
+                        hashlib.md5(payload + f":{i}".encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return pruned.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata + extracted-feature mart over the synthetic media
     table (rows-only correctness: stub decode is engine-specific)."""

@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": scale.sample_stratified,
         "training_corpus_filter": scale.training_corpus_filter,
         "multimodal_meta": multimodal.multimodal_meta,
+        "frame_sample": multimodal.frame_sample,
     }
 
 
@@ -773,6 +774,20 @@ FROM documents GROUP BY 1
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "multimodal_meta": _multimodal_oracle(),
+        "frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id, text, md5(text) AS fh
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, text, ('0x' || substr(fh, 5, 2))::BIGINT % 600 AS d10 FROM m
+), idx AS (
+  SELECT media_id, text, unnest(generate_series(0, CAST(d10 // 100 AS INT))) AS i FROM f
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * 10.0 AS DOUBLE) AS t_offset_s,
+       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
+FROM idx
+""",
         "neardup_embedding_cosine": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
