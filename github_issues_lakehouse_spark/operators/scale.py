@@ -63,6 +63,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 10) -
     )
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table snapshots: classify every key as
+    inserted / deleted / updated / unchanged with old and new values.
+    One full-outer join on the key — the plain-parquet equivalent of
+    a Delta/Iceberg table-history diff, and the primitive an
+    incremental gold rebuild consumes.
+
+    The second snapshot is derived deterministically from the first
+    (every 11th key deleted, every 7th price bumped, every 13th
+    cloned under a shifted key) so both engines diff identical
+    inputs.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o
+    surviving = o.filter(F.col("o_orderkey") % 11 != 0)
+    updated = surviving.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 10.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    v2 = updated.unionByName(inserts)
+
+    a = v1.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("old_price"))
+    b = v2.select(F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("new_price"))
+    j = a.join(b, a.k == b.k2, "full_outer")
+    change = (
+        F.when(F.col("k").isNull(), F.lit("inserted"))
+        .when(F.col("k2").isNull(), F.lit("deleted"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("k"), F.col("k2")).alias("o_orderkey"),
+        change.alias("change_type"),
+        r6(F.col("old_price")).alias("old_price"),
+        r6(F.col("new_price")).alias("new_price"),
+    ).filter(F.col("change_type") != "unchanged")
+
+
 def training_corpus_filter(
     spark: SparkSession, sf_dir: str, min_quality: float = 0.8
 ) -> DataFrame:

@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": V2.tfidf_top_terms,
         "sample_stratified": scale.sample_stratified,
         "training_corpus_filter": scale.training_corpus_filter,
+        "snapshot_diff": scale.snapshot_diff,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
     }
@@ -763,6 +764,34 @@ WITH h AS (
 SELECT source, rk, doc_id, h FROM ranked WHERE rk <= 10
 """,
         "training_corpus_filter": _corpus_filter_oracle(),
+        "snapshot_diff": """
+WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 10.0, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0
+),
+j AS (
+  SELECT v1.o_orderkey AS k, v2.o_orderkey AS k2,
+         v1.o_totalprice AS old_price, v2.o_totalprice AS new_price
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT coalesce(k, k2) AS o_orderkey,
+  CASE WHEN k IS NULL THEN 'inserted'
+       WHEN k2 IS NULL THEN 'deleted'
+       WHEN old_price <> new_price THEN 'updated'
+       ELSE 'unchanged' END AS change_type,
+  round(old_price, 6) AS old_price,
+  round(new_price, 6) AS new_price
+FROM j
+WHERE (CASE WHEN k IS NULL THEN 'inserted'
+       WHEN k2 IS NULL THEN 'deleted'
+       WHEN old_price <> new_price THEN 'updated'
+       ELSE 'unchanged' END) <> 'unchanged'
+""",
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_doc_id, count(*) AS dup_count
