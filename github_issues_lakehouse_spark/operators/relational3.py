@@ -94,8 +94,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable result."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    o.createOrReplaceTempView("gs_orders")
-    c.createOrReplaceTempView("gs_customer")
+    # DataFrame references passed straight into spark.sql — no shared
+    # temp-view names to collide across concurrent callers
     return spark.sql(
         """
         SELECT coalesce(CAST(year(o.o_orderdate) AS STRING), 'ALL') AS yr,
@@ -103,10 +103,12 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_orders,
                round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
                  AS total_revenue
-        FROM gs_orders o JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
         GROUP BY GROUPING SETS ((year(o.o_orderdate), c.c_mktsegment),
                                 (year(o.o_orderdate)), (c.c_mktsegment), ())
-        """
+        """,
+        orders=o,
+        customer=c,
     )
 
 
@@ -147,6 +149,25 @@ def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("closed_at").eqNullSafe(F.lit(None).cast("timestamp_ntz")), 1).otherwise(0)
         ).alias("n_nullsafe_eq_null"),
+    )
+
+
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured map handling: parse the JSON props column into
+    map<string,string>, then aggregate over map entries — key counts
+    and per-key value statistics. from_json + map functions keep the
+    whole pass JVM-side (no string re-parsing per access)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    entry = F.explode(m)
+    return (
+        e.select("event_type", entry.alias("key", "val"))
+        .groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("val").alias("n_distinct_vals"),
+            r6(F.avg(F.col("val").try_cast("double"))).alias("avg_numeric_val"),
+        )
     )
 
 

@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_gapfill_events": R3.daily_gapfill_events,
         "percentile_suite_lineitem": R3.percentile_suite_lineitem,
         "null_semantics_orders": R3.null_semantics_orders,
+        "props_map_stats": R3.props_map_stats,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -712,6 +713,17 @@ FROM (SELECT day, event_type FROM days, types) g
 LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
 """,
         "dedup_clusters": _clusters_oracle(),
+        "props_map_stats": """
+WITH kv AS (
+  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events
+), kvv AS (
+  SELECT event_type, key, json_extract_string(props, '$.' || key) AS val FROM kv
+)
+SELECT event_type, key, count(*) AS n,
+  count(DISTINCT val) AS n_distinct_vals,
+  round(avg(TRY_CAST(val AS DOUBLE)), 6) AS avg_numeric_val
+FROM kvv GROUP BY 1, 2
+""",
         "percentile_suite_lineitem": """
 SELECT l_returnflag,
   round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
