@@ -117,16 +117,25 @@ def training_corpus_filter(
     distributed pass it is standalone; the dedup keeper set joins
     back as a semi-join on doc_id (narrow key, no text shuffled).
     """
-    from . import dedup as DD, text as TX
+    from ..functions import textfns as X
+    from . import dedup as DD
 
-    lang = TX.lang_id(spark, sf_dir)
-    qual = TX.quality_score(spark, sf_dir)
+    # single feature pass: language + quality come from the same
+    # tokenization, so compute them in ONE projection over ONE scan
+    # (the operator-composition form re-scanned and re-tokenized the
+    # corpus once per feature family, then joined)
+    t = F.col("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.lang_id(t).alias("pred_lang"),
+        X.whitespace_token_count(t).cast("long").alias("n_tokens"),
+        r6(X.quality_score(t)).alias("quality_score"),
+    )
     keepers = DD.dedup_exact(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     return (
-        qual.join(lang, "doc_id")
-        .join(keepers, "doc_id", "left_semi")
+        d.join(keepers, "doc_id", "left_semi")
         .filter((F.col("pred_lang") == "en") & (F.col("quality_score") >= min_quality))
         .select("doc_id", "pred_lang", "n_tokens", "quality_score")
     )
