@@ -1,0 +1,107 @@
+"""Pretraining corpus preparation: document chunking, sequence
+packing, and benchmark decontamination — the stages between "clean
+corpus" and "token batches" in an LLM data pipeline.
+
+Scale notes:
+- chunking is a pure per-row explode (no shuffle at all);
+- packing is per-source contiguous fill — one shuffle on the stratum
+  key, then a running-sum window; exact global bin packing is
+  inherently sequential, per-stratum fill is the parallel form every
+  large pipeline uses;
+- decontamination broadcasts the (small) benchmark n-gram set and
+  semi-joins the corpus against it — one pass over the training side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import norm_tokens
+from ..sources.registry import load_table
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Split each document into overlapping token windows (stride =
+    chunk_tokens - overlap). Emits (doc_id, chunk_idx, start_tok,
+    n_tok, chunk_hash) — the hash stands in for chunk text so the
+    row stays narrow; a tokenizer-ready variant would carry the
+    slice itself."""
+    stride = chunk_tokens - overlap
+    d = load_table(spark, sf_dir, "documents").withColumn("_toks", norm_tokens(F.col("text")))
+    n = F.array_size("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    chunks = d.select(
+        "doc_id",
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_tok"), chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.array_size(piece).cast("long").alias("n_tok"),
+        F.md5(F.array_join(piece, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """Contiguous-fill sequence packing: within each source (the
+    parallelism stratum), documents in doc_id order are packed into
+    bins of ~``budget`` tokens; a document lands in the bin its
+    preceding cumulative token count falls into. Returns per-bin
+    occupancy — the batch manifest a loader consumes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_size(norm_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = d.withColumn("bin", F.floor(before / budget))
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def decontaminate_ngram(
+    spark: SparkSession, sf_dir: str, n: int = 3, benchmark_mod: int = 100
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share any
+    word ``n``-gram with the held-out benchmark set (here: every
+    ``benchmark_mod``-th doc, standing in for an eval suite). Returns
+    contaminated doc_ids with the count of distinct shared n-grams —
+    the removal list a pretraining pipeline applies before packing.
+
+    The benchmark n-gram set is tiny relative to the corpus and is
+    broadcast; the training side streams through one inverted-index
+    pass (no self-join)."""
+    from .dedup import shingles_from
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", norm_tokens(F.col("text")))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
+    )
+    bench_grams = (
+        d.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % benchmark_mod != 0).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
+    )

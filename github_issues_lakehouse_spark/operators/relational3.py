@@ -152,6 +152,34 @@ def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#4"
+) -> DataFrame:
+    """TPC-H Q17 shape — correlated aggregate subquery: revenue from
+    lineitems whose quantity is below 20% of the part's own average
+    quantity, for one brand. The correlation decorrelates into a
+    per-part aggregate joined back on partkey (never a re-aggregation
+    per probe row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    avg_q = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
+    )
+    filtered = li.join(
+        avg_q, (li.l_partkey == avg_q.l_partkey) & (li.l_quantity < F.col("qty_threshold"))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        # exact decimal sum, then a single double division: decimal
+        # division scale rules differ between engines, double doesn't
+        r2(F.sum(money(F.col("l_extendedprice"))).cast("double") / 7.0).alias(
+            "avg_yearly_revenue"
+        ),
+    )
+
+
 def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured map handling: parse the JSON props column into
     map<string,string>, then aggregate over map entries — key counts

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions.labels import LakehouseRules
 from .operators import (
+    chunking,
     dedup,
     gold,
     multimodal,
@@ -337,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_suite_lineitem": R3.percentile_suite_lineitem,
         "null_semantics_orders": R3.null_semantics_orders,
         "props_map_stats": R3.props_map_stats,
+        "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -357,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": scale.sample_stratified,
         "training_corpus_filter": scale.training_corpus_filter,
         "snapshot_diff": scale.snapshot_diff,
+        "chunk_documents": chunking.chunk_documents,
+        "pack_sequences": chunking.pack_sequences,
+        "decontaminate_ngram": chunking.decontaminate_ngram,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
     }
@@ -776,6 +781,36 @@ WITH h AS (
 SELECT source, rk, doc_id, h FROM ranked WHERE rk <= 10
 """,
         "training_corpus_filter": _corpus_filter_oracle(),
+        "q17_small_quantity_revenue": """
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+avg_q AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_threshold
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT count(*) AS n_lineitems,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+    AS avg_yearly_revenue
+FROM lineitem l JOIN avg_q a
+  ON l.l_partkey = a.l_partkey AND l.l_quantity < a.qty_threshold
+""",
+        "chunk_documents": _chunk_oracle(),
+        "pack_sequences": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+)
+SELECT source, CAST(floor(before / 256) AS BIGINT) AS bin,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM c GROUP BY 1, 2
+""",
+        "decontaminate_ngram": _decontaminate_oracle(),
         "snapshot_diff": """
 WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
 v2 AS (
@@ -950,6 +985,39 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _chunk_oracle(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH d AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, greatest(len(toks) - {overlap}, 1), {stride})) AS start_tok
+  FROM d
+), pieces AS (
+  SELECT doc_id, (start_tok - 1) // {stride} AS chunk_idx, start_tok,
+         toks[start_tok:start_tok + {chunk_tokens - 1}] AS piece
+  FROM st
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len(piece) AS BIGINT) AS n_tok,
+  md5(array_to_string(piece, ' ')) AS chunk_hash
+FROM pieces
+"""
+
+
+def _decontaminate_oracle(n: int = 3, benchmark_mod: int = 100) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+bench AS (SELECT DISTINCT s FROM sd WHERE doc_id % {benchmark_mod} = 0),
+train AS (SELECT doc_id, s FROM sd WHERE doc_id % {benchmark_mod} <> 0)
+SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY 1
 """
 
 
