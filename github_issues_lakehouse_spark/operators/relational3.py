@@ -180,6 +180,35 @@ def q17_small_quantity_revenue(
     )
 
 
+def q18_large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 300.0
+) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a fact aggregate, joined back to
+    the order and customer: large-volume orders above ``min_qty``
+    total quantity. The heavy aggregate runs once over lineitem; the
+    tiny survivor set then drives broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").alias("custkey"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            r2(F.col("o_totalprice")).alias("o_totalprice"),
+            r2(F.col("sum_qty")).alias("sum_qty"),
+        )
+    )
+
+
 def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured map handling: parse the JSON props column into
     map<string,string>, then aggregate over map entries — key counts

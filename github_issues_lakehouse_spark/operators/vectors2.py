@@ -35,6 +35,29 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector — the feature-store /
+    ANN-index prep step: scale = max|v|/127, q_i = floor(v_i/scale +
+    0.5). Emits the scale and integer checksums rather than the int8
+    array itself so the verification row stays narrow; all arithmetic
+    is Catalyst fold/transform (no UDF), deterministic across
+    engines (floor(x+0.5) instead of engine-specific round-half
+    rules)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / 127.0
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long"))
+    return e.select(
+        "vec_id",
+        r6(scale).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k tokens per source by TF-IDF (ln(n_sources/df) idf,
     term-frequency within source). Explode -> two aggregations ->

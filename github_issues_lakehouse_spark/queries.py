@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics_orders": R3.null_semantics_orders,
         "props_map_stats": R3.props_map_stats,
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
+        "q18_large_volume_orders": R3.q18_large_volume_orders,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -356,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": text.corpus_stats,
         "embedding_centroids": V2.embedding_centroids,
         "tfidf_top_terms": V2.tfidf_top_terms,
+        "quantize_embeddings": V2.quantize_embeddings,
         "sample_stratified": scale.sample_stratified,
         "training_corpus_filter": scale.training_corpus_filter,
         "snapshot_diff": scale.snapshot_diff,
@@ -793,6 +795,37 @@ SELECT count(*) AS n_lineitems,
     AS avg_yearly_revenue
 FROM lineitem l JOIN avg_q a
   ON l.l_partkey = a.l_partkey AND l.l_quantity < a.qty_threshold
+""",
+        "q18_large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0
+)
+SELECT c.c_name, c.c_custkey AS custkey, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  round(o.o_totalprice, 2) AS o_totalprice,
+  round(b.sum_qty, 2) AS sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "quantize_embeddings": """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+  FROM c
+), q AS (
+  SELECT vec_id, scale,
+    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+  list_max(qv) AS q_max,
+  list_min(qv) AS q_min
+FROM q
 """,
         "chunk_documents": _chunk_oracle(),
         "pack_sequences": """

@@ -1,5 +1,6 @@
 from .ops import (  # noqa: F401
     enrich_stream_with_dim,
+    purchase_error_stream_join,
     sessionize_stream,
     stream_dedup,
     stream_merge_to_parquet,

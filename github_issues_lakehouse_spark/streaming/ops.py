@@ -130,6 +130,43 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def purchase_error_stream_join(
+    events: DataFrame, within_minutes: int = 5, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: for each purchase, error events by
+    the same user within ``within_minutes`` after it. Both sides carry
+    watermarks and the join condition bounds event time on both ends,
+    so each side's buffered state is finite and evicted as the
+    watermark advances — the two requirements Spark imposes on
+    stream-stream inner joins."""
+    from pyspark.sql import functions as F
+
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    e = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return p.join(e, cond).select("p_event_id", "e_event_id", "p_user", "p_ts", "e_ts")
+
+
 def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on_mod: int = 20) -> DataFrame:
     """Stream-static join: enrich the event stream with a customer
     dimension (user_id maps onto custkey space via mod, matching the

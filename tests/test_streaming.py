@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from github_issues_lakehouse_spark.sources.registry import load_table
 from github_issues_lakehouse_spark.streaming import (
     enrich_stream_with_dim,
+    purchase_error_stream_join,
     sessionize_stream,
     stream_dedup,
     stream_merge_to_parquet,
@@ -79,6 +80,18 @@ def test_stream_static_dim_enrichment(spark, events_dir):
     assert got.count() == batch.count()
     g = {(r.event_id, r.c_mktsegment) for r in got.collect()}
     b = {(r.event_id, r.c_mktsegment) for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream inner interval join equals its batch twin."""
+    schema = load_table(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, purchase_error_stream_join(stream), "ss_join")
+    batch = purchase_error_stream_join(load_table(spark, SF_DIR, "events"))
+    assert got.count() == batch.count()
+    g = {(r.p_event_id, r.e_event_id) for r in got.collect()}
+    b = {(r.p_event_id, r.e_event_id) for r in batch.collect()}
     assert g == b
 
 
