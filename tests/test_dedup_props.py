@@ -50,6 +50,57 @@ def test_minhash_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_chunking_covers_every_token(spark):
+    """Chunk windows tile each document: with stride = chunk-overlap,
+    consecutive chunk starts differ by the stride and the final chunk
+    reaches the last token."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.functions.textfns import norm_tokens
+    from github_issues_lakehouse_spark.operators.chunking import chunk_documents
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    chunks = chunk_documents(spark, SF_DIR, chunk_tokens=32, overlap=8)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("n_tok") - 1).alias("covered_to"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("start_tok").alias("max_start"),
+    )
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.array_size(norm_tokens(F.col("text"))).alias("n_toks")
+    )
+    j = per_doc.join(docs, "doc_id")
+    assert j.filter(F.col("covered_to") != F.col("n_toks")).count() == 0
+    # starts form an arithmetic sequence with the stride
+    assert j.filter(
+        F.col("max_start") != (F.col("n_chunks") - 1) * 24 + 1
+    ).count() == 0
+
+
+def test_packing_conserves_tokens(spark):
+    """Per-source bin totals sum to the source's total token count
+    (no document lost or duplicated by packing)."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.functions.textfns import norm_tokens
+    from github_issues_lakehouse_spark.operators.chunking import pack_sequences
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    packed = pack_sequences(spark, SF_DIR).groupBy("source").agg(
+        F.sum("total_tokens").alias("packed_tokens"), F.sum("n_docs").alias("packed_docs")
+    )
+    truth = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.array_size(norm_tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"), F.count(F.lit(1)).alias("docs"))
+    )
+    j = packed.join(truth, "source")
+    assert j.filter(
+        (F.col("packed_tokens") != F.col("tokens")) | (F.col("packed_docs") != F.col("docs"))
+    ).count() == 0
+
+
 def test_simhash_near_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [
