@@ -209,6 +209,68 @@ def q18_large_volume_orders(
     )
 
 
+Q19_BANDS = [
+    ("Brand#4", 1, 5, 1.0, 11.0),
+    ("Brand#2", 1, 10, 10.0, 20.0),
+    ("Brand#19", 1, 15, 20.0, 30.0),
+]
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR of conjunctive predicate bands across the
+    join: revenue from lineitems matching any (brand, size-range,
+    qty-range) band. Exercises disjunctive predicate pushdown; the
+    common `p_partkey = l_partkey` join key keeps it a single hash
+    join with the OR evaluated post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = F.lit(False)
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_BANDS:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    from .relational import decimal_revenue
+
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        r2(decimal_revenue(F.col("l_extendedprice"), F.col("l_discount")).cast("double")).alias(
+            "revenue"
+        ),
+    )
+
+
+PROFILE_COLUMNS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling mart: one row per column with null rate,
+    distinct count, and min/max (rendered to strings). All columns
+    profile in ONE scan — the per-column aggregates live in a single
+    groupBy-less agg, then unpivot via stack."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
+        "(col_name, n, n_nulls, n_distinct, min_s, max_s)"
+    )
+
+
 def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured map handling: parse the JSON props column into
     map<string,string>, then aggregate over map entries — key counts

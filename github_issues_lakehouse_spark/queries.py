@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_map_stats": R3.props_map_stats,
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
+        "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
+        "profile_orders": R3.profile_orders,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -808,6 +810,39 @@ SELECT c.c_name, c.c_custkey AS custkey, o.o_orderkey,
 FROM orders o
 JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "q19_disjunctive_revenue": """
+SELECT count(*) AS n_items,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "profile_orders": """
+SELECT col_name, n, n_nulls, n_distinct, min_s, max_s FROM (
+  SELECT 'o_orderkey' AS col_name, count(*) AS n,
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    count(DISTINCT o_orderkey) AS n_distinct,
+    CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+    count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+    count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+    count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+)
 """,
         "quantize_embeddings": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
