@@ -290,6 +290,48 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite over one window: rank, dense_rank,
+    ntile, percent_rank, cume_dist, first/last value per priority
+    ordered by price (tiebreak on key for determinism)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.filter(F.col("o_orderkey") % 50 == 0)  # thin deterministic sample
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            r6(F.percent_rank().over(w)).alias("pct_rank"),
+            r6(F.cume_dist().over(w)).alias("cume"),
+            F.first("o_orderkey").over(wf).alias("top_orderkey"),
+        )
+    )
+
+
+def label_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function suite over the labels column: sort, contains,
+    position, distinct size, filtered subset, joined rendering."""
+    from .silver import synth_issues
+
+    b = synth_issues(spark, sf_dir)
+    return b.select(
+        "issue_id",
+        F.array_join(F.array_sort("labels"), ",").alias("sorted_labels"),
+        F.array_contains("labels", "Bug").alias("has_bug"),
+        F.array_position(F.col("labels"), "Blocker").cast("long").alias("blocker_pos"),
+        F.array_size(F.array_distinct("labels")).cast("long").alias("n_distinct"),
+        F.array_join(
+            F.filter(F.col("labels"), lambda x: x.startswith("component")), "|"
+        ).alias("component_labels"),
+    )
+
+
 def daily_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap fill: daily event counts per
     type, zero-filled for (day, type) combinations with no events.

@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_suite_lineitem": R3.percentile_suite_lineitem,
         "null_semantics_orders": R3.null_semantics_orders,
         "props_map_stats": R3.props_map_stats,
+        "window_rank_suite": R3.window_rank_suite,
+        "label_array_funcs": R3.label_array_funcs,
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
@@ -732,6 +734,43 @@ SELECT event_type, key, count(*) AS n,
   count(DISTINCT val) AS n_distinct_vals,
   round(avg(TRY_CAST(val AS DOUBLE)), 6) AS avg_numeric_val
 FROM kvv GROUP BY 1, 2
+""",
+        "window_rank_suite": """
+WITH s AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0)
+SELECT o_orderpriority, o_orderkey,
+  CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS drnk,
+  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+  round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS pct_rank,
+  round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume,
+  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_orderkey
+FROM s
+""",
+        "label_array_funcs": """
+WITH b AS (
+  SELECT o.o_orderkey AS issue_id,
+    list_filter([
+      CASE WHEN o.o_orderpriority LIKE '1%' THEN 'Blocker'
+           WHEN o.o_orderpriority LIKE '2%' THEN 'Regression' END,
+      CASE WHEN o.o_orderkey % 2 = 0 THEN 'Bug'
+           WHEN o.o_orderkey % 3 = 0 THEN 'Docs'
+           WHEN o.o_orderkey % 5 = 0 THEN 'Enhancement'
+           WHEN o.o_orderkey % 7 = 0 THEN 'Usage Question' END,
+      CASE WHEN o.o_orderkey % 13 <> 0 THEN 'component: ' || c.c_mktsegment END,
+      CASE WHEN o.o_orderkey % 17 = 0 THEN 'Performance' END,
+      CASE WHEN o.o_orderkey % 11 = 0 THEN 'Needs Triage' END
+    ], x -> x IS NOT NULL) AS labels
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT issue_id,
+  array_to_string(list_sort(labels), ',') AS sorted_labels,
+  list_contains(labels, 'Bug') AS has_bug,
+  CAST(coalesce(list_position(labels, 'Blocker'), 0) AS BIGINT) AS blocker_pos,
+  CAST(len(list_distinct(labels)) AS BIGINT) AS n_distinct,
+  array_to_string(list_filter(labels, x -> starts_with(x, 'component')), '|') AS component_labels
+FROM b
 """,
         "percentile_suite_lineitem": """
 SELECT l_returnflag,
