@@ -314,7 +314,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     )
     a = db.alias("a")
     b = db.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # verify hamming BEFORE deduplicating: the filter drops ~90% of
+    # raw candidates (cheap bit arithmetic in the join stage), so the
+    # distinct shuffles a tenth of the rows
+    return (
         a.join(
             b,
             (F.col("a.bid") == F.col("b.bid"))
@@ -327,11 +331,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
