@@ -63,6 +63,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup: per normalized-content hash keep the HIGHEST
+    quality document (ties on doc_id) instead of the min id — the
+    keep-one policy real pipelines use once a quality score exists.
+    One shuffle on the hash; the argmax is a window row_number, never
+    a self-join back."""
+    from pyspark.sql import Window
+
+    from ..functions.textfns import quality_score
+    from .relational import r6
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(normalized_text().cast("binary")).alias("content_hash"),
+        r6(quality_score(F.col("text"))).alias("q"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("q").alias("keep_quality"),
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+    )
+
+
 def minhash_signature_from(sh: "F.Column", num_hashes: int):
     """MinHash signature over an ALREADY-MATERIALIZED shingle column,
     with ``num_hashes`` independent hash functions

@@ -332,6 +332,19 @@ def label_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_prices(spark: SparkSession, sf_dir: str, bin_width: float = 25000.0) -> DataFrame:
+    """Fixed-width histogram of order prices: floor-division binning
+    (portable across engines, unlike width_bucket variants), one
+    map-side-combinable aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / bin_width).cast("long")
+    return o.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.min("o_totalprice")).alias("min_price"),
+        r2(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
 def daily_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap fill: daily event counts per
     type, zero-filled for (day, type) combinations with no events.

@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": R3.profile_orders,
         # C. LLM-data pipeline
         "dedup_exact": dedup.dedup_exact,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "histogram_prices": R3.histogram_prices,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
@@ -951,6 +953,14 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_doc_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """,
+        "dedup_keep_best": _keep_best_oracle(),
+        "histogram_prices": """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+  count(*) AS n_orders,
+  round(min(o_totalprice), 2) AS min_price,
+  round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+""",
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
@@ -1125,6 +1135,28 @@ train AS (SELECT doc_id, s FROM sd WHERE doc_id % {benchmark_mod} <> 0)
 SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams
 FROM train t JOIN bench b ON t.s = b.s
 GROUP BY 1
+"""
+
+
+def _keep_best_oracle() -> str:
+    """Quality-argmax dedup twin: same quality formula as the quality
+    oracle, rounded to 6dp BEFORE the ordering so the argmax is
+    engine-invariant."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality_score AS q FROM ({_quality_oracle()})
+), d AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+), dq AS (
+  SELECT d.doc_id, d.content_hash, q.q,
+    row_number() OVER (PARTITION BY d.content_hash ORDER BY q.q DESC, d.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY d.content_hash) AS dup_count
+  FROM d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT content_hash, doc_id AS keep_doc_id, q AS keep_quality,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM dq WHERE rn = 1
 """
 
 
