@@ -332,6 +332,49 @@ def label_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences:
+    (from_type -> to_type) frequencies with the share of each
+    from-state's outgoing transitions. One shuffle on user for the
+    LAG, one aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        r6(F.col("n") / F.sum("n").over(tot)).alias("share"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent week they return. Two aggregations (first-seen
+    per user, then cohort x offset distinct users) — the standard
+    product-analytics triangle."""
+    e = load_table(spark, sf_dir, "events")
+    day0 = F.date_trunc("week", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(day0).alias("cohort_week"))
+    j = e.join(first_seen, "user_id")
+    week_offset = F.floor(
+        (F.unix_timestamp(F.date_trunc("week", F.col("ts"))) - F.unix_timestamp("cohort_week"))
+        / (7 * 86400)
+    )
+    return (
+        j.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            week_offset.cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
 def histogram_prices(spark: SparkSession, sf_dir: str, bin_width: float = 25000.0) -> DataFrame:
     """Fixed-width histogram of order prices: floor-division binning
     (portable across engines, unlike width_bucket variants), one

@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics_orders": R3.null_semantics_orders,
         "props_map_stats": R3.props_map_stats,
         "window_rank_suite": R3.window_rank_suite,
+        "event_transitions": R3.event_transitions,
+        "cohort_retention": R3.cohort_retention,
         "label_array_funcs": R3.label_array_funcs,
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
@@ -736,6 +738,29 @@ SELECT event_type, key, count(*) AS n,
   count(DISTINCT val) AS n_distinct_vals,
   round(avg(TRY_CAST(val AS DOUBLE)), 6) AS avg_numeric_val
 FROM kvv GROUP BY 1, 2
+""",
+        "event_transitions": """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), f AS (SELECT * FROM pairs WHERE from_type IS NOT NULL),
+c AS (SELECT from_type, to_type, count(*) AS n FROM f GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS share
+FROM c
+""",
+        "cohort_retention": """
+WITH fs AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY 1
+), j AS (
+  SELECT e.user_id, date_trunc('week', e.ts) AS wk, f.cohort_week
+  FROM events e JOIN fs f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+  CAST(floor((epoch(wk) - epoch(cohort_week)) / 604800) AS BIGINT) AS week_offset,
+  count(DISTINCT user_id) AS active_users
+FROM j GROUP BY 1, 2
 """,
         "window_rank_suite": """
 WITH s AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0)
