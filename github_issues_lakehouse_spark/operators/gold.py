@@ -102,6 +102,42 @@ def kpi_monthly_component_tier(
     return kpi
 
 
+def daily_event_mart(events: DataFrame) -> DataFrame:
+    """Additive daily mart over events: (day, event_type) -> count +
+    value sum. Every measure is associative, which is what makes the
+    mart incrementally maintainable (see merge_mart_increment)."""
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+    )
+
+
+def merge_mart_increment(existing: DataFrame | None, batch_events: DataFrame) -> DataFrame:
+    """Incremental mart maintenance: fold a new micro-batch into an
+    existing additive mart WITHOUT rescanning history — aggregate the
+    batch alone, union with the stored mart, re-aggregate by key
+    (merging two small aggregates, not the raw fact history). The
+    incremental fold is exactly equal to a full recompute because
+    every measure is associative; at 100 TB this is the difference
+    between touching one day of data and touching three years of it.
+    """
+    delta = daily_event_mart(batch_events)
+    if existing is None:
+        return delta
+    return (
+        existing.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+
+
 def kpi_monthly_global(
     kpi_component: DataFrame,
     rules: LakehouseRules | None = None,

@@ -101,6 +101,29 @@ def test_packing_conserves_tokens(spark):
     ).count() == 0
 
 
+def test_incremental_mart_equals_full_recompute(spark):
+    """Folding batches one at a time into the mart produces exactly
+    the full-recompute mart (associativity of the measures)."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.gold import (
+        daily_event_mart,
+        merge_mart_increment,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    full = daily_event_mart(e)
+    b1 = e.filter(F.col("event_id") % 3 == 0)
+    b2 = e.filter(F.col("event_id") % 3 == 1)
+    b3 = e.filter(F.col("event_id") % 3 == 2)
+    mart = None
+    for b in (b1, b2, b3):
+        mart = merge_mart_increment(mart, b)
+    assert mart.exceptAll(full).count() == 0
+    assert full.exceptAll(mart).count() == 0
+
+
 def test_simhash_near_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [
