@@ -145,7 +145,9 @@ def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("closed_at").alias("n_closed_non_null"),
         F.sum(F.when(F.col("closed_at").isNull(), 1).otherwise(0)).alias("n_closed_null"),
         F.count(F.nullif(F.col("state"), F.lit("open"))).alias("n_nullif_open"),
-        F.min(F.coalesce(F.col("closed_at"), F.col("created_at"))).cast("date").cast("string").alias("min_effective_date"),
+        F.date_format(
+            F.min(F.coalesce(F.col("closed_at"), F.col("created_at"))).cast("date"), "yyyy-MM-dd"
+        ).alias("min_effective_date"),
         F.sum(
             F.when(F.col("closed_at").eqNullSafe(F.lit(None).cast("timestamp_ntz")), 1).otherwise(0)
         ).alias("n_nullsafe_eq_null"),
@@ -251,14 +253,24 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile in ONE scan — the per-column aggregates live in a single
     groupBy-less agg, then unpivot via stack."""
     o = load_table(spark, sf_dir, "orders")
+    double_cols = {f.name for f in o.schema.fields if f.dataType.simpleString() == "double"}
     aggs = []
     for c in PROFILE_COLUMNS:
+        if c in double_cols:
+            # doubles through an explicit printf-style format so both
+            # engines produce the identical string (no engine-native
+            # double→string rendering path remains)
+            mn = F.format_string("%.2f", F.min(F.col(c)))
+            mx = F.format_string("%.2f", F.max(F.col(c)))
+        else:
+            mn = F.min(F.col(c)).cast("string")
+            mx = F.max(F.col(c)).cast("string")
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(

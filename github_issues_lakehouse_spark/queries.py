@@ -295,15 +295,54 @@ FROM sums s LEFT JOIN weighted w ON s.month = w.month
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER matters: the external driver checks entries in dict
+    # order under a budget cap (r1 stopped at 50 of 75). Entries without
+    # r1 driver evidence come FIRST — the full C-suite (LLM pipeline),
+    # snapshot_diff, histogram_prices, and the 3 queries fixed in r2
+    # (label_array_funcs, null_semantics_orders, profile_orders) — so a
+    # capped run still produces correctness rows for them. The tail is
+    # exclusively B-suite queries that already passed the r1 gate.
     return {
-        # A. lakehouse parity
+        # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
         "bronze_issues": q_bronze_issues,
         "silver_issues": q_silver_issues,
         "silver_merge_dedup": q_silver_merge_dedup,
         "label_catalog": q_label_catalog,
         "gold_kpi_component_tier": q_gold_component_tier,
         "gold_kpi_global": q_gold_global,
-        # B. relational core
+        "snapshot_diff": scale.snapshot_diff,
+        # C. LLM-data pipeline (no driver evidence in r1 — check first)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_count": text.token_count,
+        "doc_fingerprint": text.doc_fingerprint,
+        "corpus_stats": text.corpus_stats,
+        "embedding_centroids": V2.embedding_centroids,
+        "tfidf_top_terms": V2.tfidf_top_terms,
+        "quantize_embeddings": V2.quantize_embeddings,
+        "sample_stratified": scale.sample_stratified,
+        "training_corpus_filter": scale.training_corpus_filter,
+        "chunk_documents": chunking.chunk_documents,
+        "pack_sequences": chunking.pack_sequences,
+        "decontaminate_ngram": chunking.decontaminate_ngram,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "frame_sample": multimodal.frame_sample,
+        # B entries fixed in r2 or lacking r1 driver evidence
+        "label_array_funcs": R3.label_array_funcs,
+        "null_semantics_orders": R3.null_semantics_orders,
+        "profile_orders": R3.profile_orders,
+        "histogram_prices": R3.histogram_prices,
+        # B. relational core (r1: all pass — re-checked as budget allows)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_revenue": R.q5_region_revenue,
@@ -336,44 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": R3.grouping_sets_revenue,
         "daily_gapfill_events": R3.daily_gapfill_events,
         "percentile_suite_lineitem": R3.percentile_suite_lineitem,
-        "null_semantics_orders": R3.null_semantics_orders,
         "props_map_stats": R3.props_map_stats,
         "window_rank_suite": R3.window_rank_suite,
         "event_transitions": R3.event_transitions,
         "cohort_retention": R3.cohort_retention,
-        "label_array_funcs": R3.label_array_funcs,
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
-        "profile_orders": R3.profile_orders,
-        # C. LLM-data pipeline
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "histogram_prices": R3.histogram_prices,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
-        "token_count": text.token_count,
-        "doc_fingerprint": text.doc_fingerprint,
-        "corpus_stats": text.corpus_stats,
-        "embedding_centroids": V2.embedding_centroids,
-        "tfidf_top_terms": V2.tfidf_top_terms,
-        "quantize_embeddings": V2.quantize_embeddings,
-        "sample_stratified": scale.sample_stratified,
-        "training_corpus_filter": scale.training_corpus_filter,
-        "snapshot_diff": scale.snapshot_diff,
-        "chunk_documents": chunking.chunk_documents,
-        "pack_sequences": chunking.pack_sequences,
-        "decontaminate_ngram": chunking.decontaminate_ngram,
-        "multimodal_meta": multimodal.multimodal_meta,
-        "frame_sample": multimodal.frame_sample,
     }
 
 
@@ -409,7 +417,7 @@ WITH last_ship AS (
 SELECT issue_id, state,
   strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_ts,
   strftime(closed_at, '%Y-%m-%d %H:%M:%S') AS closed_ts,
-  array_to_string(labels, '|') AS labels_str,
+  coalesce(array_to_string(labels, '|'), '') AS labels_str,
   len(labels) AS n_labels
 FROM b
 """,
@@ -792,11 +800,14 @@ WITH b AS (
   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 )
 SELECT issue_id,
-  array_to_string(list_sort(labels), ',') AS sorted_labels,
+  -- explicit empty-array semantics: '' (Spark array_join), never NULL
+  -- (DuckDB array_to_string returns NULL on an empty list)
+  coalesce(array_to_string(list_sort(labels), ','), '') AS sorted_labels,
   list_contains(labels, 'Bug') AS has_bug,
   CAST(coalesce(list_position(labels, 'Blocker'), 0) AS BIGINT) AS blocker_pos,
   CAST(len(list_distinct(labels)) AS BIGINT) AS n_distinct,
-  array_to_string(list_filter(labels, x -> starts_with(x, 'component')), '|') AS component_labels
+  coalesce(array_to_string(list_filter(labels, x -> starts_with(x, 'component')), '|'), '')
+    AS component_labels
 FROM b
 """,
         "percentile_suite_lineitem": """
@@ -823,10 +834,13 @@ WITH last_ship AS (
 SELECT state,
   count(*) AS n_rows,
   count(closed_at) AS n_closed_non_null,
-  sum(CASE WHEN closed_at IS NULL THEN 1 ELSE 0 END) AS n_closed_null,
+  -- CAST: un-cast DuckDB sum() is HUGEINT, which renders as float64 /
+  -- decimal128 at the driver's fetch layer while Spark returns bigint
+  CAST(sum(CASE WHEN closed_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed_null,
   count(nullif(state, 'open')) AS n_nullif_open,
-  CAST(CAST(min(coalesce(closed_at, created_at)) AS DATE) AS VARCHAR) AS min_effective_date,
-  sum(CASE WHEN closed_at IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+  strftime(CAST(min(coalesce(closed_at, created_at)) AS DATE), '%Y-%m-%d') AS min_effective_date,
+  CAST(sum(CASE WHEN closed_at IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nullsafe_eq_null
 FROM b GROUP BY 1
 """,
         "embedding_centroids": """
@@ -887,25 +901,32 @@ WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWE
 """,
         "profile_orders": """
 SELECT col_name, n, n_nulls, n_distinct, min_s, max_s FROM (
+  -- every integer sum CAST to BIGINT (DuckDB sum() is HUGEINT, which
+  -- the driver's fetch layer renders differently from Spark's bigint);
+  -- doubles rendered via printf so no engine-native to-string remains
   SELECT 'o_orderkey' AS col_name, count(*) AS n,
-    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
     count(DISTINCT o_orderkey) AS n_distinct,
     CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
   FROM orders
   UNION ALL
-  SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+  SELECT 'o_custkey', count(*),
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
     count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
   FROM orders
   UNION ALL
-  SELECT 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+  SELECT 'o_orderstatus', count(*),
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
     count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
   FROM orders
   UNION ALL
-  SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
-    count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+  SELECT 'o_totalprice', count(*),
+    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT o_totalprice), printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
   FROM orders
   UNION ALL
-  SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+  SELECT 'o_orderpriority', count(*),
+    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
     count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
   FROM orders
 )

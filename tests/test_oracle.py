@@ -15,21 +15,24 @@ ORACLES = Q.oracle_sql()
 
 
 def canon(rows, cols):
+    # Strict typed rendering — keep in sync with tools/verify_local.py.
+    # None gets a sentinel distinct from '' (an ''-vs-NULL divergence must
+    # FAIL here, as it does at the driver), and floats never collapse to
+    # ints (so a bigint-vs-HUGEINT/float engine asymmetry also fails).
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         vals = []
         for i in idx:
             v = row[i]
-            if isinstance(v, float):
-                if v != v:
-                    vals.append("nan")
-                elif v == int(v) and abs(v) < 1e15:
-                    vals.append(str(int(v)))
-                else:
-                    vals.append(repr(round(v, 9)))
-            elif v is None:
-                vals.append("")
+            if v is None:
+                vals.append("\x00NULL")
+            elif isinstance(v, bool):
+                vals.append(str(v))
+            elif isinstance(v, float):
+                vals.append("nan" if v != v else repr(round(v, 9)))
+            elif isinstance(v, (bytes, bytearray)):
+                vals.append("0x" + bytes(v).hex())
             else:
                 vals.append(str(v))
         out.append("\x01".join(vals))
