@@ -121,6 +121,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int = 200,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified by exact
     shingle Jaccard >= threshold.
@@ -135,7 +136,18 @@ def dedup_minhash_lsh(
        would multiply shuffle bytes by the band count);
     3. distinct candidate pairs join the shingle sets back for exact
        Jaccard verification on candidates only.
+
+    Skew guard: a band bucket holding more than ``bucket_cap`` docs
+    (degenerate boilerplate collapsing to one band key) would emit
+    O(bucket²) candidate pairs; those buckets are DROPPED before the
+    self-join. The window count shares the (band_id, band_key)
+    shuffle with the join itself, so the guard adds no exchange. The
+    cap only reduces candidate recall — verification stays exact —
+    and the oracle applies the identical cap, so results match at any
+    setting. bucket_cap <= 0 disables the guard.
     """
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -165,6 +177,13 @@ def dedup_minhash_lsh(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    if bucket_cap > 0:
+        bw = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -193,38 +212,62 @@ def dedup_minhash_lsh(
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.3
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.3, df_cap: int = 1000
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (>= threshold), blocked by
-    shared shingle to avoid the full cross product: pairs are only
-    generated for documents sharing at least one shingle (inverted
-    index join), then exact Jaccard from distinct-shingle counts.
+    shared shingle to avoid the full cross product: candidate pairs
+    are generated only for documents sharing at least one shingle
+    (inverted index join), then exact Jaccard is computed from the
+    full distinct-shingle sets of the candidates.
+
+    Skew guard: a corpus-common shingle with document frequency df
+    emits df² candidate pairs, so postings are capped — shingles with
+    df > ``df_cap`` are dropped from the INDEX (df = 1 postings too:
+    they can't form a pair). Because verification uses the full
+    shingle sets, the cap never changes a surviving pair's jaccard
+    value; it only stops corpus-boilerplate shingles from generating
+    candidates. The oracle applies the identical cap, so results
+    match at any setting. df_cap <= 0 disables the guard.
+
+    The df window count shares the shingle-key shuffle with the
+    self-join, so the guard adds no exchange over the uncapped plan.
     """
+    from pyspark.sql import Window
+
     d = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("_toks", tokens())
         .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
+        .persist()
     )
-    # carry |set| on every posting so the pair aggregation needs no
-    # join-back to a sizes table (drops two shuffle joins); widens
-    # each posting by one int only
-    inv = d.select("doc_id", F.array_size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap > 0:
+        dfw = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("_df").between(2, df_cap))
+            .drop("_df")
+        )
     a = inv.alias("a")
     b = inv.alias("b")
-    pair_inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    sets = d.select("doc_id", "sh")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.array_size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    uni = F.array_size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
     return (
-        pair_inter.withColumn(
-            "jaccard", r6(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        )
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", r6(inter / uni))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -315,13 +358,26 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return per_doc.select(id_col, sig.alias("sig"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
+) -> DataFrame:
     """SimHash near-dup pairs: bucket by 4 x 15-bit blocks and verify
     hamming distance on candidates. By pigeonhole, any pair within
     hamming distance 3 of the 60-bit signature agrees exactly on at
     least one of the 4 blocks, so the default is lossless (full
     recall); raising max_hamming above 3 trades recall for reach.
+
+    Skew guard: a (block_id, block_value) bucket larger than
+    ``bucket_cap`` (near-identical boilerplate signatures) would emit
+    O(bucket²) raw candidates; those buckets are dropped before the
+    self-join — candidates lost there can still surface through the
+    doc's 3 other blocks, and the oracle applies the identical cap so
+    results match at any setting. The window count shares the posting
+    shuffle with the join (no extra exchange). bucket_cap <= 0
+    disables the guard.
     """
+    from pyspark.sql import Window
+
     d = simhash_signatures(load_table(spark, sf_dir, "documents"))
     # one banded equi-join (like MinHash LSH) instead of one self-join
     # per block: explode each doc into (block_id, block_value) postings
@@ -342,6 +398,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     db = d.select("doc_id", "sig", posting.alias("p")).select(
         "doc_id", "sig", "p.bid", "p.bval"
     )
+    if bucket_cap > 0:
+        bw = Window.partitionBy("bid", "bval")
+        db = (
+            db.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
     a = db.alias("a")
     b = db.alias("b")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

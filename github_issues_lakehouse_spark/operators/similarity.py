@@ -53,47 +53,84 @@ def ann_bruteforce_topk(
 
 
 def neardup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, n_blocks: int = 8
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, as an Arrow-batched blocked
-    matrix multiply.
+    """All pairs with cosine >= threshold, as a fully distributed
+    triangle block-pair join — NO driver-side collect or broadcast.
 
-    The row-expression form (self-join + per-pair 64-term fold) is
-    O(n^2 * dim) *interpreted* work — 40s at sf0.1; numpy does the
-    same arithmetic vectorized in ~1s. One side streams through
-    ``mapInPandas`` partition-parallel; the other side rides along as
-    a broadcast (id, matrix, norms) triple. At 100 TB the broadcast
-    side becomes a loop over corpus blocks (outer blocked matmul) —
-    the kernel and schema below are unchanged, only the driver adds
-    the block loop.
+    The corpus is hashed into ``n_blocks`` disjoint blocks on vec_id;
+    each row is replicated to every unordered block pair it belongs to
+    (``n_blocks`` copies), shuffled once on (bi, bj), and each of the
+    B(B+1)/2 groups runs one numpy block×block matmul via
+    ``applyInPandas``. Coverage is exact: every vector pair {u, v}
+    falls in exactly one group (min(blk_u, blk_v), max(blk_u, blk_v)).
+
+    Scale: the row-expression form (self-join + per-pair 64-term fold)
+    is O(n² · dim) *interpreted* work; the previous broadcast form
+    collected the whole corpus to the driver. Here driver memory is
+    O(1), each task holds 2n/B vectors, and total shuffle is n·B rows
+    — pick B ≈ n·dim·8 / target_task_bytes at 100 TB. The n² pair
+    *scoring* work is inherent to exact all-pairs; for the sub-n²
+    path use LSH/IVF candidates (``ann_lsh_topk`` / ``ann_ivf_topk``).
     """
-    import numpy as np
-
     corpus = _corpus(spark, sf_dir).select("vec_id", "vec")
-    side = corpus.toPandas()
-    ids_b = side["vec_id"].to_numpy()
-    M = np.stack(side["vec"].to_numpy()).astype(np.float64)
-    nb = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, M, nb))
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(j)).alias("bi"), F.greatest(blk, F.lit(j)).alias("bj")
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = (
+        corpus.withColumn("blk", blk)
+        .withColumn("pk", F.explode(pair_keys))
+        .select(F.col("pk.bi").alias("bi"), F.col("pk.bj").alias("bj"), "blk", "vec_id", "vec")
+    )
 
-    def block_cosine(batches):
+    def block_pair_cosine(key, pdf):
+        # self-contained closure: workers may not be able to import this
+        # package (foreign-cwd driver), so only stdlib/numpy/pandas here
+        import numpy as np
         import pandas as pd
 
-        ids_r, Mr, nr = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_a = pdf["vec_id"].to_numpy()
-            A = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            na = np.sqrt((A * A).sum(axis=1))
-            S = np.round((A @ Mr.T) / na[:, None] / nr[None, :], 6)
-            ai, bj = np.nonzero((S >= threshold) & (ids_a[:, None] < ids_r[None, :]))
-            yield pd.DataFrame(
-                {"id_a": ids_a[ai], "id_b": ids_r[bj], "cos_sim": S[ai, bj]}
-            )
+        bi, bj = key
+        a_side = pdf[pdf["blk"] == bi]
+        b_side = pdf[pdf["blk"] == bj]
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(a_side) == 0 or len(b_side) == 0:
+            return empty
+        ids_a = a_side["vec_id"].to_numpy()
+        ids_b = b_side["vec_id"].to_numpy()
+        Ma = np.stack(a_side["vec"].to_numpy()).astype(np.float64)
+        Mb = np.stack(b_side["vec"].to_numpy()).astype(np.float64)
+        na = np.sqrt((Ma * Ma).sum(axis=1))
+        nb = np.sqrt((Mb * Mb).sum(axis=1))
+        S = np.round((Ma @ Mb.T) / na[:, None] / nb[None, :], 6)
+        if bi == bj:
+            # same block on both sides: strict id order dedups and
+            # drops self-pairs in one mask
+            ai, bx = np.nonzero((S >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            id_lo, id_hi = ids_a[ai], ids_b[bx]
+        else:
+            # disjoint blocks: every hit is a distinct pair; canonicalize
+            # orientation so id_a < id_b regardless of block order
+            ai, bx = np.nonzero(S >= threshold)
+            u, v = ids_a[ai], ids_b[bx]
+            id_lo, id_hi = np.minimum(u, v), np.maximum(u, v)
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame({"id_a": id_lo, "id_b": id_hi, "cos_sim": S[ai, bx]})
 
-    return corpus.mapInPandas(
-        block_cosine, schema="id_a long, id_b long, cos_sim double"
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        block_pair_cosine, schema="id_a long, id_b long, cos_sim double"
     )
 
 

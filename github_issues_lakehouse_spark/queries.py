@@ -1113,7 +1113,12 @@ shing AS (
 )"""
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, bucket_cap: int = 200
+) -> str:
+    # bucket_cap mirrors the Spark operator's skew guard exactly: band
+    # buckets larger than the cap generate no candidates (same bucket
+    # => same count, so constraining side a suffices)
     rows = num_hashes // bands
     return f"""
 WITH {_shingle_cte(3)},
@@ -1128,10 +1133,14 @@ bands AS (
          string_agg(mh, '|' ORDER BY j) AS band_key
   FROM sig GROUP BY doc_id, j // {rows}
 ),
+bc AS (
+  SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz FROM bands
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bc a JOIN bc b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {bucket_cap}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
 inter AS (
@@ -1222,7 +1231,7 @@ AND l.pred_lang = 'en' AND q.quality_score >= {min_quality}
 """
 
 
-def _simhash_oracle(max_hamming: int = 3) -> str:
+def _simhash_oracle(max_hamming: int = 3, bucket_cap: int = 200) -> str:
     """60-bit SimHash twin: DuckDB parses '0x'||hex to BIGINT, so the
     md5-derived token hash, per-bit votes, block bucketing and
     hamming verification replicate bit-for-bit."""
@@ -1234,7 +1243,11 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     )
     sig = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
     blocks = ", ".join(f"(sig >> {15 * i}) & 32767 AS b{i}" for i in range(4))
-    block_match = " OR ".join(f"a.b{i} = b.b{i}" for i in range(4))
+    postings = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS bid, b{i} AS bval FROM blocks" for i in range(4)
+    )
+    # posting form (not OR-of-blocks) so the per-(bid, bval) bucket cap
+    # mirrors the Spark operator's skew guard exactly
     return f"""
 WITH d AS (SELECT doc_id, list_distinct({_norm_toks_sql()}) AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
@@ -1242,11 +1255,16 @@ th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1),
 sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
 blocks AS (SELECT doc_id, sig, {blocks} FROM sigs),
+post AS (
+  {postings}
+),
+cp AS (SELECT *, count(*) OVER (PARTITION BY bid, bval) AS bsz FROM post),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b
-  FROM blocks a JOIN blocks b
-    ON a.doc_id < b.doc_id AND ({block_match})
+  FROM cp a JOIN cp b
+    ON a.bid = b.bid AND a.bval = b.bval AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {bucket_cap}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
@@ -1390,21 +1408,37 @@ SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1
 """
 
 
-def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.3) -> str:
+def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.3, df_cap: int = 1000) -> str:
+    # mirrors the Spark operator's candidate+verify split: the capped
+    # inverted index (df in [2, df_cap]) only GENERATES candidates;
+    # jaccard is verified from the full shingle sets, so the cap never
+    # changes a surviving pair's value
     return f"""
 WITH {_shingle_cte(n)},
 sd AS (SELECT DISTINCT doc_id, s FROM shing),
+cinv AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sd
+  ) WHERE df BETWEEN 2 AND {df_cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sd sa ON sa.doc_id = c.doc_a
+  JOIN sd sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
   GROUP BY 1, 2
 )
-SELECT i.doc_a, i.doc_b,
+SELECT c.doc_a, c.doc_b,
   round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
+FROM cand c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
 """
 

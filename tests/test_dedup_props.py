@@ -124,6 +124,70 @@ def test_incremental_mart_equals_full_recompute(spark):
     assert full.exceptAll(mart).count() == 0
 
 
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_skew_caps_only_reduce_candidates(spark):
+    """The bucket/df caps are candidate-generation guards: capped
+    results are a subset of uncapped results, and a tiny cap that
+    actually triggers can only shrink the output — never change a
+    surviving pair's value (verification uses the full sets)."""
+    uncapped = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=0))
+    default = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR))
+    tiny = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=2))
+    assert set(default) <= set(uncapped)
+    assert set(tiny) <= set(default)
+
+    unc_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=0))
+    def_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR))
+    tiny_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=2))
+    assert set(def_j) <= set(unc_j)
+    assert set(tiny_j) <= set(def_j)
+
+    unc_s = _pairs(dedup.dedup_simhash(spark, SF_DIR, bucket_cap=0))
+    def_s = _pairs(dedup.dedup_simhash(spark, SF_DIR))
+    tiny_s = _pairs(dedup.dedup_simhash(spark, SF_DIR, bucket_cap=2))
+    assert set(def_s) <= set(unc_s)
+    assert set(tiny_s) <= set(def_s)
+
+
+def test_skew_caps_add_no_shuffles(spark):
+    """The cap's window count runs on the same key the self-join
+    shuffles on, so under sort-merge joins (the only join shape that
+    exists at 100 TB — tiny test inputs broadcast instead, which hides
+    the exchange reuse) the guarded plan exchanges exactly as much as
+    the unguarded one."""
+    from .test_plans import _shuffle_count
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert _shuffle_count(dedup.dedup_minhash_lsh(spark, SF_DIR)) <= _shuffle_count(
+            dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=0)
+        )
+        assert _shuffle_count(dedup.dedup_ngram_jaccard(spark, SF_DIR)) <= _shuffle_count(
+            dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=0)
+        )
+        assert _shuffle_count(dedup.dedup_simhash(spark, SF_DIR)) <= _shuffle_count(
+            dedup.dedup_simhash(spark, SF_DIR, bucket_cap=0)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_neardup_block_count_invariant(spark):
+    """The triangle block-pair decomposition is exact: every vector
+    pair lands in exactly one block-pair group, so the result is
+    independent of n_blocks."""
+    from github_issues_lakehouse_spark.operators import similarity
+
+    r3 = _pairs(similarity.neardup_embedding_cosine(spark, SF_DIR, n_blocks=3))
+    r8 = _pairs(similarity.neardup_embedding_cosine(spark, SF_DIR, n_blocks=8))
+    assert r3 == r8
+    assert len(r3) > 0
+
+
 def test_simhash_near_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [
