@@ -37,7 +37,25 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "training_corpus_filter",
+    # added in r2 (see BASELINE.md): the mart's approx scale path and
+    # two window-heavy time-series queries
+    "gold_kpi_component_tier_approx",
+    "cohort_retention",
+    "daily_gapfill_events",
 ]
+
+
+def _extra_queries() -> dict:
+    """Bench-only callables not in the oracle registry (approx
+    percentiles have no DuckDB twin)."""
+    from github_issues_lakehouse_spark.operators.gold import kpi_monthly_component_tier
+    from github_issues_lakehouse_spark.operators.silver import silver_issues
+
+    return {
+        "gold_kpi_component_tier_approx": lambda spark, sf_dir: kpi_monthly_component_tier(
+            silver_issues(spark, sf_dir), approx=True
+        )
+    }
 
 
 def main() -> None:
@@ -48,7 +66,7 @@ def main() -> None:
     from github_issues_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    qs = Q.queries()
+    qs = {**Q.queries(), **_extra_queries()}
 
     # JVM/session warmup on a trivial scan so q1 doesn't pay startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

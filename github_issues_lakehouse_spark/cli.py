@@ -1,0 +1,193 @@
+"""End-to-end medallion pipeline CLI (reference cli.py:1-29,
+__main__.py): ``python -m github_issues_lakehouse_spark
+ingest|silver|gold|demo``.
+
+Layout mirrors the reference's DATA_DIR contract:
+
+    <data-dir>/bronze/<owner>__<repo>/issues_<run_id>.jsonl/   (Spark JSONL dir)
+    <data-dir>/silver/<owner>__<repo>/issues_silver.parquet
+    <data-dir>/silver/<owner>__<repo>/label_catalog.parquet + .csv
+    <data-dir>/gold/<owner>__<repo>/kpi_monthly_component_tier.parquet + .csv
+    <data-dir>/gold/<owner>__<repo>/kpi_monthly_global.parquet + .csv
+
+Differences from the reference, by design:
+- ``ingest`` normalizes a LOCAL issues JSONL file into the bronze
+  layout (this environment has no network; the reference's GitHub
+  API pagination — ingest.py:85-126 — is replaced by a --input path
+  carrying the same payload shape).
+- ``silver`` merge-upserts each new bronze run into the silver table
+  (keep-latest per issue_id by updated_at), so re-ingesting
+  overlapping windows never duplicates issues — the reference
+  re-derives silver from only the latest bronze file instead.
+- every step is a distributed Spark job; marts are written as
+  parquet AND the reference's single-file serving CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+from pathlib import Path
+
+from .functions.labels import LakehouseRules
+
+
+def _load_cfg(config_path: str) -> dict:
+    import yaml
+
+    with open(config_path, encoding="utf-8") as f:
+        return yaml.safe_load(f) or {}
+
+
+def _repos(cfg: dict) -> list[tuple[str, str]]:
+    repos = (cfg.get("source") or {}).get("repos") or [{"owner": "local", "repo": "issues"}]
+    return [(r["owner"], r["repo"]) for r in repos]
+
+
+def _spark(app_name: str):
+    from .session import get_spark
+
+    return get_spark(app_name=app_name)
+
+
+def run_ingest(config: str, data_dir: str, input_path: str, run_id: str | None = None) -> list[str]:
+    """Local JSONL -> bronze layout (PR exclusion + created_from
+    filter applied at ingest, like reference ingest.py:112-119)."""
+    from .sources.readers import read_jsonl_issues
+
+    cfg = _load_cfg(config)
+    created_from = (cfg.get("source") or {}).get("created_from")
+    run_id = run_id or time.strftime("%Y%m%dT%H%M%S")
+    spark = _spark("ingest")
+    out_paths = []
+    for owner, repo in _repos(cfg):
+        raw = spark.read.text(input_path)
+        out = os.path.join(data_dir, "bronze", f"{owner}__{repo}", f"issues_{run_id}.jsonl")
+        # bronze stays RAW lines (reference appends the API pages
+        # verbatim); validation happens on read in the silver step
+        raw.write.mode("overwrite").text(out)
+        n = read_jsonl_issues(spark, out, created_from=created_from).count()
+        print(f"[ingest] {owner}/{repo}: wrote {out} ({n} issues after filters)")
+        out_paths.append(out)
+    return out_paths
+
+
+def run_silver(config: str, data_dir: str) -> None:
+    """All bronze runs -> merged silver table + label catalog
+    (reference silver.py:101-197, plus cross-run merge dedup)."""
+    from . import sinks
+    from .operators.silver import enrich_issues, label_catalog
+    from .sources.readers import read_jsonl_issues, read_jsonl_labels
+
+    cfg = _load_cfg(config)
+    created_from = (cfg.get("source") or {}).get("created_from")
+    rules = LakehouseRules.from_yaml(config)
+    spark = _spark("silver")
+    for owner, repo in _repos(cfg):
+        slug = f"{owner}__{repo}"
+        bronze_glob = os.path.join(data_dir, "bronze", slug, "issues_*.jsonl")
+        runs = sorted(glob.glob(bronze_glob))
+        if not runs:
+            raise FileNotFoundError(f"No bronze runs match {bronze_glob}")
+        silver_dir = Path(data_dir) / "silver" / slug
+        silver_dir.mkdir(parents=True, exist_ok=True)
+        silver_path = str(silver_dir / "issues_silver.parquet")
+
+        issues = read_jsonl_issues(spark, runs, created_from=created_from)
+        enriched = enrich_issues(issues, rules)
+        sinks.merge_upsert(spark, enriched, silver_path, key="issue_id", order_col="updated_at")
+        merged = spark.read.parquet(silver_path)
+
+        desc_path = os.path.join(data_dir, "labels", slug, "labels.jsonl")
+        descriptions = read_jsonl_labels(spark, desc_path) if os.path.exists(desc_path) else None
+        catalog = label_catalog(merged, descriptions)
+        sinks.write_partitioned(catalog, str(silver_dir / "label_catalog.parquet"))
+        sinks.export_csv_single(
+            catalog, str(silver_dir / "label_catalog.csv"), sort_by=["count", "label"]
+        )
+        n_open = merged.filter(merged.state == "open").count()
+        n_closed = merged.filter(merged.state == "closed").count()
+        print(f"[silver] {slug}: saved -> {silver_path} (open={n_open} closed={n_closed})")
+
+
+def run_gold(config: str, data_dir: str, approx: bool = False) -> None:
+    """Silver -> monthly KPI marts, parquet + serving CSV (reference
+    gold.py:21-166). ``--approx`` switches exact percentiles to
+    percentile_approx — the 100 TB path."""
+    from . import sinks
+    from .operators.gold import kpi_monthly_component_tier, kpi_monthly_global
+
+    cfg = _load_cfg(config)
+    rules = LakehouseRules.from_yaml(config)
+    spark = _spark("gold")
+    for owner, repo in _repos(cfg):
+        slug = f"{owner}__{repo}"
+        silver_path = os.path.join(data_dir, "silver", slug, "issues_silver.parquet")
+        if not os.path.exists(silver_path):
+            raise FileNotFoundError(f"No silver table at {silver_path}; run silver first")
+        gold_dir = Path(data_dir) / "gold" / slug
+        gold_dir.mkdir(parents=True, exist_ok=True)
+
+        silver = spark.read.parquet(silver_path)
+        kpi = kpi_monthly_component_tier(silver, rules, approx=approx)
+        glob_kpi = kpi_monthly_global(kpi, rules)
+        sinks.write_partitioned(kpi, str(gold_dir / "kpi_monthly_component_tier.parquet"))
+        sinks.export_csv_single(
+            kpi,
+            str(gold_dir / "kpi_monthly_component_tier.csv"),
+            sort_by=["component", "priority_tier", "month"],
+        )
+        sinks.write_partitioned(glob_kpi, str(gold_dir / "kpi_monthly_global.parquet"))
+        sinks.export_csv_single(
+            glob_kpi, str(gold_dir / "kpi_monthly_global.csv"), sort_by=["month"]
+        )
+        n_months = glob_kpi.count()
+        print(f"[gold] {slug}: saved -> {gold_dir} ({n_months} months)")
+
+
+def run_demo(config: str, data_dir: str, n: int = 5) -> None:
+    """Print the tail of the global KPI mart (reference demo.py:7-17)."""
+    cfg = _load_cfg(config)
+    spark = _spark("demo")
+    for owner, repo in _repos(cfg):
+        slug = f"{owner}__{repo}"
+        path = os.path.join(data_dir, "gold", slug, "kpi_monthly_global.csv")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"Gold output not found at {path}. Run: gold")
+        df = spark.read.option("header", "true").csv(path)
+        print(f"[demo] {slug}: last {n} months:")
+        rows = df.orderBy("month").tail(n)
+        cols = df.columns
+        print(" | ".join(cols))
+        for r in rows:
+            print(" | ".join("" if v is None else str(v) for v in r))
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="github_issues_lakehouse_spark")
+    parser.add_argument("command", choices=["ingest", "silver", "gold", "demo"])
+    parser.add_argument("--config", default="config.yml")
+    parser.add_argument("--data-dir", default=os.getenv("DATA_DIR", "./data"))
+    parser.add_argument("--input", help="ingest: local issues JSONL path")
+    parser.add_argument("--run-id", help="ingest: bronze run id (default: timestamp)")
+    parser.add_argument("--approx", action="store_true", help="gold: approximate percentiles")
+    args = parser.parse_args(argv)
+
+    if args.command == "ingest":
+        if not args.input:
+            parser.error("ingest requires --input <issues.jsonl>")
+        run_ingest(args.config, args.data_dir, args.input, args.run_id)
+    elif args.command == "silver":
+        run_silver(args.config, args.data_dir)
+    elif args.command == "gold":
+        run_gold(args.config, args.data_dir, approx=args.approx)
+    else:
+        run_demo(args.config, args.data_dir)
+    print(f"Command selected: {args.command}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -86,6 +86,42 @@ class LakehouseRules:
         out.update(self.priority_tiers.get("P1", []))
         return sorted(out)
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "LakehouseRules":
+        """Load rules from the reference's ``config.yml`` schema
+        (reference silver.py:106-113, gold.py:25-32) — the reference
+        user's primary customization point. Keys absent from the file
+        keep their defaults; the ``P2_fallback_if_bug`` flag lives
+        inside ``priority_tiers`` in the reference schema.
+        """
+        import yaml
+
+        with open(path, encoding="utf-8") as f:
+            cfg = yaml.safe_load(f) or {}
+        rules = cfg.get("rules", {}) or {}
+        kw: dict = {}
+        if "kind_labels" in rules:
+            kw["kind_labels"] = {k: list(v or []) for k, v in rules["kind_labels"].items()}
+        if "process_labels" in rules:
+            kw["process_labels"] = list(rules["process_labels"] or [])
+        tiers = rules.get("priority_tiers")
+        if tiers is not None:
+            kw["priority_tiers"] = {
+                k: list(v) for k, v in tiers.items() if isinstance(v, list)
+            }
+            kw["p2_fallback_if_bug"] = bool(tiers.get("P2_fallback_if_bug", True))
+        comp = rules.get("component")
+        if comp is not None:
+            if "prefixes" in comp:
+                kw["component_prefixes"] = list(comp["prefixes"] or [])
+            if "allowlist" in comp:
+                kw["component_allowlist"] = list(comp["allowlist"] or [])
+        if "time_buckets_hours" in rules:
+            kw["time_buckets_hours"] = [int(b) for b in rules["time_buckets_hours"]]
+        if "hours_in_month" in rules:
+            kw["hours_in_month"] = int(rules["hours_in_month"])
+        return cls(**kw)
+
 
 def _overlaps(labels: Column, wanted: list[str]) -> Column:
     if not wanted:

@@ -140,14 +140,15 @@ def dedup_minhash_lsh(
     Skew guard: a band bucket holding more than ``bucket_cap`` docs
     (degenerate boilerplate collapsing to one band key) would emit
     O(bucket²) candidate pairs; those buckets are DROPPED before the
-    self-join. The window count shares the (band_id, band_key)
-    shuffle with the join itself, so the guard adds no exchange. The
-    cap only reduces candidate recall — verification stays exact —
-    and the oracle applies the identical cap, so results match at any
-    setting. bucket_cap <= 0 disables the guard.
+    self-join. The oversized-key set is computed by a map-side-
+    combinable aggregate and anti-joined back — it is tiny by
+    construction (≤ n_postings/cap keys, in practice a handful of
+    boilerplate keys), so AQE turns the anti-join into a broadcast;
+    no new shuffle of the postings. The cap only reduces candidate
+    recall — verification stays exact — and the oracle applies the
+    identical cap, so results match at any setting. bucket_cap <= 0
+    disables the guard.
     """
-    from pyspark.sql import Window
-
     rows = num_hashes // bands
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -178,12 +179,13 @@ def dedup_minhash_lsh(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
     if bucket_cap > 0:
-        bw = Window.partitionBy("band_id", "band_key")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz")
+        oversized = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band_id", "band_key")
         )
+        banded = banded.join(oversized, ["band_id", "band_key"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -215,59 +217,64 @@ def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.3, df_cap: int = 1000
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (>= threshold), blocked by
-    shared shingle to avoid the full cross product: candidate pairs
-    are generated only for documents sharing at least one shingle
-    (inverted index join), then exact Jaccard is computed from the
-    full distinct-shingle sets of the candidates.
+    shared shingle to avoid the full cross product: pairs are only
+    generated for documents sharing at least one shingle (inverted
+    index join), then exact Jaccard from distinct-shingle counts.
 
     Skew guard: a corpus-common shingle with document frequency df
-    emits df² candidate pairs, so postings are capped — shingles with
-    df > ``df_cap`` are dropped from the INDEX (df = 1 postings too:
-    they can't form a pair). Because verification uses the full
-    shingle sets, the cap never changes a surviving pair's jaccard
-    value; it only stops corpus-boilerplate shingles from generating
-    candidates. The oracle applies the identical cap, so results
-    match at any setting. df_cap <= 0 disables the guard.
+    emits df² join rows, so shingles with df > ``df_cap`` are removed
+    from the FEATURE SET itself — the same semantics as stopword /
+    boilerplate pruning in production dedup pipelines: sizes and
+    intersections are computed over the capped shingle universe, so
+    jaccard stays an exact set similarity (of informative shingles)
+    and no per-pair work depends on the dropped keys. The oversized
+    set comes from a map-side-combinable aggregate anti-joined back
+    (tiny by construction — ≤ n_postings/cap keys — so AQE broadcasts
+    it; no new shuffle of postings). The oracle applies the identical
+    cap, so results match at any setting. df_cap <= 0 disables the
+    guard.
 
-    The df window count shares the shingle-key shuffle with the
-    self-join, so the guard adds no exchange over the uncapped plan.
+    The per-pair intersection count aggregates the join output
+    directly (count per pair) — at 1M+ candidate join rows this is
+    ~4x cheaper than re-joining shingle arrays back for
+    array_intersect verification (measured at sf0.1).
     """
-    from pyspark.sql import Window
-
     d = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("_toks", tokens())
         .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
-        .persist()
     )
     inv = d.select("doc_id", F.explode("sh").alias("shingle"))
     if df_cap > 0:
-        dfw = Window.partitionBy("shingle")
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(dfw))
-            .filter(F.col("_df").between(2, df_cap))
-            .drop("_df")
+        oversized = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > df_cap)
+            .select("shingle")
         )
+        inv = inv.join(oversized, "shingle", "left_anti")
+    # carry |capped set| on every posting so the pair aggregation needs
+    # no join-back to a sizes table (drops two shuffle joins); the size
+    # groupBy and the re-attach join stay on the doc_id partitioning
+    # the repartition above already established
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inv = inv.join(sizes, "doc_id")
     a = inv.alias("a")
     b = inv.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
-    sets = d.select("doc_id", "sh")
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
-    inter = F.array_size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    uni = F.array_size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", r6(inter / uni))
+        pair_inter.withColumn(
+            "jaccard", r6(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -372,12 +379,11 @@ def dedup_simhash(
     O(bucket²) raw candidates; those buckets are dropped before the
     self-join — candidates lost there can still surface through the
     doc's 3 other blocks, and the oracle applies the identical cap so
-    results match at any setting. The window count shares the posting
-    shuffle with the join (no extra exchange). bucket_cap <= 0
+    results match at any setting. The oversized-key set comes from a
+    tiny map-side-combinable aggregate anti-joined back (AQE
+    broadcasts it — no new shuffle of the postings). bucket_cap <= 0
     disables the guard.
     """
-    from pyspark.sql import Window
-
     d = simhash_signatures(load_table(spark, sf_dir, "documents"))
     # one banded equi-join (like MinHash LSH) instead of one self-join
     # per block: explode each doc into (block_id, block_value) postings
@@ -399,12 +405,13 @@ def dedup_simhash(
         "doc_id", "sig", "p.bid", "p.bval"
     )
     if bucket_cap > 0:
-        bw = Window.partitionBy("bid", "bval")
-        db = (
-            db.withColumn("_bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz")
+        oversized = (
+            db.groupBy("bid", "bval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("bid", "bval")
         )
+        db = db.join(oversized, ["bid", "bval"], "left_anti")
     a = db.alias("a")
     b = db.alias("b")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -37,16 +37,29 @@ def enrich_issues(df: DataFrame, rules: L.LakehouseRules | None = None) -> DataF
     return df
 
 
-def label_catalog(df: DataFrame) -> DataFrame:
-    """Label -> frequency catalog (reference silver.py:150-152,191-196).
+def label_catalog(df: DataFrame, descriptions: DataFrame | None = None) -> DataFrame:
+    """Label -> (count, description) catalog (reference
+    silver.py:150-152, 191-196).
 
     Distributed explode + groupBy (map-side partial aggregation) in
-    place of the reference's driver-side ``Counter``.
+    place of the reference's driver-side ``Counter``. The reference
+    fetches per-label descriptions from the GitHub labels endpoint
+    (silver.py:20-38) and maps them onto the catalog
+    (silver.py:192-194, missing -> ''); here ``descriptions`` is an
+    optional (label, description) DataFrame — e.g. from
+    ``sources.readers.read_jsonl_labels`` over an endpoint dump —
+    broadcast-joined onto the catalog (the label universe is tiny).
     """
-    return (
+    cat = (
         df.select(F.explode("labels").alias("label"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if descriptions is None:
+        return cat.withColumn("description", F.lit(""))
+    d = descriptions.select("label", "description")
+    return cat.join(F.broadcast(d), on="label", how="left").withColumn(
+        "description", F.coalesce("description", F.lit(""))
     )
 
 

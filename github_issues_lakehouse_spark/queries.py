@@ -247,7 +247,8 @@ WITH last_ship AS (
   UNION ALL
   SELECT CASE WHEN k % 11 = 0 THEN 'Needs Triage' END FROM lab
 )
-SELECT label, count(*) AS count FROM exploded WHERE label IS NOT NULL GROUP BY 1
+SELECT label, count(*) AS count, '' AS description
+FROM exploded WHERE label IS NOT NULL GROUP BY 1
 """
 
 ORACLE_GOLD_COMPONENT = (
@@ -1133,14 +1134,19 @@ bands AS (
          string_agg(mh, '|' ORDER BY j) AS band_key
   FROM sig GROUP BY doc_id, j // {rows}
 ),
+overb AS (
+  SELECT band_id, band_key FROM bands GROUP BY 1, 2 HAVING count(*) > {bucket_cap}
+),
 bc AS (
-  SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz FROM bands
+  SELECT * FROM bands x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM overb o WHERE o.band_id = x.band_id AND o.band_key = x.band_key
+  )
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bc a JOIN bc b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-  WHERE a.bsz <= {bucket_cap}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
 inter AS (
@@ -1258,13 +1264,16 @@ blocks AS (SELECT doc_id, sig, {blocks} FROM sigs),
 post AS (
   {postings}
 ),
-cp AS (SELECT *, count(*) OVER (PARTITION BY bid, bval) AS bsz FROM post),
+overp AS (SELECT bid, bval FROM post GROUP BY 1, 2 HAVING count(*) > {bucket_cap}),
+cp AS (
+  SELECT * FROM post x
+  WHERE NOT EXISTS (SELECT 1 FROM overp o WHERE o.bid = x.bid AND o.bval = x.bval)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b
   FROM cp a JOIN cp b
     ON a.bid = b.bid AND a.bval = b.bval AND a.doc_id < b.doc_id
-  WHERE a.bsz <= {bucket_cap}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
@@ -1409,36 +1418,30 @@ SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1
 
 
 def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.3, df_cap: int = 1000) -> str:
-    # mirrors the Spark operator's candidate+verify split: the capped
-    # inverted index (df in [2, df_cap]) only GENERATES candidates;
-    # jaccard is verified from the full shingle sets, so the cap never
-    # changes a surviving pair's value
+    # mirrors the Spark operator's capped-feature-set semantics:
+    # shingles with df > df_cap leave the feature universe entirely
+    # (stopword-style pruning) — sizes AND intersections both use the
+    # capped sets, so jaccard is an exact set similarity over
+    # informative shingles
     return f"""
 WITH {_shingle_cte(n)},
 sd AS (SELECT DISTINCT doc_id, s FROM shing),
-cinv AS (
-  SELECT doc_id, s FROM (
-    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sd
-  ) WHERE df BETWEEN 2 AND {df_cap}
+over AS (SELECT s FROM sd GROUP BY s HAVING count(*) > {df_cap}),
+sdc AS (
+  SELECT doc_id, s FROM sd
+  WHERE NOT EXISTS (SELECT 1 FROM over WHERE over.s = sd.s)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sdc GROUP BY 1),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN sd sa ON sa.doc_id = c.doc_a
-  JOIN sd sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sdc a JOIN sdc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b,
+SELECT i.doc_a, i.doc_b,
   round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
-FROM cand c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes za ON za.doc_id = c.doc_a
-JOIN sizes zb ON zb.doc_id = c.doc_b
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
 """
 

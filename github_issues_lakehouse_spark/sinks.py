@@ -57,6 +57,34 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def export_csv_single(df: DataFrame, path: str, sort_by: list[str] | None = None) -> None:
+    """Serving-layer export: write ``df`` as ONE headered CSV file at
+    ``path`` (reference silver.py:183 / gold.py:159-162 write
+    single-file CSVs that demo.py and the docs dashboard read).
+
+    coalesce(1) is deliberate and safe here: this sink is for
+    serving-sized marts (monthly KPI tables — thousands of rows), not
+    fact tables; the single output file IS the contract. The part
+    file Spark produces inside its output directory is moved to the
+    exact ``path`` requested.
+    """
+    import glob
+
+    if sort_by:
+        df = df.orderBy(*sort_by)
+    tmp = tempfile.mkdtemp(prefix="csv_export_", dir=os.path.dirname(path) or ".")
+    out_dir = os.path.join(tmp, "out")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(out_dir)
+    parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
+    if len(parts) != 1:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"expected exactly one CSV part file, found {parts}")
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(parts[0], path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def merge_upsert(spark, new_batch: DataFrame, path: str, key: str, order_col: str) -> None:
     """Upsert ``new_batch`` into the parquet table at ``path``,
     keeping the latest row per ``key`` by ``order_col``.

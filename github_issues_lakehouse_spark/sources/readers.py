@@ -72,6 +72,24 @@ def read_jsonl_issues(
     return df
 
 
+def read_jsonl_labels(spark: SparkSession, path: str) -> DataFrame:
+    """Label-descriptions JSONL (a dump of the GitHub labels endpoint
+    the reference queries in silver.py:20-38: objects with ``name`` /
+    ``description``) -> (label, description) DataFrame for
+    ``operators.silver.label_catalog``."""
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(path)
+    return df.filter(F.col("name").isNotNull()).select(
+        F.col("name").alias("label"),
+        F.coalesce(F.col("description"), F.lit("")).alias("description"),
+    )
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

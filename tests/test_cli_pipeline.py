@@ -1,0 +1,242 @@
+"""End-to-end medallion pipeline: config-driven rules (reference
+config.yml), ingest -> silver (cross-run merge dedup) -> gold ->
+demo, serving CSV exports, label-catalog descriptions."""
+
+import json
+import os
+
+import pytest
+
+from github_issues_lakehouse_spark.functions.labels import LakehouseRules
+
+# The reference's config.yml rule data verbatim (rule DATA is the
+# parity contract; the loader must reproduce the hardcoded defaults
+# from it exactly).
+REFERENCE_CONFIG = """
+source:
+  repos:
+    - owner: testowner
+      repo: testrepo
+  created_from: "2016-01-01"
+
+rules:
+  kind_labels:
+    bug: ["Bug"]
+    enhancement: ["Enhancement"]
+    docs: ["Docs"]
+    question: ["Usage Question"]
+  process_labels:
+    - "Needs Triage"
+    - "Needs Discussion"
+    - "Needs Info"
+    - "Closing Candidate"
+    - "good first issue"
+    - "Needs Tests"
+    - "Duplicate Report"
+    - "Upstream issue"
+  priority_tiers:
+    P0: ["Blocker", "Blocker for rc", "Segfault"]
+    P1: ["Regression"]
+    P2_fallback_if_bug: true
+  component:
+    prefixes: ["component:", "module:", "area:"]
+    allowlist:
+      - "Indexing"
+      - "Groupby"
+      - "Arrow"
+      - "Datetime"
+      - "Reshaping"
+      - "Missing-data"
+      - "Dtype Conversions"
+      - "Performance"
+      - "IO CSV"
+      - "Strings"
+      - "Error Reporting"
+      - "Deprecate"
+      - "MultiIndex"
+      - "Apply"
+      - "Build"
+      - "API Design"
+      - "Numeric Operations"
+      - "IO Excel"
+      - "ExtensionArray"
+      - "Visualization"
+      - "Categorical"
+      - "Index"
+      - "API - Consistency"
+      - "Window"
+      - "Reduction Operations"
+      - "IO SQL"
+      - "IO JSON"
+      - "NA - MaskedArrays"
+      - "IO Data"
+      - "Frequency"
+  time_buckets_hours: [24, 72, 168, 336]
+  hours_in_month: 720
+"""
+
+
+@pytest.fixture()
+def config_path(tmp_path):
+    p = tmp_path / "config.yml"
+    p.write_text(REFERENCE_CONFIG, encoding="utf-8")
+    return str(p)
+
+
+def _issue(i, state="open", title="t", created="2020-01-01T00:00:00Z",
+           updated="2020-01-02T00:00:00Z", closed=None, labels=(), pr=False):
+    d = {
+        "id": i,
+        "number": i,
+        "state": state,
+        "title": title,
+        "body": f"body {i}",
+        "created_at": created,
+        "updated_at": updated,
+        "closed_at": closed,
+        "labels": [{"name": l} for l in labels],
+    }
+    if pr:
+        d["pull_request"] = {"url": "http://example.invalid/pr"}
+    return d
+
+
+def test_from_yaml_reproduces_default_rules(config_path, spark):
+    """Rules parsed from a copy of the reference config produce
+    IDENTICAL silver output to the hardcoded defaults (VERDICT r1
+    item 6's done criterion)."""
+    from github_issues_lakehouse_spark.operators.silver import enrich_issues, synth_issues
+
+    from .conftest import SF_DIR
+
+    loaded = LakehouseRules.from_yaml(config_path)
+    assert loaded == LakehouseRules()
+
+    base = synth_issues(spark, SF_DIR)
+    a = enrich_issues(base, LakehouseRules()).orderBy("issue_id").collect()
+    b = enrich_issues(base, loaded).orderBy("issue_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_from_yaml_overrides_apply(tmp_path, spark):
+    """A user editing label rules (the reference's customization
+    point) flows through to silver output."""
+    cfg = tmp_path / "custom.yml"
+    cfg.write_text(
+        """
+rules:
+  kind_labels:
+    bug: ["Defect-Label"]
+  priority_tiers:
+    P0: ["Showstopper"]
+    P2_fallback_if_bug: false
+""",
+        encoding="utf-8",
+    )
+    r = LakehouseRules.from_yaml(str(cfg))
+    assert r.kind_labels["bug"] == ["Defect-Label"]
+    assert r.priority_tiers["P0"] == ["Showstopper"]
+    assert r.p2_fallback_if_bug is False
+    # untouched keys keep defaults
+    assert r.time_buckets_hours == [24, 72, 168, 336]
+
+    from github_issues_lakehouse_spark.operators.silver import enrich_issues
+
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 1), None, ["Defect-Label"])],
+        "issue_id long, created_at timestamp, closed_at timestamp, labels array<string>",
+    )
+    row = enrich_issues(df, r).first()
+    assert row.ticket_kind == "defect"
+    assert row.priority_tier == "NA"  # P2 fallback disabled
+
+
+def test_pipeline_end_to_end_with_cross_run_dedup(config_path, tmp_path, spark, capsys):
+    from github_issues_lakehouse_spark.cli import run_demo, run_gold, run_ingest, run_silver
+
+    data_dir = str(tmp_path / "data")
+
+    # batch 1: three issues (one closed defect), plus a PR that must
+    # be excluded and a pre-created_from issue that must be filtered
+    b1 = tmp_path / "batch1.jsonl"
+    b1.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                _issue(1, "closed", "bug one", "2020-01-10T00:00:00Z",
+                       "2020-01-11T00:00:00Z", "2020-01-12T00:00:00Z", ["Bug", "Blocker"]),
+                _issue(2, "open", "question", labels=["Usage Question"]),
+                _issue(3, "open", "enhance", labels=["Enhancement", "component: IO"]),
+                _issue(90, "open", "a pr", labels=["Bug"], pr=True),
+                _issue(91, "open", "ancient", created="2015-06-01T00:00:00Z", labels=["Bug"]),
+            ]
+        ),
+        encoding="utf-8",
+    )
+    # batch 2: re-delivers issue 2 with a NEWER update (now closed)
+    # and adds issue 4
+    b2 = tmp_path / "batch2.jsonl"
+    b2.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                _issue(2, "closed", "question v2", "2020-01-01T00:00:00Z",
+                       "2020-02-05T00:00:00Z", "2020-02-04T00:00:00Z", ["Usage Question"]),
+                _issue(4, "open", "another bug", "2020-02-01T00:00:00Z",
+                       "2020-02-02T00:00:00Z", None, ["Bug", "Regression"]),
+            ]
+        ),
+        encoding="utf-8",
+    )
+    # label descriptions dump (GitHub labels endpoint shape)
+    labels_dir = tmp_path / "data" / "labels" / "testowner__testrepo"
+    labels_dir.mkdir(parents=True)
+    (labels_dir / "labels.jsonl").write_text(
+        json.dumps({"name": "Bug", "description": "Something broken"})
+        + "\n"
+        + json.dumps({"name": "Enhancement", "description": None}),
+        encoding="utf-8",
+    )
+
+    run_ingest(config_path, data_dir, str(b1), run_id="r1")
+    run_silver(config_path, data_dir)
+    run_ingest(config_path, data_dir, str(b2), run_id="r2")
+    run_silver(config_path, data_dir)
+
+    silver = spark.read.parquet(
+        os.path.join(data_dir, "silver", "testowner__testrepo", "issues_silver.parquet")
+    )
+    rows = {r.issue_id: r for r in silver.collect()}
+    # PR and pre-created_from issues excluded; issue 2 deduped to v2
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2].title == "question v2"
+    assert rows[2].state == "closed"
+    assert rows[1].ticket_kind == "defect" and rows[1].priority_tier == "P0"
+    assert rows[4].priority_tier == "P1"
+    assert rows[3].component == "IO"
+    # silver carries the reference's passthrough columns
+    for col in ("issue_number", "title", "body", "updated_at"):
+        assert col in silver.columns
+
+    cat = spark.read.parquet(
+        os.path.join(data_dir, "silver", "testowner__testrepo", "label_catalog.parquet")
+    )
+    cat_rows = {r.label: r for r in cat.collect()}
+    assert cat_rows["Bug"].description == "Something broken"
+    assert cat_rows["Usage Question"].description == ""
+
+    run_gold(config_path, data_dir)
+    gold_csv = os.path.join(
+        data_dir, "gold", "testowner__testrepo", "kpi_monthly_global.csv"
+    )
+    assert os.path.isfile(gold_csv)
+    g = spark.read.option("header", "true").csv(gold_csv)
+    months = {r.month for r in g.collect()}
+    assert "2020-01" in months  # defect #1 created+closed in Jan
+    assert "2020-02" in months  # defect #4 created in Feb
+
+    run_demo(config_path, data_dir)
+    out = capsys.readouterr().out
+    assert "last 5 months" in out and "2020-01" in out

@@ -129,21 +129,15 @@ def _pairs(df):
 
 
 def test_skew_caps_only_reduce_candidates(spark):
-    """The bucket/df caps are candidate-generation guards: capped
-    results are a subset of uncapped results, and a tiny cap that
-    actually triggers can only shrink the output — never change a
-    surviving pair's value (verification uses the full sets)."""
+    """minhash/simhash caps are candidate-generation guards
+    (verification is untouched): capped results are a subset of
+    uncapped, and a tiny cap that actually triggers only shrinks the
+    output further."""
     uncapped = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=0))
     default = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR))
     tiny = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=2))
     assert set(default) <= set(uncapped)
     assert set(tiny) <= set(default)
-
-    unc_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=0))
-    def_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR))
-    tiny_j = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=2))
-    assert set(def_j) <= set(unc_j)
-    assert set(tiny_j) <= set(def_j)
 
     unc_s = _pairs(dedup.dedup_simhash(spark, SF_DIR, bucket_cap=0))
     def_s = _pairs(dedup.dedup_simhash(spark, SF_DIR))
@@ -152,28 +146,37 @@ def test_skew_caps_only_reduce_candidates(spark):
     assert set(tiny_s) <= set(def_s)
 
 
-def test_skew_caps_add_no_shuffles(spark):
-    """The cap's window count runs on the same key the self-join
-    shuffles on, so under sort-merge joins (the only join shape that
-    exists at 100 TB — tiny test inputs broadcast instead, which hides
-    the exchange reuse) the guarded plan exchanges exactly as much as
-    the unguarded one."""
-    from .test_plans import _shuffle_count
+def test_ngram_df_cap_prunes_feature_universe(spark):
+    """The ngram df cap removes corpus-common shingles from the
+    feature set itself (stopword-style pruning): at a cap no shingle
+    reaches, results equal uncapped exactly; a triggering cap yields
+    a valid exact jaccard over the capped universe (values stay in
+    (0, 1], deterministic)."""
+    unc = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=0))
+    default = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR))
+    assert default == unc  # df_cap=1000 never triggers at test SF
 
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        assert _shuffle_count(dedup.dedup_minhash_lsh(spark, SF_DIR)) <= _shuffle_count(
-            dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=0)
-        )
-        assert _shuffle_count(dedup.dedup_ngram_jaccard(spark, SF_DIR)) <= _shuffle_count(
-            dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=0)
-        )
-        assert _shuffle_count(dedup.dedup_simhash(spark, SF_DIR)) <= _shuffle_count(
-            dedup.dedup_simhash(spark, SF_DIR, bucket_cap=0)
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    tiny = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=3))
+    tiny2 = _pairs(dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=3))
+    assert tiny == tiny2
+    assert all(0.0 < j <= 1.0 for _, _, j in tiny)
+
+
+def test_skew_caps_stay_aggregate_shaped(spark):
+    """The caps are implemented as map-side-combinable count
+    aggregates anti-joined back — NOT as windowed sorts over the
+    posting stream (a Window here would force a full sort of every
+    posting partition) and never as a cartesian expansion."""
+    from github_issues_lakehouse_spark.plans import assert_no_cartesian
+    from github_issues_lakehouse_spark.plans.introspect import _plan_str
+
+    for df in (
+        dedup.dedup_minhash_lsh(spark, SF_DIR),
+        dedup.dedup_ngram_jaccard(spark, SF_DIR),
+        dedup.dedup_simhash(spark, SF_DIR),
+    ):
+        assert_no_cartesian(df)
+        assert "Window" not in _plan_str(df)
 
 
 def test_neardup_block_count_invariant(spark):
