@@ -85,21 +85,84 @@ def export_csv_single(df: DataFrame, path: str, sort_by: list[str] | None = None
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def merge_upsert(spark, new_batch: DataFrame, path: str, key: str, order_col: str) -> None:
-    """Upsert ``new_batch`` into the parquet table at ``path``,
-    keeping the latest row per ``key`` by ``order_col``.
+def delta_available(spark=None) -> bool:
+    """True when the delta-spark package AND its JVM classes are
+    usable in this environment (this container ships neither, so the
+    Delta path is format-gated rather than format-bound)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    if spark is not None:
+        try:
+            spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        except Exception:
+            return False
+    return True
 
-    Plain-parquet fallback for MERGE INTO: union + row_number window
-    + atomic directory swap (write to temp, move into place) so a
-    failed job never leaves a half-written table.
+
+def _latest_per_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def merge_upsert(
+    spark, new_batch: DataFrame, path: str, key: str, order_col: str, fmt: str = "auto"
+) -> None:
+    """Upsert ``new_batch`` into the table at ``path``, keeping the
+    latest row per ``key`` by ``order_col``.
+
+    fmt='delta' routes through a transactional MERGE INTO
+    (whenMatchedUpdateAll guarded on ``order_col`` recency +
+    whenNotMatchedInsertAll); fmt='parquet' is the fallback: union +
+    row_number window + atomic directory swap (write to temp, move
+    into place) so a failed job never leaves a half-written table.
+    fmt='auto' picks delta when the runtime has it, else parquet.
+    Both paths implement identical keep-latest semantics (pin-tested
+    by tests/test_sinks.py for every available format).
     """
+    if fmt == "auto":
+        fmt = "delta" if delta_available(spark) else "parquet"
+    if fmt == "delta":
+        _merge_upsert_delta(spark, new_batch, path, key, order_col)
+    elif fmt == "parquet":
+        _merge_upsert_parquet(spark, new_batch, path, key, order_col)
+    else:
+        raise ValueError(f"unknown merge format {fmt!r}")
+
+
+def _merge_upsert_delta(spark, new_batch: DataFrame, path: str, key: str, order_col: str) -> None:
+    """MERGE INTO path (Delta Lake). The batch is first deduped to its
+    latest row per key (MERGE requires a unique source key); the
+    matched-update condition keeps the target row when it is newer —
+    the same desc_nulls_last semantics as the parquet window."""
+    from delta.tables import DeltaTable
+
+    batch = _latest_per_key(new_batch, key, order_col)
+    if DeltaTable.isDeltaTable(spark, path):
+        target = DeltaTable.forPath(spark, path)
+        newer = (
+            f"t.{order_col} IS NULL OR "
+            f"(s.{order_col} IS NOT NULL AND s.{order_col} >= t.{order_col})"
+        )
+        (
+            target.alias("t")
+            .merge(batch.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedUpdateAll(condition=newer)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        batch.write.format("delta").save(path)
+
+
+def _merge_upsert_parquet(spark, new_batch: DataFrame, path: str, key: str, order_col: str) -> None:
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         unioned = existing.unionByName(new_batch, allowMissingColumns=True)
     else:
         unioned = new_batch
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last())
-    merged = unioned.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    merged = _latest_per_key(unioned, key, order_col)
 
     tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(path) or ".")
     tmp_out = os.path.join(tmp, "data")

@@ -24,11 +24,47 @@ def test_write_partitioned_roundtrip(spark, tmpdir):
     assert set(back.columns) == {"id", "month", "v"}
 
 
+def _available_formats(spark):
+    from github_issues_lakehouse_spark.sinks import delta_available
+
+    return ["parquet"] + (["delta"] if delta_available(spark) else [])
+
+
+def _run_merge_scenario(spark, path, fmt):
+    """Identical two-batch keep-latest scenario for every format —
+    the parquet fallback and the Delta MERGE INTO path must agree."""
+    b1 = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 1), (4, "nullver", None)],
+        "k int, v string, ver int",
+    )
+    merge_upsert(spark, b1, path, key="k", order_col="ver", fmt=fmt)
+    b2 = spark.createDataFrame(
+        # k=1 newer wins; k=3 inserted; k=4 non-null beats null;
+        # k=2 re-delivered OLDER (same ver) -> existing row kept
+        [(1, "new", 2), (3, "add", 1), (4, "fixed", 1), (2, "keep", 1)],
+        "k int, v string, ver int",
+    )
+    merge_upsert(spark, b2, path, key="k", order_col="ver", fmt=fmt)
+    reader = spark.read.format(fmt) if fmt != "parquet" else spark.read
+    back = reader.parquet(path) if fmt == "parquet" else reader.load(path)
+    return {(r.k, r.v) for r in back.collect()}
+
+
 def test_merge_upsert_keeps_latest(spark, tmpdir):
-    path = f"{tmpdir}/t"
-    b1 = spark.createDataFrame([(1, "old", 1), (2, "keep", 1)], "k int, v string, ver int")
-    merge_upsert(spark, b1, path, key="k", order_col="ver")
-    b2 = spark.createDataFrame([(1, "new", 2), (3, "add", 1)], "k int, v string, ver int")
-    merge_upsert(spark, b2, path, key="k", order_col="ver")
-    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
-    assert got == {(1, "new"), (2, "keep"), (3, "add")}
+    expected = {(1, "new"), (2, "keep"), (3, "add"), (4, "fixed")}
+    for fmt in _available_formats(spark):
+        assert _run_merge_scenario(spark, f"{tmpdir}/t_{fmt}", fmt) == expected
+
+
+def test_merge_upsert_delta_requires_runtime(spark, tmpdir):
+    """The Delta path is format-gated: without the delta runtime it
+    must be skipped (auto falls back to parquet), not crash."""
+    from github_issues_lakehouse_spark.sinks import delta_available
+
+    if delta_available(spark):
+        pytest.skip("delta runtime present; gating covered by the scenario test")
+    b = spark.createDataFrame([(1, "x", 1)], "k int, v string, ver int")
+    merge_upsert(spark, b, f"{tmpdir}/auto", key="k", order_col="ver", fmt="auto")
+    assert spark.read.parquet(f"{tmpdir}/auto").count() == 1
+    with pytest.raises(ImportError):
+        merge_upsert(spark, b, f"{tmpdir}/forced", key="k", order_col="ver", fmt="delta")
