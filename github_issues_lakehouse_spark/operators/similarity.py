@@ -198,6 +198,26 @@ def ann_ivf_topk(
     )
 
 
+def ann_recall_at_k(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """ANN quality measurement: recall@k of the LSH index against the
+    exact brute-force ground truth, per query. The operator a vector
+    pipeline runs after (re)building an index to decide whether its
+    probe settings are good enough. Both sides are the existing
+    operators — the join is on tiny top-k sets."""
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k)
+    approx = ann_lsh_topk(spark, sf_dir, n_queries, k)
+    hits = truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        r6(F.coalesce("n_hits", F.lit(0)) / float(k)).alias("recall"),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes derived from md5 — no
     RNG state, reproducible across engines and runs."""

@@ -1,0 +1,123 @@
+"""Second batch of LLM-training-data operators over ``documents``:
+PII scrubbing, vocabulary statistics, source mixture weighting, and
+the corpus dedup-rate mart. All pure Column expressions — JVM-side,
+whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import norm_tokens
+from ..sources.registry import load_table
+from .relational import r6
+
+# PII patterns shared verbatim with the DuckDB oracle — both engines
+# (Java regex / RE2) treat these identically: ASCII classes, \b word
+# boundaries, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_synthetic_pii(d: DataFrame) -> DataFrame:
+    """Deterministically inject PII fragments into the synthetic
+    corpus (it contains none of its own) so the scrubber has real
+    work; the oracle injects the identical fragments."""
+    k = F.col("doc_id")
+    email = F.when(
+        k % 3 == 0, F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com"))
+    ).otherwise(F.lit(""))
+    phone = F.when(k % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit(""))
+    ip = F.when(
+        k % 7 == 0,
+        F.concat(F.lit(" host 192.168."), (k % 256).cast("string"), F.lit(".1")),
+    ).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction pass: count and mask emails, phone
+    numbers, and IPv4 addresses in one projection (three regex
+    evaluations per row, single scan — the standard pre-training
+    scrub). Returns counts plus an md5 of the redacted text so the
+    full redaction is verified without shipping the corpus."""
+    d = with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Global vocabulary mart: top-k tokens by corpus frequency with
+    document frequency. Explode + one map-side-combinable groupBy +
+    a top-k window over the (tiny) distinct-token aggregate — the
+    fact scan never sorts."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(norm_tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject — a distributed
+    # partial top-k per partition, never a single-partition sort of
+    # the full vocabulary (which at 100 TB is itself huge); only the
+    # k survivors see the rank window
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n_occurrences",
+        "doc_freq",
+    )
+
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-source document share and the
+    up/down-sampling weight that would equalize the mixture (the
+    knob a training-data pipeline turns to hit a target domain mix).
+    One groupBy; the per-source aggregate is tiny so the total rides
+    along in a single-partition window."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    target = total / n_sources
+    return per_source.select(
+        "source",
+        "n_docs",
+        r6(F.col("n_docs") / total).alias("share"),
+        r6(target / F.col("n_docs")).alias("weight"),
+        r6(F.least(F.lit(1.0), target / F.col("n_docs"))).alias("sample_prob"),
+    )
+
+
+def dedup_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup-rate mart: per source, how much of the corpus is
+    exact-duplicate content (normalized-text hash). The groupBy
+    shuffles 32-hex hashes, never documents."""
+    from .dedup import normalized_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(normalized_text().cast("binary")).alias("h")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        r6(F.lit(1.0) - F.count_distinct("h") / F.count(F.lit(1))).alias("dup_rate"),
+    )

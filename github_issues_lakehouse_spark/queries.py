@@ -24,6 +24,7 @@ from .operators import (
     silver,
     similarity,
     text,
+    text2,
     vectors2 as V2,
 )
 
@@ -338,6 +339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": chunking.decontaminate_ngram,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
+        # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
+        # mixture / dedup-rate marts
+        "pii_redact": text2.pii_redact,
+        "ann_recall_at_k": similarity.ann_recall_at_k,
+        "vocab_stats": text2.vocab_stats,
+        "source_mixing_weights": text2.source_mixing_weights,
+        "dedup_rate_mart": text2.dedup_rate_mart,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1037,20 +1045,27 @@ FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
-        "ann_bruteforce_topk": """
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < 8),
-scored AS (
-  SELECT q_id, vec_id,
-    round(list_dot_product(q_vec, v) /
-          (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
-  FROM q, c WHERE vec_id <> q_id
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
-  FROM scored
+        "ann_bruteforce_topk": _ann_bf_oracle(),
+        "ann_recall_at_k": _ann_recall_oracle(),
+        "pii_redact": _pii_redact_oracle(),
+        "vocab_stats": _vocab_stats_oracle(),
+        "source_mixing_weights": """
+WITH per_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs,
+  round(n_docs / total, 6) AS share,
+  round((total / n_sources) / n_docs, 6) AS weight,
+  round(least(1.0, (total / n_sources) / n_docs), 6) AS sample_prob
+FROM per_source, tot
+""",
+        "dedup_rate_mart": """
+WITH d AS (
+  SELECT source, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
 )
-SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
-FROM ranked WHERE rank <= 5
+SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+  round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM d GROUP BY 1
 """,
         "lang_id": _lang_id_oracle(),
         "quality_score": _quality_oracle(),
@@ -1075,6 +1090,81 @@ FROM d GROUP BY 1
 """,
     }
     return out
+
+
+def _ann_bf_oracle(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id,
+    round(list_dot_product(q_vec, v) /
+          (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q, c WHERE vec_id <> q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_recall_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """recall@k twin: the brute-force and LSH oracles run as
+    subqueries; recall = |truth ∩ approx| / k per query."""
+    return f"""
+WITH bf AS ({_ann_bf_oracle(n_queries, k)}),
+lsh AS ({_ann_lsh_oracle(n_queries, k)})
+SELECT bf.q_id,
+  CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hits,
+  round(count(lsh.neighbor_id) / {float(k)}, 6) AS recall
+FROM bf LEFT JOIN lsh
+  ON bf.q_id = lsh.q_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY 1
+"""
+
+
+def _pii_redact_oracle() -> str:
+    from .operators.text2 import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH withpii AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g')) AS redacted_hash
+FROM withpii
+"""
+
+
+def _vocab_stats_oracle(top_k: int = 20) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences, doc_freq
+FROM ranked WHERE rank <= {top_k}
+"""
 
 
 def _tfidf_oracle(k: int = 3) -> str:

@@ -1,6 +1,7 @@
 from .ops import (  # noqa: F401
     enrich_stream_with_dim,
     purchase_error_stream_join,
+    session_window_agg,
     sessionize_stream,
     stream_dedup,
     stream_merge_to_parquet,

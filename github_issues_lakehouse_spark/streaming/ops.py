@@ -124,6 +124,32 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
     )
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    aggregation — the declarative twin of ``sessionize_stream``.
+    State lives in the streaming aggregation operator (merged and
+    evicted by watermark, JVM-side); use this when the session
+    payload is expressible as aggregates and the Pandas-state version
+    only when per-event custom logic is genuinely needed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon
     (streaming twin of silver ``merge_keep_latest``)."""

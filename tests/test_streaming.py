@@ -12,6 +12,7 @@ from github_issues_lakehouse_spark.sources.registry import load_table
 from github_issues_lakehouse_spark.streaming import (
     enrich_stream_with_dim,
     purchase_error_stream_join,
+    session_window_agg,
     sessionize_stream,
     stream_dedup,
     stream_merge_to_parquet,
@@ -57,6 +58,27 @@ def test_windowed_counts_match_batch(spark, events_dir):
     assert len(got) > 0
     for r in got:
         assert batch_map[(r.window_start, r.event_type)] == r.event_count
+
+
+def test_session_window_agg_matches_batch(spark, events_dir):
+    """D8: native session_window streaming aggregation — finalized
+    sessions equal the identical batch session_window aggregation."""
+    batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = _run_stream(
+        spark, session_window_agg(stream, gap="30 minutes", watermark="10 seconds"),
+        "native_sessions",
+    ).collect()
+    batch_sessions = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .collect()
+    )
+    batch_map = {(r.user_id, r.session_start): r.n_events for r in batch_sessions}
+    assert len(got) > 0
+    for r in got:
+        assert batch_map[(r.user_id, r.session_start)] == r.n_events
 
 
 def test_stream_dedup_drops_duplicates(spark, events_dir):
