@@ -122,9 +122,11 @@ def dedup_minhash_lsh(
     bands: int = 4,
     threshold: float = 0.5,
     bucket_cap: int = 200,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified by exact
-    shingle Jaccard >= threshold.
+    shingle Jaccard >= threshold. ``docs`` overrides the documents
+    table (tests inject skewed corpora).
 
     Pipeline (each stage linear, no O(n^2)):
     1. one pass materializes shingles + signature per doc
@@ -150,9 +152,9 @@ def dedup_minhash_lsh(
     disables the guard.
     """
     rows = num_hashes // bands
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("_toks", tokens())
         .withColumn("sh", shingles_from(F.col("_toks"), 3))
     )
@@ -214,7 +216,12 @@ def dedup_minhash_lsh(
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.3, df_cap: int = 1000
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    df_cap: int = 1000,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (>= threshold), blocked by
     shared shingle to avoid the full cross product: pairs are only
@@ -239,9 +246,9 @@ def dedup_ngram_jaccard(
     ~4x cheaper than re-joining shingle arrays back for
     array_intersect verification (measured at sf0.1).
     """
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
     d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("_toks", tokens())
         .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
     )
@@ -366,7 +373,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def dedup_simhash(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket by 4 x 15-bit blocks and verify
     hamming distance on candidates. By pigeonhole, any pair within
@@ -384,7 +395,9 @@ def dedup_simhash(
     broadcasts it — no new shuffle of the postings). bucket_cap <= 0
     disables the guard.
     """
-    d = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    d = simhash_signatures(
+        docs if docs is not None else load_table(spark, sf_dir, "documents")
+    )
     # one banded equi-join (like MinHash LSH) instead of one self-join
     # per block: explode each doc into (block_id, block_value) postings
     # and join on both — a single shuffle on the posting key

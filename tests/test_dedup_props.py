@@ -146,6 +146,37 @@ def test_skew_caps_only_reduce_candidates(spark):
     assert set(tiny_s) <= set(def_s)
 
 
+def test_caps_bound_boilerplate_explosion(spark):
+    """The scale scenario the guards exist for: a corpus where 300
+    documents are identical boilerplate. Uncapped, the boilerplate
+    cluster alone emits 300*299/2 = 44850 pairs (O(cluster²) — the
+    thing that kills a 100 TB run); with the cap the degenerate
+    bucket is dropped and only the informative corpus survives."""
+    boiler = [(i, "the standard license header text repeated verbatim in every file")
+              for i in range(300)]
+    unique = [(1000 + i, f"document number {i} with its own distinctive content about topic {i}")
+              for i in range(20)]
+    docs = spark.createDataFrame(boiler + unique, "doc_id long, text string")
+
+    uncapped = dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=0, docs=docs)
+    assert uncapped.count() >= 300 * 299 // 2
+    capped = dedup.dedup_minhash_lsh(spark, SF_DIR, bucket_cap=50, docs=docs)
+    assert capped.count() == 0  # every boilerplate band bucket > cap
+
+    # the templated "unique" docs legitimately land within hamming<=3
+    # of each other; the guard only has to remove the boilerplate
+    # cluster's pairs (ids < 1000)
+    capped_sim = dedup.dedup_simhash(spark, SF_DIR, bucket_cap=50, docs=docs)
+    assert capped_sim.filter("doc_a < 1000 OR doc_b < 1000").count() == 0
+
+    # ngram: boilerplate shingles exceed the df cap (df=300) and leave
+    # the feature universe, so no boilerplate pair can form; the
+    # templated docs' shared shingles (df=20) legitimately stay
+    capped_ng = dedup.dedup_ngram_jaccard(spark, SF_DIR, df_cap=50, docs=docs)
+    assert capped_ng.filter("doc_a < 1000 OR doc_b < 1000").count() == 0
+    assert capped_ng.count() > 0
+
+
 def test_ngram_df_cap_prunes_feature_universe(spark):
     """The ngram df cap removes corpus-common shingles from the
     feature set itself (stopword-style pruning): at a cap no shingle
