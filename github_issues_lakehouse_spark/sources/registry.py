@@ -51,6 +51,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.7e18-magnitude nanos never round-trip through a double.
     DuckDB's reader truncates ns->us the same way, so both engines
     see identical timestamps.
+
+    ``timestamp_micros`` produces an LTZ timestamp, so the session
+    timezone is pinned to UTC here: the events contract (and the
+    naive-timestamp oracle) defines ts as UTC wall-clock, and a
+    foreign session in another zone would otherwise shift every
+    window boundary and date rendering. Runtime-settable, applied on
+    the caller's session exactly because the caller's session is the
+    one that will evaluate the plan.
     """
     from pyspark.sql import functions as F
 
@@ -61,6 +69,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -57,3 +57,37 @@ def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every timestamp-arithmetic flavor: LTZ events (windows, date
+        # grouping), NTZ orders (date rendering, month keys), and the
+        # resolution-hours epoch math in the gold mart
+        "windowed_agg_events",
+        "daily_gapfill_events",
+        "bronze_issues",
+        "null_semantics_orders",
+        "date_arith_orders",
+        "gold_kpi_global",
+    ],
+)
+def test_oracle_match_under_foreign_timezone(name, spark, duck):
+    """The external driver runs queries in ITS session, not ours —
+    which may not be UTC. Every query must produce oracle-identical
+    results under a hostile session timezone (non-whole-hour offset
+    zones shift even hourly window boundaries)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+    try:
+        sdf = QUERIES[name](spark, SF_DIR)
+        srows = [list(r) for r in sdf.collect()]
+        res = duck.execute(ORACLES[name])
+        dcols = [d[0] for d in res.description]
+        drows = [list(r) for r in res.fetchall()]
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert len(srows) == len(drows)
+        assert canon(srows, sdf.columns) == canon(drows, dcols)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
