@@ -20,6 +20,7 @@ from .operators import (
     relational as R,
     relational2 as R2,
     relational3 as R3,
+    relational4 as R4,
     scale,
     silver,
     similarity,
@@ -391,6 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
+        # TPC-H tail shapes (r2): Q2/Q11/Q15/Q21/Q22 equivalents
+        "min_cost_supplier": R4.min_cost_supplier,
+        "important_parts_share": R4.important_parts_share,
+        "top_supplier_revenue": R4.top_supplier_revenue,
+        "returns_blame_suppliers": R4.returns_blame_suppliers,
+        "idle_rich_customers": R4.idle_rich_customers,
     }
 
 
@@ -1066,6 +1073,81 @@ WITH d AS (
 SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
   round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
 FROM d GROUP BY 1
+""",
+        "min_cost_supplier": """
+WITH p AS (SELECT p_partkey FROM part WHERE p_size <= 15),
+offer AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         round(avg(l.l_extendedprice), 6) AS avg_price
+  FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, min(avg_price) OVER (PARTITION BY p_partkey) AS min_price FROM offer
+  ) WHERE avg_price = min_price
+)
+SELECT b.p_partkey, b.l_suppkey AS suppkey, s.s_name,
+       round(b.avg_price, 6) AS avg_price, round(s.s_acctbal, 2) AS s_acctbal
+FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+""",
+        "important_parts_share": """
+WITH per_part AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS part_rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(part_rev) AS total_rev FROM per_part)
+SELECT l_partkey, round(CAST(part_rev AS DOUBLE), 2) AS part_rev,
+       round(CAST(part_rev / total_rev AS DOUBLE), 6) AS rev_share
+FROM per_part, tot WHERE part_rev > total_rev * 0.0005
+""",
+        "top_supplier_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+),
+mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+SELECT r.l_suppkey AS suppkey, s.s_name, round(CAST(r.total_rev AS DOUBLE), 2) AS total_rev
+FROM rev r, mx JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = mx.max_rev
+""",
+        "returns_blame_suppliers": """
+WITH per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_suppliers,
+    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_suppliers
+  FROM lineitem GROUP BY 1
+),
+blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN per_order o ON l.l_orderkey = o.l_orderkey
+  WHERE l.l_returnflag = 'R' AND o.n_suppliers > 1 AND o.n_ret_suppliers = 1
+)
+SELECT b.l_suppkey AS suppkey, s.s_name, count(*) AS numwait
+FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+""",
+        "idle_rich_customers": """
+WITH c AS (
+  SELECT * FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+),
+avg_bal AS (SELECT avg(c_acctbal) AS avg_bal FROM c WHERE c_acctbal > 0.0),
+idle AS (
+  SELECT c.* FROM c, avg_bal
+  WHERE c.c_acctbal > avg_bal.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%')
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+FROM idle GROUP BY 1
 """,
         "lang_id": _lang_id_oracle(),
         "quality_score": _quality_oracle(),
