@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics_orders": R3.null_semantics_orders,
         "profile_orders": R3.profile_orders,
         "histogram_prices": R3.histogram_prices,
+        # TPC-H tail shapes (new in r2): Q2/Q11/Q15/Q21/Q22 equivalents
+        "min_cost_supplier": R4.min_cost_supplier,
+        "important_parts_share": R4.important_parts_share,
+        "top_supplier_revenue": R4.top_supplier_revenue,
+        "returns_blame_suppliers": R4.returns_blame_suppliers,
+        "idle_rich_customers": R4.idle_rich_customers,
         # B. relational core (r1: all pass — re-checked as budget allows)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -392,12 +398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
-        # TPC-H tail shapes (r2): Q2/Q11/Q15/Q21/Q22 equivalents
-        "min_cost_supplier": R4.min_cost_supplier,
-        "important_parts_share": R4.important_parts_share,
-        "top_supplier_revenue": R4.top_supplier_revenue,
-        "returns_blame_suppliers": R4.returns_blame_suppliers,
-        "idle_rich_customers": R4.idle_rich_customers,
     }
 
 
