@@ -113,16 +113,28 @@ def synth_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow_label = F.when(k % 17 == 0, F.lit("Performance"))
     process_label = F.when(k % 11 == 0, F.lit("Needs Triage"))
 
+    closed_at = F.when(F.col("o_orderstatus") == "F", F.col("last_ship"))
     df = (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(last_ship, orders.o_orderkey == last_ship.l_orderkey, "left")
         .select(
             F.col("o_orderkey").alias("issue_id"),
+            # the reference's silver passthrough columns
+            # (reference silver.py:158-171), synthesized so the oracle
+            # covers them: number, title, body, updated_at
+            F.col("o_orderkey").alias("issue_number"),
+            F.concat(
+                F.lit("Issue "), k.cast("string"), F.lit(": "), F.col("o_orderpriority")
+            ).alias("title"),
+            F.concat(
+                F.lit("Reported by "), F.coalesce(F.col("c_name"), F.lit("anonymous"))
+            ).alias("body"),
             F.when(F.col("o_orderstatus") == "F", F.lit("closed"))
             .otherwise(F.lit("open"))
             .alias("state"),
             F.col("o_orderdate").alias("created_at"),
-            F.when(F.col("o_orderstatus") == "F", F.col("last_ship")).alias("closed_at"),
+            F.coalesce(closed_at, F.col("o_orderdate")).alias("updated_at"),
+            closed_at.alias("closed_at"),
             F.filter(
                 F.array(prio_label, kind_label, comp_label, allow_label, process_label),
                 lambda x: x.isNotNull(),

@@ -84,8 +84,12 @@ def q_silver_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = silver.silver_issues(spark, sf_dir)
     return s.select(
         "issue_id",
+        "issue_number",
+        "title",
+        "body",
         "state",
         fmt_ts(F.col("created_at"), "created_ts"),
+        fmt_ts(F.col("updated_at"), "updated_ts"),
         fmt_ts(F.col("closed_at"), "closed_ts"),
         "ticket_kind",
         "priority_tier",
@@ -147,8 +151,13 @@ WITH last_ship AS (
 ), silver AS (
   SELECT
     o.o_orderkey AS issue_id,
+    o.o_orderkey AS issue_number,
+    'Issue ' || CAST(o.o_orderkey AS VARCHAR) || ': ' || o.o_orderpriority AS title,
+    'Reported by ' || coalesce(c.c_name, 'anonymous') AS body,
     CASE WHEN o.o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS state,
     o.o_orderdate AS created_at,
+    coalesce(CASE WHEN o.o_orderstatus = 'F' THEN ls.last_ship END, o.o_orderdate)
+      AS updated_at,
     CASE WHEN o.o_orderstatus = 'F' THEN ls.last_ship END AS closed_at,
     CASE WHEN o.o_orderkey % 2 = 0 THEN 'defect'
          WHEN o.o_orderkey % 3 = 0 THEN 'docs'
@@ -221,8 +230,9 @@ _KPI_SQL = (
 ORACLE_SILVER = (
     _SILVER_SQL
     + """
-SELECT issue_id, state,
+SELECT issue_id, issue_number, title, body, state,
   strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_ts,
+  strftime(updated_at, '%Y-%m-%d %H:%M:%S') AS updated_ts,
   strftime(closed_at, '%Y-%m-%d %H:%M:%S') AS closed_ts,
   ticket_kind, priority_tier, component,
   round(resolution_hours, 6) AS resolution_hours
