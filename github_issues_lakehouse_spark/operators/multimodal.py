@@ -167,6 +167,64 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_s: int = 10) -> DataFra
     return pruned.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("t_start_s", T.DoubleType()),
+        T.StructField("window_hash", T.StringType()),
+        T.StructField("rms_proxy", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(spark: SparkSession, sf_dir: str, window_s: int = 30) -> DataFrame:
+    """Audio decode + windowed feature extraction plumbing: per audio
+    payload, stub-decode (sample_rate, duration), then expand into
+    ``window_s``-second analysis windows with a per-window feature
+    (rms proxy) — the 1-to-N Arrow shape an ASR/audio-tagging
+    pipeline feeds its models. A real deployment swaps the md5 stub
+    for soundfile/librosa frames; schema and batching are unchanged.
+
+    Kernel is self-contained (foreign-cwd drivers can run it); every
+    output derives from md5(payload) so the SQL oracle reproduces it.
+    """
+    media = synth_media(spark, sf_dir).filter(F.col("kind") == "audio")
+    pruned = media.select("media_id", "payload")
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        rates = [8000, 16000, 22050, 44100]
+        cols = ["media_id", "sample_rate", "duration_s", "window_idx",
+                "t_start_s", "window_hash", "rms_proxy"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                h = hashlib.md5(payload).digest()
+                rate = rates[h[3] % 4]
+                d10 = h[2] % 600
+                duration = round(d10 / 10.0, 1)
+                n_windows = d10 // (10 * window_s) + 1
+                for i in range(n_windows):
+                    wh = hashlib.md5(payload + f":w:{i}".encode()).hexdigest()
+                    out["media_id"].append(int(media_id))
+                    out["sample_rate"].append(rate)
+                    out["duration_s"].append(duration)
+                    out["window_idx"].append(i)
+                    out["t_start_s"].append(float(i * window_s))
+                    out["window_hash"].append(wh)
+                    out["rms_proxy"].append(round(int(wh[:8], 16) / 4294967295.0, 6))
+            yield _pd.DataFrame(out)
+
+    return pruned.mapInPandas(window_batches, schema=AUDIO_SCHEMA)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata + extracted-feature mart over the synthetic media
     table (rows-only correctness: stub decode is engine-specific)."""

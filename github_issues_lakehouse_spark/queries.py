@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": multimodal.frame_sample,
         # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
         # mixture / dedup-rate marts
+        "audio_features": multimodal.audio_features,
         "pii_redact": text2.pii_redact,
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "vocab_stats": text2.vocab_stats,
@@ -1052,6 +1053,32 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
        CAST(i * 10.0 AS DOUBLE) AS t_offset_s,
        md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
 FROM idx
+""",
+        "audio_features": """
+WITH m AS (
+  SELECT doc_id AS media_id, text, md5(text) AS fh
+  FROM documents WHERE doc_id % 3 = 1
+), f AS (
+  SELECT media_id, text,
+    ('0x' || substr(fh, 5, 2))::BIGINT % 600 AS d10,
+    CASE ('0x' || substr(fh, 7, 2))::BIGINT % 4
+      WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate
+  FROM m
+), idx AS (
+  SELECT media_id, text, rate, d10,
+    unnest(generate_series(0, CAST(d10 // 300 AS INT))) AS i
+  FROM f
+), wh AS (
+  SELECT media_id, rate, d10, i, md5(text || ':w:' || CAST(i AS VARCHAR)) AS window_hash
+  FROM idx
+)
+SELECT media_id, CAST(rate AS INT) AS sample_rate,
+  round(d10 / 10.0, 1) AS duration_s,
+  CAST(i AS INT) AS window_idx,
+  CAST(i * 30.0 AS DOUBLE) AS t_start_s,
+  window_hash,
+  round(('0x' || substr(window_hash, 1, 8))::BIGINT / 4294967295.0, 6) AS rms_proxy
+FROM wh
 """,
         "neardup_embedding_cosine": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
