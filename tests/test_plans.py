@@ -57,6 +57,28 @@ def test_asof_join_single_shuffle(spark):
     assert _shuffle_count(R.asof_join_orders_events(spark, SF_DIR)) == 1
 
 
+def test_pinned_shuffle_budgets(spark):
+    """Exact/ceiling exchange counts for the shuffle-sensitive
+    operators — each count is the number of data-motion passes the
+    docstring promises; a regression here multiplies directly at
+    100 TB. Measured values; ceilings where AQE may merge stages."""
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.operators import relational4 as R4
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["sessionize_events"](spark, SF_DIR)) == 1
+    assert _shuffle_count(qs["running_customer_totals"](spark, SF_DIR)) == 1
+    # lag window + pair aggregation + outgoing-share window
+    assert _shuffle_count(qs["event_transitions"](spark, SF_DIR)) <= 3
+    assert _shuffle_count(qs["cohort_retention"](spark, SF_DIR)) <= 3
+    # created agg + closed agg + grid join + backlog window
+    assert _shuffle_count(qs["gold_kpi_component_tier"](spark, SF_DIR)) <= 4
+    # per-(part,supplier) agg + per-part window (reuses partitioning)
+    assert _shuffle_count(R4.min_cost_supplier(spark, SF_DIR)) <= 2
+    assert _shuffle_count(R4.top_supplier_revenue(spark, SF_DIR)) <= 3
+    assert _shuffle_count(R4.returns_blame_suppliers(spark, SF_DIR)) <= 4
+
+
 def test_nation_pair_broadcasts_dims(spark):
     from github_issues_lakehouse_spark.operators import relational2 as R2
 
