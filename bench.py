@@ -83,15 +83,25 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             print(f"# warmup pass ({warm_dir}): {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # Best-of-N per query (default 2): the VM host shows multi-second
+    # noise spikes (idle load >2 on 32 cpus — CPU steal), and a single
+    # sample can triple a query's number. Cache is cleared between
+    # repeats so operator-internal persist() can't turn repeat 2 into
+    # a cache read — every sample measures the full computation.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+    spark.catalog.clearCache()
 
     print(
         json.dumps(

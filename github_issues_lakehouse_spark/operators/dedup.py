@@ -142,15 +142,17 @@ def dedup_minhash_lsh(
     Skew guard: a band bucket holding more than ``bucket_cap`` docs
     (degenerate boilerplate collapsing to one band key) would emit
     O(bucket²) candidate pairs; those buckets are DROPPED before the
-    self-join. The oversized-key set is computed by a map-side-
-    combinable aggregate and anti-joined back — it is tiny by
-    construction (≤ n_postings/cap keys, in practice a handful of
-    boilerplate keys), so AQE turns the anti-join into a broadcast;
-    no new shuffle of the postings. The cap only reduces candidate
-    recall — verification stays exact — and the oracle applies the
-    identical cap, so results match at any setting. bucket_cap <= 0
-    disables the guard.
+    self-join. The bucket size is a window count partitioned by the
+    SAME key the self-join shuffles on, so the cap rides the exchange
+    the join needs anyway — one linear plan, no second aggregate
+    branch (a groupBy+anti-join guard re-ran the whole signature pass
+    per AQE query stage and doubled wall time, measured at sf0.1).
+    The cap only reduces candidate recall — verification stays exact
+    — and the oracle applies the identical cap, so results match at
+    any setting. bucket_cap <= 0 disables the guard.
     """
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     base = docs if docs is not None else load_table(spark, sf_dir, "documents")
     docs = (
@@ -181,13 +183,12 @@ def dedup_minhash_lsh(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
     if bucket_cap > 0:
-        oversized = (
-            banded.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > bucket_cap)
-            .select("band_id", "band_key")
+        wb = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
         )
-        banded = banded.join(oversized, ["band_id", "band_key"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -234,18 +235,23 @@ def dedup_ngram_jaccard(
     boilerplate pruning in production dedup pipelines: sizes and
     intersections are computed over the capped shingle universe, so
     jaccard stays an exact set similarity (of informative shingles)
-    and no per-pair work depends on the dropped keys. The oversized
-    set comes from a map-side-combinable aggregate anti-joined back
-    (tiny by construction — ≤ n_postings/cap keys — so AQE broadcasts
-    it; no new shuffle of postings). The oracle applies the identical
-    cap, so results match at any setting. df_cap <= 0 disables the
-    guard.
+    and no per-pair work depends on the dropped keys. The df count is
+    a window count partitioned by shingle — the same key the
+    inverted-index self-join shuffles on, so the cap rides that
+    exchange instead of adding an aggregate branch (which re-ran the
+    shingle pass per AQE query stage). The oracle applies the
+    identical cap, so results match at any setting. df_cap <= 0
+    disables the guard.
 
     The per-pair intersection count aggregates the join output
     directly (count per pair) — at 1M+ candidate join rows this is
     ~4x cheaper than re-joining shingle arrays back for
-    array_intersect verification (measured at sf0.1).
+    array_intersect verification (measured at sf0.1). Set sizes are
+    attached to the (far smaller) PAIR table afterwards, not widened
+    onto every posting before the self-join.
     """
+    from pyspark.sql import Window
+
     base = docs if docs is not None else load_table(spark, sf_dir, "documents")
     d = (
         base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -254,33 +260,29 @@ def dedup_ngram_jaccard(
     )
     inv = d.select("doc_id", F.explode("sh").alias("shingle"))
     if df_cap > 0:
-        oversized = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > df_cap)
-            .select("shingle")
+        wdf = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
         )
-        inv = inv.join(oversized, "shingle", "left_anti")
-    # carry |capped set| on every posting so the pair aggregation needs
-    # no join-back to a sizes table (drops two shuffle joins); the size
-    # groupBy and the re-attach join stay on the doc_id partitioning
-    # the repartition above already established
+    # |capped set| per doc; joined onto candidate PAIRS below (one row
+    # per pair), never onto postings (one row per doc-shingle)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inv = inv.join(sizes, "doc_id")
     a = inv.alias("a")
     b = inv.alias("b")
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
     return (
-        pair_inter.withColumn(
-            "jaccard", r6(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard", r6(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -390,11 +392,15 @@ def dedup_simhash(
     O(bucket²) raw candidates; those buckets are dropped before the
     self-join — candidates lost there can still surface through the
     doc's 3 other blocks, and the oracle applies the identical cap so
-    results match at any setting. The oversized-key set comes from a
-    tiny map-side-combinable aggregate anti-joined back (AQE
-    broadcasts it — no new shuffle of the postings). bucket_cap <= 0
-    disables the guard.
+    results match at any setting. The bucket size is a window count
+    over the (bid, bval) partitioning the self-join shuffles on
+    anyway, keeping the signature aggregation below ONE shared
+    exchange (a separate aggregate+anti-join branch re-ran the
+    60-vote signature pass per AQE query stage — 2.5x wall time at
+    sf0.1). bucket_cap <= 0 disables the guard.
     """
+    from pyspark.sql import Window
+
     d = simhash_signatures(
         docs if docs is not None else load_table(spark, sf_dir, "documents")
     )
@@ -418,13 +424,12 @@ def dedup_simhash(
         "doc_id", "sig", "p.bid", "p.bval"
     )
     if bucket_cap > 0:
-        oversized = (
-            db.groupBy("bid", "bval")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > bucket_cap)
-            .select("bid", "bval")
+        wb = Window.partitionBy("bid", "bval")
+        db = (
+            db.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
         )
-        db = db.join(oversized, ["bid", "bval"], "left_anti")
     a = db.alias("a")
     b = db.alias("b")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

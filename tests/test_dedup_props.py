@@ -193,21 +193,33 @@ def test_ngram_df_cap_prunes_feature_universe(spark):
     assert all(0.0 < j <= 1.0 for _, _, j in tiny)
 
 
-def test_skew_caps_stay_aggregate_shaped(spark):
-    """The caps are implemented as map-side-combinable count
-    aggregates anti-joined back — NOT as windowed sorts over the
-    posting stream (a Window here would force a full sort of every
-    posting partition) and never as a cartesian expansion."""
+def test_skew_caps_ride_the_join_exchange(spark):
+    """The caps are window counts partitioned by the SAME key the
+    candidate self-join shuffles on, so the bucket-size pass rides the
+    exchange the join needs anyway. Pins: (a) no cartesian expansion;
+    (b) every Window in the plan partitions on the posting/join key —
+    a Window keyed on anything else would add a foreign sort pass of
+    the posting stream. (A separate aggregate+anti-join guard was
+    measured 2-2.5x slower at sf0.1: each AQE query stage of the
+    second branch re-ran the whole signature/shingle computation.)"""
+    import re
+
     from github_issues_lakehouse_spark.plans import assert_no_cartesian
     from github_issues_lakehouse_spark.plans.introspect import _plan_str
 
-    for df in (
-        dedup.dedup_minhash_lsh(spark, SF_DIR),
-        dedup.dedup_ngram_jaccard(spark, SF_DIR),
-        dedup.dedup_simhash(spark, SF_DIR),
+    for df, key_cols in (
+        (dedup.dedup_minhash_lsh(spark, SF_DIR), ("band_id", "band_key")),
+        (dedup.dedup_ngram_jaccard(spark, SF_DIR), ("shingle",)),
+        (dedup.dedup_simhash(spark, SF_DIR), ("bid", "bval")),
     ):
         assert_no_cartesian(df)
-        assert "Window" not in _plan_str(df)
+        plan = _plan_str(df)
+        # formatted plans list each Window's partition spec in its
+        # "Arguments:" line; every one must mention the join key
+        win_args = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+        assert win_args, "cap window missing from plan"
+        for args in win_args:
+            assert all(k in args for k in key_cols), args
 
 
 def test_neardup_block_count_invariant(spark):
