@@ -1,0 +1,105 @@
+"""Distributed k-means over the ``embeddings`` table.
+
+Lloyd's algorithm expressed as pure DataFrame plans: each iteration
+is one broadcast-join assignment pass over the corpus plus one
+map-side-combinable per-dimension average. No driver-side collect —
+the centroid table stays a k-row DataFrame end to end.
+
+Determinism (and hence a DuckDB oracle twin, unrolled to the same
+iteration count): init centroids are the first k corpus vectors,
+distances are rounded to 6dp before the argmin (ties break on
+centroid id), and recomputed centroid components are rounded to 6dp
+— so both engines walk identical centroid sequences.
+
+Scale: the corpus is scanned once per iteration (inherent to Lloyd);
+the assignment is a broadcast nested-loop over k centroids (k rows —
+always broadcastable), the re-estimation shuffles k×dim partial sums
+only. At 100 TB with large k, swap the init for k-means|| sampling
+and keep the identical iteration plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, to_double
+from ..sources.registry import load_table
+from .relational import r6
+
+DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: argmin of squared L2, 6dp-rounded,
+    ties on centroid id. Centroids are k rows — forced broadcast."""
+    dist = r6(
+        dot(F.col("vec"), F.col("vec"))
+        - 2 * dot(F.col("vec"), F.col("c_vec"))
+        + dot(F.col("c_vec"), F.col("c_vec"))
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "c_id", dist.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("c_id").alias("cluster"), "d2")
+    )
+
+
+def _recompute(assigned: DataFrame, dim: int = DIM) -> DataFrame:
+    """New centroid = per-dimension mean of members, 6dp-rounded.
+    One groupBy with dim avg aggregates — partial aggregation on the
+    map side ships k×dim sums per task, never vectors."""
+    aggs = [r6(F.avg(F.col("vec")[i])).alias(f"m{i}") for i in range(dim)]
+    means = assigned.groupBy(F.col("cluster").alias("c_id")).agg(*aggs)
+    return means.select(
+        "c_id", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c_vec")
+    )
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Distributed Lloyd k-means: ``n_iter`` assign/re-estimate rounds
+    from a deterministic init (first k vectors), returning the final
+    per-vector assignment (vec_id, cluster, d2).
+
+    This also upgrades ``ann_ivf_topk``'s centroid stand-in: feed
+    ``_recompute`` output in as the IVF cell table for a trained
+    index with the same probe plan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    cents = corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    assigned = _assign(corpus, cents)
+    for _ in range(n_iter - 1):
+        cents = _recompute(assigned)
+        assigned = _assign(corpus, cents)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"), "d2")
+
+
+def kmeans_cluster_profile(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Per-cluster mart over the final k-means state: member count,
+    mean within-cluster distance, and a centroid checksum (sum of the
+    6dp components) — the compact evidence a pipeline logs per
+    training run. k rows out."""
+    assigned = kmeans_embeddings(spark, sf_dir, k, n_iter)
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    cents = _recompute(assigned.join(corpus, "vec_id"))
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        r6(F.avg("d2")).alias("avg_d2"),
+    )
+    checksum = r6(F.aggregate(F.col("c_vec"), F.lit(0.0), lambda a, x: a + x))
+    return (
+        sizes.join(cents, sizes.cluster == cents.c_id)
+        .select("cluster", "n_members", "avg_d2", checksum.alias("centroid_checksum"))
+    )

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from .functions.labels import LakehouseRules
 from .operators import (
     chunking,
+    clustering,
     dedup,
+    dimensional,
     gold,
     multimodal,
     relational as R,
@@ -26,6 +28,7 @@ from .operators import (
     similarity,
     text,
     text2,
+    text3,
     vectors2 as V2,
 )
 
@@ -358,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": text2.vocab_stats,
         "source_mixing_weights": text2.source_mixing_weights,
         "dedup_rate_mart": text2.dedup_rate_mart,
+        # C-suite additions (r2, second wave): repetition gate,
+        # paragraph-window dedup, distributed k-means, SCD2 history
+        "repetition_filter": text3.repetition_filter,
+        "paragraph_dedup": text3.paragraph_dedup,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
+        "scd2_priority_history": dimensional.scd2_priority_history,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1093,6 +1102,10 @@ WHERE round(list_dot_product(a.v, b.v) /
         "ann_recall_at_k": _ann_recall_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "vocab_stats": _vocab_stats_oracle(),
+        "repetition_filter": _repetition_filter_oracle(),
+        "paragraph_dedup": _paragraph_dedup_oracle(),
+        "kmeans_embeddings": _kmeans_oracle(),
+        "scd2_priority_history": _scd2_oracle(),
         "source_mixing_weights": """
 WITH per_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS n_sources FROM per_source)
@@ -1727,4 +1740,128 @@ starts AS (
 SELECT doc_id, fingerprint, count(*) AS n_rolling_fps,
        min_by(fp, i) AS first_rolling_fp
 FROM fps GROUP BY 1, 2
+"""
+
+
+def _repetition_filter_oracle(top_bigram_cap: float = 0.18, dup_trigram_cap: float = 0.30) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, 2 AS n, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i FROM docs)
+),
+tri AS (
+  SELECT doc_id, 3 AS n, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM docs)
+),
+posting AS (SELECT * FROM bi UNION ALL SELECT * FROM tri),
+counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM posting GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id,
+    sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS n_bigrams,
+    max(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS top_bigram_cnt,
+    sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS n_trigrams,
+    sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS n_tri_distinct
+  FROM counts GROUP BY 1
+)
+SELECT doc_id,
+  round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_share,
+  round((n_trigrams - n_tri_distinct) / CAST(n_trigrams AS DOUBLE), 6) AS dup_trigram_frac,
+  (round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6) <= {top_bigram_cap}
+   AND round((n_trigrams - n_tri_distinct) / CAST(n_trigrams AS DOUBLE), 6) <= {dup_trigram_cap}
+  ) AS keep
+FROM per_doc
+"""
+
+
+def _paragraph_dedup_oracle(window: int = 16) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, greatest(len(toks), 1), {window})) AS i
+  FROM docs
+),
+blocks AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS h FROM starts
+),
+flagged AS (
+  SELECT doc_id,
+    (row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, i ASC) = 1) AS keep
+  FROM blocks
+)
+SELECT doc_id, count(*) AS n_windows,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+FROM flagged GROUP BY 1
+"""
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations mirroring clustering.kmeans_embeddings:
+    same deterministic init (first k vectors), 6dp-rounded distances
+    (ties on centroid id) and 6dp-rounded recomputed centroids, so
+    both engines walk the identical centroid sequence."""
+    d2 = (
+        "round(list_dot_product(vec, vec) - 2 * list_dot_product(vec, c_vec)"
+        " + list_dot_product(c_vec, c_vec), 6)"
+    )
+    ctes = [
+        f"corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        f"c0 AS (SELECT vec_id AS c_id, vec AS c_vec FROM corpus WHERE vec_id < {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""s{it} AS (
+  SELECT vec_id, vec, c_id, {d2} AS d2 FROM corpus CROSS JOIN c{it - 1}
+)"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, vec, c_id AS cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+    FROM s{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < n_iter:
+            ctes.append(
+                f"""m{it} AS (
+  SELECT cluster AS c_id, i, round(avg(vec[i]), 6) AS m
+  FROM a{it} CROSS JOIN dims GROUP BY 1, 2
+)"""
+            )
+            ctes.append(f"c{it} AS (SELECT c_id, list(m ORDER BY i) AS c_vec FROM m{it} GROUP BY 1)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM a{n_iter}\n"
+    )
+
+
+def _scd2_oracle() -> str:
+    return """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+  FROM orders
+),
+changed AS (
+  SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+),
+iv AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC) AS nxt
+  FROM changed
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+  strftime(nxt - INTERVAL 1 DAY, '%Y-%m-%d') AS valid_to,
+  (nxt IS NULL) AS is_current
+FROM iv
 """
