@@ -83,6 +83,21 @@ def kmeans_embeddings(
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"), "d2")
 
 
+def ivf_trained_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 16, n_iter: int = 2
+) -> DataFrame:
+    """Trained centroid table (c_id, c_vec) for ``ann_ivf_topk``'s
+    ``centroids=`` input: run k-means and re-estimate means from the
+    final assignment. The IVF probe plan is unchanged — this only
+    swaps the cell geometry from 'first k vectors' to trained
+    centers, which tightens cells and raises recall at the same
+    n_probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    assigned = kmeans_embeddings(spark, sf_dir, k, n_iter).join(corpus, "vec_id")
+    return _recompute(assigned)
+
+
 def kmeans_cluster_profile(
     spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
 ) -> DataFrame:

@@ -141,23 +141,30 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into
     inverted lists by nearest centroid; each query scores only the
     lists of its ``n_probe`` nearest centroids.
 
-    Centroids are the first ``n_centroids`` corpus vectors — a
-    deterministic stand-in for a k-means pass (at scale: run k-means||
-    once offline, broadcast the centroid table; the assignment and
-    probe plan below is unchanged). Assignment scores are rounded to
-    6dp before the argmax so the cell choice is reproducible across
-    engines; ties break on centroid id.
+    Default centroids are the first ``n_centroids`` corpus vectors —
+    a deterministic stand-in that keeps the DuckDB oracle exact. Pass
+    ``centroids`` (c_id, c_vec) — e.g. the trained table from
+    ``clustering.kmeans_embeddings`` via ``ivf_trained_centroids`` —
+    for a real k-means index with the identical assignment/probe
+    plan. Assignment scores are rounded to 6dp before the argmax so
+    the cell choice is reproducible across engines; ties break on
+    centroid id.
     """
     from pyspark.sql import Window
 
     corpus = _corpus(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+        )
     )
 
     def assign(df, id_col, vec_col, keep_rank):

@@ -24,11 +24,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned write in any Spark-native columnar format
+    (parquet default; ``fmt='orc'`` for ORC consumers — both carry
+    the column stats that drive row-group/stripe skipping)."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.format(fmt).save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: range-partition the rows across files on
+    ``sort_cols`` and sort within each file. Every parquet row group
+    then covers a NARROW, mostly-disjoint min/max range of the sort
+    key, so a pushed-down point/range predicate skips whole files and
+    row groups via footer stats alone — the single cheapest read-side
+    optimization at 100 TB (the linear cousin of Z-ordering; for two
+    independent filter columns, interleave their bits into a computed
+    column and range-partition on that).
+
+    The repartitionByRange sample pass costs one extra scan at write
+    time; reads repay it on every query. Pin-tested in
+    tests/test_sinks.py by reading the written footers: sorted files
+    must have near-disjoint ranges where an unsorted write overlaps
+    on every file.
+    """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

@@ -82,6 +82,24 @@ def test_kmeans_cluster_profile_consistency(spark):
     assert all(r.avg_d2 >= 0 for r in prof)
 
 
+def test_ivf_trained_centroids_index(spark):
+    """ann_ivf_topk accepts a trained centroid table and produces a
+    complete top-k per query with sane recall. (On this uniform
+    synthetic corpus trained ≈ first-k-vectors recall — the trained
+    path matters when real data has cluster structure; the plan is
+    identical either way.)"""
+    from github_issues_lakehouse_spark.operators import similarity
+
+    cents = clustering.ivf_trained_centroids(spark, SF_DIR, k=16, n_iter=2)
+    assert cents.count() == 16
+    approx = similarity.ann_ivf_topk(spark, SF_DIR, centroids=cents)
+    per_q = approx.groupBy("q_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q) and len(per_q) == 8
+    truth = similarity.ann_bruteforce_topk(spark, SF_DIR)
+    hits = truth.join(approx, ["q_id", "neighbor_id"], "left_semi").count()
+    assert hits / truth.count() >= 0.6
+
+
 def test_scd2_intervals_well_formed(spark):
     hist = dimensional.scd2_priority_history(spark, SF_DIR)
     per_cust = hist.groupBy("custkey").agg(
