@@ -23,6 +23,7 @@ from .operators import (
     relational2 as R2,
     relational3 as R3,
     relational4 as R4,
+    relational5 as R5,
     scale,
     silver,
     similarity,
@@ -378,6 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": R4.top_supplier_revenue,
         "returns_blame_suppliers": R4.returns_blame_suppliers,
         "idle_rich_customers": R4.idle_rich_customers,
+        # TPC-H tail, second wave (new in r2): Q4/Q8/Q9/Q10/Q12/Q14/
+        # Q16/Q20 equivalents
+        "order_priority_checking": R5.order_priority_checking,
+        "national_market_share": R5.national_market_share,
+        "product_profit": R5.product_profit,
+        "returned_items_top_customers": R5.returned_items_top_customers,
+        "late_shipment_priority": R5.late_shipment_priority,
+        "promo_revenue_share": R5.promo_revenue_share,
+        "parts_supplier_count": R5.parts_supplier_count,
+        "excess_supply_suppliers": R5.excess_supply_suppliers,
         # B. relational core (r1: all pass — re-checked as budget allows)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1198,6 +1209,143 @@ idle AS (
 SELECT c_mktsegment, count(*) AS n_customers,
        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
 FROM idle GROUP BY 1
+""",
+        "order_priority_checking": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+        "national_market_share": """
+WITH cust_region AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+supp_nation AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+j AS (
+  SELECT year(o.o_orderdate) AS yr, sn.supp_nation,
+    CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN cust_region cr ON o.o_custkey = cr.c_custkey
+  JOIN supp_nation sn ON l.l_suppkey = sn.s_suppkey
+)
+SELECT yr, round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1
+""",
+        "product_profit": """
+WITH supp_nation AS (
+  SELECT s_suppkey, n_name AS nation FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT sn.nation, year(o.o_orderdate) AS yr,
+  round(CAST(
+    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+    - sum(CAST(0.6 AS DECIMAL(3,2)) * CAST(p.p_retailprice AS DECIMAL(18,2))
+          * CAST(l.l_quantity AS DECIMAL(18,2)))
+  AS DOUBLE), 2) AS profit,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supp_nation sn ON l.l_suppkey = sn.s_suppkey
+GROUP BY 1, 2
+""",
+        "returned_items_top_customers": """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_exact
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rev_exact DESC, o_custkey ASC) AS rn
+  FROM per_cust
+)
+SELECT r.o_custkey AS custkey, c.c_name, n.n_name AS nation,
+       round(CAST(r.rev_exact AS DOUBLE), 2) AS returned_rev,
+       CAST(r.rn AS INTEGER) AS rank
+FROM ranked r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE r.rn <= 20
+""",
+        "late_shipment_priority": """
+SELECT l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_priority_count,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_priority_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+        "promo_revenue_share": """
+WITH j AS (
+  SELECT month(l.l_shipdate) AS mo, p.p_type,
+    CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) = 1996
+)
+SELECT mo,
+  round(100.0
+    * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct,
+  round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev
+FROM j GROUP BY 1
+""",
+        "parts_supplier_count": """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, CAST(floor(p.p_size / 10) AS BIGINT) AS size_bucket,
+       count(DISTINCT pr.l_suppkey) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+        "excess_supply_suppliers": """
+WITH per_ps AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT * FROM (
+    SELECT *, sum(qty) OVER (PARTITION BY p_partkey) AS part_total,
+              count(*) OVER (PARTITION BY p_partkey) AS n_supp
+    FROM per_ps
+  ) WHERE CAST(qty AS DOUBLE) > 2.0 * CAST(part_total AS DOUBLE) / n_supp
+)
+SELECT d.l_suppkey AS suppkey, s.s_name, count(*) AS n_parts,
+       round(s.s_acctbal, 2) AS s_acctbal
+FROM dominant d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+GROUP BY 1, 2, 4
 """,
         "lang_id": _lang_id_oracle(),
         "quality_score": _quality_oracle(),

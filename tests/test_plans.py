@@ -85,3 +85,23 @@ def test_nation_pair_broadcasts_dims(spark):
     df = R2.nation_pair_volume(spark, SF_DIR)
     assert broadcast_join_count(df) >= 3, "supplier + both nation copies broadcast"
     assert _shuffle_count(df) <= 2, "facts shuffle at most on join key + agg"
+
+
+def test_tpch_second_wave_plans(spark):
+    """The r2 second-wave TPC-H shapes keep their promised shapes:
+    dims broadcast, window aggregates reuse the groupBy partitioning,
+    and the only fact-fact shuffle is the orderkey join."""
+    from github_issues_lakehouse_spark.operators import relational5 as R5
+
+    # per-(part,supplier) agg + per-part window (reuses partitioning)
+    assert _shuffle_count(R5.excess_supply_suppliers(spark, SF_DIR)) <= 3
+    # semi join on orderkey + priority agg
+    assert _shuffle_count(R5.order_priority_checking(spark, SF_DIR)) <= 3
+    ms = R5.national_market_share(spark, SF_DIR)
+    assert broadcast_join_count(ms) >= 2, "customer-region + supplier-nation broadcast"
+    # li<->orders join + year agg; AQE may add a post-join coalesce
+    assert _shuffle_count(ms) <= 4
+    pp = R5.product_profit(spark, SF_DIR)
+    assert broadcast_join_count(pp) >= 2, "part filter + supplier nation broadcast"
+    assert broadcast_join_count(R5.parts_supplier_count(spark, SF_DIR)) >= 2
+    assert _shuffle_count(R5.promo_revenue_share(spark, SF_DIR)) <= 2
