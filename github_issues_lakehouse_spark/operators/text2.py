@@ -121,3 +121,72 @@ def dedup_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("h").alias("n_unique"),
         r6(F.lit(1.0) - F.count_distinct("h") / F.count(F.lit(1))).alias("dup_rate"),
     )
+
+
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 4096, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each document by the log-likelihood ratio of its hashed-unigram
+    features under the target distribution (here: the ``target_lang``
+    slice) vs the raw corpus distribution. High scores = looks like
+    target data; downstream pipelines sample ∝ exp(score) — here we
+    emit the score mart itself.
+
+    Determinism across engines: per-bucket weights are computed once
+    (B rows), scaled to MICRO-units and rounded to integers, and the
+    per-document score is an exact BIGINT sum of those integers — no
+    float summation order can perturb it. The only float ops are B
+    single ln() calls, identical input → identical libm-rounded
+    output on both engines.
+
+    Scale shape: token→bucket hashing is one md5 per occurrence
+    (JVM-side); the bucket stats are ONE count aggregate (B=4096
+    rows); the weight table is broadcast back onto the occurrence
+    stream; per-doc sums ride a single doc_id shuffle of (doc_id,
+    micro) pairs. Raw text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    occ = d.select(
+        "doc_id",
+        "lang",
+        F.explode(norm_tokens(F.col("text"))).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % n_buckets,
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("target_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("target_cnt").alias("target_tot")
+    )
+    # Laplace-smoothed log ratio, frozen to integer micro-units
+    weights = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log((F.col("target_cnt") + 1).cast("double") / (F.col("target_tot") + n_buckets).cast("double"))
+                    - F.log((F.col("raw_cnt") + 1).cast("double") / (F.col("raw_tot") + n_buckets).cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+        .withColumn("dsir_score", F.round(F.col("score_micro") / F.lit(1e6), 6))
+    )

@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunking.chunk_documents,
         "pack_sequences": chunking.pack_sequences,
         "decontaminate_ngram": chunking.decontaminate_ngram,
+        "decontaminate_bloom": chunking.decontaminate_bloom,
+        "dsir_importance_weights": text2.dsir_importance_weights,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
         # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
@@ -367,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": text3.repetition_filter,
         "paragraph_dedup": text3.paragraph_dedup,
         "kmeans_embeddings": clustering.kmeans_embeddings,
+        "semdedup": clustering.semdedup,
         "scd2_priority_history": dimensional.scd2_priority_history,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
@@ -1013,6 +1016,8 @@ SELECT source, CAST(floor(before / 256) AS BIGINT) AS bin,
 FROM c GROUP BY 1, 2
 """,
         "decontaminate_ngram": _decontaminate_oracle(),
+        "decontaminate_bloom": _decontaminate_bloom_oracle(),
+        "dsir_importance_weights": _dsir_oracle(),
         "snapshot_diff": """
 WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
 v2 AS (
@@ -1116,6 +1121,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         "repetition_filter": _repetition_filter_oracle(),
         "paragraph_dedup": _paragraph_dedup_oracle(),
         "kmeans_embeddings": _kmeans_oracle(),
+        "semdedup": _semdedup_oracle(),
         "scd2_priority_history": _scd2_oracle(),
         "source_mixing_weights": """
 WITH per_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
@@ -1569,6 +1575,67 @@ GROUP BY 1
 """
 
 
+def _decontaminate_bloom_oracle(
+    n: int = 3, benchmark_mod: int = 100, m_bits: int = 1 << 18, k_hashes: int = 4
+) -> str:
+    """Bloom twin: identical md5-derived positions, membership checked
+    against the exact position set — reproduces the Spark bitset's
+    false positives bit-for-bit (a gram is flagged iff ALL of its k
+    positions collide with some benchmark gram's positions)."""
+
+    def pos(col: str, i: int) -> str:
+        return f"CAST(concat('0x', substr(md5({col} || '#{i}'), 1, 8)) AS BIGINT) % {m_bits}"
+
+    poslist = ", ".join(pos("s", i) for i in range(k_hashes))
+    checks = " AND ".join(f"({pos('t.s', i)}) IN (SELECT p FROM bloom)" for i in range(k_hashes))
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+bench AS (SELECT DISTINCT s FROM sd WHERE doc_id % {benchmark_mod} = 0),
+bloom AS (SELECT DISTINCT unnest([{poslist}]) AS p FROM bench),
+train AS (SELECT doc_id, s FROM sd WHERE doc_id % {benchmark_mod} <> 0)
+SELECT t.doc_id, count(DISTINCT t.s) AS n_flagged_ngrams
+FROM train t WHERE {checks}
+GROUP BY 1
+"""
+
+
+def _dsir_oracle(n_buckets: int = 4096, target_lang: str = "en") -> str:
+    """DSIR twin: identical md5 bucket hashing, identical Laplace
+    log-ratio frozen to integer micro-units, exact BIGINT per-doc
+    sums — float summation order cannot diverge."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id, lang,
+    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  )
+),
+stats AS (
+  SELECT bucket, count(*) AS raw_cnt,
+    sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS target_cnt
+  FROM occ GROUP BY 1
+),
+totals AS (SELECT sum(raw_cnt) AS raw_tot, sum(target_cnt) AS target_tot FROM stats),
+weights AS (
+  SELECT bucket,
+    CAST(round(1e6 * (
+      ln(CAST(target_cnt + 1 AS DOUBLE) / CAST(target_tot + {n_buckets} AS DOUBLE))
+      - ln(CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_tot + {n_buckets} AS DOUBLE))
+    )) AS BIGINT) AS w_micro
+  FROM stats, totals
+)
+SELECT o.doc_id, o.lang, count(*) AS n_toks,
+  CAST(sum(w.w_micro) AS BIGINT) AS score_micro,
+  round(CAST(sum(w.w_micro) AS BIGINT) / 1e6, 6) AS dsir_score
+FROM occ o JOIN weights w ON o.bucket = w.bucket
+GROUP BY 1, 2
+"""
+
+
 def _keep_best_oracle() -> str:
     """Quality-argmax dedup twin: same quality formula as the quality
     oracle, rounded to 6dp BEFORE the ordering so the argmax is
@@ -1947,11 +2014,13 @@ FROM flagged GROUP BY 1
 """
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd iterations mirroring clustering.kmeans_embeddings:
     same deterministic init (first k vectors), 6dp-rounded distances
     (ties on centroid id) and 6dp-rounded recomputed centroids, so
-    both engines walk the identical centroid sequence."""
+    both engines walk the identical centroid sequence. Returns the
+    CTE chain (no WITH keyword); the final assignment lives in
+    ``a{n_iter}`` with columns (vec_id, vec, cluster, d2)."""
     d2 = (
         "round(list_dot_product(vec, vec) - 2 * list_dot_product(vec, c_vec)"
         " + list_dot_product(c_vec, c_vec), 6)"
@@ -1983,11 +2052,36 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
 )"""
             )
             ctes.append(f"c{it} AS (SELECT c_id, list(m ORDER BY i) AS c_vec FROM m{it} GROUP BY 1)")
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _kmeans_ctes(k, n_iter, dim)
         + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM a{n_iter}\n"
     )
+
+
+def _semdedup_oracle(k: int = 8, n_iter: int = 2, threshold: float = 0.35) -> str:
+    """SemDeDup twin: identical unrolled k-means assignment, then
+    within-cluster cosine pairs at 6dp — keep iff no close neighbor
+    with a smaller vec_id."""
+    return f"""
+WITH {_kmeans_ctes(k, n_iter)},
+members AS (SELECT vec_id, cluster, vec FROM a{n_iter}),
+close AS (
+  SELECT x.vec_id, y.vec_id AS nb
+  FROM members x JOIN members y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= {threshold}
+)
+SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+  CAST(count(c.nb) AS BIGINT) AS n_close,
+  (min(CASE WHEN c.nb < m.vec_id THEN c.nb END) IS NULL) AS keep
+FROM members m LEFT JOIN close c ON m.vec_id = c.vec_id
+GROUP BY 1, 2
+"""
 
 
 def _scd2_oracle() -> str:
