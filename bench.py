@@ -42,6 +42,16 @@ HEADLINE = [
     "gold_kpi_component_tier_approx",
     "cohort_retention",
     "daily_gapfill_events",
+    # added in r2, second batch: new LLM-pipeline ops + the widest
+    # new TPC-H join shape
+    "repetition_filter",
+    "paragraph_dedup",
+    "pii_redact",
+    "vocab_stats",
+    "decontaminate_bloom",
+    "dsir_importance_weights",
+    "semdedup",
+    "national_market_share",
 ]
 
 
