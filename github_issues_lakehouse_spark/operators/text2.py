@@ -190,3 +190,54 @@ def dsir_importance_weights(
         )
         .withColumn("dsir_score", F.round(F.col("score_micro") / F.lit(1e6), 6))
     )
+
+
+def unigram_perplexity(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) -> DataFrame:
+    """Hashed-unigram LM perplexity — the CCNet-style quality signal:
+    train a Laplace-smoothed unigram model over hashed token buckets
+    on the corpus itself, then score each document by per-token
+    negative log-likelihood and perplexity (low = looks like the
+    corpus; high = outlier/noise — the tails are what a pretraining
+    pipeline trims).
+
+    Same exactness contract as ``dsir_importance_weights``: per-bucket
+    NLL contributions are frozen to integer micro-nats, per-doc sums
+    are exact BIGINTs, and the only per-doc float ops (one divide,
+    one exp) evaluate on identical inputs in both engines.
+
+    Scale shape: one md5 per token occurrence, one B-row count
+    aggregate, the model broadcast back onto the occurrence stream,
+    one doc_id shuffle for the sums. Raw text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    occ = d.select("doc_id", F.explode(norm_tokens(F.col("text"))).alias("tok")).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % n_buckets,
+    )
+    counts = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        # -ln p(bucket), Laplace-smoothed, in integer micro-nats
+        F.round(
+            F.lit(-1e6)
+            * F.log((F.col("cnt") + 1).cast("double") / (F.col("tot") + n_buckets).cast("double"))
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        occ.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll_micro").alias("nll_micro_sum"))
+        .select(
+            "doc_id",
+            "n_toks",
+            "nll_micro_sum",
+            F.round(
+                F.exp(F.col("nll_micro_sum") / F.lit(1e6) / F.col("n_toks")), 4
+            ).alias("perplexity"),
+        )
+    )

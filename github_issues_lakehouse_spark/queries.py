@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": chunking.decontaminate_ngram,
         "decontaminate_bloom": chunking.decontaminate_bloom,
         "dsir_importance_weights": text2.dsir_importance_weights,
+        "unigram_perplexity": text2.unigram_perplexity,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
         # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
@@ -1018,6 +1019,7 @@ FROM c GROUP BY 1, 2
         "decontaminate_ngram": _decontaminate_oracle(),
         "decontaminate_bloom": _decontaminate_bloom_oracle(),
         "dsir_importance_weights": _dsir_oracle(),
+        "unigram_perplexity": _perplexity_oracle(),
         "snapshot_diff": """
 WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
 v2 AS (
@@ -1633,6 +1635,36 @@ SELECT o.doc_id, o.lang, count(*) AS n_toks,
   round(CAST(sum(w.w_micro) AS BIGINT) / 1e6, 6) AS dsir_score
 FROM occ o JOIN weights w ON o.bucket = w.bucket
 GROUP BY 1, 2
+"""
+
+
+def _perplexity_oracle(n_buckets: int = 4096) -> str:
+    """Perplexity twin: identical bucket hashing, NLL frozen to
+    integer micro-nats, exact BIGINT sums; the final exp() evaluates
+    on identical exact inputs in both engines."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id,
+      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  )
+),
+counts AS (SELECT bucket, count(*) AS cnt FROM occ GROUP BY 1),
+total AS (SELECT sum(cnt) AS tot FROM counts),
+model AS (
+  SELECT bucket,
+    CAST(round(-1e6 * ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + {n_buckets} AS DOUBLE))) AS BIGINT)
+      AS nll_micro
+  FROM counts, total
+)
+SELECT o.doc_id, count(*) AS n_toks,
+  CAST(sum(m.nll_micro) AS BIGINT) AS nll_micro_sum,
+  round(exp(CAST(sum(m.nll_micro) AS BIGINT) / 1e6 / count(*)), 4) AS perplexity
+FROM occ o JOIN model m ON o.bucket = m.bucket
+GROUP BY 1
 """
 
 

@@ -72,6 +72,72 @@ def write_sorted(
     )
 
 
+def zorder_value(col_a, col_b, stats_row, bits: int = 16):
+    """Morton (Z-order) curve value for two numeric columns: each is
+    min/max-scaled to ``bits`` bits (from the write-time ``stats_row``
+    with keys a_min/a_max/b_min/b_max), then bit-interleaved. Pure
+    Column arithmetic — the 2·bits shift/or terms stay inside
+    whole-stage codegen."""
+    span_a = max(float(stats_row["a_max"]) - float(stats_row["a_min"]), 1e-12)
+    span_b = max(float(stats_row["b_max"]) - float(stats_row["b_min"]), 1e-12)
+    top = (1 << bits) - 1
+    qa = F.least(
+        F.lit(top),
+        ((col_a.cast("double") - float(stats_row["a_min"])) / span_a * top).cast("long"),
+    )
+    qb = F.least(
+        F.lit(top),
+        ((col_b.cast("double") - float(stats_row["b_min"])) / span_b * top).cast("long"),
+    )
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(qa, j).bitwiseAND(F.lit(1)), 2 * j))
+            .bitwiseOR(F.shiftleft(F.shiftright(qb, j).bitwiseAND(F.lit(1)), 2 * j + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order layout for TWO independent filter columns — the
+    multi-dimensional extension of ``write_sorted``: rows are range-
+    partitioned and sorted on the Morton interleave of both columns,
+    so every file covers a small RECTANGLE of (a, b) space and a
+    point/range predicate on EITHER column alone skips most files via
+    footer min/max stats — a linear sort on (a, b) gives b no
+    locality at all. This is what Delta's OPTIMIZE ZORDER BY does;
+    here it is a plain write-time layout over open parquet.
+
+    Costs one stats pass (min/max of both columns) plus the range
+    sampling; at 100 TB both ride the write job's existing scans.
+    Pin-tested by reading footers: each dimension's per-file ranges
+    must be narrow where a single-column sort leaves the other
+    dimension spanning the full domain.
+    """
+    stats = df.agg(
+        F.min(col_a).alias("a_min"),
+        F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"),
+        F.max(col_b).alias("b_max"),
+    ).collect()[0]
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    zed = df.withColumn("_z", zorder_value(F.col(col_a), F.col(col_b), stats))
+    (
+        zed.repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -133,3 +133,52 @@ def test_write_sorted_produces_skippable_footers(spark, tmpdir):
     assert overlaps(rs_plain) >= len(rs_plain) - 2
     # and the round trip is lossless
     assert spark.read.parquet(sorted_path).count() == 100000
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmpdir):
+    """Z-order layout: a range predicate on EITHER column alone must
+    be able to skip most files via footer min/max, while a linear
+    sort on one column leaves the other spanning the full domain in
+    every file. Verified from parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.sinks import write_sorted, write_zordered
+
+    df = spark.range(0, 100000).selectExpr(
+        "cast((id * 2654435761) % 100000 as long) as a",
+        "cast((id * 40503) % 100000 as long) as b",
+    )
+    z_path = f"{tmpdir}/zed"
+    lin_path = f"{tmpdir}/linear"
+    write_zordered(df, z_path, "a", "b", num_files=16)
+    write_sorted(df, lin_path, ["a"], num_files=16)
+
+    def ranges(path, col_idx):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ss = [md.row_group(i).column(col_idx).statistics for i in range(md.num_row_groups)]
+            if ss:
+                out.append((min(s.min for s in ss), max(s.max for s in ss)))
+        return out
+
+    def overlapping(rs, lo, hi):
+        return sum(1 for mn, mx in rs if mx >= lo and mn <= hi)
+
+    # 12.5%-wide band INSIDE one top-level Morton quadrant — a band
+    # straddling the domain midpoint legitimately touches both halves
+    # of the curve and would make the assertion flaky
+    lo, hi = 10000, 22500
+    za, zb = ranges(z_path, 0), ranges(z_path, 1)
+    assert len(za) >= 8
+    # each dimension individually prunable: the band must NOT touch
+    # every file (4x4 Morton grid => ~25-50% expected)
+    assert overlapping(za, lo, hi) <= 0.7 * len(za)
+    assert overlapping(zb, lo, hi) <= 0.7 * len(zb)
+    # linear sort on a: perfect on a, hopeless on b
+    la, lb = ranges(lin_path, 0), ranges(lin_path, 1)
+    assert overlapping(la, lo, hi) <= 0.4 * len(la)
+    assert overlapping(lb, lo, hi) == len(lb)
+    assert spark.read.parquet(z_path).count() == 100000
