@@ -263,3 +263,34 @@ def excess_supply_suppliers(
             r2(F.col("s_acctbal")).alias("s_acctbal"),
         )
     )
+
+
+def forecast_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    yr: int = 1996,
+    disc_lo: float = 0.039,
+    disc_hi: float = 0.061,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape — the pure predicate-pushdown aggregate: one
+    lineitem scan with three scan-level filters (ship-year band,
+    discount band, quantity cap) folding to a single exact-decimal
+    sum. Completes the classic 22-query TPC-H access-pattern set.
+
+    Scale: no joins and no groupBy keys — the only exchange is the
+    final 1-row partial-aggregate combine, so at 100 TB the cost is
+    the (filter-pruned) parquet scan itself; ``PushedFilters`` carries
+    all three predicates. The discount bounds sit strictly between the
+    data's 0.01 value grid so double representation cannot flip row
+    membership in either engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast("decimal(4,2)")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{yr}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{yr + 1}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    ).agg(r2(F.sum(rev).cast("double")).alias("promo_forecast_revenue"))

@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.textfns import (
+    punct_ratio,
+    repetition_ratio,
+    stopword_ratio,
+    whitespace_token_count,
+)
 from ..sources.registry import load_table
 from .dedup import shingles_from, tokens
 from .relational import r6
@@ -129,4 +135,124 @@ def paragraph_dedup(
             "n_kept",
             r6(F.col("n_kept") / F.col("n_windows")).alias("kept_frac"),
         )
+    )
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, top_k: int = 50, docs: DataFrame | None = None
+) -> DataFrame:
+    """First merge iteration of BPE tokenizer induction (Sennrich et
+    al. 2016): count adjacent character pairs inside words across the
+    corpus and rank the merge candidates. A training-data pipeline
+    runs this (iterated) to fit the tokenizer on the corpus it just
+    curated.
+
+    Shape: one explode of per-word adjacent-pair arrays -> one
+    groupBy over a <=26^2 pair universe (map-side combinable, tiny
+    result) -> ``orderBy().limit()`` which plans as
+    TakeOrderedAndProject — a per-partition partial top-k; the corpus
+    scan never feeds a global sort. Rank ties break on the pair
+    string so the cut is deterministic. Linear at 100 TB.
+    """
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    words = base.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    ).filter(F.char_length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    top = counts.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).limit(top_k)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "pair", "pair_count"
+    )
+
+
+def cross_source_overlap(
+    spark: SparkSession, sf_dir: str, window: int = 16, docs: DataFrame | None = None
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct ``window``-token paragraph blocks they
+    share, plus the overlap coefficient (shared / smaller side). The
+    train/eval-split hygiene check a pipeline runs before mixing
+    sources — the same md5 block scheme as ``paragraph_dedup``.
+
+    Scale shape: blocks reduce to DISTINCT (source, hash) before any
+    join, so per-hash fanout is bounded by the source count (a small
+    constant), and the self-join cannot go quadratic in documents —
+    the skew cap the shingle dedups need is structurally unnecessary
+    here. Shuffles carry (source, 32-hex hash) only; per-source
+    totals are a tiny broadcast.
+    """
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    d = base.withColumn("_toks", tokens())
+    starts = F.sequence(F.lit(1), F.greatest(F.array_size("_toks"), F.lit(1)), F.lit(window))
+    blocks = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.array_join(F.slice("_toks", i, window), " ").cast("binary")),
+            )
+        ).alias("h"),
+    ).distinct()
+    totals = blocks.groupBy("source").agg(F.count(F.lit(1)).alias("n_windows"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    shared = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_windows").alias("n_windows_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_windows").alias("n_windows_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_windows",
+            "n_windows_a",
+            "n_windows_b",
+            r6(
+                F.col("shared_windows") / F.least("n_windows_a", "n_windows_b")
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+def quality_classifier(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, docs: DataFrame | None = None
+) -> DataFrame:
+    """Linear-probability quality classifier: fixed weights over the
+    engine's quality features with a clamped linear link — the
+    deterministic stand-in for a fastText-style learned filter (the
+    container has no training stack, and a transcendental-free link
+    keeps the score bit-reproducible across engines: +, *, / on IEEE
+    doubles are exactly rounded everywhere, exp()/log() are not).
+
+    One scan, pure Column math, no shuffle at all — trivially linear
+    at 100 TB. Swapping in learned weights (or a real logistic via a
+    Pandas UDF) changes only this expression, not the plan shape.
+    """
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = whitespace_token_count(text).cast("double")
+    len_feat = F.least(n_tok, F.lit(2000.0)) / F.lit(2000.0)
+    z = (
+        F.lit(0.15)
+        + F.lit(0.9) * len_feat
+        + F.lit(1.5) * stopword_ratio(text)
+        - F.lit(2.0) * punct_ratio(text)
+        - F.lit(1.2) * repetition_ratio(text)
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), z))
+    return base.select(
+        "doc_id",
+        r6(p).alias("quality_prob"),
+        (p >= F.lit(threshold)).alias("keep"),
     )

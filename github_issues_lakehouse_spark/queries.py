@@ -372,6 +372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": clustering.kmeans_embeddings,
         "semdedup": clustering.semdedup,
         "scd2_priority_history": dimensional.scd2_priority_history,
+        # C-suite additions (r2, third wave): tokenizer induction,
+        # cross-source contamination, classifier-style quality gate
+        "bpe_pair_counts": text3.bpe_pair_counts,
+        "cross_source_overlap": text3.cross_source_overlap,
+        "quality_classifier": text3.quality_classifier,
+        # TPC-H Q6 (completes the 22-query access-pattern set)
+        "q6_forecast_revenue": R5.forecast_revenue,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1125,6 +1132,32 @@ WHERE round(list_dot_product(a.v, b.v) /
         "kmeans_embeddings": _kmeans_oracle(),
         "semdedup": _semdedup_oracle(),
         "scd2_priority_history": _scd2_oracle(),
+        "bpe_pair_counts": """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM words WHERE length(w) >= 2
+), counts AS (
+  SELECT pair, count(*) AS pair_count FROM pairs GROUP BY pair
+), top AS (
+  SELECT pair, pair_count FROM counts ORDER BY pair_count DESC, pair LIMIT 50
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank,
+  pair, pair_count
+FROM top
+""",
+        "cross_source_overlap": _cross_source_overlap_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
+        "q6_forecast_revenue": """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+  AS promo_forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.039 AND l_discount <= 0.061
+  AND l_quantity < 24
+""",
         "source_mixing_weights": """
 WITH per_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS n_sources FROM per_source)
@@ -2043,6 +2076,59 @@ SELECT doc_id, count(*) AS n_windows,
   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
 FROM flagged GROUP BY 1
+"""
+
+
+def _cross_source_overlap_oracle(window: int = 16) -> str:
+    return f"""
+WITH docs AS (SELECT source, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT source, toks,
+    unnest(generate_series(1, greatest(len(toks), 1), {window})) AS i
+  FROM docs
+),
+blocks AS (
+  SELECT DISTINCT source, md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS h FROM starts
+),
+totals AS (SELECT source, count(*) AS n_windows FROM blocks GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_windows
+  FROM blocks a JOIN blocks b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_windows,
+  ta.n_windows AS n_windows_a, tb.n_windows AS n_windows_b,
+  round(shared_windows / CAST(least(ta.n_windows, tb.n_windows) AS DOUBLE), 6) AS overlap_coef
+FROM shared
+JOIN totals ta ON ta.source = shared.source_a
+JOIN totals tb ON tb.source = shared.source_b
+"""
+
+
+def _quality_classifier_oracle(threshold: float = 0.5) -> str:
+    from .functions.textfns import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_norm_toks_sql()} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    least(CAST(len(toks) AS DOUBLE), 2000.0) / 2000.0 AS len_feat,
+    len(list_filter(toks, t -> list_contains([{stop}], t)))
+      / greatest(len(toks), 1) AS stopword_ratio,
+    length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    1.0 - len(list_distinct(toks)) / greatest(len(toks), 1) AS repetition_ratio
+  FROM d
+), scored AS (
+  SELECT doc_id,
+    least(1.0, greatest(0.0,
+      ((((0.15 + 0.9 * len_feat) + 1.5 * stopword_ratio) - 2.0 * punct_ratio)
+        - 1.2 * repetition_ratio))) AS p
+  FROM feat
+)
+SELECT doc_id, round(p, 6) AS quality_prob, p >= {threshold} AS keep FROM scored
 """
 
 
