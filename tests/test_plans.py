@@ -105,3 +105,29 @@ def test_tpch_second_wave_plans(spark):
     assert broadcast_join_count(pp) >= 2, "part filter + supplier nation broadcast"
     assert broadcast_join_count(R5.parts_supplier_count(spark, SF_DIR)) >= 2
     assert _shuffle_count(R5.promo_revenue_share(spark, SF_DIR)) <= 2
+
+
+def test_third_wave_plans(spark):
+    """r2 third-wave additions keep their promised shapes: Q6 is one
+    pushed-down scan folding to a single 1-row combine; BPE top-k is
+    a distributed partial top-k (never a global sort of the corpus);
+    the overlap matrix broadcasts its per-source totals; the quality
+    classifier is shuffle-free."""
+    from github_issues_lakehouse_spark.operators import relational5 as R5
+    from github_issues_lakehouse_spark.operators import text3 as T3
+    from github_issues_lakehouse_spark.plans.introspect import _plan_str
+
+    q6 = R5.forecast_revenue(spark, SF_DIR)
+    assert has_pushed_filters(q6), "shipdate/discount/quantity filters reach the scan"
+    assert _shuffle_count(q6) == 1, "only the final 1-row partial-agg combine"
+
+    bpe = T3.bpe_pair_counts(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan_str(bpe), "top-k must not global-sort"
+    assert _shuffle_count(bpe) <= 2, "pair-count agg + top-k gather"
+
+    ov = T3.cross_source_overlap(spark, SF_DIR)
+    assert broadcast_join_count(ov) >= 2, "both per-source total sides broadcast"
+    assert_no_cartesian(ov)
+
+    qc = T3.quality_classifier(spark, SF_DIR)
+    assert _shuffle_count(qc) == 0, "pure per-row scoring must not move data"
