@@ -68,9 +68,18 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet timestamp without isAdjustedToUTC infers as NTZ on
+        # Spark 4. The events contract defines ts as UTC wall-clock,
+        # and downstream operators use LTZ-only ops (cast-to-double
+        # epoch arithmetic, unix_timestamp, F.window) — so pin UTC and
+        # cast NTZ -> LTZ (identical wall-clock under UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
