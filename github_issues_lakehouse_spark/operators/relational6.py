@@ -1,0 +1,137 @@
+"""Interval-analytics relational operators: global concurrency via a
+distributed two-level prefix sum, and value-range window frames
+(time-based trailing aggregates).
+
+Both are shapes the reference's pandas pipeline could only do with
+driver-resident sorts; here they are expressed so the heavy ordering
+work stays partition-local:
+
+- ``concurrent_sessions`` needs a GLOBAL running sum over session
+  start/end deltas — the classic scale trap is a single-partition
+  ``Window.orderBy``. Instead the running sum is computed per DAY
+  partition, and a per-day carry-in (the cumulative sum of all prior
+  days' net deltas) is added as a broadcast join: the only global
+  step is a window over ~one row per day, which is bounded by the
+  calendar, not the data. This is the textbook distributed prefix
+  sum (scan) decomposition.
+- ``trailing_window_user_value`` uses Spark's RANGE frame on an
+  integer microsecond epoch — the frame bound is evaluated JVM-side
+  within one shuffle on user_id; integer micros (``unix_micros`` /
+  DuckDB ``epoch_us``) keep the frame arithmetic exact on both
+  engines (no double rounding at the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def _sessions(spark: SparkSession, sf_dir: str, gap_minutes: int) -> DataFrame:
+    """(user_id, session_start, session_end) with raw timestamps —
+    the same lag + conditional-cumsum plan as ``sessionize_events``
+    (one shuffle on user_id), kept unrendered for interval math."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = gap_minutes * 60
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > gap, 1
+        ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+
+
+def concurrent_sessions(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Peak concurrent sessions per day: +1/-1 sweep over session
+    start/end deltas, inclusive bounds (a session [t, t] counts as
+    concurrent at instant t, so +1 sorts before -1 at equal time).
+
+    Determinism under ties: rows tie only on (t, delta); within a tie
+    group the running sum visits the same multiset of values in any
+    order (all deltas equal), so per-day MAX is order-invariant —
+    exactly what the single-ordering DuckDB oracle computes.
+
+    Scale shape: the within-day running sum shuffles once on day; the
+    cross-day carry is a window over one row per day (calendar-
+    bounded) broadcast back. No global sort. A day with pathological
+    volume is still one partition — at that point split the carry key
+    to (day, hour) with the same two-level construction.
+    """
+    sess = _sessions(spark, sf_dir, gap_minutes)
+    # One explode instead of a two-branch union: a union would plan
+    # the whole sessionize subtree twice (once per branch).
+    d = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("session_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("session_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select(F.to_date("e.t").alias("day"), F.col("e.t").alias("t"), F.col("e.delta"))
+
+    wd = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("delta").desc())
+    local = d.withColumn(
+        "run",
+        F.sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+    # Per-day folds ride the SAME day hash partitioning as the window
+    # (no extra shuffle); the cross-day carry is then a window over
+    # one row per day — calendar-bounded — added without any join.
+    perday = local.groupBy("day").agg(
+        F.max("run").alias("local_peak"),
+        F.sum("delta").alias("day_delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("sessions_started"),
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return perday.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.col("local_peak")
+            + F.coalesce(F.sum("day_delta").over(w_days), F.lit(0))
+        )
+        .cast("long")
+        .alias("peak_concurrency"),
+        F.col("sessions_started").cast("long").alias("sessions_started"),
+    )
+
+
+def trailing_window_user_value(
+    spark: SparkSession, sf_dir: str, trailing_seconds: int = 3600
+) -> DataFrame:
+    """Per event: count and value-sum of the user's events in the
+    trailing ``trailing_seconds`` window (inclusive of the current
+    instant) — a time-based RANGE frame, not a row frame, so bursts
+    and gaps are handled correctly.
+
+    One shuffle on user_id; the frame is evaluated inside the sort
+    within each partition (WholeStageCodegen window exec). Integer
+    microsecond epochs make the frame boundary exact and identical
+    across engines; peers at the same micro-instant are all included
+    by RANGE semantics on both sides.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        r6(F.sum("value").over(w)).alias("value_trailing"),
+    )

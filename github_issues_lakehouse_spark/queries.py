@@ -24,6 +24,7 @@ from .operators import (
     relational3 as R3,
     relational4 as R4,
     relational5 as R5,
+    relational6 as R6,
     scale,
     silver,
     similarity,
@@ -379,6 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": text3.quality_classifier,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
+        # interval analytics (new in r2, third batch): distributed
+        # prefix-sum concurrency + time-RANGE window frames
+        "concurrent_sessions": R6.concurrent_sessions,
+        "trailing_window_user_value": R6.trailing_window_user_value,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -610,6 +615,43 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
   round(sum(value), 6) AS session_value
 FROM sess GROUP BY 1, 2
+""",
+        "concurrent_sessions": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess0 AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess0 GROUP BY 1, 2
+), deltas AS (
+  SELECT session_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT session_end AS t, -1 AS delta FROM sess
+), runs AS (
+  SELECT t, delta,
+    sum(delta) OVER (ORDER BY t ASC, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+  CAST(max(run) AS BIGINT) AS peak_concurrency,
+  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
+FROM runs GROUP BY 1
+""",
+        "trailing_window_user_value": """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+  round(sum(value) OVER w, 6) AS value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
         "funnel_events": """
 WITH per_user AS (
