@@ -25,12 +25,14 @@ from .operators import (
     relational4 as R4,
     relational5 as R5,
     relational6 as R6,
+    quality_checks as QC,
     scale,
     silver,
     similarity,
     text,
     text2,
     text3,
+    text4,
     vectors2 as V2,
 )
 
@@ -378,12 +380,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": text3.bpe_pair_counts,
         "cross_source_overlap": text3.cross_source_overlap,
         "quality_classifier": text3.quality_classifier,
+        # C-suite additions (r2, fourth wave): vocabulary richness,
+        # robust length outliers, integer-exact weighted sampling
+        "ttr_stats": text4.ttr_stats,
+        "length_outliers": text4.length_outliers,
+        "weighted_sample": text4.weighted_sample,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
         # prefix-sum concurrency + time-RANGE window frames
         "concurrent_sessions": R6.concurrent_sessions,
         "trailing_window_user_value": R6.trailing_window_user_value,
+        # data-quality expectations mart (Delta-constraint / dbt-test
+        # analogue): shared-scan rule counters + FK orphan joins
+        "dq_violations": QC.dq_violations,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -644,6 +654,44 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "dq_violations": """
+WITH o AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date,
+    count(*) - count(DISTINCT o_orderkey) AS v_uniq
+  FROM orders
+), li AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+    sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v_disc
+  FROM lineitem
+), d AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS v_text
+  FROM documents
+), fkc AS (
+  SELECT count(*) AS n, sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+  FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o2.o_custkey = c.c_custkey
+), fko AS (
+  SELECT count(*) AS n, sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+    ON l.l_orderkey = ok.o_orderkey
+)
+SELECT table_name, rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'orders' AS table_name, 'o_totalprice_positive' AS rule, n AS n_checked, v_price AS n_violations FROM o
+  UNION ALL SELECT 'orders', 'o_orderdate_not_null', n, v_date FROM o
+  UNION ALL SELECT 'orders', 'o_orderkey_unique', n, v_uniq FROM o
+  UNION ALL SELECT 'lineitem', 'l_quantity_range_1_50', n, v_qty FROM li
+  UNION ALL SELECT 'lineitem', 'l_discount_unit_interval', n, v_disc FROM li
+  UNION ALL SELECT 'documents', 'text_nonempty', n, v_text FROM d
+  UNION ALL SELECT 'orders', 'o_custkey_fk_customer', n, v FROM fkc
+  UNION ALL SELECT 'lineitem', 'l_orderkey_fk_orders', n, v FROM fko
+)
 """,
         "trailing_window_user_value": """
 SELECT event_id, user_id,
@@ -1191,6 +1239,9 @@ FROM top
 """,
         "cross_source_overlap": _cross_source_overlap_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "ttr_stats": _ttr_oracle(),
+        "length_outliers": _length_outliers_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "q6_forecast_revenue": """
 SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
   AS promo_forecast_revenue
@@ -2039,6 +2090,61 @@ SELECT doc_id, n_tokens,
     + (1.0 - repetition_ratio) * 0.3
     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2, 6) AS quality_score
 FROM feat
+"""
+
+
+def _ttr_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_norm_toks_sql()}) AS tok FROM documents
+), tc AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), per AS (
+  SELECT source, sum(cnt) AS n_tokens, count(*) AS n_types,
+    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM tc GROUP BY 1
+), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT per.source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+  round(n_types / n_tokens, 6) AS ttr,
+  CAST(n_hapax AS BIGINT) AS n_hapax,
+  round(n_hapax / n_types, 6) AS hapax_share
+FROM per JOIN nd ON per.source = nd.source
+"""
+
+
+def _length_outliers_oracle(k: float = 3.0) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({_norm_toks_sql()}) AS n_toks FROM documents
+), med AS (
+  SELECT source, quantile_cont(n_toks, 0.5) AS src_median FROM d GROUP BY 1
+), dm AS (
+  SELECT d.doc_id, d.source, d.n_toks, med.src_median
+  FROM d JOIN med ON d.source = med.source
+), mad AS (
+  SELECT source, quantile_cont(abs(n_toks - src_median), 0.5) AS src_mad
+  FROM dm GROUP BY 1
+)
+SELECT dm.doc_id, dm.source, CAST(dm.n_toks AS BIGINT) AS n_toks,
+  round(dm.src_median, 6) AS src_median, round(mad.src_mad, 6) AS src_mad
+FROM dm JOIN mad ON dm.source = mad.source
+WHERE abs(dm.n_toks - dm.src_median) > {k} * mad.src_mad
+"""
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_quality_oracle()})),
+s AS (
+  SELECT d.doc_id, d.source, q.quality_score AS quality,
+    CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '#ws')), 1, 15)) AS BIGINT)
+      % 1000000 AS sample_u,
+    CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS q_micro
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality, CAST(sample_u AS BIGINT) AS sample_u
+FROM s WHERE 2 * sample_u < q_micro
 """
 
 
