@@ -340,6 +340,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash candidate pairs ->
+    connected components -> keep the highest-quality document per
+    cluster. This is the full pipeline a training-corpus build runs
+    (the individual stages are exposed separately as
+    dedup_minhash_lsh / dedup_clusters / quality_score); the output
+    is the per-document verdict the corpus filter consumes.
+
+    The keep policy argmaxes the 6dp-rounded quality score (ties ->
+    min doc_id), so the verdict is engine-invariant. Clusters are a
+    small fraction of the corpus (only docs in >= 1 near-dup pair),
+    so the quality join and the per-cluster window are cheap relative
+    to the LSH stage; the window shuffles once on cluster_id.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score as q_op
+
+    clusters = dedup_clusters(spark, sf_dir)
+    q = q_op(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 SIMHASH_BITS = 60
 
 

@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttr_stats": text4.ttr_stats,
         "length_outliers": text4.length_outliers,
         "weighted_sample": text4.weighted_sample,
+        "neardup_keep_best": dedup.neardup_keep_best,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1242,6 +1243,7 @@ FROM top
         "ttr_stats": _ttr_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "neardup_keep_best": _neardup_keep_best_oracle(),
         "q6_forecast_revenue": """
 SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
   AS promo_forecast_revenue
@@ -2145,6 +2147,20 @@ s AS (
 )
 SELECT doc_id, source, quality, CAST(sample_u AS BIGINT) AS sample_u
 FROM s WHERE 2 * sample_u < q_micro
+"""
+
+
+def _neardup_keep_best_oracle() -> str:
+    """End-to-end pipeline twin: clusters (recursive CTE over the
+    minhash pairs) joined to quality, keep = per-cluster argmax of
+    the 6dp-rounded score (ties -> min doc_id)."""
+    return f"""
+WITH cl AS ({_clusters_oracle()}),
+q AS ({_quality_oracle()})
+SELECT cl.doc_id, cl.cluster_id, q.quality_score,
+  row_number() OVER (PARTITION BY cl.cluster_id
+                     ORDER BY q.quality_score DESC, cl.doc_id ASC) = 1 AS keep
+FROM cl JOIN q ON cl.doc_id = q.doc_id
 """
 
 

@@ -226,3 +226,78 @@ def stream_merge_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """D9: per-user lifetime running totals via Spark 4's
+    ``transformWithStateInPandas`` — the modern arbitrary-state API
+    (typed value/list/map state handles, timers, TTL) that supersedes
+    ``applyInPandasWithState``. Each micro-batch updates a ValueState
+    per user and emits the user's new running (n_events, total_value)
+    — the streaming twin of the batch running_customer_totals shape.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store); the caller's session must set
+    spark.sql.streaming.stateStore.providerClass accordingly.
+
+    The processor class is defined inside this function so cloudpickle
+    serializes it BY VALUE — workers never need to import this package
+    (driver sessions run from arbitrary cwds).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run: its
+    state-server protocol is protobuf-based and needs the
+    google.protobuf wheel at worker startup (pyspark doesn't declare
+    it as a hard dependency; absent it the streaming runner crashes
+    with ImportError at query start)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -195,3 +195,58 @@ def test_sessionize_stream_emits_sessions(spark, events_dir):
     assert emitted == total - n_users, (
         f"expected all-but-open sessions: {total} total, {n_users} open"
     )
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """D9: transformWithStateInPandas running totals — the final
+    update per user equals the batch groupBy totals.
+
+    transformWithState's worker protocol needs the google.protobuf
+    wheel (pyspark[sql] extra); skip where it isn't installed — the
+    container this repo is built in lacks it, so the operator is
+    environment-gated the same way as Delta (see tws_available).
+    """
+    from github_issues_lakehouse_spark.streaming import (
+        running_user_totals_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; transformWithState unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = load_table(spark, SF_DIR, "events")
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        out = running_user_totals_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "select user_id, max_by(n_events, n_events) as n_events,"
+            " max_by(total_value, n_events) as total_value"
+            " from tws_totals group by user_id"
+        ).collect()
+        expect = {
+            r.user_id: (r.n, float(r.total))
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert len(got) == len(expect)
+        for r in got:
+            n, total = expect[r.user_id]
+            assert r.n_events == n
+            assert abs(r.total_value - total) < 1e-6
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
