@@ -131,3 +131,24 @@ def test_third_wave_plans(spark):
 
     qc = T3.quality_classifier(spark, SF_DIR)
     assert _shuffle_count(qc) == 0, "pure per-row scoring must not move data"
+
+
+def test_fourth_wave_plans(spark):
+    """This session's additions keep their promised shapes:
+    weighted_sample is a map-only pass (zero exchanges); the
+    trailing RANGE frame shuffles once on user_id; the concurrency
+    sweep shuffles the deltas once on day (plus the one-row-per-day
+    carry window); ttr's doc-count join broadcasts; dq is
+    cartesian-free (checked globally) with both FK joins real joins."""
+    from github_issues_lakehouse_spark.operators import quality_checks as QC
+    from github_issues_lakehouse_spark.operators import relational6 as R6
+    from github_issues_lakehouse_spark.operators import text4 as T4
+
+    assert _shuffle_count(T4.weighted_sample(spark, SF_DIR)) == 0
+    assert _shuffle_count(R6.trailing_window_user_value(spark, SF_DIR)) == 1
+    # sessionize user shuffle + day shuffle + one-row-per-day carry
+    assert _shuffle_count(R6.concurrent_sessions(spark, SF_DIR)) <= 4
+    assert broadcast_join_count(T4.ttr_stats(spark, SF_DIR)) >= 1
+    # per-source median + MAD joins broadcast back to the doc frame
+    assert broadcast_join_count(T4.length_outliers(spark, SF_DIR)) >= 2
+    assert_no_cartesian(QC.dq_violations(spark, SF_DIR))
