@@ -486,3 +486,37 @@ def dedup_simhash(
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the MinHash near-dup
+    candidates: exact Levenshtein distance + normalized similarity
+    per pair. Shingle Jaccard can be fooled by token reordering;
+    edit distance is the stricter second-stage verdict a dedup
+    pipeline applies before destructive drops.
+
+    Scale shape: Levenshtein is O(len_a * len_b) per pair, so it must
+    NEVER run all-pairs — here it runs only on the LSH-gated
+    candidates (bounded by the band collision rate and the bucket
+    cap). Texts join in by id (two narrow hash joins); the quadratic
+    kernel is JVM-side ``levenshtein`` over the candidate rows only.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev_dist"),
+            r6(
+                F.lit(1.0)
+                - F.levenshtein("text_a", "text_b")
+                / F.greatest(F.length("text_a"), F.length("text_b"))
+            ).alias("lev_sim"),
+        )
+    )

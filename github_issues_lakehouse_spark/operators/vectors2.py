@@ -87,3 +87,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("source", "rank", "token", "tfidf")
     )
+
+
+def embedding_norm_outliers(
+    spark: SparkSession, sf_dir: str, k: float = 3.0, approx: bool = False
+) -> DataFrame:
+    """Vector QA: per-label robust SPIKE outliers — a vector whose
+    largest |component| sits k MADs from its label's median is
+    concentrated in few dimensions (dead-feature collapse, wrong
+    model, corrupt row). The L2 norm is reported alongside but is
+    NOT the flag statistic: this corpus (like most production
+    embedding stores) is unit-normalized, so norms are constant and
+    spikiness is the informative per-vector scalar.
+
+    Median/MAD are order statistics, not running float sums, so both
+    engines interpolate the same doubles and the flag decision is
+    engine-invariant; the spike is 6dp-rounded AT THE PROJECTION so
+    every downstream stat derives from bit-identical doubles.
+    ``approx=True`` switches to percentile_approx for the 100 TB
+    path (exact per-label percentiles funnel each label through one
+    reducer); the exact path is oracle-matched at test SF.
+
+    Shape mirrors length_outliers: one narrow projection feeds two
+    tiny per-label aggregates joined back broadcast.
+    """
+    pct = (
+        (lambda c: F.percentile_approx(c, 0.5))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+    v = to_double(F.col("embedding"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        r6(norm(v)).alias("l2_norm"),
+        r6(F.array_max(F.transform(v, F.abs))).alias("spike"),
+    )
+    med = e.groupBy("label").agg(pct(F.col("spike")).alias("label_median"))
+    with_med = e.join(F.broadcast(med), "label")
+    mad = with_med.groupBy("label").agg(
+        pct(F.abs(F.col("spike") - F.col("label_median"))).alias("label_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "label")
+        .filter(F.abs(F.col("spike") - F.col("label_median")) > k * F.col("label_mad"))
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            "spike",
+            r6(F.col("label_median")).alias("label_median"),
+            r6(F.col("label_mad")).alias("label_mad"),
+        )
+    )

@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": text4.length_outliers,
         "weighted_sample": text4.weighted_sample,
         "neardup_keep_best": dedup.neardup_keep_best,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
+        "embedding_norm_outliers": V2.embedding_norm_outliers,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1244,6 +1246,8 @@ FROM top
         "length_outliers": _length_outliers_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "neardup_keep_best": _neardup_keep_best_oracle(),
+        "edit_distance_pairs": _edit_distance_oracle(),
+        "embedding_norm_outliers": _norm_outliers_oracle(),
         "q6_forecast_revenue": """
 SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
   AS promo_forecast_revenue
@@ -2162,6 +2166,47 @@ SELECT cl.doc_id, cl.cluster_id, q.quality_score,
                      ORDER BY q.quality_score DESC, cl.doc_id ASC) = 1 AS keep
 FROM cl JOIN q ON cl.doc_id = q.doc_id
 """
+
+
+def _edit_distance_oracle() -> str:
+    """Levenshtein verification twin over the minhash candidate
+    pairs; DuckDB's levenshtein uses the same unit-cost edit model
+    as Spark's."""
+    return f"""
+WITH pairs AS ({_minhash_oracle()})
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+  round(1.0 - levenshtein(da.text, db.text)
+              / greatest(length(da.text), length(db.text)), 6) AS lev_sim
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
+def _norm_outliers_oracle(k: float = 3.0) -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, label,
+    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+    round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> abs(x))), 6) AS spike
+  FROM embeddings
+), med AS (
+  SELECT label, quantile_cont(spike, 0.5) AS label_median FROM e GROUP BY 1
+), em AS (
+  SELECT e.vec_id, e.label, e.l2_norm, e.spike, med.label_median
+  FROM e JOIN med ON e.label = med.label
+), mad AS (
+  SELECT label, quantile_cont(abs(spike - label_median), 0.5) AS label_mad
+  FROM em GROUP BY 1
+)
+SELECT em.vec_id, em.label, em.l2_norm, em.spike,
+  round(em.label_median, 6) AS label_median, round(mad.label_mad, 6) AS label_mad
+FROM em JOIN mad ON em.label = mad.label
+WHERE abs(em.spike - em.label_median) > {k} * mad.label_mad
+""".replace("{k}", str(k))
 
 
 def _fingerprint_oracle(window: int = 8, keep_every: int = 4) -> str:
