@@ -52,6 +52,13 @@ HEADLINE = [
     "dsir_importance_weights",
     "semdedup",
     "national_market_share",
+    # added in r2, third batch: interval analytics, DQ expectations,
+    # corpus-analysis additions
+    "concurrent_sessions",
+    "trailing_window_user_value",
+    "dq_violations",
+    "ttr_stats",
+    "weighted_sample",
 ]
 
 

@@ -199,3 +199,70 @@ def decontaminate_bloom(
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_flagged_ngrams"))
     )
+
+
+def plan_token_shards(
+    spark: SparkSession, sf_dir: str, shard_tokens: int = 512, bucket_width: int = 1000
+) -> DataFrame:
+    """Global shard planning: assign every document (in doc_id order,
+    across ALL sources) to the output shard its preceding cumulative
+    token count lands in — the write-planning step that turns a
+    filtered corpus into ~equal-token training shards.
+
+    The global running sum uses the same two-level prefix-sum
+    decomposition as concurrent_sessions, but keyed by doc_id range
+    buckets instead of days: within-bucket window cumsum (shuffle on
+    bucket id), then a carry window over ONE ROW PER BUCKET. With
+    bucket_width 1000, the carry layer is 0.1% of the corpus; at
+    extreme scale the same decomposition applies recursively to the
+    carry layer itself (three levels cover 1e12 docs with bounded
+    partitions). No global sort of the corpus ever happens.
+
+    Integer `div` everywhere — shard ids are exact on both engines.
+    """
+    # The explicit isnotnull(bucket) is vacuous (div of a non-null
+    # key) but makes BOTH consumers' scan subtrees identical: the
+    # join branch infers it from the join key and pushes it into its
+    # scan; without it here the carry branch's exchange differs by
+    # that one filter and AQE cannot reuse the shuffle.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_size(norm_tokens(F.col("text"))).alias("n_tokens"),
+            F.expr(f"doc_id div {bucket_width}").alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "before_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # Bucket totals come from the WINDOW OUTPUT (last row's exclusive
+    # prefix + its own tokens), not a fresh sum over the raw frame: a
+    # plain sum(n_tokens) would let Catalyst prune the window and push
+    # a partial aggregate below the exchange, planning a second
+    # tokenize scan; consuming before_local pins this branch to the
+    # same Exchange(bucket)+Window subtree, so AQE reuses the exchange
+    # and the corpus is tokenized once.
+    per_bucket = local.groupBy("bucket").agg(
+        F.max(F.col("before_local") + F.col("n_tokens")).alias("bucket_tokens")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0)).alias("carry"),
+    )
+    return (
+        local.join(F.broadcast(carry), "bucket")
+        .withColumn("before", F.col("before_local") + F.col("carry"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(f"(before_local + carry) div {shard_tokens}").alias("shard_id"),
+        )
+    )

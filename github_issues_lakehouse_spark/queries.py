@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": dedup.neardup_keep_best,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "embedding_norm_outliers": V2.embedding_norm_outliers,
+        "plan_token_shards": chunking.plan_token_shards,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1248,6 +1249,19 @@ FROM top
         "neardup_keep_best": _neardup_keep_best_oracle(),
         "edit_distance_pairs": _edit_distance_oracle(),
         "embedding_norm_outliers": _norm_outliers_oracle(),
+        "plan_token_shards": f"""
+WITH d AS (
+  SELECT doc_id, len({_norm_toks_sql()}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(before // 512 AS BIGINT) AS shard_id
+FROM c
+""",
         "q6_forecast_revenue": """
 SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
   AS promo_forecast_revenue

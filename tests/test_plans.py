@@ -152,3 +152,18 @@ def test_fourth_wave_plans(spark):
     # per-source median + MAD joins broadcast back to the doc frame
     assert broadcast_join_count(T4.length_outliers(spark, SF_DIR)) >= 2
     assert_no_cartesian(QC.dq_violations(spark, SF_DIR))
+
+
+def test_plan_token_shards_single_scan(spark):
+    """The shard planner's carry branch must REUSE the bucket
+    exchange (one tokenize scan total) — the isnotnull(bucket) filter
+    alignment makes both consumers' subtrees identical for AQE."""
+    from github_issues_lakehouse_spark.operators.chunking import plan_token_shards
+
+    df = plan_token_shards(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1
+    import re
+
+    assert len(re.findall(r"FileScan parquet", final)) == 1
