@@ -139,3 +139,36 @@ def training_corpus_filter(
         .filter((F.col("pred_lang") == "en") & (F.col("quality_score") >= min_quality))
         .select("doc_id", "pred_lang", "n_tokens", "quality_score")
     )
+
+
+def holdout_split(
+    spark: SparkSession, sf_dir: str, val_permille: int = 10, test_permille: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 of the doc id
+    (seeded stream '#split') mod 1000 buckets each document; the
+    split is stable across runs, machines, and engines — the property
+    an eval protocol actually needs (re-sampling on every run leaks
+    eval docs into training).
+
+    Map-only pass, no shuffle; the same idiom extends to k-fold
+    (bucket div fold_width) and time-based splits (bucket on a date
+    column instead of the hash).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < test_permille, "test")
+        .when(F.col("bucket") < test_permille + val_permille, "val")
+        .otherwise("train")
+        .alias("split"),
+    ).select("doc_id", "source", F.col("bucket").cast("long").alias("bucket"), "split")

@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "embedding_norm_outliers": V2.embedding_norm_outliers,
         "plan_token_shards": chunking.plan_token_shards,
+        "holdout_split": scale.holdout_split,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1261,6 +1262,19 @@ WITH d AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(before // 512 AS BIGINT) AS shard_id
 FROM c
+""",
+        "holdout_split": """
+WITH b AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#split')), 1, 15)) AS BIGINT)
+      % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 10 THEN 'test'
+       WHEN bucket < 20 THEN 'val'
+       ELSE 'train' END AS split
+FROM b
 """,
         "q6_forecast_revenue": """
 SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)

@@ -115,3 +115,38 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
     )
     assert joined.exceptAll(plain).count() == 0
     assert plain.exceptAll(joined).count() == 0
+
+
+def test_run_sql_surface(spark):
+    """catalog.run_sql: plain SQL against registered views equals the
+    DataFrame operator (same Catalyst plans underneath)."""
+    from github_issues_lakehouse_spark.catalog import run_sql
+    from github_issues_lakehouse_spark.operators.relational import q1_pricing_summary
+
+    got = run_sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+        GROUP BY 1, 2
+        """,
+    ).collect()
+    expect = {
+        (r.l_returnflag, r.l_linestatus): r.count_order
+        for r in q1_pricing_summary(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(expect)
+    for r in got:
+        assert expect[(r.l_returnflag, r.l_linestatus)] == r.n
+
+
+def test_run_sql_marts(spark):
+    """Mart views are queryable lazily and match the operator path."""
+    from github_issues_lakehouse_spark.catalog import run_sql
+    from github_issues_lakehouse_spark.queries import q_gold_global
+
+    got = run_sql(
+        spark, SF_DIR, "SELECT count(*) AS n FROM kpi_monthly_global", marts=True
+    ).collect()[0].n
+    assert got == q_gold_global(spark, SF_DIR).count()

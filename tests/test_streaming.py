@@ -250,3 +250,28 @@ def test_transform_with_state_running_totals(spark, events_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_sliding_window_counts_match_batch(spark, events_dir):
+    """D10: sliding (overlapping) windows — each event lands in
+    window_size/slide windows; finalized streaming counts equal the
+    batch twin."""
+    batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+    )
+    got = _run_stream(spark, agg, "slide_counts").collect()
+    batch_counts = (
+        batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+        .collect()
+    )
+    batch_map = {(r.window_start, r.event_type): r.event_count for r in batch_counts}
+    assert len(got) > 0
+    for r in got:
+        assert batch_map[(r.window_start, r.event_type)] == r.event_count
