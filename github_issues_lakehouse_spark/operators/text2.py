@@ -241,3 +241,75 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) 
             ).alias("perplexity"),
         )
     )
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) -> DataFrame:
+    """Hashed-BIGRAM LM perplexity — one order up from
+    ``unigram_perplexity``: p(w_i | w_{i-1}) with Laplace smoothing
+    over hashed bucket pairs, scored on every token transition. A
+    bigram LM separates fluent text from bag-of-frequent-words noise
+    that a unigram model scores as normal (the KenLM-filter regime at
+    the cheapest useful order).
+
+    Exactness contract (same as unigram/dsir): per-PAIR negative
+    log-likelihoods freeze to integer micro-nats, per-doc sums are
+    exact BIGINTs, the final divide+exp runs on identical inputs in
+    both engines.
+
+    Scale shape: the pair model C(prev,cur) can be up to B² rows so
+    it joins the transition stream by SHUFFLE on (prev,cur) — never
+    broadcast; the context totals C(prev) are <= B rows (bounded by
+    the bucket count, not the corpus) and broadcast onto the pair
+    counts. Docs with < 2 tokens have no transitions and drop out,
+    matching the oracle. Raw text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select("doc_id", norm_tokens(F.col("text")).alias("t")).filter(
+        F.array_size("t") >= 2
+    )
+
+    def bucket(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets
+
+    trans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.array_size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", bucket(F.col("p.w1")).alias("pb"), bucket(F.col("p.w2")).alias("cb"))
+
+    pair_counts = trans.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pair_counts.groupBy("pb").agg(F.sum("c2").alias("c1"))
+    model = pair_counts.join(F.broadcast(ctx), "pb").select(
+        "pb",
+        "cb",
+        F.round(
+            F.lit(-1e6)
+            * F.log(
+                (F.col("c2") + 1).cast("double") / (F.col("c1") + n_buckets).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        trans.join(model, ["pb", "cb"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trans"), F.sum("nll_micro").alias("nll_micro_sum"))
+        .select(
+            "doc_id",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            F.col("nll_micro_sum").cast("long").alias("nll_micro_sum"),
+            F.round(
+                F.exp(F.col("nll_micro_sum") / F.lit(1e6) / F.col("n_trans")), 4
+            ).alias("perplexity"),
+        )
+    )

@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": chunking.decontaminate_bloom,
         "dsir_importance_weights": text2.dsir_importance_weights,
         "unigram_perplexity": text2.unigram_perplexity,
+        "bigram_perplexity": text2.bigram_perplexity,
         "multimodal_meta": multimodal.multimodal_meta,
         "frame_sample": multimodal.frame_sample,
         # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
@@ -1122,6 +1123,7 @@ FROM c GROUP BY 1, 2
         "decontaminate_bloom": _decontaminate_bloom_oracle(),
         "dsir_importance_weights": _dsir_oracle(),
         "unigram_perplexity": _perplexity_oracle(),
+        "bigram_perplexity": _bigram_perplexity_oracle(),
         "snapshot_diff": """
 WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
 v2 AS (
@@ -1795,6 +1797,37 @@ SELECT o.doc_id, o.lang, count(*) AS n_toks,
   round(CAST(sum(w.w_micro) AS BIGINT) / 1e6, 6) AS dsir_score
 FROM occ o JOIN weights w ON o.bucket = w.bucket
 GROUP BY 1, 2
+"""
+
+
+def _bigram_perplexity_oracle(n_buckets: int = 4096) -> str:
+    """Bigram twin: identical md5 pair-bucket hashing, Laplace NLL
+    frozen to integer micro-nats, exact BIGINT per-doc sums."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_norm_toks_sql()} AS t FROM documents
+), big AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(t[i]), 1, 8)) AS BIGINT) % {n_buckets} AS pb,
+    CAST(concat('0x', substr(md5(t[i+1]), 1, 8)) AS BIGINT) % {n_buckets} AS cb
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+), pc AS (
+  SELECT pb, cb, count(*) AS c2 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT pb, sum(c2) AS c1 FROM pc GROUP BY 1
+), model AS (
+  SELECT pc.pb, pc.cb,
+    CAST(round(-1000000 * ln((pc.c2 + 1) / CAST(ctx.c1 + {n_buckets} AS DOUBLE))) AS BIGINT) AS nll
+  FROM pc JOIN ctx ON pc.pb = ctx.pb
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+  CAST(sum(m.nll) AS BIGINT) AS nll_micro_sum,
+  round(exp(sum(m.nll) / 1e6 / count(*)), 4) AS perplexity
+FROM big b JOIN model m ON b.pb = m.pb AND b.cb = m.cb
+GROUP BY 1
 """
 
 
