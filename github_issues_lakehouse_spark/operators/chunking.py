@@ -266,3 +266,57 @@ def plan_token_shards(
             F.expr(f"(before_local + carry) div {shard_tokens}").alias("shard_id"),
         )
     )
+
+
+def contamination_attribution(
+    spark: SparkSession, sf_dir: str, n: int = 3, benchmark_mod: int = 100, df_cap: int = 200
+) -> DataFrame:
+    """Contamination ATTRIBUTION: for every contaminated training
+    document, which benchmark document it leaks — the report an eval
+    owner needs to decide whether a hit is a real leak (shared
+    passage from one eval item) or idiom noise (one common phrase
+    across many items).
+
+    Scale shape: the (train x bench) pairing goes through the shared
+    n-gram as an inverted index; benchmark grams with document
+    frequency > ``df_cap`` on the BENCHMARK side (boilerplate idioms)
+    leave the index before the join — the same stopword-style skew
+    guard as dedup_ngram_jaccard, preventing one ubiquitous phrase
+    from fanning out train_df x bench_df pairs. The verdict argmax
+    is a window over the pair counts (ties -> min bench doc).
+    """
+    from .dedup import shingles_from
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", norm_tokens(F.col("text")))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
+    )
+    bench = d.filter(F.col("doc_id") % benchmark_mod == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), F.explode("sh").alias("gram")
+    )
+    gram_df = bench.groupBy("gram").agg(F.count(F.lit(1)).alias("bdf"))
+    bench_capped = bench.join(
+        F.broadcast(gram_df.filter(F.col("bdf") <= df_cap).select("gram")), "gram"
+    )
+    train = d.filter(F.col("doc_id") % benchmark_mod != 0).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    pair_counts = (
+        train.join(F.broadcast(bench_capped), "gram")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("bench_doc_id").asc()
+    )
+    return (
+        pair_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bench_doc_id").alias("top_bench_doc_id"),
+            F.col("n_shared").cast("long").alias("n_shared_ngrams"),
+        )
+    )

@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": chunking.pack_sequences,
         "decontaminate_ngram": chunking.decontaminate_ngram,
         "decontaminate_bloom": chunking.decontaminate_bloom,
+        "contamination_attribution": chunking.contamination_attribution,
         "dsir_importance_weights": text2.dsir_importance_weights,
         "unigram_perplexity": text2.unigram_perplexity,
         "bigram_perplexity": text2.bigram_perplexity,
@@ -1121,6 +1122,7 @@ FROM c GROUP BY 1, 2
 """,
         "decontaminate_ngram": _decontaminate_oracle(),
         "decontaminate_bloom": _decontaminate_bloom_oracle(),
+        "contamination_attribution": _contamination_attribution_oracle(),
         "dsir_importance_weights": _dsir_oracle(),
         "unigram_perplexity": _perplexity_oracle(),
         "bigram_perplexity": _bigram_perplexity_oracle(),
@@ -1736,6 +1738,30 @@ train AS (SELECT doc_id, s FROM sd WHERE doc_id % {benchmark_mod} <> 0)
 SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams
 FROM train t JOIN bench b ON t.s = b.s
 GROUP BY 1
+"""
+
+
+def _contamination_attribution_oracle(
+    n: int = 3, benchmark_mod: int = 100, df_cap: int = 200
+) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+bench AS (SELECT doc_id AS bench_doc_id, s FROM sd WHERE doc_id % {benchmark_mod} = 0),
+bdf AS (SELECT s FROM bench GROUP BY s HAVING count(*) <= {df_cap}),
+bc AS (SELECT b.bench_doc_id, b.s FROM bench b JOIN bdf ON b.s = bdf.s),
+train AS (SELECT doc_id, s FROM sd WHERE doc_id % {benchmark_mod} <> 0),
+pc AS (
+  SELECT t.doc_id, bc.bench_doc_id, count(*) AS n_shared
+  FROM train t JOIN bc ON t.s = bc.s GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_shared DESC, bench_doc_id ASC) AS rn
+  FROM pc
+)
+SELECT doc_id, bench_doc_id AS top_bench_doc_id,
+  CAST(n_shared AS BIGINT) AS n_shared_ngrams
+FROM r WHERE rn = 1
 """
 
 
