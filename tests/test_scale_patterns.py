@@ -214,3 +214,39 @@ def test_weighted_sample_subset_and_monotone(spark):
     all_ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()}
     assert {r.doc_id for r in kept} <= all_ids
     assert 0 < len(kept) < len(all_ids)
+
+
+def test_sql_functions_match_column_impl(spark):
+    """SQL scalar functions (Spark 4 SQL UDFs) equal the Column
+    implementations across the whole corpus."""
+    from github_issues_lakehouse_spark.catalog import (
+        register_sql_functions,
+        register_views,
+    )
+    from github_issues_lakehouse_spark.functions.textfns import (
+        quality_score,
+        whitespace_token_count,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    register_views(spark, SF_DIR)
+    register_sql_functions(spark)
+    got = {
+        r.doc_id: (r.n, round(r.q, 6))
+        for r in spark.sql(
+            "SELECT doc_id, ws_token_count(text) AS n, doc_quality_score(text) AS q"
+            " FROM documents"
+        ).collect()
+    }
+    expect = {
+        r.doc_id: (r.n, round(r.q, 6))
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            whitespace_token_count(F.col("text")).alias("n"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .collect()
+    }
+    assert got == expect
