@@ -183,3 +183,32 @@ def semdedup(
         .groupBy("cluster")
         .applyInPandas(cluster_dedup, "vec_id long, cluster long, n_close long, keep boolean")
     )
+
+
+def cluster_mixing_weights(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Topic-balance weighting over LEARNED clusters: run k-means,
+    then compute each cluster's share and the up/down-sampling weight
+    that equalizes the mixture — ``source_mixing_weights`` with the
+    strata discovered from the data instead of taken from metadata
+    (the SemDeDup/DoReMi-style move: balance what the corpus IS, not
+    what its labels say).
+
+    The per-cluster aggregate is k rows; the totals ride a
+    single-partition window over those k rows — the only non-k-row
+    work is the k-means assignment itself.
+    """
+    assigned = kmeans_embeddings(spark, sf_dir, k=k, n_iter=n_iter)
+    per_cluster = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    w = Window.partitionBy()
+    total = F.sum("n_vecs").over(w)
+    n_clusters = F.count(F.lit(1)).over(w)
+    target = total / n_clusters
+    return per_cluster.select(
+        "cluster",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        r6(F.col("n_vecs") / total).alias("share"),
+        r6(target / F.col("n_vecs")).alias("weight"),
+        r6(F.least(F.lit(1.0), target / F.col("n_vecs"))).alias("sample_prob"),
+    )

@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's check budget cuts off here, it spent its time on
         # breadth first (each of these re-runs the minhash or model
         # subtree and costs 10-20s at check SF).
+        "cluster_mixing_weights": clustering.cluster_mixing_weights,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "bigram_perplexity": text2.bigram_perplexity,
         "contamination_attribution": chunking.contamination_attribution,
@@ -1233,6 +1234,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         "repetition_filter": _repetition_filter_oracle(),
         "paragraph_dedup": _paragraph_dedup_oracle(),
         "kmeans_embeddings": _kmeans_oracle(),
+        "cluster_mixing_weights": _cluster_mixing_oracle(),
         "semdedup": _semdedup_oracle(),
         "scd2_priority_history": _scd2_oracle(),
         "bpe_pair_counts": """
@@ -2429,6 +2431,20 @@ WITH d AS (
   FROM feat
 )
 SELECT doc_id, round(p, 6) AS quality_prob, p >= {threshold} AS keep FROM scored
+"""
+
+
+def _cluster_mixing_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Mixing-weight twin over the kmeans assignment CTEs."""
+    return f"""
+WITH {_kmeans_ctes(k, n_iter)},
+pc AS (SELECT cluster, count(*) AS n_vecs FROM a{n_iter} GROUP BY 1),
+tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_clusters FROM pc)
+SELECT pc.cluster, CAST(pc.n_vecs AS BIGINT) AS n_vecs,
+  round(pc.n_vecs / tot.total, 6) AS share,
+  round((tot.total / tot.n_clusters) / pc.n_vecs, 6) AS weight,
+  round(least(1.0, (tot.total / tot.n_clusters) / pc.n_vecs), 6) AS sample_prob
+FROM pc, tot
 """
 
 
