@@ -1,6 +1,7 @@
 from .ops import (  # noqa: F401
     enrich_stream_with_dim,
     purchase_error_stream_join,
+    quality_gate_stream,
     running_user_totals_stream,
     session_window_agg,
     sessionize_stream,

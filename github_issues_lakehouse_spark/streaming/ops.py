@@ -301,3 +301,22 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def quality_gate_stream(docs: DataFrame, min_quality: float = 0.8) -> DataFrame:
+    """D11: streaming corpus quality gate — the batch quality_score
+    Column expressions applied to a document STREAM (stateless
+    map-only streaming: no watermark, no state store; each micro-
+    batch filters independently). The exact streaming twin of the
+    batch training_corpus_filter quality leg, so an ingest pipeline
+    can gate documents before they ever land in bronze.
+    """
+    from ..functions.textfns import quality_score, whitespace_token_count
+
+    q = F.round(quality_score(F.col("text")), 6)
+    return docs.select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        q.alias("quality_score"),
+    ).filter(F.col("quality_score") >= min_quality)

@@ -275,3 +275,24 @@ def test_sliding_window_counts_match_batch(spark, events_dir):
     assert len(got) > 0
     for r in got:
         assert batch_map[(r.window_start, r.event_type)] == r.event_count
+
+
+def test_quality_gate_stream_matches_batch(spark):
+    """D11: stateless streaming quality gate — kept set equals the
+    batch filter."""
+    import shutil
+    import tempfile
+
+    from github_issues_lakehouse_spark.streaming import quality_gate_stream
+
+    d = tempfile.mkdtemp(prefix="stream_docs_")
+    try:
+        batch = load_table(spark, SF_DIR, "documents")
+        batch.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        got = _run_stream(spark, quality_gate_stream(stream), "q_gate").collect()
+        expect = {r.doc_id for r in quality_gate_stream(batch).collect()}
+        assert {r.doc_id for r in got} == expect
+        assert 0 < len(expect) < batch.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
