@@ -105,7 +105,7 @@ def main() -> None:
     # sample can triple a query's number. Cache is cleared between
     # repeats so operator-internal persist() can't turn repeat 2 into
     # a cache read — every sample measures the full computation.
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
