@@ -71,6 +71,10 @@ def test_rows_only_queries_run(name, spark):
         "null_semantics_orders",
         "date_arith_orders",
         "gold_kpi_global",
+        # r2 third-batch timestamp operators: day bucketing in the
+        # concurrency sweep, epoch-microsecond RANGE frames
+        "concurrent_sessions",
+        "trailing_window_user_value",
     ],
 )
 def test_oracle_match_under_foreign_timezone(name, spark, duck):
