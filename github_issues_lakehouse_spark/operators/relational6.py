@@ -135,3 +135,76 @@ def trailing_window_user_value(
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
         r6(F.sum("value").over(w)).alias("value_trailing"),
     )
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis: the revenue share captured by
+    orders above the p90/p95/p99 price thresholds. Threshold-based
+    (exact percentile + conditional DECIMAL sums in one pass) rather
+    than rank-based: a global percent_rank would funnel every order
+    through one sort partition, while percentiles + conditional
+    aggregation stay map-side combinable — same answer semantics
+    (ties at the threshold included), 100 TB-safe.
+    """
+    DEC = "decimal(18,2)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast(DEC).alias("p")
+    )
+    pcts = o.agg(
+        *[
+            F.percentile(F.col("p").cast("double"), F.lit(q)).alias(f"t{int(q * 100)}")
+            for q in (0.90, 0.95, 0.99)
+        ]
+    )
+    joined = o.join(F.broadcast(pcts))
+    # Shares: exact DECIMAL sums first, then cast to double and
+    # divide — decimal/decimal division scale rules differ between
+    # engines, double division of identical exact sums does not.
+    share = lambda t: r6(  # noqa: E731
+        F.sum(
+            F.when(F.col("p").cast("double") >= F.col(t), F.col("p")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).cast("double")
+        / F.sum("p").cast("double")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("p").cast("decimal(28,2)").alias("total_revenue"),
+        r6(F.first("t90")).alias("p90_threshold"),
+        r6(F.first("t95")).alias("p95_threshold"),
+        r6(F.first("t99")).alias("p99_threshold"),
+        share("t90").alias("share_top10"),
+        share("t95").alias("share_top5"),
+        share("t99").alias("share_top1"),
+    )
+
+
+def event_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event paths + regex pattern verdicts — the
+    MATCH_RECOGNIZE-lite primitive: collect each user's event types
+    in (ts, event_id) order, join to a path string, and test
+    conversion/recovery patterns with one regexp pass.
+
+    Determinism: collect_list order is NOT guaranteed under
+    distributed aggregation, so the list is an array_sort over
+    (ts, event_id, type) structs — the sort key makes the aggregation
+    order-insensitive, which is exactly what the oracle's
+    string_agg(... ORDER BY ts, event_id) computes. One shuffle on
+    user_id; the path stays bounded by the user's event count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    path = F.concat_ws(">", F.transform(F.col("seq"), lambda s: s["event_type"]))
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.md5(path.cast("binary")).alias("path_hash"),
+        path.rlike("signup.*purchase").alias("converted"),
+        path.rlike("error>purchase").alias("recovered_immediately"),
+        path.rlike("^view(>view)*$").alias("browse_only"),
+    )

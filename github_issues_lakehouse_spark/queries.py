@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-sum concurrency + time-RANGE window frames
         "concurrent_sessions": R6.concurrent_sessions,
         "trailing_window_user_value": R6.trailing_window_user_value,
+        "revenue_concentration": R6.revenue_concentration,
+        "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
         # analogue): shared-scan rule counters + FK orphan joins
         "dq_violations": QC.dq_violations,
@@ -666,6 +668,40 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "revenue_concentration": """
+WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+t AS (
+  SELECT quantile_cont(CAST(p AS DOUBLE), 0.90) AS t90,
+         quantile_cont(CAST(p AS DOUBLE), 0.95) AS t95,
+         quantile_cont(CAST(p AS DOUBLE), 0.99) AS t99
+  FROM o
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(p) AS DECIMAL(28,2)) AS total_revenue,
+  round(t.t90, 6) AS p90_threshold,
+  round(t.t95, 6) AS p95_threshold,
+  round(t.t99, 6) AS p99_threshold,
+  round(CAST(sum(CASE WHEN CAST(p AS DOUBLE) >= t.t90 THEN p ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(p) AS DOUBLE), 6) AS share_top10,
+  round(CAST(sum(CASE WHEN CAST(p AS DOUBLE) >= t.t95 THEN p ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(p) AS DOUBLE), 6) AS share_top5,
+  round(CAST(sum(CASE WHEN CAST(p AS DOUBLE) >= t.t99 THEN p ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(p) AS DOUBLE), 6) AS share_top1
+FROM o, t GROUP BY t.t90, t.t95, t.t99
+""",
+        "event_path_match": """
+WITH p AS (
+  SELECT user_id, count(*) AS n_events,
+    string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM events GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  md5(path) AS path_hash,
+  regexp_matches(path, 'signup.*purchase') AS converted,
+  regexp_matches(path, 'error>purchase') AS recovered_immediately,
+  regexp_matches(path, '^view(>view)*$') AS browse_only
+FROM p
 """,
         "dq_violations": """
 WITH o AS (
