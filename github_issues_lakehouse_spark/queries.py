@@ -311,6 +311,35 @@ FROM sums s LEFT JOIN weighted w ON s.month = w.month
 )
 
 
+def q_gold_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month KPI deltas on the global mart — the reporting
+    layer a dashboard reads on top of gold: lag/delta/%-change per
+    month. The window is global but calendar-bounded (one row per
+    month), the same bounded-carry argument as the prefix-sum
+    operators; all pct inputs are exact BIGINTs so the divides are
+    engine-identical."""
+    from pyspark.sql import Window
+
+    g = q_gold_global(spark, sf_dir).select(
+        "month", "created_count", "closed_count", "backlog_end"
+    )
+    w = Window.orderBy("month")
+    prev_created = F.lag("created_count").over(w)
+    prev_closed = F.lag("closed_count").over(w)
+    pct = lambda cur, prev: F.round(  # noqa: E731
+        F.when(prev > 0, (cur - prev).cast("double") / prev.cast("double")), 6
+    )
+    return g.select(
+        "month",
+        "created_count",
+        pct(F.col("created_count"), prev_created).alias("created_mom_pct"),
+        "closed_count",
+        pct(F.col("closed_count"), prev_closed).alias("closed_mom_pct"),
+        "backlog_end",
+        (F.col("backlog_end") - F.lag("backlog_end").over(w)).cast("long").alias("backlog_delta"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -330,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_catalog": q_label_catalog,
         "gold_kpi_component_tier": q_gold_component_tier,
         "gold_kpi_global": q_gold_global,
+        "gold_kpi_mom": q_gold_mom,
         "snapshot_diff": scale.snapshot_diff,
         # C. LLM-data pipeline (no driver evidence in r1 — check first)
         "dedup_exact": dedup.dedup_exact,
@@ -478,6 +508,20 @@ def oracle_sql() -> dict[str, str]:
         "label_catalog": ORACLE_LABEL_CATALOG,
         "gold_kpi_component_tier": ORACLE_GOLD_COMPONENT,
         "gold_kpi_global": ORACLE_GOLD_GLOBAL,
+        "gold_kpi_mom": f"""
+WITH g AS ({ORACLE_GOLD_GLOBAL})
+SELECT month, created_count,
+  round(CASE WHEN lag(created_count) OVER w > 0
+        THEN CAST(created_count - lag(created_count) OVER w AS DOUBLE)
+             / CAST(lag(created_count) OVER w AS DOUBLE) END, 6) AS created_mom_pct,
+  closed_count,
+  round(CASE WHEN lag(closed_count) OVER w > 0
+        THEN CAST(closed_count - lag(closed_count) OVER w AS DOUBLE)
+             / CAST(lag(closed_count) OVER w AS DOUBLE) END, 6) AS closed_mom_pct,
+  backlog_end,
+  CAST(backlog_end - lag(backlog_end) OVER w AS BIGINT) AS backlog_delta
+FROM g WINDOW w AS (ORDER BY month ASC)
+""",
         "bronze_issues": """
 WITH last_ship AS (
   SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
