@@ -130,3 +130,40 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(2) * F.col("sample_u") < F.col("q_micro"))
         .select("doc_id", "source", "quality", F.col("sample_u").cast("long").alias("sample_u"))
     )
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution for packing/chunking diagnostics:
+    log2-width buckets (1-2, 2-4, ... tokens) with counts and token
+    mass per bucket — the histogram that decides chunk size and pack
+    budget before a training run. floor(log2) via bit length keeps
+    the bucketing integer-exact (no float log at the boundary:
+    2^k lands in bucket k on both engines by construction).
+
+    One narrow aggregate; map-side combinable; output is O(log max).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        whitespace_token_count(F.col("text")).alias("n")
+    )
+    # log2 of an exact power of two is exact in IEEE double, so
+    # floor(log2(n)) cannot straddle a bucket boundary — the integer
+    # bucketing is deterministic on both engines.
+    bucket = F.floor(F.log2(F.col("n").cast("double"))).cast("long")
+    h = (
+        d.filter(F.col("n") >= 1)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+        )
+    )
+    return h.select(
+        "bucket",
+        (F.lit(2).cast("long") ** F.col("bucket")).cast("long").alias("bucket_lo"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"),
+    )

@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": V2.embedding_norm_outliers,
         "plan_token_shards": chunking.plan_token_shards,
         "holdout_split": scale.holdout_split,
+        "token_histogram": text4.token_histogram,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1352,6 +1353,21 @@ WITH d AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(before // 512 AS BIGINT) AS shard_id
 FROM c
+""",
+        "token_histogram": """
+WITH d AS (
+  SELECT len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n
+  FROM documents
+), b AS (
+  SELECT n, CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) AS bucket
+  FROM d WHERE n >= 1
+)
+SELECT bucket, CAST(2 ** bucket AS BIGINT) AS bucket_lo,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(min(n) AS BIGINT) AS min_len,
+  CAST(max(n) AS BIGINT) AS max_len
+FROM b GROUP BY 1
 """,
         "holdout_split": """
 WITH b AS (
