@@ -167,3 +167,100 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_len").cast("long").alias("min_len"),
         F.col("max_len").cast("long").alias("max_len"),
     )
+
+
+def winnow_overlap_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = 2, df_cap: int = 200
+) -> DataFrame:
+    """Local-overlap pairs via winnowing fingerprints — the
+    plagiarism-detector primitive: two documents sharing >=
+    ``min_shared`` selected 8-token shingle fingerprints contain a
+    copied PASSAGE, even when the rest of the text differs (shingle
+    Jaccard would dilute a one-paragraph copy below any global
+    threshold).
+
+    Scale story vs the n-gram inverted index: winnowing keeps every
+    4th shingle position, so the posting list is ~25% the size of
+    the full shingle index for the same detection window, and the
+    same df-cap skew guard drops boilerplate fingerprints before the
+    self-join. Distinct fingerprints per doc (array_distinct) keep
+    the pair counter a set-intersection size.
+    """
+    from ..functions.textfns import rolling_hash_fingerprints
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(rolling_hash_fingerprints(F.col("text")))
+            ).alias("fp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wfp = Window.partitionBy("fp")
+    capped = (
+        d.withColumn("_df", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+    return pairs
+
+
+def source_drift_kl(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) -> DataFrame:
+    """Distribution-drift monitor: per-source KL divergence of the
+    hashed-unigram distribution against the whole corpus — the alarm
+    a data-ops pipeline watches when a crawler or upstream feed
+    starts emitting different text than it used to (truncated to the
+    source's observed buckets, Laplace-smoothed on both sides).
+
+    Exactness: each bucket's contribution p_s·ln(p_s/p_c) is frozen
+    to an integer NANO-nat (both engines compute it from identical
+    exact count ratios), so the per-source sum is an exact BIGINT —
+    distributed float-summation order cannot move the result.
+
+    Shape: one (source,bucket) count shuffle; the corpus bucket
+    table (<= n_buckets rows) and per-source totals broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(norm_tokens(F.col("text"))).alias("tok")
+    ).select(
+        "source",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % n_buckets).alias(
+            "bucket"
+        ),
+    )
+    csb = occ.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tot_s = csb.groupBy("source").agg(F.sum("cnt").alias("tot_s"))
+    cb = csb.groupBy("bucket").agg(F.sum("cnt").alias("cnt_c"))
+    tot_c = cb.agg(F.sum("cnt_c").alias("tot_c"))
+
+    j = (
+        csb.join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(cb), "bucket")
+        .join(F.broadcast(tot_c))
+    )
+    p_s = (F.col("cnt") + 1).cast("double") / (F.col("tot_s") + n_buckets).cast("double")
+    p_c = (F.col("cnt_c") + 1).cast("double") / (F.col("tot_c") + n_buckets).cast("double")
+    contrib = F.round(F.lit(1e9) * p_s * F.log(p_s / p_c)).cast("long")
+    return (
+        j.select("source", "tot_s", contrib.alias("c_nano"))
+        .groupBy("source")
+        .agg(
+            F.first("tot_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+            F.sum("c_nano").cast("long").alias("kl_nano"),
+        )
+        .withColumn("kl", F.round(F.col("kl_nano") / F.lit(1e9), 6))
+    )

@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_token_shards": chunking.plan_token_shards,
         "holdout_split": scale.holdout_split,
         "token_histogram": text4.token_histogram,
+        "winnow_overlap_pairs": text4.winnow_overlap_pairs,
+        "source_drift_kl": text4.source_drift_kl,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1337,6 +1339,8 @@ FROM top
         "quality_classifier": _quality_classifier_oracle(),
         "ttr_stats": _ttr_oracle(),
         "length_outliers": _length_outliers_oracle(),
+        "winnow_overlap_pairs": _winnow_overlap_oracle(),
+        "source_drift_kl": _source_drift_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "neardup_keep_best": _neardup_keep_best_oracle(),
         "edit_distance_pairs": _edit_distance_oracle(),
@@ -2396,6 +2400,60 @@ SELECT em.vec_id, em.label, em.l2_norm, em.spike,
 FROM em JOIN mad ON em.label = mad.label
 WHERE abs(em.spike - em.label_median) > {k} * mad.label_mad
 """.replace("{k}", str(k))
+
+
+def _source_drift_oracle(n_buckets: int = 4096) -> str:
+    return f"""
+WITH occ AS (
+  SELECT source,
+    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {n_buckets} AS bucket
+  FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS tok FROM documents
+  )
+), csb AS (
+  SELECT source, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2
+), tot_s AS (SELECT source, sum(cnt) AS tot_s FROM csb GROUP BY 1),
+cb AS (SELECT bucket, sum(cnt) AS cnt_c FROM csb GROUP BY 1),
+tot_c AS (SELECT sum(cnt_c) AS tot_c FROM cb),
+j AS (
+  SELECT csb.source, tot_s.tot_s,
+    CAST(round(1e9 * ((csb.cnt + 1) / CAST(tot_s.tot_s + {n_buckets} AS DOUBLE))
+         * ln(((csb.cnt + 1) / CAST(tot_s.tot_s + {n_buckets} AS DOUBLE))
+              / ((cb.cnt_c + 1) / CAST(tot_c.tot_c + {n_buckets} AS DOUBLE)))) AS BIGINT) AS c_nano
+  FROM csb JOIN tot_s ON csb.source = tot_s.source
+  JOIN cb ON csb.bucket = cb.bucket
+  CROSS JOIN tot_c
+)
+SELECT source, CAST(min(tot_s) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_buckets_used,
+  CAST(sum(c_nano) AS BIGINT) AS kl_nano,
+  round(sum(c_nano) / 1e9, 6) AS kl
+FROM j GROUP BY 1
+"""
+
+
+def _winnow_overlap_oracle(
+    window: int = 8, keep_every: int = 4, min_shared: int = 2, df_cap: int = 200
+) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+    unnest(list_filter(generate_series(1, greatest(len(toks) - {window - 1}, 1)),
+                       i -> (i - 1) % {keep_every} = 0)) AS i
+  FROM d
+), fps AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS fp
+  FROM starts
+), capped AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {df_cap})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
 
 
 def _fingerprint_oracle(window: int = 8, keep_every: int = 4) -> str:
