@@ -166,14 +166,101 @@ def run_demo(config: str, data_dir: str, n: int = 5) -> None:
             print(" | ".join("" if v is None else str(v) for v in r))
 
 
+def run_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.8,
+    shard_tokens: int = 512,
+) -> dict:
+    """One-command training-corpus build — the C-suite composed the
+    way a pretraining data job runs it:
+
+    1. gate: exact-dedup keeper AND english AND quality >= threshold
+       (training_corpus_filter — one feature scan);
+    2. near-dup removal: MinHash pairs -> connected components ->
+       keep the highest-quality doc per cluster (neardup_keep_best);
+    3. split: deterministic md5-permille train/val/test buckets;
+    4. shard plan: equal-token shards over the kept train split
+       (two-level prefix sum, exchange-reuse single scan);
+    5. write: documents parquet partitioned by split + a per-doc
+       manifest (split, shard_id, n_tokens, quality) + a summary CSV.
+
+    Every stage is the registry operator itself — the CLI adds only
+    composition and persistence. Returns the summary as a dict.
+    """
+    from . import sinks
+    from .operators.chunking import plan_token_shards
+    from .operators.dedup import neardup_keep_best
+    from .operators.scale import holdout_split, training_corpus_filter
+    from .sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    spark = _spark("corpus")
+    docs = load_table(spark, sf_dir, "documents")
+
+    gated = training_corpus_filter(spark, sf_dir, min_quality=min_quality).select(
+        "doc_id", "quality_score"
+    )
+    near_drop = neardup_keep_best(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    kept = gated.join(near_drop, "doc_id", "left_anti")
+
+    split = holdout_split(spark, sf_dir).select("doc_id", "split")
+    kept_docs = docs.join(kept, "doc_id").join(split, "doc_id")
+
+    train_docs = kept_docs.filter(F.col("split") == "train")
+    shards = plan_token_shards(spark, sf_dir, shard_tokens=shard_tokens, docs=train_docs)
+
+    manifest = (
+        kept_docs.select("doc_id", "source", "split", "quality_score")
+        .join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            "quality_score",
+            "n_tokens",
+            F.coalesce("shard_id", F.lit(-1)).cast("long").alias("shard_id"),
+        )
+    )
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sinks.write_partitioned(
+        kept_docs.select("doc_id", "source", "split", "text"),
+        str(out / "documents.parquet"),
+        partition_by=["split"],
+    )
+    sinks.write_partitioned(manifest, str(out / "manifest.parquet"))
+    summary = (
+        manifest.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_tokens", F.lit(0))).cast("long").alias("n_tokens"),
+            F.count_distinct(F.when(F.col("shard_id") >= 0, F.col("shard_id"))).alias(
+                "n_shards"
+            ),
+        )
+        .orderBy("split")
+    )
+    sinks.export_csv_single(summary, str(out / "summary.csv"), sort_by=["split"])
+    rows = {r["split"]: (r["n_docs"], r["n_tokens"], r["n_shards"]) for r in summary.collect()}
+    for sp, (nd, nt, ns) in rows.items():
+        print(f"[corpus] {sp}: {nd} docs, {nt} tokens, {ns} shards")
+    return rows
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="github_issues_lakehouse_spark")
-    parser.add_argument("command", choices=["ingest", "silver", "gold", "demo"])
+    parser.add_argument("command", choices=["ingest", "silver", "gold", "demo", "corpus"])
     parser.add_argument("--config", default="config.yml")
     parser.add_argument("--data-dir", default=os.getenv("DATA_DIR", "./data"))
     parser.add_argument("--input", help="ingest: local issues JSONL path")
     parser.add_argument("--run-id", help="ingest: bronze run id (default: timestamp)")
     parser.add_argument("--approx", action="store_true", help="gold: approximate percentiles")
+    parser.add_argument("--sf-dir", default=os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    parser.add_argument("--out", help="corpus: output directory")
+    parser.add_argument("--min-quality", type=float, default=0.8)
+    parser.add_argument("--shard-tokens", type=int, default=512)
     args = parser.parse_args(argv)
 
     if args.command == "ingest":
@@ -184,6 +271,10 @@ def main(argv: list[str] | None = None) -> None:
         run_silver(args.config, args.data_dir)
     elif args.command == "gold":
         run_gold(args.config, args.data_dir, approx=args.approx)
+    elif args.command == "corpus":
+        if not args.out:
+            parser.error("corpus requires --out <dir>")
+        run_corpus(args.sf_dir, args.out, args.min_quality, args.shard_tokens)
     else:
         run_demo(args.config, args.data_dir)
     print(f"Command selected: {args.command}")

@@ -202,7 +202,11 @@ def decontaminate_bloom(
 
 
 def plan_token_shards(
-    spark: SparkSession, sf_dir: str, shard_tokens: int = 512, bucket_width: int = 1000
+    spark: SparkSession,
+    sf_dir: str,
+    shard_tokens: int = 512,
+    bucket_width: int = 1000,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Global shard planning: assign every document (in doc_id order,
     across ALL sources) to the output shard its preceding cumulative
@@ -225,9 +229,9 @@ def plan_token_shards(
     # join branch infers it from the join key and pushes it into its
     # scan; without it here the carry branch's exchange differs by
     # that one filter and AQE cannot reuse the shuffle.
+    base = docs if docs is not None else load_table(spark, sf_dir, "documents")
     d = (
-        load_table(spark, sf_dir, "documents")
-        .select(
+        base.select(
             "doc_id",
             F.array_size(norm_tokens(F.col("text"))).alias("n_tokens"),
             F.expr(f"doc_id div {bucket_width}").alias("bucket"),

@@ -240,3 +240,27 @@ def test_pipeline_end_to_end_with_cross_run_dedup(config_path, tmp_path, spark, 
     run_demo(config_path, data_dir)
     out = capsys.readouterr().out
     assert "last 5 months" in out and "2020-01" in out
+
+
+def test_corpus_build_end_to_end(spark, tmp_path):
+    """`corpus` composes gate -> near-dup removal -> split -> shard
+    plan -> partitioned write; invariants: kept set is a subset of the
+    corpus with no exact-dup pairs both kept, every kept doc has a
+    split, every train doc a shard, summary conserves counts."""
+    from github_issues_lakehouse_spark.cli import run_corpus
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    out = str(tmp_path / "corpus")
+    rows = run_corpus("/root/testdata/sf0.001", out, min_quality=0.5)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    manifest = spark.read.parquet(f"{out}/manifest.parquet")
+    n_all = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    n_kept = docs.count()
+    assert 0 < n_kept < n_all
+    assert manifest.count() == n_kept
+    assert set(r.split for r in manifest.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    train = manifest.filter(manifest.split == "train")
+    assert train.filter(train.shard_id < 0).count() == 0
+    assert sum(nd for nd, _, _ in rows.values()) == n_kept
