@@ -59,6 +59,13 @@ HEADLINE = [
     "dq_violations",
     "ttr_stats",
     "weighted_sample",
+    # added in r2, fourth batch: LM scoring, shard planning, passage
+    # overlap, Pareto + path analytics
+    "bigram_perplexity",
+    "plan_token_shards",
+    "winnow_overlap_pairs",
+    "revenue_concentration",
+    "event_path_match",
 ]
 
 

@@ -264,3 +264,30 @@ def source_drift_kl(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) -> 
         )
         .withColumn("kl", F.round(F.col("kl_nano") / F.lit(1e9), 6))
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency mart: BPE-ish subword tokens per
+    whitespace word, per source — the fertility number that decides
+    how much compute a corpus slice really costs (fertility 2.0 means
+    a nominal 1T-token budget is 500B words of text). Integer token
+    counts sum exactly; the single divide per source runs on
+    identical BIGINTs in both engines.
+
+    One scan, two regex token counters per row, one tiny aggregate.
+    """
+    from ..functions.textfns import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        r6(F.sum("n_subwords").cast("double") / F.sum("n_words").cast("double")).alias(
+            "fertility"
+        ),
+    )

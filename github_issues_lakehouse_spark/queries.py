@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": text4.token_histogram,
         "winnow_overlap_pairs": text4.winnow_overlap_pairs,
         "source_drift_kl": text4.source_drift_kl,
+        "tokenizer_fertility": text4.tokenizer_fertility,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1341,6 +1342,20 @@ FROM top
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "source_drift_kl": _source_drift_oracle(),
+        "tokenizer_fertility": f"""
+WITH d AS (
+  SELECT source,
+    len({_norm_toks_sql()}) AS n_words,
+    len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                    x -> x <> '')) AS n_subwords
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+  round(CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+FROM d GROUP BY 1
+""",
         "weighted_sample": _weighted_sample_oracle(),
         "neardup_keep_best": _neardup_keep_best_oracle(),
         "edit_distance_pairs": _edit_distance_oracle(),
