@@ -208,3 +208,40 @@ def event_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.rlike("error>purchase").alias("recovered_immediately"),
         path.rlike("^view(>view)*$").alias("browse_only"),
     )
+
+
+def session_window_batch(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    aggregate in a BATCH query — the declarative twin of the manual
+    lag+cumsum ``sessionize_events`` plan (and of streaming D8). The
+    native form keeps session merging inside one JVM aggregate:
+    same single shuffle on the grouping key, no window-function pass.
+
+    Session bounds semantics: session_window's end is last_event +
+    gap, so the emitted bounds are [min(ts), max(ts)] from the
+    aggregate itself, matching the manual operator's rendering. The
+    oracle is the same gap-CTE as sessionize_events aggregated to
+    (user, start, end, n, value) — native vs manual must agree
+    exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            r6(F.sum("value")).alias("session_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

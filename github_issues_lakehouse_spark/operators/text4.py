@@ -291,3 +291,49 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+def cross_split_leakage(
+    spark: SparkSession, sf_dir: str, window: int = 6
+) -> DataFrame:
+    """Eval-hygiene check: paragraph-window hashes shared between the
+    train split and each holdout split — if a val/test document's
+    block also appears in train, the eval leaks and its metric is
+    inflated. Composes the deterministic holdout split with the
+    paragraph-hash scheme; the verdict is per holdout doc: how many
+    of its blocks exist in train. (Default window 6 tokens: the
+    synthetic corpus averages ~50-token docs, so production-size
+    16-token paragraphs never collide — scale the window with real
+    document length.)
+
+    Scale shape: (hash, split) postings shuffle 32-hex keys; train
+    block hashes semi-join the holdout postings on the hash (no text
+    moves, no self-join). Report rows are only the leaking docs.
+    """
+    from ..operators.dedup import tokens
+    from ..operators.scale import holdout_split
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", tokens())
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.array_size("_toks"), F.lit(1)), F.lit(window))
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.array_join(F.slice("_toks", i, window), " ").cast("binary")),
+            )
+        ).alias("h"),
+    )
+    split = holdout_split(spark, sf_dir).select("doc_id", "split")
+    tagged = blocks.join(split, "doc_id")
+    train_hashes = tagged.filter(F.col("split") == "train").select("h").distinct()
+    holdout = tagged.filter(F.col("split") != "train")
+    return (
+        holdout.join(train_hashes, "h", "left_semi")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_windows"))
+    )

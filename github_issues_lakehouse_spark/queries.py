@@ -422,12 +422,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": text4.winnow_overlap_pairs,
         "source_drift_kl": text4.source_drift_kl,
         "tokenizer_fertility": text4.tokenizer_fertility,
+        "cross_split_leakage": text4.cross_split_leakage,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
         # prefix-sum concurrency + time-RANGE window frames
         "concurrent_sessions": R6.concurrent_sessions,
         "trailing_window_user_value": R6.trailing_window_user_value,
+        "session_window_batch": R6.session_window_batch,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -716,6 +718,26 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "session_window_batch": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_seq
 """,
         "revenue_concentration": """
 WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
@@ -1341,6 +1363,7 @@ FROM top
         "ttr_stats": _ttr_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
+        "cross_split_leakage": _cross_split_leakage_oracle(),
         "source_drift_kl": _source_drift_oracle(),
         "tokenizer_fertility": f"""
 WITH d AS (
@@ -2444,6 +2467,33 @@ SELECT source, CAST(min(tot_s) AS BIGINT) AS n_tokens,
   CAST(sum(c_nano) AS BIGINT) AS kl_nano,
   round(sum(c_nano) / 1e9, 6) AS kl
 FROM j GROUP BY 1
+"""
+
+
+def _cross_split_leakage_oracle(window: int = 6) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, greatest(len(toks), 1), {window})) AS i
+  FROM docs
+),
+blocks AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS h FROM starts
+),
+split AS (
+  SELECT doc_id,
+    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#split')), 1, 15)) AS BIGINT) % 1000 < 10 THEN 'test'
+         WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#split')), 1, 15)) AS BIGINT) % 1000 < 20 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents
+),
+tagged AS (SELECT b.doc_id, s.split, b.h FROM blocks b JOIN split s ON b.doc_id = s.doc_id),
+train_hashes AS (SELECT DISTINCT h FROM tagged WHERE split = 'train')
+SELECT t.doc_id, t.split, CAST(count(*) AS BIGINT) AS n_leaked_windows
+FROM tagged t JOIN train_hashes th ON t.h = th.h
+WHERE t.split <> 'train'
+GROUP BY 1, 2
 """
 
 
