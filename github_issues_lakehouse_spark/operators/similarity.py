@@ -304,3 +304,22 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
+
+
+def ann_ivf_recall_at_k(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """recall@k of the IVF index (trained-centroid cells + n_probe
+    probing) against the brute-force ground truth — the quality gate
+    for the second ANN family, so probe-count tuning has the same
+    measured feedback the LSH path already gets."""
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k)
+    approx = ann_ivf_topk(spark, sf_dir, n_queries, k)
+    hits = truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        r6(F.coalesce("n_hits", F.lit(0)) / float(k)).alias("recall"),
+    )

@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": multimodal.audio_features,
         "pii_redact": text2.pii_redact,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
         "vocab_stats": text2.vocab_stats,
         "source_mixing_weights": text2.source_mixing_weights,
         "dedup_rate_mart": text2.dedup_rate_mart,
@@ -1335,6 +1336,7 @@ WHERE round(list_dot_product(a.v, b.v) /
 """,
         "ann_bruteforce_topk": _ann_bf_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
+        "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "vocab_stats": _vocab_stats_oracle(),
         "repetition_filter": _repetition_filter_oracle(),
@@ -1703,6 +1705,20 @@ scored AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_recall_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """IVF recall twin: brute-force and IVF oracles as subqueries."""
+    return f"""
+WITH bf AS ({_ann_bf_oracle(n_queries, k)}),
+ivf AS ({_ann_ivf_oracle(n_queries, k)})
+SELECT bf.q_id,
+  CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+  round(count(ivf.neighbor_id) / {float(k)}, 6) AS recall
+FROM bf LEFT JOIN ivf
+  ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+GROUP BY 1
 """
 
 
