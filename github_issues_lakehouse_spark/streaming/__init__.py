@@ -6,6 +6,7 @@ from .ops import (  # noqa: F401
     session_window_agg,
     sessionize_stream,
     stream_dedup,
+    stream_mart_maintenance,
     stream_merge_to_parquet,
     tws_available,
     windowed_event_counts,

@@ -320,3 +320,37 @@ def quality_gate_stream(docs: DataFrame, min_quality: float = 0.8) -> DataFrame:
         whitespace_token_count(F.col("text")).alias("n_tokens"),
         q.alias("quality_score"),
     ).filter(F.col("quality_score") >= min_quality)
+
+
+def stream_mart_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D12: streaming MATERIALIZED VIEW — each micro-batch folds into
+    the stored additive daily mart via ``merge_mart_increment``
+    (aggregate the batch alone, merge two small aggregates, rewrite
+    the mart). The streaming form of incremental mart maintenance:
+    the mart on disk always equals the batch mart over everything
+    ingested so far, and no micro-batch ever rescans history.
+    Returns the started query."""
+    import os
+
+    from ..operators.gold import merge_mart_increment
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = None
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+        merged = merge_mart_increment(existing, batch_df)
+        tmp = f"{path}.__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

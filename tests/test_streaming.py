@@ -296,3 +296,29 @@ def test_quality_gate_stream_matches_batch(spark):
         assert 0 < len(expect) < batch.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_mart_maintenance_equals_batch(spark, events_dir, tmp_path):
+    """D12: after draining the stream, the incrementally-maintained
+    daily mart on disk equals the batch mart over all events."""
+    from github_issues_lakehouse_spark.operators.gold import daily_event_mart
+    from github_issues_lakehouse_spark.streaming import stream_mart_maintenance
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    mart_path = str(tmp_path / "daily_mart.parquet")
+    q = stream_mart_maintenance(stream, mart_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in spark.read.parquet(mart_path).collect()
+    }
+    expect = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in daily_event_mart(batch).collect()
+    }
+    assert got == expect
