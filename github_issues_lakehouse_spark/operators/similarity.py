@@ -323,3 +323,50 @@ def ann_ivf_recall_at_k(
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         r6(F.coalesce("n_hits", F.lit(0)) / float(k)).alias("recall"),
     )
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Contrastive-training prep: for each query vector, the top-k
+    most-similar vectors with a DIFFERENT label — the "hard
+    negatives" that make a retrieval/embedding model actually learn
+    boundaries (easy random negatives carry no gradient signal).
+
+    Same scale shape as brute-force ANN: the query set broadcasts,
+    one corpus pass scores, a per-query window takes top-k — the
+    label-mismatch predicate rides the join condition so same-label
+    pairs never reach the scorer.
+    """
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir)  # (vec_id, vec, label)
+    queries = c.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    cand = c.select("vec_id", F.col("label").alias("neg_label"), "vec")
+    scored = cand.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("q_id")) & (F.col("neg_label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "neg_label",
+        r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "q_label",
+            "rank",
+            F.col("vec_id").alias("negative_id"),
+            F.col("neg_label").alias("negative_label"),
+            "cos_sim",
+        )
+    )

@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": text2.pii_redact,
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
+        "hard_negative_mining": similarity.hard_negative_mining,
         "vocab_stats": text2.vocab_stats,
         "source_mixing_weights": text2.source_mixing_weights,
         "dedup_rate_mart": text2.dedup_rate_mart,
@@ -1337,6 +1338,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         "ann_bruteforce_topk": _ann_bf_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
         "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
+        "hard_negative_mining": _hard_negative_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "vocab_stats": _vocab_stats_oracle(),
         "repetition_filter": _repetition_filter_oracle(),
@@ -1704,6 +1706,27 @@ scored AS (
   FROM scored
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hard_negative_oracle(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec FROM c WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, q_label, vec_id, label,
+    round(list_dot_product(q_vec, v) /
+          (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q, c WHERE vec_id <> q_id AND label <> q_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, q_label, CAST(rank AS INT) AS rank, vec_id AS negative_id,
+  label AS negative_label, cos_sim
 FROM ranked WHERE rank <= {k}
 """
 
