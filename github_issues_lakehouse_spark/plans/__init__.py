@@ -1,1 +1,8 @@
-from .introspect import formatted_plan, assert_no_cartesian, has_pushed_filters, broadcast_join_count  # noqa: F401
+from .introspect import (  # noqa: F401
+    advise,
+    assert_no_cartesian,
+    broadcast_join_count,
+    formatted_plan,
+    has_pushed_filters,
+    shuffle_count,
+)

@@ -38,3 +38,61 @@ def assert_no_cartesian(df: DataFrame) -> None:
     s = _plan_str(df)
     if "CartesianProduct" in s:
         raise AssertionError("plan contains CartesianProduct:\n" + s)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", _plan_str(df)))
+
+
+def advise(df: DataFrame) -> list[str]:
+    """Plan advisor: scan a query's physical plan for the patterns
+    that kill it at 100x scale and return human-readable warnings
+    (empty list = clean). The same checks the test suite pins for
+    the built-in operators, packaged for USER queries run through
+    catalog.run_sql / the DataFrame API.
+
+    Heuristics, not proofs — a flagged plan deserves a look, not an
+    automatic rejection (e.g. a cartesian against a literal 1-row
+    aggregate is fine and is listed as such).
+    """
+    import re
+
+    s = _plan_str(df)
+    warnings: list[str] = []
+    if "CartesianProduct" in s or (
+        "BroadcastNestedLoopJoin" in s and "Join type: Cross" in s
+    ):
+        warnings.append(
+            "CartesianProduct/cross join: every pair of rows is "
+            "materialized — only acceptable when one side is a literal "
+            "handful of rows (1-row scalar aggregate, tiny grid)"
+        )
+    scans = re.findall(r"PushedFilters: \[(.*?)\]", s)
+    filters_in_plan = "Filter (" in s or re.search(r"\(\d+\) Filter\b", s)
+    if filters_in_plan and scans and all(not f.strip() for f in scans):
+        warnings.append(
+            "No filter reached any parquet scan (PushedFilters all empty) "
+            "while the plan contains Filter nodes — predicates evaluate "
+            "after full-table reads; check for casts/UDFs around the "
+            "filter column"
+        )
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", s))
+    if n_ex >= 5:
+        warnings.append(
+            f"{n_ex} shuffle exchanges — each re-moves the full dataset; "
+            "look for repartition/groupBy chains that could share a "
+            "partitioning"
+        )
+    if "SortMergeJoin" in s and "BroadcastHashJoin" not in s and "rows)" not in s:
+        warnings.append(
+            "SortMergeJoin with no broadcast anywhere — if one side is a "
+            "dimension table, broadcast() it explicitly"
+        )
+    if re.search(r"BatchEvalPython|PythonUDF", s):
+        warnings.append(
+            "Row-at-a-time Python UDF in the plan — replace with built-in "
+            "Column functions or an Arrow-batched pandas UDF"
+        )
+    return warnings

@@ -250,3 +250,27 @@ def test_sql_functions_match_column_impl(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_plan_advisor(spark):
+    """advise() stays quiet on a clean pushed-down query, flags a
+    cartesian product, and flags a row-at-a-time Python UDF."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from github_issues_lakehouse_spark.plans import advise
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    clean = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_totalprice") > 100
+    ).select("o_orderkey")
+    assert advise(clean) == []
+
+    a = load_table(spark, SF_DIR, "region")
+    b = load_table(spark, SF_DIR, "nation")
+    cart = a.crossJoin(b)
+    assert any("CartesianProduct" in w for w in advise(cart))
+
+    bad_udf = F.udf(lambda x: x + 1, T.LongType())
+    with_udf = load_table(spark, SF_DIR, "orders").select(bad_udf("o_orderkey"))
+    assert any("Python UDF" in w for w in advise(with_udf))
