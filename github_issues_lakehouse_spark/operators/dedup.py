@@ -520,3 +520,50 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lev_sim"),
         )
     )
+
+
+def duplication_profile(
+    spark: SparkSession, sf_dir: str, block_tokens: int = 16
+) -> DataFrame:
+    """Duplicate-multiplicity histogram at TWO granularities: whole
+    documents (byte-identical content) and fixed token blocks
+    (copied paragraphs inside otherwise-distinct documents). The
+    first numbers a corpus report quotes — "x% of the crawl is
+    byte-identical, y% of paragraphs are copies" — and the sanity
+    check on any dedup run (post-dedup both profiles collapse to
+    multiplicity 1).
+
+    Per unit: two map-side-combinable aggregates over 32-hex hashes;
+    output is O(max multiplicity) rows per unit.
+    """
+
+    def profile(hashes, unit: str):
+        clusters = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("dup_count"))
+        return (
+            clusters.groupBy("dup_count")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(
+                F.lit(unit).alias("unit"),
+                F.col("dup_count").cast("long").alias("dup_count"),
+                F.col("n_clusters").cast("long").alias("n_clusters"),
+                (F.col("dup_count") * F.col("n_clusters")).cast("long").alias("n_units"),
+            )
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_hashes = d.select(F.md5(normalized_text().cast("binary")).alias("h"))
+    toks = d.withColumn("_toks", tokens())
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.array_size("_toks"), F.lit(1)), F.lit(block_tokens)
+    )
+    block_hashes = toks.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.array_join(F.slice("_toks", i, block_tokens), " ").cast("binary")
+                ),
+            )
+        ).alias("h")
+    )
+    return profile(doc_hashes, "document").unionByName(profile(block_hashes, "block"))

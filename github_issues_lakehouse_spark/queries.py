@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": scale.snapshot_diff,
         # C. LLM-data pipeline (no driver evidence in r1 — check first)
         "dedup_exact": dedup.dedup_exact,
+        "duplication_profile": dedup.duplication_profile,
         "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
@@ -1266,6 +1267,26 @@ WHERE (CASE WHEN k IS NULL THEN 'inserted'
        WHEN k2 IS NULL THEN 'deleted'
        WHEN old_price <> new_price THEN 'updated'
        ELSE 'unchanged' END) <> 'unchanged'
+""",
+        "duplication_profile": f"""
+WITH doc_h AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h FROM documents
+), docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 16)) AS i
+  FROM docs
+), block_h AS (
+  SELECT md5(array_to_string(toks[i:i+15], ' ')) AS h FROM starts
+), dc AS (SELECT h, count(*) AS dup_count FROM doc_h GROUP BY 1),
+bc AS (SELECT h, count(*) AS dup_count FROM block_h GROUP BY 1)
+SELECT 'document' AS unit, CAST(dup_count AS BIGINT) AS dup_count,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(dup_count * count(*) AS BIGINT) AS n_units
+FROM dc GROUP BY dup_count
+UNION ALL
+SELECT 'block', CAST(dup_count AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(dup_count * count(*) AS BIGINT)
+FROM bc GROUP BY dup_count
 """,
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
