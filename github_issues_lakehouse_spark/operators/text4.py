@@ -337,3 +337,45 @@ def cross_split_leakage(
         .groupBy("doc_id", "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_windows"))
     )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage mart: for each frequency floor t, how many token
+    TYPES have count >= t and what share of total token MASS they
+    cover — the table that decides a vocabulary cutoff ("types with
+    count >= 5 are 4% of the vocabulary but 87% of the corpus").
+
+    No global sort: the floors are fixed, so coverage is a handful of
+    conditional sums over the (token, count) aggregate — map-side
+    combinable end to end, unlike a rank-based coverage curve which
+    would need a total order over the vocabulary.
+    """
+    floors = (1, 2, 5, 10, 50)
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(norm_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = counts.agg(
+        F.sum("cnt").alias("total_mass"),
+        *[
+            F.sum(F.when(F.col("cnt") >= t, 1).otherwise(0)).alias(f"types_{t}")
+            for t in floors
+        ],
+        *[
+            F.sum(F.when(F.col("cnt") >= t, F.col("cnt")).otherwise(0)).alias(f"mass_{t}")
+            for t in floors
+        ],
+    )
+    stack = ", ".join(f"'{t}', types_{t}, mass_{t}" for t in floors)
+    return agg.selectExpr(
+        f"stack({len(floors)}, {stack}) AS (floor, n_types, mass)", "total_mass"
+    ).select(
+        F.col("floor").cast("long").alias("frequency_floor"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("mass").cast("long").alias("mass"),
+        F.round(F.col("mass").cast("double") / F.col("total_mass").cast("double"), 6).alias(
+            "mass_share"
+        ),
+    )

@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_kl": text4.source_drift_kl,
         "tokenizer_fertility": text4.tokenizer_fertility,
         "cross_split_leakage": text4.cross_split_leakage,
+        "vocab_coverage": text4.vocab_coverage,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -433,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_sessions": R6.concurrent_sessions,
         "trailing_window_user_value": R6.trailing_window_user_value,
         "session_window_batch": R6.session_window_batch,
+        "variant_events": R6.variant_events,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -721,6 +723,13 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "variant_events": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_json,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY 1
 """,
         "session_window_batch": """
 WITH flagged AS (
@@ -1389,6 +1398,21 @@ FROM top
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
+        "vocab_coverage": f"""
+WITH counts AS (
+  SELECT tok, count(*) AS cnt FROM (
+    SELECT unnest({_norm_toks_sql()}) AS tok FROM documents
+  ) GROUP BY 1
+), tot AS (SELECT sum(cnt) AS total_mass FROM counts),
+floors AS (SELECT unnest([1, 2, 5, 10, 50]) AS f)
+SELECT CAST(f AS BIGINT) AS frequency_floor,
+  CAST(sum(CASE WHEN cnt >= f THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN cnt >= f THEN cnt ELSE 0 END) AS BIGINT) AS mass,
+  round(CAST(sum(CASE WHEN cnt >= f THEN cnt ELSE 0 END) AS DOUBLE)
+        / CAST(min(tot.total_mass) AS DOUBLE), 6) AS mass_share
+FROM counts CROSS JOIN floors CROSS JOIN tot
+GROUP BY f
+""",
         "source_drift_kl": _source_drift_oracle(),
         "tokenizer_fertility": f"""
 WITH d AS (
