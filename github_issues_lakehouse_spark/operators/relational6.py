@@ -277,3 +277,37 @@ def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_k",
         )
     )
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long via Spark's NATIVE ``DataFrame.unpivot`` (the
+    relational MELT verb): per (returnflag, linestatus) totals of
+    four measures unpivoted into (metric, total) rows — the shape a
+    generic metrics store or chart layer consumes. unpivot is the
+    API form; the `stack` expression used elsewhere (profile/dq) is
+    its SQL spelling — both lower to the same Expand node, linear in
+    rows x metrics, no shuffle beyond the one aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(18,2)"
+    # Every value column is cast to ONE decimal type BEFORE the
+    # unpivot: the melt coerces all value columns to a common type,
+    # and leaving mixed scales lets each engine pick its own common
+    # scale (DuckDB rounded the scale-4 column to scale 2).
+    OUT = "decimal(24,4)"
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast(OUT).alias("quantity"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast(OUT).alias("extendedprice"),
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).cast(OUT).alias("discounted"),
+        F.sum(F.col("l_tax").cast(DEC)).cast(OUT).alias("tax"),
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag", "l_linestatus"],
+        values=["quantity", "extendedprice", "discounted", "tax"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    )
+    return long.select("l_returnflag", "l_linestatus", "metric", "total")

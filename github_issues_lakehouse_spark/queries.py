@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window_user_value": R6.trailing_window_user_value,
         "session_window_batch": R6.session_window_batch,
         "variant_events": R6.variant_events,
+        "unpivot_lineitem_metrics": R6.unpivot_lineitem_metrics,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -723,6 +724,20 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "unpivot_lineitem_metrics": """
+WITH wide AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS quantity,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS extendedprice,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS discounted,
+    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS tax
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, metric, total
+FROM wide
+UNPIVOT (total FOR metric IN (quantity, extendedprice, discounted, tax))
 """,
         "variant_events": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
