@@ -311,3 +311,49 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="total",
     )
     return long.select("l_returnflag", "l_linestatus", "metric", "total")
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average value (TWAP shape): each
+    event's value is weighted by how long it was "current" — the
+    duration until the user's next event. Plain averages overweight
+    burst periods; the time-weighted form is what telemetry/pricing
+    reads actually mean.
+
+    Exactness: values freeze to integer cents and durations to
+    integer microseconds, so every weighted term and both sums are
+    exact BIGINTs on both engines (cents x us x events stays far
+    below 2^63 at these magnitudes; at larger scale swap to
+    DECIMAL(38,0) sums, same plan). One shuffle on user_id: the lead
+    window and the aggregate share the partitioning. Last events
+    (no successor) carry zero weight and drop out of both sums.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dur = F.lead(us).over(w) - us
+    cents = F.round(F.col("value") * 100).cast("long")
+    terms = e.select(
+        "user_id",
+        dur.alias("dur_us"),
+        (cents * dur).alias("weighted"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.sum("weighted").cast("long").alias("weighted_sum"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_us",
+            F.round(
+                F.col("weighted_sum").cast("double")
+                / F.col("total_us").cast("double")
+                / 100.0,
+                6,
+            ).alias("time_weighted_value"),
+        )
+    )

@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_batch": R6.session_window_batch,
         "variant_events": R6.variant_events,
         "unpivot_lineitem_metrics": R6.unpivot_lineitem_metrics,
+        "time_weighted_value": R6.time_weighted_value,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -724,6 +725,23 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "time_weighted_value": """
+WITH terms AS (
+  SELECT user_id,
+    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us,
+    CAST(round(value * 100) AS BIGINT)
+      * (lead(epoch_us(ts)) OVER w - epoch_us(ts)) AS weighted
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(dur_us) AS BIGINT) AS total_us,
+  round(CAST(sum(weighted) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6)
+    AS time_weighted_value
+FROM terms WHERE dur_us IS NOT NULL
+GROUP BY 1
 """,
         "unpivot_lineitem_metrics": """
 WITH wide AS (
