@@ -172,3 +172,23 @@ def holdout_split(
         .otherwise("train")
         .alias("split"),
     ).select("doc_id", "source", F.col("bucket").cast("long").alias("bucket"), "split")
+
+
+def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold assignment: the same seeded md5-bucket
+    construction as holdout_split, folded mod k — every document
+    lands in exactly one fold, stable across runs and engines, so
+    cross-validation over the corpus is reproducible. Map-only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#fold"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    return d.select(
+        "doc_id", "source", bucket.cast("long").alias("fold")
+    )

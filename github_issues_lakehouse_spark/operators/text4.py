@@ -379,3 +379,36 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mass_share"
         ),
     )
+
+
+def modality_qa_join(spark: SparkSession, sf_dir: str, k: float = 3.0) -> DataFrame:
+    """Cross-modality QA: join the text-quality gate with the
+    embedding spike check on the shared id (vec_id == doc_id in this
+    store) and flag documents where EITHER modality looks wrong —
+    low-quality text with a healthy vector usually means a scoring
+    gap; clean text with a degenerate vector means an embedding-job
+    bug. The disagreement set is the actionable part.
+
+    One narrow join on the id; both inputs are the standalone
+    operators' projections, so the composite adds no new scan logic.
+    """
+    from ..functions.textfns import quality_score
+    from .vectors2 import embedding_norm_outliers
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    spikes = embedding_norm_outliers(spark, sf_dir, k=k).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("vector_outlier")
+    )
+    joined = docs.join(spikes, "doc_id", "left")
+    return (
+        joined.select(
+            "doc_id",
+            "source",
+            "quality",
+            F.coalesce("vector_outlier", F.lit(False)).alias("vector_outlier"),
+            (F.col("quality") < 0.8).alias("text_low_quality"),
+        )
+        .filter(F.col("vector_outlier") | F.col("text_low_quality"))
+    )

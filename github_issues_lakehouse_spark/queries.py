@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": text4.tokenizer_fertility,
         "cross_split_leakage": text4.cross_split_leakage,
         "vocab_coverage": text4.vocab_coverage,
+        "modality_qa_join": text4.modality_qa_join,
+        "kfold_assignment": scale.kfold_assignment,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
         # interval analytics (new in r2, third batch): distributed
@@ -1431,6 +1433,13 @@ FROM top
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
+        "modality_qa_join": _modality_qa_oracle(),
+        "kfold_assignment": """
+SELECT doc_id, source,
+  CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#fold')), 1, 15)) AS BIGINT)
+       % 5 AS BIGINT) AS fold
+FROM documents
+""",
         "vocab_coverage": f"""
 WITH counts AS (
   SELECT tok, count(*) AS cnt FROM (
@@ -2529,6 +2538,20 @@ SELECT p.doc_a, p.doc_b, p.jaccard,
 FROM pairs p
 JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
+def _modality_qa_oracle(k: float = 3.0) -> str:
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_quality_oracle()})),
+sp AS (SELECT vec_id FROM ({_norm_outliers_oracle(k)}))
+SELECT d.doc_id, d.source, round(q.quality_score, 6) AS quality,
+  (sp.vec_id IS NOT NULL) AS vector_outlier,
+  q.quality_score < 0.8 AS text_low_quality
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN sp ON d.doc_id = sp.vec_id
+WHERE sp.vec_id IS NOT NULL OR q.quality_score < 0.8
 """
 
 
