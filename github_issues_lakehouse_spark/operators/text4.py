@@ -412,3 +412,50 @@ def modality_qa_join(spark: SparkSession, sf_dir: str, k: float = 3.0) -> DataFr
         )
         .filter(F.col("vector_outlier") | F.col("text_low_quality"))
     )
+
+
+def char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class distribution per source: alpha / digit /
+    whitespace / punctuation shares of all text bytes — the cheapest
+    encoding-health check there is (mojibake, binary spill, and
+    markup-heavy sources all show up as class-share anomalies before
+    any tokenizer runs).
+
+    One scan, four regexp_replace-length counters per row, exact
+    integer sums, one divide per share at the end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_class(pattern):
+        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    total = F.length("text")
+    per_doc = d.select(
+        "source",
+        total.alias("n_chars"),
+        (total - n_class(r"[A-Za-z]")).alias("n_alpha"),
+        (total - n_class(r"[0-9]")).alias("n_digit"),
+        (total - n_class(r"\s")).alias("n_space"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_alpha").cast("long").alias("n_alpha"),
+        F.sum("n_digit").cast("long").alias("n_digit"),
+        F.sum("n_space").cast("long").alias("n_space"),
+    )
+    share = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.col("n_chars").cast("double"), 6
+    )
+    return agg.select(
+        "source",
+        "n_chars",
+        share("n_alpha").alias("alpha_share"),
+        share("n_digit").alias("digit_share"),
+        share("n_space").alias("space_share"),
+        F.round(
+            (F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"))
+            .cast("double")
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("other_share"),
+    )

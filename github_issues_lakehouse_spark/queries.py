@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_split_leakage": text4.cross_split_leakage,
         "vocab_coverage": text4.vocab_coverage,
         "modality_qa_join": text4.modality_qa_join,
+        "char_class_stats": text4.char_class_stats,
         "kfold_assignment": scale.kfold_assignment,
         # TPC-H Q6 (completes the 22-query access-pattern set)
         "q6_forecast_revenue": R5.forecast_revenue,
@@ -1434,6 +1435,22 @@ FROM top
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
         "modality_qa_join": _modality_qa_oracle(),
+        "char_class_stats": """
+WITH per_doc AS (
+  SELECT source, length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space
+  FROM documents
+)
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  round(CAST(sum(n_alpha) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS alpha_share,
+  round(CAST(sum(n_digit) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS digit_share,
+  round(CAST(sum(n_space) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS space_share,
+  round(CAST(sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space) AS DOUBLE)
+        / CAST(sum(n_chars) AS DOUBLE), 6) AS other_share
+FROM per_doc GROUP BY 1
+""",
         "kfold_assignment": """
 SELECT doc_id, source,
   CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#fold')), 1, 15)) AS BIGINT)
