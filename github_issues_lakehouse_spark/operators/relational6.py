@@ -357,3 +357,62 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("time_weighted_value"),
         )
     )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days — the canonical streak/retention shape. The island
+    key is day_number - row_number (constant within a consecutive
+    run), so islands fall out of one distinct + one window + one
+    aggregate; no self-joins, no recursion. Two shuffles total on
+    user-led keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start"),
+        F.max("day").alias("end"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            F.date_format("start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("end", "yyyy-MM-dd").alias("streak_end"),
+        )
+    )
+
+
+def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FILTER clause (per-aggregate predicates) exercised
+    through the engine's OWN SQL surface: the operator registers the
+    tables and runs a plain SQL string via catalog.run_sql — proving
+    the registry and the SQL entry point are the same engine (same
+    Catalyst plan as the F.when spelling, but the user-facing SQL
+    text is the capability under test here).
+    """
+    from ..catalog import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_large,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(28,2)) AS finished_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    )

@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_events": R6.variant_events,
         "unpivot_lineitem_metrics": R6.unpivot_lineitem_metrics,
         "time_weighted_value": R6.time_weighted_value,
+        "activity_streaks": R6.activity_streaks,
+        "filtered_agg_orders": R6.filtered_agg_orders,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -728,6 +730,35 @@ SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
   CAST(max(run) AS BIGINT) AS peak_concurrency,
   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
 FROM runs GROUP BY 1
+""",
+        "activity_streaks": """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+islands AS (
+  SELECT user_id, day,
+    datediff('day', DATE '1970-01-01', day)
+      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start, max(day) AS "end"
+  FROM islands GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, start ASC) AS rn
+  FROM streaks
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+  strftime(start, '%Y-%m-%d') AS streak_start,
+  strftime("end", '%Y-%m-%d') AS streak_end
+FROM ranked WHERE rn = 1
+""",
+        "filtered_agg_orders": """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_large,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(28,2)) AS finished_revenue
+FROM orders
+GROUP BY o_orderpriority
 """,
         "time_weighted_value": """
 WITH terms AS (
