@@ -140,3 +140,33 @@ def embedding_norm_outliers(
             r6(F.col("label_mad")).alias("label_mad"),
         )
     )
+
+
+def label_separability(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Class-separability QA: pairwise Euclidean distance between
+    per-label embedding centroids — near-zero inter-centroid distance
+    means two labels are not separable in this embedding space (the
+    check that catches a collapsed projection head or mislabeled
+    slices before training on the labels).
+
+    Centroids are per-dim averages ROUNDED AT 6dp (identical doubles
+    on both engines, same idiom as the k-means oracle); the pairwise
+    stage is a self-join over one row per label — broadcast-tiny
+    regardless of corpus size. The only corpus-scale work is the one
+    centroid aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    cents = e.groupBy("label").agg(
+        *[F.round(F.avg(F.element_at(v, i + 1)), 6).alias(f"m{i}") for i in range(dim)]
+    )
+    a = cents.select(F.col("label").alias("label_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(dim)])
+    b = cents.select(F.col("label").alias("label_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(dim)])
+    d2 = None
+    for i in range(dim):
+        t = (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
+        d2 = t if d2 is None else d2 + t
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(F.sqrt(d2), 6).alias("centroid_dist"))
+    )

@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": text4.length_outliers,
         "weighted_sample": text4.weighted_sample,
         "embedding_norm_outliers": V2.embedding_norm_outliers,
+        "label_separability": V2.label_separability,
         "plan_token_shards": chunking.plan_token_shards,
         "holdout_split": scale.holdout_split,
         "token_histogram": text4.token_histogram,
@@ -1522,6 +1523,7 @@ FROM d GROUP BY 1
         "neardup_keep_best": _neardup_keep_best_oracle(),
         "edit_distance_pairs": _edit_distance_oracle(),
         "embedding_norm_outliers": _norm_outliers_oracle(),
+        "label_separability": _label_separability_oracle(),
         "plan_token_shards": f"""
 WITH d AS (
   SELECT doc_id, len({_norm_toks_sql()}) AS n_tokens FROM documents
@@ -2600,6 +2602,22 @@ FROM documents d
 JOIN q ON d.doc_id = q.doc_id
 LEFT JOIN sp ON d.doc_id = sp.vec_id
 WHERE sp.vec_id IS NOT NULL OR q.quality_score < 0.8
+"""
+
+
+def _label_separability_oracle(dim: int = 64) -> str:
+    return f"""
+WITH c AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+m AS (
+  SELECT label, i, round(avg(v[i]), 6) AS m
+  FROM c CROSS JOIN dims GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS centroid_dist
+FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+GROUP BY 1, 2
 """
 
 
