@@ -416,3 +416,48 @@ def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
     )
+
+
+def contingency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency analysis of order priority x status: observed
+    counts, independence-expected counts, and per-cell chi-square
+    contributions — the association test behind "is priority
+    distributed the same across statuses". One groupBy produces the
+    cells; row/column/grand totals are window sums over those cells
+    (dozens of rows), so the fact table is scanned exactly once.
+
+    All inputs to the expected-count divide are exact BIGINTs, so
+    the doubles agree across engines before the 6dp render.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    with_tot = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_total"),
+        F.sum("observed").over(w_col).alias("col_total"),
+        F.sum("observed").over(w_all).alias("grand_total"),
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    return with_tot.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("observed").cast("double") - expected)
+            * (F.col("observed").cast("double") - expected)
+            / expected,
+            6,
+        ).alias("chi2_contribution"),
+    )

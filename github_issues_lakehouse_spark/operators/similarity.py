@@ -370,3 +370,40 @@ def hard_negative_mining(
             "cos_sim",
         )
     )
+
+
+def knn_label_purity(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Embedding-quality sanity via kNN label purity: for each query
+    vector, what fraction of its k exact nearest neighbors share its
+    label. Low purity across the board means the embedding does not
+    encode the label structure — the go/no-go check before using the
+    space for retrieval or weak labeling.
+
+    Same broadcast-query brute-force shape as the ANN ground truth;
+    the purity fold is one tiny aggregate over the top-k rows.
+    """
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_labels = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    n_labels = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    joined = truth.join(F.broadcast(q_labels), "q_id").join(
+        F.broadcast(n_labels), "neighbor_id"
+    )
+    return (
+        joined.groupBy("q_id", "q_label")
+        .agg(
+            F.sum((F.col("n_label") == F.col("q_label")).cast("long")).alias("n_same_label")
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("n_same_label").cast("long").alias("n_same_label"),
+            r6(F.col("n_same_label") / float(k)).alias("purity"),
+        )
+    )

@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
         "hard_negative_mining": similarity.hard_negative_mining,
+        "knn_label_purity": similarity.knn_label_purity,
         "vocab_stats": text2.vocab_stats,
         "source_mixing_weights": text2.source_mixing_weights,
         "dedup_rate_mart": text2.dedup_rate_mart,
@@ -443,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value": R6.time_weighted_value,
         "activity_streaks": R6.activity_streaks,
         "filtered_agg_orders": R6.filtered_agg_orders,
+        "contingency_orders": R6.contingency_orders,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -751,6 +753,26 @@ SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
   strftime(start, '%Y-%m-%d') AS streak_start,
   strftime("end", '%Y-%m-%d') AS streak_end
 FROM ranked WHERE rn = 1
+""",
+        "contingency_orders": """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS observed
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT o_orderpriority, o_orderstatus, observed,
+    sum(observed) OVER (PARTITION BY o_orderpriority) AS row_total,
+    sum(observed) OVER (PARTITION BY o_orderstatus) AS col_total,
+    sum(observed) OVER () AS grand_total
+  FROM cells
+)
+SELECT o_orderpriority, o_orderstatus,
+  CAST(observed AS BIGINT) AS observed,
+  round(CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+        / CAST(grand_total AS DOUBLE), 6) AS expected,
+  round((CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(grand_total AS DOUBLE))
+        * (CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(grand_total AS DOUBLE))
+        / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(grand_total AS DOUBLE)), 6) AS chi2_contribution
+FROM tot
 """,
         "filtered_agg_orders": """
 SELECT o_orderpriority,
@@ -1437,6 +1459,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         "ann_recall_at_k": _ann_recall_oracle(),
         "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
+        "knn_label_purity": _knn_purity_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "vocab_stats": _vocab_stats_oracle(),
         "repetition_filter": _repetition_filter_oracle(),
@@ -1844,6 +1867,20 @@ scored AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _knn_purity_oracle(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH bf AS ({_ann_bf_oracle(n_queries, k)}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT bf.q_id, ql.label AS q_label,
+  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+  round(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) / {float(k)}, 6) AS purity
+FROM bf
+JOIN lab ql ON bf.q_id = ql.vec_id
+JOIN lab nl ON bf.neighbor_id = nl.vec_id
+GROUP BY 1, 2
 """
 
 
