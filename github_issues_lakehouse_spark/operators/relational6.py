@@ -461,3 +461,32 @@ def contingency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_contribution"),
     )
+
+
+def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile: order count and exact-decimal
+    revenue per month-of-year (pooled across years), with each
+    month's share of the total — the dashboard staple for "is Q4
+    really bigger". One scan, one 12-group aggregate; shares divide
+    exact sums cast to double.
+    """
+    DEC = "decimal(18,2)"
+    o = load_table(spark, sf_dir, "orders")
+    per_month = o.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("revenue"),
+    )
+    w = Window.partitionBy()
+    return per_month.select(
+        F.col("month_of_year").cast("long").alias("month_of_year"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "revenue",
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w).cast("double"),
+            6,
+        ).alias("order_share"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": R6.activity_streaks,
         "filtered_agg_orders": R6.filtered_agg_orders,
         "contingency_orders": R6.contingency_orders,
+        "order_seasonality": R6.order_seasonality,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -753,6 +754,18 @@ SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
   strftime(start, '%Y-%m-%d') AS streak_start,
   strftime("end", '%Y-%m-%d') AS streak_end
 FROM ranked WHERE rn = 1
+""",
+        "order_seasonality": """
+WITH per_month AS (
+  SELECT month(o_orderdate) AS month_of_year, count(*) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month_of_year AS BIGINT) AS month_of_year,
+  CAST(n_orders AS BIGINT) AS n_orders, revenue,
+  round(CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS order_share,
+  round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share
+FROM per_month
 """,
         "contingency_orders": """
 WITH cells AS (
