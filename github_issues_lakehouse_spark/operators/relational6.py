@@ -490,3 +490,61 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last
+    order, vs the corpus max date), Frequency (order count), and
+    Monetary (exact-decimal revenue), each scored 1-5 against the
+    global quintile thresholds. The classic CRM mart.
+
+    Scale note: the canonical ntile(5) would funnel every customer
+    through ONE sort partition; here the five bands come from exact
+    percentile thresholds (a 1-row broadcast) and per-row
+    comparisons, so scoring is map-side and the only shuffles are
+    the per-customer aggregate and the threshold aggregate over it.
+    Threshold ties resolve by >= on exact integer/decimal metrics —
+    engine-invariant.
+    """
+    DEC = "decimal(18,2)"
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("monetary"),
+    )
+    w = Window.partitionBy()
+    per_cust = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_order").over(w), F.col("last_order")).cast("long"),
+    )
+    pct = lambda c, q: F.percentile(c, F.lit(q))  # noqa: E731
+    thresholds = per_cust.agg(
+        *[pct(F.col("recency_days").cast("double"), q).alias(f"r{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
+        *[pct(F.col("frequency").cast("double"), q).alias(f"f{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
+        *[pct(F.col("monetary").cast("double"), q).alias(f"m{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
+    )
+
+    def band(metric, prefix, invert=False):
+        c = F.col(metric).cast("double")
+        score = (
+            F.when(c >= F.col(f"{prefix}80"), 5)
+            .when(c >= F.col(f"{prefix}60"), 4)
+            .when(c >= F.col(f"{prefix}40"), 3)
+            .when(c >= F.col(f"{prefix}20"), 2)
+            .otherwise(1)
+        )
+        return (F.lit(6) - score) if invert else score
+
+    return (
+        per_cust.join(F.broadcast(thresholds))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary",
+            band("recency_days", "r", invert=True).cast("long").alias("r_score"),
+            band("frequency", "f").cast("long").alias("f_score"),
+            band("monetary", "m").cast("long").alias("m_score"),
+        )
+    )

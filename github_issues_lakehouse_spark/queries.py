@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_agg_orders": R6.filtered_agg_orders,
         "contingency_orders": R6.contingency_orders,
         "order_seasonality": R6.order_seasonality,
+        "customer_rfm": R6.customer_rfm,
         "revenue_concentration": R6.revenue_concentration,
         "event_path_match": R6.event_path_match,
         # data-quality expectations mart (Delta-constraint / dbt-test
@@ -754,6 +755,40 @@ SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
   strftime(start, '%Y-%m-%d') AS streak_start,
   strftime("end", '%Y-%m-%d') AS streak_end
 FROM ranked WHERE rn = 1
+""",
+        "customer_rfm": """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+    count(*) AS frequency,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS monetary
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT *, CAST(datediff('day', last_order, max(last_order) OVER ()) AS BIGINT) AS recency_days
+  FROM per_cust
+), t AS (
+  SELECT
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20, quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60, quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20, quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60, quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.2) AS m20, quantile_cont(CAST(monetary AS DOUBLE), 0.4) AS m40,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.6) AS m60, quantile_cont(CAST(monetary AS DOUBLE), 0.8) AS m80
+  FROM r
+)
+SELECT custkey, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+  CAST(6 - (CASE WHEN CAST(recency_days AS DOUBLE) >= r80 THEN 5
+       WHEN CAST(recency_days AS DOUBLE) >= r60 THEN 4
+       WHEN CAST(recency_days AS DOUBLE) >= r40 THEN 3
+       WHEN CAST(recency_days AS DOUBLE) >= r20 THEN 2 ELSE 1 END) AS BIGINT) AS r_score,
+  CAST(CASE WHEN CAST(frequency AS DOUBLE) >= f80 THEN 5
+       WHEN CAST(frequency AS DOUBLE) >= f60 THEN 4
+       WHEN CAST(frequency AS DOUBLE) >= f40 THEN 3
+       WHEN CAST(frequency AS DOUBLE) >= f20 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+  CAST(CASE WHEN CAST(monetary AS DOUBLE) >= m80 THEN 5
+       WHEN CAST(monetary AS DOUBLE) >= m60 THEN 4
+       WHEN CAST(monetary AS DOUBLE) >= m40 THEN 3
+       WHEN CAST(monetary AS DOUBLE) >= m20 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+FROM r CROSS JOIN t
 """,
         "order_seasonality": """
 WITH per_month AS (
