@@ -567,3 +567,31 @@ def duplication_profile(
         ).alias("h")
     )
     return profile(doc_hashes, "document").unionByName(profile(block_hashes, "block"))
+
+
+def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-evaluation of the two near-dup detectors: how many
+    candidate pairs MinHash-Jaccard and SimHash agree on, and how
+    many each finds alone — the calibration readout that says
+    whether the cheap detector can replace the expensive one on this
+    corpus (high agreement) or they see different duplicate classes
+    (low agreement: run both).
+
+    One full-outer join on the (doc_a, doc_b) pair key — pair sets,
+    never documents — folded to a 3-row summary.
+    """
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    sh = dedup_simhash(spark, sf_dir).select(
+        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("in_sh")
+    )
+    joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), "both")
+            .when(F.col("in_mh").isNotNull(), "minhash_only")
+            .otherwise("simhash_only")
+            .alias("detector")
+        )
+        .groupBy("detector")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

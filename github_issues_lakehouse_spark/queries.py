@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # breadth first (each of these re-runs the minhash or model
         # subtree and costs 10-20s at check SF).
         "cluster_mixing_weights": clustering.cluster_mixing_weights,
+        "detector_agreement": dedup.detector_agreement,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "bigram_perplexity": text2.bigram_perplexity,
         "contamination_attribution": chunking.contamination_attribution,
@@ -1592,6 +1593,7 @@ FROM d GROUP BY 1
 """,
         "weighted_sample": _weighted_sample_oracle(),
         "neardup_keep_best": _neardup_keep_best_oracle(),
+        "detector_agreement": _detector_agreement_oracle(),
         "edit_distance_pairs": _edit_distance_oracle(),
         "embedding_norm_outliers": _norm_outliers_oracle(),
         "label_separability": _label_separability_oracle(),
@@ -2643,6 +2645,23 @@ s AS (
 )
 SELECT doc_id, source, quality, CAST(sample_u AS BIGINT) AS sample_u
 FROM s WHERE 2 * sample_u < q_micro
+"""
+
+
+def _detector_agreement_oracle() -> str:
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+sh AS (SELECT doc_a, doc_b FROM ({_simhash_oracle()})),
+j AS (
+  SELECT mh.doc_a IS NOT NULL AS in_mh, sh.doc_a IS NOT NULL AS in_sh
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+)
+SELECT CASE WHEN in_mh AND in_sh THEN 'both'
+            WHEN in_mh THEN 'minhash_only'
+            ELSE 'simhash_only' END AS detector,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1
 """
 
 
