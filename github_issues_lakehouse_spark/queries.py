@@ -342,16 +342,82 @@ def q_gold_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- registry
 
+# Registry ORDER matters: the external driver checks entries in dict
+# order under a ~50-entry budget cap. Round 3 ordering (VERDICT.md r2,
+# task 1): the 58 keys with NO green driver row in CORRECTNESS_r01/r02
+# come first — the 3 whose last driver evidence is a FAIL (fixed in r2
+# but never re-shown), then the B44-B71 relational tail, then the
+# C42-C67 pipeline tail, with the 6 heavy composites (10-20s each at
+# check SF) last inside the unevidenced block so a budget cutoff costs
+# depth, not breadth. Everything already driver-green rides at the tail.
+_DRIVER_PRIORITY_R3 = [
+    # last driver evidence = FAIL (r1) — re-prove first
+    "label_array_funcs",
+    "null_semantics_orders",
+    "profile_orders",
+    # never driver-checked: B41 + B44-B71 relational tail
+    "histogram_prices",
+    "min_cost_supplier",
+    "important_parts_share",
+    "top_supplier_revenue",
+    "returns_blame_suppliers",
+    "idle_rich_customers",
+    "order_priority_checking",
+    "national_market_share",
+    "product_profit",
+    "returned_items_top_customers",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "parts_supplier_count",
+    "excess_supply_suppliers",
+    "q6_forecast_revenue",
+    "concurrent_sessions",
+    "trailing_window_user_value",
+    "session_window_batch",
+    "variant_events",
+    "unpivot_lineitem_metrics",
+    "time_weighted_value",
+    "activity_streaks",
+    "filtered_agg_orders",
+    "contingency_orders",
+    "order_seasonality",
+    "customer_rfm",
+    "revenue_concentration",
+    "event_path_match",
+    "dq_violations",
+    # never driver-checked: C34, C39-C57, C61-C65, C67 pipeline tail
+    "scd2_priority_history",
+    "bpe_pair_counts",
+    "cross_source_overlap",
+    "quality_classifier",
+    "ttr_stats",
+    "length_outliers",
+    "weighted_sample",
+    "embedding_norm_outliers",
+    "label_separability",
+    "plan_token_shards",
+    "holdout_split",
+    "token_histogram",
+    "winnow_overlap_pairs",
+    "source_drift_kl",
+    "tokenizer_fertility",
+    "cross_split_leakage",
+    "vocab_coverage",
+    "modality_qa_join",
+    "char_class_stats",
+    "kfold_assignment",
+    # heavy composites: last within the unevidenced block
+    "cluster_mixing_weights",
+    "detector_agreement",
+    "edit_distance_pairs",
+    "bigram_perplexity",
+    "contamination_attribution",
+    "neardup_keep_best",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER matters: the external driver checks entries in dict
-    # order under a budget cap (r1 stopped at 50 of 75). Entries without
-    # r1 driver evidence come FIRST — the full C-suite (LLM pipeline),
-    # snapshot_diff, histogram_prices, and the 3 queries fixed in r2
-    # (label_array_funcs, null_semantics_orders, profile_orders) — so a
-    # capped run still produces correctness rows for them. The tail is
-    # exclusively B-suite queries that already passed the r1 gate.
-    return {
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
         "bronze_issues": q_bronze_issues,
         "silver_issues": q_silver_issues,
@@ -524,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
     }
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R3 if k in reg}
+    ordered.update({k: v for k, v in reg.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
