@@ -2,9 +2,10 @@
 
 - ``ann_bruteforce_topk``: exact cosine top-k of a small query set
   against the corpus. The query set is broadcast; the corpus streams
-  through in one pass (no shuffle of the corpus), then a per-query
-  top-k window. At 100 TB this is the classic brute-force scoring
-  pass: map-side join + partial top-k via window over (query, score).
+  through in one pass (no shuffle of the corpus), a narrow map-side
+  partial top-k (``_partial_topk``) cuts each input partition to k
+  rows per query, then the exact per-query window merges the
+  survivors — no task ever holds all corpus scores for one query.
 - ``neardup_embedding_cosine``: all corpus pairs with cosine >= tau,
   blocked to avoid the full cross product at scale.
 - ``ann_lsh_topk``: random-hyperplane LSH bucketing (deterministic,
@@ -27,6 +28,46 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", to_double(F.col("embedding")).alias("vec"), "label")
 
 
+def _partial_topk(
+    scored: DataFrame, group_cols: list[str], score_col: str, tie_col: str, k: int
+) -> DataFrame:
+    """Per-input-partition partial top-k — the map-side combine for the
+    brute-force scorer family.
+
+    Without this, ``Window.partitionBy(q_id)`` over the raw scores puts
+    ALL n corpus scores for one query in one task: correct, but a
+    single-task memory ceiling at 100 TB. This pass runs INSIDE the
+    scoring stage (mapInPandas is narrow — no shuffle) and keeps only
+    the k best rows per group per input partition, so the downstream
+    exact window sees at most k × n_partitions rows per group.
+
+    Losslessness: rows are totally ordered by (score desc, tie asc)
+    with a unique tie column. Any row cut locally is dominated by k
+    rows from its own partition, which also dominate it globally —
+    so the global top-k over the survivors equals the global top-k
+    over everything, ties included. Output schema == input schema;
+    downstream plans and oracle hashes are unchanged.
+    """
+    schema = scored.schema
+    sort_cols = [*group_cols, score_col, tie_col]
+    ascending = [True] * len(group_cols) + [False, True]
+
+    def local_topk(batches):
+        # self-contained closure: workers may not be able to import this
+        # package (foreign-cwd driver), so only pandas here
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cand = cand.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            best = cand.groupby(group_cols, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return scored.mapInPandas(local_topk, schema=schema)
+
+
 def ann_bruteforce_topk(
     spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -44,9 +85,12 @@ def ann_bruteforce_topk(
         "vec_id",
         r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
     )
+    # map-side partial top-k bounds the final window's per-task input to
+    # k × n_partitions rows per query instead of the whole corpus
+    pruned = _partial_topk(scored, ["q_id"], "cos_sim", "vec_id", k)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
@@ -357,9 +401,10 @@ def hard_negative_mining(
         "neg_label",
         r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
     )
+    pruned = _partial_topk(scored, ["q_id"], "cos_sim", "vec_id", k)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_id",

@@ -274,3 +274,51 @@ def test_plan_advisor(spark):
     bad_udf = F.udf(lambda x: x + 1, T.LongType())
     with_udf = load_table(spark, SF_DIR, "orders").select(bad_udf("o_orderkey"))
     assert any("Python UDF" in w for w in advise(with_udf))
+
+
+def test_partial_topk_bounded_and_lossless(spark):
+    """The brute-force scorer's map-side partial top-k (a) returns at
+    most k rows per (query, input-partition) — the per-task bound that
+    replaces the all-scores-in-one-task window — and (b) the final
+    top-k over the pruned set equals the top-k over the raw scores,
+    ties included."""
+    from pyspark.sql import Window
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _partial_topk,
+        ann_bruteforce_topk,
+    )
+
+    k, nq = 5, 8
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id")
+    scored = (
+        emb.repartition(7)
+        .crossJoin(
+            emb.filter(F.col("vec_id") < nq).select(F.col("vec_id").alias("q_id"))
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", (F.pmod(F.col("vec_id") * 37, F.lit(100)) / 100.0).alias("cos_sim"))
+    )
+    n_parts = scored.rdd.getNumPartitions()
+    pruned = _partial_topk(scored, ["q_id"], "cos_sim", "vec_id", k)
+    # bound: k rows per query per input partition, total <= k * nq * n_parts
+    assert pruned.count() <= k * nq * n_parts
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+
+    def topk(df):
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id", "cos_sim")
+        )
+
+    exact = topk(scored)
+    via_partial = topk(pruned)
+    assert exact.exceptAll(via_partial).count() == 0
+    assert via_partial.exceptAll(exact).count() == 0
+
+    # end-to-end: the operator itself still yields exactly k per query
+    out = ann_bruteforce_topk(spark, SF_DIR, n_queries=nq, k=k)
+    per_q = {r.q_id: r.n for r in out.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == k for v in per_q.values())
