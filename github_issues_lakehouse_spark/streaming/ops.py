@@ -322,31 +322,94 @@ def quality_gate_stream(docs: DataFrame, min_quality: float = 0.8) -> DataFrame:
     ).filter(F.col("quality_score") >= min_quality)
 
 
-def stream_mart_maintenance(events: DataFrame, path: str, checkpoint: str):
-    """D12: streaming MATERIALIZED VIEW — each micro-batch folds into
-    the stored additive daily mart via ``merge_mart_increment``
-    (aggregate the batch alone, merge two small aggregates, rewrite
-    the mart). The streaming form of incremental mart maintenance:
-    the mart on disk always equals the batch mart over everything
-    ingested so far, and no micro-batch ever rescans history.
-    Returns the started query."""
+def _read_mart_meta(path: str) -> dict | None:
+    import json
     import os
+
+    ptr = os.path.join(path, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return json.load(f)
+
+
+def read_mart(spark, path: str) -> DataFrame | None:
+    """Resolve the current committed version of a mart maintained by
+    ``stream_mart_maintenance`` (versioned subdirs + ``_CURRENT``
+    pointer file). Returns None if no version has committed yet."""
+    import os
+
+    meta = _read_mart_meta(path)
+    if meta is None:
+        return None
+    return spark.read.parquet(os.path.join(path, meta["version"]))
+
+
+def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
+    """Fold one micro-batch into the stored mart, exactly once.
+
+    foreachBatch is at-least-once: after a crash the last batch is
+    replayed with the SAME batch_id, so the fold must be idempotent
+    and the commit atomic or a replay double-counts / a crash strands
+    a half-written mart. Protocol:
+
+    1. skip if ``batch_id <= last committed batch_id`` (replay);
+    2. write the merged mart to a fresh versioned subdir
+       ``v_{batch_id}`` (a crashed partial write is simply
+       re-overwritten on replay — never referenced until committed);
+    3. commit by atomically renaming a temp pointer file onto
+       ``_CURRENT`` (POSIX/HDFS rename; on S3 use a conditional-put
+       pointer object instead);
+    4. best-effort GC of superseded version dirs after the swap.
+
+    A crash at any point leaves ``_CURRENT`` referencing a complete
+    version whose batch_id tells the replay where to resume. Returns
+    True if the batch was applied, False if skipped as a replay.
+    """
+    import json
+    import os
+    import shutil
 
     from ..operators.gold import merge_mart_increment
 
-    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        existing = None
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-        merged = merge_mart_increment(existing, batch_df)
-        tmp = f"{path}.__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
-        import shutil
+    spark = batch_df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    meta = _read_mart_meta(path)
+    if meta is not None and batch_id <= meta["batch_id"]:
+        return False
+    existing = (
+        spark.read.parquet(os.path.join(path, meta["version"])) if meta else None
+    )
+    merged = merge_mart_increment(existing, batch_df)
+    vdir = f"v_{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
+    ptr = os.path.join(path, "_CURRENT")
+    tmp_ptr = f"{ptr}.tmp"
+    try:
+        with open(tmp_ptr, "w") as f:
+            json.dump({"version": vdir, "batch_id": batch_id}, f)
+        os.replace(tmp_ptr, ptr)
+    finally:
+        if os.path.exists(tmp_ptr):
+            os.remove(tmp_ptr)
+    for d in os.listdir(path):
+        if d.startswith("v_") and d != vdir:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return True
 
-        shutil.rmtree(tmp, ignore_errors=True)
+
+def stream_mart_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D12: streaming MATERIALIZED VIEW — each micro-batch folds into
+    the stored additive daily mart via ``merge_mart_increment``
+    (aggregate the batch alone, merge two small aggregates, commit a
+    new mart version). The committed mart always equals the batch
+    mart over every batch folded so far, survives crash/replay
+    (``mart_fold_batch`` is idempotent on batch_id with an atomic
+    pointer-swap commit), and no micro-batch ever rescans history.
+    Read the result with ``read_mart``. Returns the started query."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path)
 
     return (
         events.writeStream.foreachBatch(fold_batch)

@@ -302,7 +302,10 @@ def test_stream_mart_maintenance_equals_batch(spark, events_dir, tmp_path):
     """D12: after draining the stream, the incrementally-maintained
     daily mart on disk equals the batch mart over all events."""
     from github_issues_lakehouse_spark.operators.gold import daily_event_mart
-    from github_issues_lakehouse_spark.streaming import stream_mart_maintenance
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_mart_maintenance,
+    )
 
     batch = load_table(spark, SF_DIR, "events")
     stream = (
@@ -315,10 +318,58 @@ def test_stream_mart_maintenance_equals_batch(spark, events_dir, tmp_path):
     q.awaitTermination(180)
     got = {
         (r.day, r.event_type): (r.n_events, float(r.total_value))
-        for r in spark.read.parquet(mart_path).collect()
+        for r in read_mart(spark, mart_path).collect()
     }
     expect = {
         (r.day, r.event_type): (r.n_events, float(r.total_value))
         for r in daily_event_mart(batch).collect()
     }
     assert got == expect
+
+
+def test_mart_fold_replay_and_crash_recovery(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch_id must be a
+    no-op, and a crash mid-write must leave the last committed version
+    readable. Exercises mart_fold_batch directly."""
+    import json
+    import os
+
+    from github_issues_lakehouse_spark.operators.gold import daily_event_mart
+    from github_issues_lakehouse_spark.streaming import mart_fold_batch, read_mart
+
+    events = load_table(spark, SF_DIR, "events")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+    path = str(tmp_path / "mart")
+
+    def snapshot():
+        return {
+            (r.day, r.event_type): (r.n_events, float(r.total_value))
+            for r in read_mart(spark, path).collect()
+        }
+
+    assert mart_fold_batch(b0, 0, path) is True
+    after_b0 = snapshot()
+
+    # replay of batch 0 (post-crash re-delivery): skipped, mart unchanged
+    assert mart_fold_batch(b0, 0, path) is False
+    assert snapshot() == after_b0
+
+    # crash mid-write: a partial uncommitted version dir must be ignored
+    # by readers and harmlessly overwritten when the batch is replayed
+    junk = os.path.join(path, "v_1")
+    os.makedirs(junk, exist_ok=True)
+    with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert snapshot() == after_b0
+    assert json.load(open(os.path.join(path, "_CURRENT")))["batch_id"] == 0
+
+    assert mart_fold_batch(b1, 1, path) is True
+    expect = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in daily_event_mart(events).collect()
+    }
+    assert snapshot() == expect
+    # superseded versions are GC'd; only the committed version remains
+    vdirs = [d for d in os.listdir(path) if d.startswith("v_")]
+    assert vdirs == ["v_1"]
