@@ -14,32 +14,79 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .sources.registry import TABLES, load_table
 
+# Views this module registered, per session: {session id: {view: sf_dir}}.
+# Lets repeated register_views/run_sql calls be no-ops for the same
+# sf_dir, and — critically — stops the engine from silently clobbering
+# a user's own temp view that happens to share a table name.
+_ENGINE_VIEWS: dict[int, dict[str, str]] = {}
 
-def register_views(spark: SparkSession, sf_dir: str, *, marts: bool = False) -> list[str]:
+
+def _register_one(
+    spark: SparkSession, name: str, df_factory, sf_dir: str, force: bool
+) -> None:
+    owned = _ENGINE_VIEWS.setdefault(id(spark), {})
+    if owned.get(name) == sf_dir:
+        return  # already ours, same data dir — nothing to do
+    if name not in owned and not force and spark.catalog.tableExists(name):
+        raise ValueError(
+            f"temp view {name!r} already exists in this session and was not "
+            f"registered by the engine; pass force=True to overwrite it"
+        )
+    df_factory().createOrReplaceTempView(name)
+    owned[name] = sf_dir
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, *, marts: bool = False, force: bool = False
+) -> list[str]:
     """Register every base table as a temp view; with ``marts=True``
     also the derived silver/gold marts (still lazy plans — computed
-    only when queried). Returns the registered view names."""
+    only when queried). Idempotent per (session, sf_dir): re-calls are
+    no-ops, a different sf_dir re-points the engine's own views, and a
+    user-created view with a clashing name raises instead of being
+    silently replaced (``force=True`` overrides). Returns the
+    registered view names."""
     names = []
     for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        _register_one(spark, t, lambda t=t: load_table(spark, sf_dir, t), sf_dir, force)
         names.append(t)
     if marts:
         from .operators.gold import kpi_monthly_component_tier, kpi_monthly_global
         from .operators.silver import silver_issues
 
-        s = silver_issues(spark, sf_dir)
-        s.createOrReplaceTempView("silver_issues")
-        comp = kpi_monthly_component_tier(s)
-        comp.createOrReplaceTempView("kpi_monthly_component_tier")
-        kpi_monthly_global(comp).createOrReplaceTempView("kpi_monthly_global")
-        names += ["silver_issues", "kpi_monthly_component_tier", "kpi_monthly_global"]
+        def mk_silver():
+            return silver_issues(spark, sf_dir)
+
+        def mk_comp():
+            return kpi_monthly_component_tier(silver_issues(spark, sf_dir))
+
+        def mk_global():
+            return kpi_monthly_global(
+                kpi_monthly_component_tier(silver_issues(spark, sf_dir))
+            )
+
+        for name, fac in (
+            ("silver_issues", mk_silver),
+            ("kpi_monthly_component_tier", mk_comp),
+            ("kpi_monthly_global", mk_global),
+        ):
+            _register_one(spark, name, fac, sf_dir, force)
+            names.append(name)
     return names
 
 
-def run_sql(spark: SparkSession, sf_dir: str, sql: str, *, marts: bool = False) -> DataFrame:
-    """One-call SQL entry point: register views, return the lazy
+def run_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    *,
+    marts: bool = False,
+    force: bool = False,
+) -> DataFrame:
+    """One-call SQL entry point: register views (idempotent, never
+    clobbers user views unless ``force=True``), return the lazy
     DataFrame for ``sql``."""
-    register_views(spark, sf_dir, marts=marts)
+    register_views(spark, sf_dir, marts=marts, force=force)
     return spark.sql(sql)
 
 

@@ -177,23 +177,31 @@ def run_corpus(
 
     1. gate: exact-dedup keeper AND english AND quality >= threshold
        (training_corpus_filter — one feature scan);
-    2. near-dup removal: MinHash pairs -> connected components ->
-       keep the highest-quality doc per cluster (neardup_keep_best);
+    2. near-dup removal: connected components over MinHash pairs,
+       then keep the highest-quality GATE-PASSING doc per cluster —
+       re-picked among gated members, not the global keep-best
+       verdict, so a cluster whose global best fails the gate still
+       contributes its best surviving duplicate;
     3. split: deterministic md5-permille train/val/test buckets;
     4. shard plan: equal-token shards over the kept train split
-       (two-level prefix sum, exchange-reuse single scan);
+       (two-level prefix sum, exchange-reuse single scan); n_tokens
+       is computed for every kept doc (all splits) with the same
+       tokenizer, shard_id stays train-only (-1 elsewhere);
     5. write: documents parquet partitioned by split + a per-doc
        manifest (split, shard_id, n_tokens, quality) + a summary CSV.
 
     Every stage is the registry operator itself — the CLI adds only
     composition and persistence. Returns the summary as a dict.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from . import sinks
+    from .functions.textfns import norm_tokens
     from .operators.chunking import plan_token_shards
-    from .operators.dedup import neardup_keep_best
+    from .operators.dedup import dedup_clusters
     from .operators.scale import holdout_split, training_corpus_filter
     from .sources.registry import load_table
-    from pyspark.sql import functions as F
 
     spark = _spark("corpus")
     docs = load_table(spark, sf_dir, "documents")
@@ -201,8 +209,22 @@ def run_corpus(
     gated = training_corpus_filter(spark, sf_dir, min_quality=min_quality).select(
         "doc_id", "quality_score"
     )
-    near_drop = neardup_keep_best(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
-    kept = gated.join(near_drop, "doc_id", "left_anti")
+    # Near-dup keep-best restricted to gated docs: clustered gated docs
+    # compete only against gated cluster-mates (argmax quality, ties ->
+    # min doc_id); unclustered gated docs pass through via anti-join —
+    # no all-NULL window partition, no giant single task.
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    in_cluster = gated.join(clusters, "doc_id")
+    w_best = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    cluster_best = (
+        in_cluster.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality_score")
+    )
+    unclustered = gated.join(clusters, "doc_id", "left_anti")
+    kept = unclustered.unionByName(cluster_best)
 
     split = holdout_split(spark, sf_dir).select("doc_id", "split")
     kept_docs = docs.join(kept, "doc_id").join(split, "doc_id")
@@ -211,8 +233,16 @@ def run_corpus(
     shards = plan_token_shards(spark, sf_dir, shard_tokens=shard_tokens, docs=train_docs)
 
     manifest = (
-        kept_docs.select("doc_id", "source", "split", "quality_score")
-        .join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id", "left")
+        kept_docs.select(
+            "doc_id",
+            "source",
+            "split",
+            "quality_score",
+            # same tokenizer as plan_token_shards, for EVERY kept doc —
+            # val/test report real token counts in the summary
+            F.array_size(norm_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(shards.select("doc_id", "shard_id"), "doc_id", "left")
         .select(
             "doc_id",
             "source",

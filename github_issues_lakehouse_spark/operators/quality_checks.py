@@ -79,11 +79,14 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n AS n_checked",
     ).select(F.lit("documents").alias("table_name"), "rule", "n_checked", "n_violations")
 
-    # Referential integrity: LEFT OUTER join + null-count in one
+    # Referential integrity: LEFT OUTER join + orphan-count in one
     # aggregate — checked and orphan counts from the same pass, no
     # eager driver action. The parent side is deduplicated to its key
     # so the join can't fan out, and joins on a unique key keep
-    # n_checked == child row count.
+    # n_checked == child row count. Standard FK semantics (SQL MATCH
+    # SIMPLE / dbt relationship tests): a NULL child key vacuously
+    # passes — only `child IS NOT NULL AND parent IS NULL` is an
+    # orphan; nullability is its own *_not_null rule if needed.
     fk_cust = (
         orders.join(
             customer.select("c_custkey").distinct(),
@@ -92,7 +95,9 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_checked"),
-            _viol(F.col("c_custkey").isNull()).alias("n_violations"),
+            _viol(
+                F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+            ).alias("n_violations"),
         )
         .select(
             F.lit("orders").alias("table_name"),
@@ -109,7 +114,9 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_checked"),
-            _viol(F.col("o_orderkey").isNull()).alias("n_violations"),
+            _viol(
+                F.col("l_orderkey").isNotNull() & F.col("o_orderkey").isNull()
+            ).alias("n_violations"),
         )
         .select(
             F.lit("lineitem").alias("table_name"),

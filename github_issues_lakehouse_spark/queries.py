@@ -1010,11 +1010,13 @@ WITH o AS (
     sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS v_text
   FROM documents
 ), fkc AS (
-  SELECT count(*) AS n, sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+  SELECT count(*) AS n,
+    sum(CASE WHEN o2.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
   FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
     ON o2.o_custkey = c.c_custkey
 ), fko AS (
-  SELECT count(*) AS n, sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+  SELECT count(*) AS n,
+    sum(CASE WHEN l.l_orderkey IS NOT NULL AND ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
   FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
     ON l.l_orderkey = ok.o_orderkey
 )

@@ -264,3 +264,28 @@ def test_corpus_build_end_to_end(spark, tmp_path):
     train = manifest.filter(manifest.split == "train")
     assert train.filter(train.shard_id < 0).count() == 0
     assert sum(nd for nd, _, _ in rows.values()) == n_kept
+    # n_tokens is real for EVERY split (not train-only), summary sums it
+    assert manifest.filter(manifest.n_tokens.isNull()).count() == 0
+    for sp, (nd, nt, ns) in rows.items():
+        assert nt > 0, f"{sp} reports zero tokens"
+        assert ns == 0 if sp != "train" else ns > 0
+    # keep-best is gate-aware: every near-dup cluster with >=1 gated
+    # member contributes exactly one doc
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.dedup import dedup_clusters
+    from github_issues_lakehouse_spark.operators.scale import training_corpus_filter
+
+    gated = training_corpus_filter(spark, "/root/testdata/sf0.001", min_quality=0.5)
+    clus = dedup_clusters(spark, "/root/testdata/sf0.001").select("doc_id", "cluster_id")
+    gated_clusters = gated.join(clus, "doc_id").select("cluster_id").distinct()
+    kept_per_cluster = (
+        docs.select("doc_id")
+        .join(clus, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    survived = gated_clusters.join(kept_per_cluster, "cluster_id", "left").select(
+        F.coalesce("n", F.lit(0)).alias("n")
+    )
+    assert survived.filter(F.col("n") != 1).count() == 0

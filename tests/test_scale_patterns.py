@@ -322,3 +322,61 @@ def test_partial_topk_bounded_and_lossless(spark):
     out = ann_bruteforce_topk(spark, SF_DIR, n_queries=nq, k=k)
     per_q = {r.q_id: r.n for r in out.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
     assert all(v == k for v in per_q.values())
+
+
+def test_fk_rules_exclude_null_child_keys(spark, tmp_path):
+    """SQL MATCH SIMPLE / dbt relationship semantics: a NULL foreign
+    key vacuously passes; only a non-null key with no parent is an
+    orphan."""
+    from github_issues_lakehouse_spark.operators.quality_checks import dq_violations
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, 100.0, "1995-01-01", 10), (2, 100.0, "1995-01-01", None), (3, 100.0, "1995-01-01", 99)],
+        "o_orderkey long, o_totalprice double, o_orderdate string, o_custkey long",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 5.0, 0.1), (None, 5.0, 0.1), (77, 5.0, 0.1)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame([(10,)], "c_custkey long").write.parquet(
+        f"{d}/customer.parquet"
+    )
+    spark.createDataFrame([(1, "hello world")], "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    rows = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in dq_violations(spark, d).collect()
+    }
+    # 3 orders checked: NULL key passes, custkey 99 is the only orphan
+    assert rows["o_custkey_fk_customer"] == (3, 1)
+    # 3 lineitems checked: NULL key passes, orderkey 77 is the only orphan
+    assert rows["l_orderkey_fk_orders"] == (3, 1)
+
+
+def test_register_views_guard(spark):
+    """run_sql never silently clobbers a user's temp view: re-calls
+    for the same sf_dir are no-ops, a clashing user view raises, and
+    force=True overrides."""
+    import pytest
+
+    from github_issues_lakehouse_spark.catalog import register_views, run_sql
+
+    assert run_sql(spark, SF_DIR, "SELECT count(*) AS n FROM orders").collect()[0].n > 0
+    # same sf_dir again: fine (idempotent)
+    register_views(spark, SF_DIR)
+
+    # a user view with a clashing name must survive
+    spark.sql("SELECT 42 AS answer").createOrReplaceTempView("user_orders_view")
+    spark.catalog.dropTempView("orders")
+    from github_issues_lakehouse_spark.catalog import _ENGINE_VIEWS
+
+    _ENGINE_VIEWS.get(id(spark), {}).pop("orders", None)
+    spark.sql("SELECT 1 AS mine").createOrReplaceTempView("orders")
+    with pytest.raises(ValueError, match="orders"):
+        register_views(spark, SF_DIR)
+    assert spark.sql("SELECT mine FROM orders").collect()[0].mine == 1
+    # force re-points it to the engine table
+    register_views(spark, SF_DIR, force=True)
+    assert "o_orderkey" in spark.table("orders").columns
