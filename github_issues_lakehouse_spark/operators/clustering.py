@@ -60,12 +60,120 @@ def _recompute(assigned: DataFrame, dim: int = DIM) -> DataFrame:
     )
 
 
+def _kmeans_parallel_init(
+    corpus: DataFrame, k: int, rounds: int = 2, oversample: int | None = None
+) -> DataFrame:
+    """Deterministic k-means|| (Bahmani et al., VLDB 2012) seeding:
+    start from the min-id vector, then ``rounds`` passes each sampling
+    ~``oversample`` candidates with probability proportional to d² to
+    the nearest existing candidate, finally keeping the k heaviest
+    candidates (by count of corpus points nearest to them).
+
+    All randomness is an md5 hash of (vec_id, round) — reproducible
+    across engines/runs. Every step is a broadcast of the (small)
+    candidate set + one corpus pass; the candidate set is
+    localCheckpointed per round so the plan stays flat. This is the
+    scale-correct init for large k: first-k init needs k densely
+    distinct leading vectors; k-means|| spreads seeds by geometry in
+    O(rounds) scans.
+    """
+    ell = oversample or 2 * k
+
+    def d2_to(cands: DataFrame) -> DataFrame:
+        dist = r6(
+            dot(F.col("vec"), F.col("vec"))
+            - 2 * dot(F.col("vec"), F.col("c_vec"))
+            + dot(F.col("c_vec"), F.col("c_vec"))
+        )
+        return (
+            corpus.crossJoin(F.broadcast(cands.select(F.col("vec").alias("c_vec"))))
+            .select("vec_id", "vec", dist.alias("d2"))
+            .groupBy("vec_id", "vec")
+            .agg(F.min("d2").alias("d2"))
+        )
+
+    cand = corpus.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    for r in range(rounds):
+        with_d2 = d2_to(cand)
+        total = with_d2.agg(F.sum("d2").alias("_sum_d2"))
+        u = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("vec_id"), F.lit(r))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 32))
+        )
+        sampled = (
+            with_d2.crossJoin(F.broadcast(total))
+            .filter(
+                (F.col("_sum_d2") > 0)
+                & (u < F.lit(float(ell)) * F.col("d2") / F.col("_sum_d2"))
+            )
+            .select("vec_id", "vec")
+        )
+        cand = (
+            cand.select("vec_id", "vec")
+            .unionByName(sampled)
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint(eager=True)
+        )
+    # weight candidates by how much of the corpus they claim, keep top-k
+    cvote = (
+        corpus.crossJoin(
+            F.broadcast(
+                cand.select(F.col("vec_id").alias("cand_id"), F.col("vec").alias("c_vec"))
+            )
+        )
+        .select(
+            "vec_id",
+            "cand_id",
+            r6(
+                dot(F.col("vec"), F.col("vec"))
+                - 2 * dot(F.col("vec"), F.col("c_vec"))
+                + dot(F.col("c_vec"), F.col("c_vec"))
+            ).alias("d2"),
+        )
+    )
+    w_near = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cand_id").asc())
+    weights = (
+        cvote.withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") == 1)
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    w_rank = Window.orderBy(F.col("weight").desc(), F.col("cand_id").asc())
+    topk = (
+        weights.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k)
+        .select("cand_id", (F.col("rk") - 1).alias("c_id"))
+    )
+    return (
+        cand.join(topk, cand.vec_id == topk.cand_id)
+        .select(F.col("c_id").cast("long").alias("c_id"), F.col("vec").alias("c_vec"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def kmeans_embeddings(
-    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 2,
+    init: str = "first_k",
 ) -> DataFrame:
     """Distributed Lloyd k-means: ``n_iter`` assign/re-estimate rounds
-    from a deterministic init (first k vectors), returning the final
-    per-vector assignment (vec_id, cluster, d2).
+    returning the final per-vector assignment (vec_id, cluster, d2).
+
+    ``init='first_k'`` (default) seeds from the first k corpus vectors
+    — deterministic and exactly mirrored by the DuckDB oracle twin.
+    ``init='kmeans||'`` seeds via deterministic k-means|| sampling —
+    the scale path for large k (better spread, fewer empty clusters).
+
+    Centroids are localCheckpointed each iteration (k rows — trivial
+    to materialize) so plan depth stays CONSTANT in n_iter: without
+    truncation the lineage grows by one join+aggregate layer per
+    round and n_iter=20 plans/retries blow up analysis time.
 
     This also upgrades ``ann_ivf_topk``'s centroid stand-in: feed
     ``_recompute`` output in as the IVF cell table for a trained
@@ -73,12 +181,15 @@ def kmeans_embeddings(
     """
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    cents = corpus.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
+    if init == "kmeans||":
+        cents = _kmeans_parallel_init(corpus, k)
+    else:
+        cents = corpus.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+        )
     assigned = _assign(corpus, cents)
     for _ in range(n_iter - 1):
-        cents = _recompute(assigned)
+        cents = _recompute(assigned).localCheckpoint(eager=True)
         assigned = _assign(corpus, cents)
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"), "d2")
 

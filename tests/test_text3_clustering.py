@@ -129,3 +129,35 @@ def test_scd2_intervals_well_formed(spark):
         .count()
     )
     assert adj == 0
+
+
+def test_kmeans_flat_plan_depth(spark):
+    """Per-iteration localCheckpoint keeps plan size CONSTANT in
+    n_iter — n_iter=8 must not produce a (much) bigger plan than
+    n_iter=2, or 20-iteration runs blow up analysis/retry cost."""
+    p2 = clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=2)._jdf.queryExecution().analyzed().toString()
+    p8 = clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=8)._jdf.queryExecution().analyzed().toString()
+    assert len(p8) < 2 * len(p2), (len(p2), len(p8))
+
+
+def test_kmeans_parallel_init(spark):
+    """k-means|| seeding: k distinct centroid ids, full corpus
+    coverage, and distortion no worse than 3x the first-k init (it is
+    usually better; the bound just guards against a broken sampler)."""
+    from pyspark.sql import functions as F
+
+    res = clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=2, init="kmeans||")
+    n_corpus = res.count()
+    assert n_corpus == clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=2).count()
+    assert res.select("cluster").distinct().count() == 8
+    # deterministic: same call twice gives identical assignments
+    again = clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=2, init="kmeans||")
+    assert res.exceptAll(again).count() == 0
+
+    d_pp = res.agg(F.sum("d2")).collect()[0][0]
+    d_fk = (
+        clustering.kmeans_embeddings(spark, SF_DIR, k=8, n_iter=2)
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+    assert d_pp <= 3 * d_fk, (d_pp, d_fk)
