@@ -53,22 +53,59 @@ def _spark(app_name: str):
     return get_spark(app_name=app_name)
 
 
-def run_ingest(config: str, data_dir: str, input_path: str, run_id: str | None = None) -> list[str]:
-    """Local JSONL -> bronze layout (PR exclusion + created_from
-    filter applied at ingest, like reference ingest.py:112-119)."""
+def run_ingest(
+    config: str,
+    data_dir: str,
+    input_path: str | None = None,
+    run_id: str | None = None,
+    source: str = "local",
+    session=None,
+) -> list[str]:
+    """Bronze ingestion, two sources:
+
+    - ``local`` (default): normalize a local issues JSONL file into
+      the bronze layout (PR exclusion + created_from filter applied
+      on read, like reference ingest.py:112-119);
+    - ``api``: page the live GitHub issues endpoint (reference
+      ingest.py:45-126: Link-header cursor, bearer token from
+      $GITHUB_TOKEN or config, server-side ``since``, client-side
+      ``created_from``, 422 clean-stop, PR exclusion) into the same
+      bronze JSONL contract. ``session`` injects the HTTP client for
+      tests; default is a real requests.Session.
+    """
     from .sources.readers import read_jsonl_issues
 
     cfg = _load_cfg(config)
-    created_from = (cfg.get("source") or {}).get("created_from")
+    src_cfg = cfg.get("source") or {}
+    ing_cfg = cfg.get("ingestion") or {}
+    created_from = src_cfg.get("created_from")
     run_id = run_id or time.strftime("%Y%m%dT%H%M%S")
     spark = _spark("ingest")
     out_paths = []
     for owner, repo in _repos(cfg):
-        raw = spark.read.text(input_path)
         out = os.path.join(data_dir, "bronze", f"{owner}__{repo}", f"issues_{run_id}.jsonl")
-        # bronze stays RAW lines (reference appends the API pages
-        # verbatim); validation happens on read in the silver step
-        raw.write.mode("overwrite").text(out)
+        if source == "api":
+            from .sources import api_ingest
+
+            sess = session if session is not None else api_ingest.default_session()
+            n_raw = api_ingest.fetch_issues_jsonl(
+                sess,
+                owner,
+                repo,
+                out,
+                token=os.getenv("GITHUB_TOKEN") or src_cfg.get("token"),
+                per_page=int(ing_cfg.get("per_page", 100)),
+                since=ing_cfg.get("full_since"),
+                created_from=created_from,
+            )
+            print(f"[ingest] {owner}/{repo}: API wrote {out} ({n_raw} issues, PRs excluded)")
+        else:
+            if not input_path:
+                raise ValueError("local ingest requires --input <issues.jsonl>")
+            raw = spark.read.text(input_path)
+            # bronze stays RAW lines (reference appends the API pages
+            # verbatim); validation happens on read in the silver step
+            raw.write.mode("overwrite").text(out)
         n = read_jsonl_issues(spark, out, created_from=created_from).count()
         print(f"[ingest] {owner}/{repo}: wrote {out} ({n} issues after filters)")
         out_paths.append(out)
@@ -285,6 +322,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--config", default="config.yml")
     parser.add_argument("--data-dir", default=os.getenv("DATA_DIR", "./data"))
     parser.add_argument("--input", help="ingest: local issues JSONL path")
+    parser.add_argument(
+        "--source",
+        choices=["local", "api"],
+        default="local",
+        help="ingest: 'local' JSONL file or live GitHub 'api'",
+    )
     parser.add_argument("--run-id", help="ingest: bronze run id (default: timestamp)")
     parser.add_argument("--approx", action="store_true", help="gold: approximate percentiles")
     parser.add_argument("--sf-dir", default=os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
@@ -294,9 +337,9 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     if args.command == "ingest":
-        if not args.input:
-            parser.error("ingest requires --input <issues.jsonl>")
-        run_ingest(args.config, args.data_dir, args.input, args.run_id)
+        if args.source == "local" and not args.input:
+            parser.error("ingest --source local requires --input <issues.jsonl>")
+        run_ingest(args.config, args.data_dir, args.input, args.run_id, source=args.source)
     elif args.command == "silver":
         run_silver(args.config, args.data_dir)
     elif args.command == "gold":
