@@ -147,3 +147,54 @@ def synth_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
 def silver_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full silver table over the synthesized issues."""
     return enrich_issues(synth_issues(spark, sf_dir))
+
+
+def synth_bronze_jsonl(spark: SparkSession, sf_dir: str, out_path: str) -> int:
+    """Write a GitHub-API-shaped bronze JSONL batch synthesized from
+    the testdata — the demo/sample input for the CLI pipeline.
+
+    Unlike the raw ``synth_issues`` mapping (whose timestamps come
+    from independent TPC-H-ish columns and may be inconsistent), the
+    demo payload enforces the real-world invariant a GitHub issue
+    always satisfies: ``closed_at >= created_at`` (and ``updated_at``
+    likewise) — clamped via ``greatest`` BEFORE serialization, so
+    downstream marts never show negative resolution hours. Returns
+    rows written. Demo-scale: collects to the driver (sf0.001-sized
+    input by design)."""
+    import json
+
+    clamped = synth_issues(spark, sf_dir).select(
+        "issue_id",
+        "issue_number",
+        "title",
+        "body",
+        "state",
+        "created_at",
+        F.greatest("updated_at", "created_at").alias("updated_at"),
+        F.when(
+            F.col("closed_at").isNotNull(),
+            F.greatest("closed_at", "created_at"),
+        ).alias("closed_at"),
+        "labels",
+    )
+
+    def iso(d):
+        return None if d is None else f"{d.strftime('%Y-%m-%d')}T00:00:00Z"
+
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as f:
+        for r in clamped.toLocalIterator():
+            item = {
+                "id": r.issue_id,
+                "number": r.issue_number,
+                "state": r.state,
+                "title": r.title,
+                "body": r.body,
+                "created_at": iso(r.created_at),
+                "updated_at": iso(r.updated_at),
+                "closed_at": iso(r.closed_at),
+                "labels": [{"name": x} for x in (r.labels or [])],
+            }
+            f.write(json.dumps(item, ensure_ascii=False) + "\n")
+            n += 1
+    return n

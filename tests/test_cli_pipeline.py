@@ -289,3 +289,40 @@ def test_corpus_build_end_to_end(spark, tmp_path):
         F.coalesce("n", F.lit(0)).alias("n")
     )
     assert survived.filter(F.col("n") != 1).count() == 0
+
+
+def test_demo_bronze_clamps_resolution_hours(tmp_path, spark):
+    """The demo bronze synthesizer enforces closed_at >= created_at,
+    so every gold resolution-hour metric is non-negative (the shipped
+    docs/data CSVs are produced by this exact path)."""
+    import csv
+    import json
+
+    from github_issues_lakehouse_spark.cli import run_gold, run_ingest, run_silver
+    from github_issues_lakehouse_spark.operators.silver import synth_bronze_jsonl
+
+    # no created_from: the sf0.001-derived issues are 1990s-dated
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        "source:\n  repos:\n    - {owner: demo, repo: issues}\n", encoding="utf-8"
+    )
+    config_path = str(cfg)
+    jsonl = str(tmp_path / "issues.jsonl")
+    n = synth_bronze_jsonl(spark, "/root/testdata/sf0.001", jsonl)
+    assert n > 0
+    for line in open(jsonl):
+        it = json.loads(line)
+        if it["closed_at"] is not None:
+            assert it["closed_at"] >= it["created_at"]
+        assert it["updated_at"] >= it["created_at"]
+
+    data_dir = str(tmp_path / "data")
+    run_ingest(config_path, data_dir, jsonl, run_id="demo")
+    run_silver(config_path, data_dir)
+    run_gold(config_path, data_dir)
+    csv_path = f"{data_dir}/gold/demo__issues/kpi_monthly_global.csv"
+    rows = list(csv.DictReader(open(csv_path)))
+    assert rows
+    cols = ("avg_resolution_hours", "median_resolution_hours", "p90_resolution_hours")
+    bad = [r for r in rows if any(r[c] and float(r[c]) < 0 for c in cols)]
+    assert bad == []
