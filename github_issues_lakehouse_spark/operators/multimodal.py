@@ -1,11 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decoded via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode kernel is
-a STUB (deterministic fake measurements keyed on payload bytes) —
-but the Spark-side contract is real: schema, batch iteration, column
-pruning, partition sizing. Swapping the stub for PIL/ffmpeg is a
-one-function change that does not touch the plan shape.
+Decode is tiered per payload, inside the same kernel/plan:
+
+1. REAL, stdlib-only: PNG/GIF/JPEG dimensions parsed from the
+   container headers; WAV sample rate/duration/PCM16 RMS via the
+   ``wave`` module. No third-party dependency.
+2. REAL, optional libs: payloads the header parsers don't recognize
+   fall through to PIL / soundfile when importable (gated with
+   import-try — this sandbox has neither).
+3. STUB fallback: anything undecodable gets deterministic fake
+   measurements keyed on md5(payload) — which is also what the
+   synthetic test corpus (text bytes, no media magic) exercises, so
+   the DuckDB oracle twin stays exact.
+
+The Spark-side contract — schema, Arrow batching, column pruning,
+1-to-N expansion — is identical across tiers; feeding real media
+bytes upgrades the output without touching the plan.
 """
 
 from __future__ import annotations
@@ -91,8 +102,55 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
     # whole kernel by value.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
+        import struct
 
         import pandas as _pd
+
+        def image_dims(payload):
+            """Real container-header decode: PNG / GIF / JPEG via
+            stdlib; any other format via PIL when importable."""
+            if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+                return struct.unpack(">II", payload[16:24])
+            if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+                return struct.unpack("<HH", payload[6:10])
+            if payload[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(payload) and payload[i] == 0xFF:
+                    marker = payload[i + 1]
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                        i += 2
+                        continue
+                    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                        w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                        return w, h
+                    i += 2 + seglen
+                return None
+            try:
+                from PIL import Image
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    return im.size
+            except Exception:
+                return None
+
+        def audio_duration(payload):
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                try:
+                    import wave
+
+                    with wave.open(io.BytesIO(payload)) as w:
+                        return round(w.getnframes() / float(w.getframerate()), 1)
+                except Exception:
+                    return None
+            try:
+                import soundfile as sf
+
+                return round(float(sf.info(io.BytesIO(payload)).duration), 1)
+            except Exception:
+                return None
 
         def decode_stub(payload, kind):
             h = hashlib.md5(payload or b"").digest()
@@ -101,10 +159,22 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
             duration = round((h[2] % 600) / 10.0, 1) if kind in ("audio", "video") else 0.0
             return width, height, duration
 
+        def decode(payload, kind):
+            payload = bytes(payload or b"")
+            if kind == "image":
+                dims = image_dims(payload)
+                if dims is not None:
+                    return int(dims[0]), int(dims[1]), 0.0
+            elif kind in ("audio", "video"):
+                dur = audio_duration(payload)
+                if dur is not None:
+                    return 0, 0, dur
+            return decode_stub(payload, kind)
+
         for pdf in batches:
             rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                w, h, dur = decode_stub(payload, kind)
+                w, h, dur = decode(payload, kind)
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -180,7 +250,12 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def audio_features(spark: SparkSession, sf_dir: str, window_s: int = 30) -> DataFrame:
+def audio_features(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = 30,
+    media: DataFrame | None = None,
+) -> DataFrame:
     """Audio decode + windowed feature extraction plumbing: per audio
     payload, stub-decode (sample_rate, duration), then expand into
     ``window_s``-second analysis windows with a per-window feature
@@ -188,16 +263,63 @@ def audio_features(spark: SparkSession, sf_dir: str, window_s: int = 30) -> Data
     pipeline feeds its models. A real deployment swaps the md5 stub
     for soundfile/librosa frames; schema and batching are unchanged.
 
-    Kernel is self-contained (foreign-cwd drivers can run it); every
-    output derives from md5(payload) so the SQL oracle reproduces it.
+    Kernel is self-contained (foreign-cwd drivers can run it); on the
+    synthetic corpus every output derives from md5(payload) so the SQL
+    oracle reproduces it; real RIFF/WAVE payloads (pass ``media``) get
+    true rate/duration and per-window PCM16 RMS via stdlib ``wave``.
     """
-    media = synth_media(spark, sf_dir).filter(F.col("kind") == "audio")
+    if media is None:
+        media = synth_media(spark, sf_dir).filter(F.col("kind") == "audio")
     pruned = media.select("media_id", "payload")
 
     def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
         import pandas as _pd
+
+        def wav_windows(payload):
+            """Real decode for RIFF/WAVE payloads: (rate, duration,
+            per-window PCM16 RMS list) via the stdlib wave module —
+            None for anything else (falls to soundfile, then stub)."""
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                return None
+            try:
+                import array
+                import math
+                import wave
+
+                with wave.open(io.BytesIO(payload)) as w:
+                    rate, n, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+                    nch = w.getnchannels()
+                    duration = round(n / float(rate), 1)
+                    rms = None
+                    if width == 2:
+                        samples = array.array("h")
+                        samples.frombytes(w.readframes(n))
+                        per_win = rate * window_s * nch
+                        rms = []
+                        for s in range(0, len(samples), per_win):
+                            chunk = samples[s : s + per_win]
+                            if chunk:
+                                acc = 0
+                                for v in chunk:
+                                    acc += v * v
+                                rms.append(
+                                    round(math.sqrt(acc / len(chunk)) / 32768.0, 6)
+                                )
+                    return rate, duration, rms
+            except Exception:
+                return None
+
+        def sf_info(payload):
+            try:
+                import soundfile as sf
+
+                info = sf.info(io.BytesIO(payload))
+                return int(info.samplerate), round(float(info.duration), 1), None
+            except Exception:
+                return None
 
         rates = [8000, 16000, 22050, 44100]
         cols = ["media_id", "sample_rate", "duration_s", "window_idx",
@@ -206,11 +328,17 @@ def audio_features(spark: SparkSession, sf_dir: str, window_s: int = 30) -> Data
             out = {c: [] for c in cols}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload or b"")
-                h = hashlib.md5(payload).digest()
-                rate = rates[h[3] % 4]
-                d10 = h[2] % 600
-                duration = round(d10 / 10.0, 1)
-                n_windows = d10 // (10 * window_s) + 1
+                real = wav_windows(payload) or sf_info(payload)
+                if real is not None:
+                    rate, duration, rms = real
+                    n_windows = max(1, -(-int(duration * 10) // (10 * window_s)))
+                else:
+                    h = hashlib.md5(payload).digest()
+                    rate = rates[h[3] % 4]
+                    d10 = h[2] % 600
+                    duration = round(d10 / 10.0, 1)
+                    n_windows = d10 // (10 * window_s) + 1
+                    rms = None
                 for i in range(n_windows):
                     wh = hashlib.md5(payload + f":w:{i}".encode()).hexdigest()
                     out["media_id"].append(int(media_id))
@@ -219,7 +347,11 @@ def audio_features(spark: SparkSession, sf_dir: str, window_s: int = 30) -> Data
                     out["window_idx"].append(i)
                     out["t_start_s"].append(float(i * window_s))
                     out["window_hash"].append(wh)
-                    out["rms_proxy"].append(round(int(wh[:8], 16) / 4294967295.0, 6))
+                    out["rms_proxy"].append(
+                        rms[i]
+                        if rms is not None and i < len(rms)
+                        else round(int(wh[:8], 16) / 4294967295.0, 6)
+                    )
             yield _pd.DataFrame(out)
 
     return pruned.mapInPandas(window_batches, schema=AUDIO_SCHEMA)
