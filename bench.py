@@ -66,6 +66,11 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "revenue_concentration",
     "event_path_match",
+    # added in r3: the remaining heavy C-tail composites (VERDICT r2
+    # task 8) so their regressions are catchable
+    "neardup_keep_best",
+    "cross_source_overlap",
+    "label_separability",
 ]
 
 
