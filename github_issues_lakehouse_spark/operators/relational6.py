@@ -548,3 +548,42 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             band("monetary", "m").cast("long").alias("m_score"),
         )
     )
+
+
+def event_dedup_windowed(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Burst-throttle dedup — the BATCH twin of the streaming
+    dedup-within-watermark capability (streaming/ops.py stream_dedup):
+    within each (user, event_type) stream, an event starts a new
+    burst when it arrives more than ``window_minutes`` after the
+    previous event; only the burst's FIRST event is kept. This is the
+    exact chain semantics of a throttled emitter (not a naive
+    lag-filter, which re-admits every other event of a dense run).
+
+    Plan: one shuffle on (user_id, event_type); the burst id is the
+    classic gap-sessionization running sum over the same window
+    order, and kept = first row per burst via the burst-start flag
+    itself (no second window pass needed).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_burst = (
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > window_minutes * 60 * 1_000_000
+        )
+    ).cast("int")
+    with_flag = e.select("event_id", "user_id", "event_type", "ts", new_burst.alias("nb"))
+    burst_id = F.sum("nb").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_flag.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        burst_id.cast("long").alias("burst_id"),
+        (F.col("nb") == 1).alias("is_kept"),
+    )

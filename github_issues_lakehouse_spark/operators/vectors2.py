@@ -170,3 +170,44 @@ def label_separability(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataF
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", F.round(F.sqrt(d2), 6).alias("centroid_dist"))
     )
+
+
+def embedding_covariance(
+    spark: SparkSession, sf_dir: str, dim: int = 8
+) -> DataFrame:
+    """Covariance matrix of the first ``dim`` embedding dimensions
+    (upper triangle incl. diagonal — dim*(dim+1)/2 rows): the
+    redundancy/anisotropy diagnostic an embedding pipeline checks
+    before PCA-whitening or dimension pruning (near-zero variance
+    dims and highly correlated pairs are wasted index bytes).
+
+    One corpus pass: every E[xi*xj] moment is a conditional avg in
+    the SAME aggregate (map-side combinable, k(k+1)/2 + k running
+    sums per task), then covariances assemble on the 1-row result —
+    no per-pair scans, no shuffle beyond the single global aggregate.
+    At full 100 TB width (dim=64 -> 2080 moments) the same plan
+    holds; memory per task stays a few KB of accumulators.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    x = [F.element_at(v, i + 1) for i in range(dim)]
+    aggs = [F.avg(x[i]).alias(f"m{i}") for i in range(dim)]
+    aggs += [
+        F.avg(x[i] * x[j]).alias(f"p{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    moments = e.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).cast("int").alias("dim_i"),
+            F.lit(j).cast("int").alias("dim_j"),
+            F.round(F.col(f"p{i}_{j}") - F.col(f"m{i}") * F.col(f"m{j}"), 6).alias("cov"),
+        )
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    return (
+        moments.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.dim_i", "r.dim_j", "r.cov")
+    )

@@ -33,6 +33,7 @@ from .operators import (
     text2,
     text3,
     text4,
+    text5,
     vectors2 as V2,
 )
 
@@ -406,6 +407,13 @@ _DRIVER_PRIORITY_R3 = [
     "modality_qa_join",
     "char_class_stats",
     "kfold_assignment",
+    # new in r3 (also unevidenced, but behind the older backlog)
+    "gopher_quality_rules",
+    "doc_entropy",
+    "zipf_slope",
+    "term_source_association",
+    "embedding_covariance",
+    "event_dedup_windowed",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -518,6 +526,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-quality expectations mart (Delta-constraint / dbt-test
         # analogue): shared-scan rule counters + FK orphan joins
         "dq_violations": QC.dq_violations,
+        # C-suite additions (r3): Gopher filter rules, information-
+        # theoretic corpus diagnostics, PMI feature selection,
+        # embedding covariance, batch twin of streaming dedup
+        "gopher_quality_rules": text5.gopher_quality_rules,
+        "doc_entropy": text5.doc_entropy,
+        "zipf_slope": text5.zipf_slope,
+        "term_source_association": text5.term_source_association,
+        "embedding_covariance": V2.embedding_covariance,
+        "event_dedup_windowed": R6.event_dedup_windowed,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1606,6 +1623,12 @@ FROM top
         "cross_source_overlap": _cross_source_overlap_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "ttr_stats": _ttr_oracle(),
+        "gopher_quality_rules": _gopher_oracle(),
+        "doc_entropy": _doc_entropy_oracle(),
+        "zipf_slope": _zipf_oracle(),
+        "term_source_association": _term_source_assoc_oracle(),
+        "embedding_covariance": _embedding_cov_oracle(),
+        "event_dedup_windowed": _event_dedup_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2119,6 +2142,159 @@ FROM ranked WHERE rank <= {k}
 
 def _norm_toks_sql() -> str:
     return "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _gopher_oracle(
+    min_words: int = 10,
+    max_words: int = 10_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_sym: float = 0.1,
+    min_stop: float = 0.02,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, {_norm_toks_sql()} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+    len(toks) AS n_words,
+    list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1) AS mean_wl,
+    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+      / greatest(length(text), 1) AS sym_ratio,
+    len(list_intersect(list_distinct(toks),
+        ['the','a','of','to','and','in','is'])) / 7.0 AS stop_frac
+  FROM base
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(sym_ratio, 6) AS symbol_ratio,
+  round(stop_frac, 6) AS stopword_presence,
+  n_words BETWEEN {min_words} AND {max_words} AS pass_word_count,
+  mean_wl BETWEEN {min_mwl} AND {max_mwl} AS pass_word_length,
+  sym_ratio <= {max_sym} AS pass_symbol_ratio,
+  stop_frac >= {min_stop} AS pass_stopwords,
+  (n_words BETWEEN {min_words} AND {max_words})
+    AND (mean_wl BETWEEN {min_mwl} AND {max_mwl})
+    AND sym_ratio <= {max_sym} AND stop_frac >= {min_stop} AS keep
+FROM feat
+"""
+
+
+def _doc_entropy_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_norm_toks_sql()}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, source, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+), per AS (
+  SELECT doc_id, source, sum(tf) AS n_tokens,
+    sum(tf * log2(tf)) AS sum_flogf, count(*) AS n_distinct
+  FROM tf GROUP BY 1, 2
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  round(log2(n_tokens) - sum_flogf / n_tokens, 6) AS entropy_bits,
+  round((log2(n_tokens) - sum_flogf / n_tokens)
+        / log2(greatest(n_distinct, 2)), 6) AS entropy_norm
+FROM per
+"""
+
+
+def _zipf_oracle() -> str:
+    return f"""
+WITH tf AS (
+  SELECT source, term, count(*) AS freq FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS term FROM documents
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT source, log2(CAST(row_number() OVER
+      (PARTITION BY source ORDER BY freq DESC, term ASC) AS DOUBLE)) AS x,
+    log2(CAST(freq AS DOUBLE)) AS y
+  FROM tf
+), agg AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS zipf_intercept
+FROM agg ORDER BY source
+"""
+
+
+def _term_source_assoc_oracle(top_k: int = 3, min_df: int = 5) -> str:
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, source, term FROM (
+    SELECT doc_id, source, unnest(list_distinct({_norm_toks_sql()})) AS term
+    FROM documents
+  )
+), st AS (
+  SELECT source, term, count(*) AS df_st FROM dt GROUP BY 1, 2
+), t AS (
+  SELECT term, count(*) AS df_t FROM dt GROUP BY 1
+), s AS (
+  SELECT source, count(*) AS n_docs_s FROM documents GROUP BY 1
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT st.source, st.term, df_st, df_t,
+    round(log2((CAST(df_st AS DOUBLE) / n_docs_s)
+               / (CAST(df_t AS DOUBLE) / n_docs)), 6) AS pmi
+  FROM st JOIN t USING (term) JOIN s USING (source) CROSS JOIN nd
+  WHERE df_t >= {min_df}
+), rk AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY source ORDER BY pmi DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS INT) AS rank, term,
+  CAST(df_st AS BIGINT) AS df_in_source, CAST(df_t AS BIGINT) AS df_total, pmi
+FROM rk WHERE rk <= {top_k}
+"""
+
+
+def _embedding_cov_oracle(dim: int = 8) -> str:
+    moments = ",\n    ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE)) AS p{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    means = ",\n    ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS m{i}" for i in range(dim)
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, round(p{i}_{j} - m{i} * m{j}, 6) AS cov FROM mom"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    return f"""
+WITH mom AS (
+  SELECT {means},
+    {moments}
+  FROM embeddings
+)
+{rows}
+"""
+
+
+def _event_dedup_oracle(window_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT event_id, user_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {window_minutes} * 60 * 1000000
+         THEN 1 ELSE 0 END AS nb,
+    ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type,
+  CAST(sum(nb) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_id,
+  nb = 1 AS is_kept
+FROM flagged
+"""
 
 
 def _shingle_cte(n: int = 3) -> str:

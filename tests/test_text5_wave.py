@@ -1,0 +1,98 @@
+"""Round-3 operator wave: Gopher rules, entropy, Zipf, PMI
+association, embedding covariance, burst-throttle event dedup."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_issues_lakehouse_spark.operators import text5
+from github_issues_lakehouse_spark.operators.relational6 import event_dedup_windowed
+from github_issues_lakehouse_spark.operators.vectors2 import embedding_covariance
+
+from .conftest import SF_DIR
+
+
+def test_gopher_rules_verdict_is_conjunction(spark):
+    rows = text5.gopher_quality_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (
+            r.pass_word_count and r.pass_word_length
+            and r.pass_symbol_ratio and r.pass_stopwords
+        )
+    # the synthetic corpus is clean lowercase words: symbol rule all-pass
+    assert all(r.pass_symbol_ratio for r in rows)
+
+
+def test_doc_entropy_bounds(spark):
+    rows = text5.doc_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(n_distinct); normalized in [0, 1]
+        assert -1e-9 <= r.entropy_bits
+        assert r.entropy_norm <= 1.0 + 1e-9
+        assert r.n_distinct <= r.n_tokens
+
+
+def test_doc_entropy_extremes(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa", "en", "s", 15),
+         (2, "a b c d", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in text5.doc_entropy(spark, d).collect()}
+    assert rows[1].entropy_bits == 0.0          # one repeated token
+    assert rows[2].entropy_bits == 2.0          # 4 equiprobable tokens
+    assert rows[2].entropy_norm == 1.0
+
+
+def test_zipf_slope_negative(spark):
+    rows = text5.zipf_slope(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    # frequency decreases with rank by construction -> slope < 0
+    assert all(r.zipf_slope < 0 for r in rows)
+
+
+def test_term_source_association_topk(spark):
+    rows = text5.term_source_association(spark, SF_DIR, top_k=3).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert all(x.df_in_source <= x.df_total for x in rs)
+
+
+def test_embedding_covariance_psd_diagonal(spark):
+    rows = embedding_covariance(spark, SF_DIR, dim=4).collect()
+    assert len(rows) == 10  # 4*5/2 upper triangle
+    diag = {r.dim_i: r.cov for r in rows if r.dim_i == r.dim_j}
+    assert all(v >= 0 for v in diag.values())  # variances non-negative
+    for r in rows:  # |cov(i,j)| <= sqrt(var_i * var_j) (Cauchy-Schwarz)
+        bound = (diag[r.dim_i] * diag[r.dim_j]) ** 0.5
+        assert abs(r.cov) <= bound + 1e-6
+
+
+def test_event_dedup_burst_chain_semantics(spark, tmp_path):
+    """Throttle-chain: events at t=0,20,40,75 min with a 30-min window
+    form bursts {0,20,40} and {75} — a naive lag-filter would wrongly
+    re-admit t=40 (40-20=20<30 keeps it out, good) BUT would also
+    drop t=75 relative to nothing; the chain case that separates the
+    two is t=0,20,40: lag-filter drops 20 AND 40; burst logic drops
+    both but keeps them in burst 1 with only t=0 kept."""
+    d = str(tmp_path / "sf")
+    base = datetime.datetime(2020, 1, 1)
+
+    def ev(i, minutes, typ="click"):
+        return (i, base + datetime.timedelta(minutes=minutes), 7, typ, 1.0, "{}")
+
+    spark.createDataFrame(
+        [ev(1, 0), ev(2, 20), ev(3, 40), ev(4, 75), ev(5, 0, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    rows = {r.event_id: r for r in event_dedup_windowed(spark, d, 30).collect()}
+    assert [rows[i].burst_id for i in (1, 2, 3, 4)] == [1, 1, 1, 2]
+    assert [rows[i].is_kept for i in (1, 2, 3, 4)] == [True, False, False, True]
+    assert rows[5].is_kept  # independent (user, type) stream
