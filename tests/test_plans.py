@@ -167,3 +167,22 @@ def test_plan_token_shards_single_scan(spark):
     import re
 
     assert len(re.findall(r"FileScan parquet", final)) == 1
+
+
+def test_r3_wave_shuffle_budgets(spark):
+    """Round-3 operators: pinned data-motion passes.
+    gopher = map-only (0 exchanges beyond the final agg-free scan);
+    doc_entropy = 1 (both aggregates share the doc_id grouping);
+    event_dedup = 1 (both windows share the (user, type) sort);
+    embedding_covariance = 1 (single global partial+final aggregate);
+    zipf = 2 (per-source-term agg, then source window rides a
+    re-partition) plus the final 1-row fold."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["gopher_quality_rules"](spark, SF_DIR)) == 0
+    assert _shuffle_count(qs["doc_entropy"](spark, SF_DIR)) <= 2
+    assert _shuffle_count(qs["event_dedup_windowed"](spark, SF_DIR)) == 1
+    assert _shuffle_count(qs["embedding_covariance"](spark, SF_DIR)) == 1
+    assert _shuffle_count(qs["zipf_slope"](spark, SF_DIR)) <= 3
+    assert _shuffle_count(qs["term_source_association"](spark, SF_DIR)) <= 4
