@@ -1,0 +1,165 @@
+"""Deterministic sketch operators — the mergeable-summary family a
+100 TB engine runs when exact answers are too expensive to keep
+per-partition: KMV (k-minimum-values) distinct-count sketches and
+Count-Min frequency sketches, each with a same-pass exact readout so
+the sketch error is MEASURED, not assumed.
+
+Both sketches are md5-keyed, so they are deterministic across
+engines, runs, and partitionings — the DuckDB oracle reproduces every
+estimate bit-for-bit (unlike HLL/approx_count_distinct, whose
+registers are engine-internal). Scale notes per operator; the common
+property is that the sketch state is O(k) / O(width*depth) per group
+and merges associatively (min-of-mins / cell-wise sums), so a
+map-side combine carries a bounded accumulator regardless of input
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import norm_tokens
+from ..sources.registry import load_table
+from .relational import r6
+
+# md5 prefix -> uniform in [0, 1): 15 hex chars = 60 bits, exact in a
+# BIGINT and far beyond the 6dp rounding downstream.
+_HASH_SPAN = float(1 << 60)
+
+
+def _u01(col):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+        / F.lit(_HASH_SPAN)
+    )
+
+
+def kmv_distinct_terms(
+    spark: SparkSession, sf_dir: str, k: int = 64
+) -> DataFrame:
+    """KMV distinct-count sketch per source (Bar-Yossef et al. 2002):
+    hash every distinct term to [0,1); the k-th smallest hash U_k
+    yields the estimate (k-1)/U_k. One row per source with the
+    estimate, the exact distinct count, and the relative error.
+
+    Plan: one explode scan -> distinct (source, term) -> per-source
+    window takes the k smallest hashes (the same shuffle also feeds
+    the exact count — shared exchange). At 100 TB the sketch is the
+    point: the k-hash state is mergeable bottom-up (keep k smallest
+    of a union), so a map-side combine holds k values per source per
+    task while the EXACT count would need the full distinct shuffle;
+    the exact column here is the calibration readout the small-SF
+    gate checks the estimator against.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .withColumn("h", _u01(F.concat(F.col("term"), F.lit("#kmv"))))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
+    ranked = terms.withColumn("rk", F.row_number().over(w))
+    per_source = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("u_k"),
+    )
+    est = F.when(
+        F.col("u_k").isNotNull(), F.floor(F.lit(float(k - 1)) / F.col("u_k"))
+    ).otherwise(F.col("n_exact"))
+    return per_source.select(
+        "source",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        est.cast("long").alias("n_estimated"),
+        r6(F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_error"),
+    ).orderBy("source")
+
+
+def cms_term_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = 256,
+    depth: int = 3,
+    top_n: int = 10,
+) -> DataFrame:
+    """Count-Min sketch readout (Cormode & Muthukrishnan 2005): build
+    a depth x width CMS of global term frequencies, then read the
+    exact top-``top_n`` terms back out of it. Output per term: exact
+    count, CMS estimate (min over the depth rows), overcount. CMS
+    never undercounts, so ``overcount >= 0`` is a structural
+    invariant the test asserts.
+
+    Plan: ONE explode scan feeds both sides — the depth*width cell
+    table (explode each token into its ``depth`` (row, bucket) cells,
+    one groupBy; cells are map-side combinable and the whole sketch
+    is depth*width longs) and the exact per-term counts whose top-n
+    is the probe set. The probe join is broadcast (top_n rows x depth
+    cells). At 100 TB the cell aggregate is the only full-data pass
+    and its output is a constant-size table — the sketch one keeps,
+    shipping per batch, instead of a billion-row term table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(norm_tokens(F.col("text"))).alias("term"))
+
+    def bucket(row: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#cms{row}"))), 1, 15),
+            16,
+            10,
+        ).cast("decimal(20,0)").cast("long")
+        return F.pmod(h, F.lit(width))
+
+    cells = (
+        toks.select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("row"),
+                            bucket(r).cast("long").alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("term").asc())
+    probes = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            "term",
+            "n_exact",
+            F.col("rk").cast("int").alias("rank"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("row"),
+                            bucket(r).cast("long").alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("term", "n_exact", "rank", F.col("cell.row").alias("row"), F.col("cell.b").alias("b"))
+    )
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["row", "b"])
+        .groupBy("term", "n_exact", "rank")
+        .agg(F.min("cell_count").alias("n_cms"))
+    )
+    return est.select(
+        "rank",
+        "term",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_cms").cast("long").alias("n_cms"),
+        (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
+    ).orderBy("rank")

@@ -29,6 +29,7 @@ from .operators import (
     scale,
     silver,
     similarity,
+    sketches,
     text,
     text2,
     text3,
@@ -414,6 +415,8 @@ _DRIVER_PRIORITY_R3 = [
     "term_source_association",
     "embedding_covariance",
     "event_dedup_windowed",
+    "kmv_distinct_terms",
+    "cms_term_counts",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -535,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_source_association": text5.term_source_association,
         "embedding_covariance": V2.embedding_covariance,
         "event_dedup_windowed": R6.event_dedup_windowed,
+        "kmv_distinct_terms": sketches.kmv_distinct_terms,
+        "cms_term_counts": sketches.cms_term_counts,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1629,6 +1634,8 @@ FROM top
         "term_source_association": _term_source_assoc_oracle(),
         "embedding_covariance": _embedding_cov_oracle(),
         "event_dedup_windowed": _event_dedup_oracle(),
+        "kmv_distinct_terms": _kmv_oracle(),
+        "cms_term_counts": _cms_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2275,6 +2282,70 @@ WITH mom AS (
   FROM embeddings
 )
 {rows}
+"""
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    span = float(1 << 60)
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS term FROM documents
+  )
+), hashed AS (
+  SELECT source, term,
+    CAST(concat('0x', substr(md5(term || '#kmv'), 1, 15)) AS BIGINT) / {span} AS h
+  FROM terms
+), ranked AS (
+  SELECT source, term, h,
+    row_number() OVER (PARTITION BY source ORDER BY h ASC, term ASC) AS rk
+  FROM hashed
+), per AS (
+  SELECT source, count(*) AS n_exact,
+    max(CASE WHEN rk = {k} THEN h END) AS u_k
+  FROM ranked GROUP BY 1
+), est AS (
+  SELECT source, n_exact,
+    CASE WHEN u_k IS NOT NULL THEN floor({k - 1}.0 / u_k) ELSE n_exact END AS e
+  FROM per
+)
+SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(e AS BIGINT) AS n_estimated,
+  round(abs(e - n_exact) / n_exact, 6) AS rel_error
+FROM est ORDER BY source
+"""
+
+
+def _cms_oracle(width: int = 256, depth: int = 3, top_n: int = 10) -> str:
+    rows_values = ", ".join(f"({r})" for r in range(depth))
+    b_expr = (
+        "CAST(concat('0x', substr(md5(term || '#cms' || CAST(r.row AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {width}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_norm_toks_sql()}) AS term FROM documents
+), cells AS (
+  SELECT row, b, count(*) AS cell_count FROM (
+    SELECT r.row AS row, {b_expr} AS b
+    FROM toks CROSS JOIN (VALUES {rows_values}) r(row)
+  ) GROUP BY 1, 2
+), exact AS (
+  SELECT term, count(*) AS n_exact FROM toks GROUP BY 1
+), topn AS (
+  SELECT term, n_exact,
+    row_number() OVER (ORDER BY n_exact DESC, term ASC) AS rank
+  FROM exact QUALIFY rank <= {top_n}
+), probes AS (
+  SELECT term, n_exact, rank, r.row AS row, {b_expr} AS b
+  FROM topn CROSS JOIN (VALUES {rows_values}) r(row)
+)
+SELECT rank AS rank, probes.term AS term,
+  CAST(probes.n_exact AS BIGINT) AS n_exact,
+  CAST(min(cell_count) AS BIGINT) AS n_cms,
+  CAST(min(cell_count) - probes.n_exact AS BIGINT) AS overcount
+FROM probes JOIN cells USING (row, b)
+GROUP BY probes.rank, probes.term, probes.n_exact ORDER BY rank
 """
 
 

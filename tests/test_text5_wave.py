@@ -96,3 +96,39 @@ def test_event_dedup_burst_chain_semantics(spark, tmp_path):
     assert [rows[i].burst_id for i in (1, 2, 3, 4)] == [1, 1, 1, 2]
     assert [rows[i].is_kept for i in (1, 2, 3, 4)] == [True, False, False, True]
     assert rows[5].is_kept  # independent (user, type) stream
+
+
+def test_kmv_sketch_estimate_quality(spark):
+    from github_issues_lakehouse_spark.operators.sketches import kmv_distinct_terms
+
+    rows = kmv_distinct_terms(spark, SF_DIR, k=64).collect()
+    assert rows
+    for r in rows:
+        assert r.n_estimated > 0
+        # KMV with k=64 has ~1/sqrt(62) ≈ 13% std error; 50% is the
+        # sanity rail, not the expected error
+        assert r.rel_error < 0.5, (r.source, r.n_exact, r.n_estimated)
+
+
+def test_kmv_small_group_exact(spark, tmp_path):
+    """Groups with fewer than k distinct terms fall back to the exact
+    count (u_k undefined) — zero error."""
+    from github_issues_lakehouse_spark.operators.sketches import kmv_distinct_terms
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "tiny", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = kmv_distinct_terms(spark, d, k=64).collect()[0]
+    assert (r.n_exact, r.n_estimated, r.rel_error) == (3, 3, 0.0)
+
+
+def test_cms_never_undercounts(spark):
+    from github_issues_lakehouse_spark.operators.sketches import cms_term_counts
+
+    rows = cms_term_counts(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.overcount >= 0 for r in rows)  # CMS structural invariant
+    assert all(r.n_cms >= r.n_exact for r in rows)
+    assert [r.rank for r in rows] == list(range(1, 11))
