@@ -1,0 +1,101 @@
+"""Iterative graph analytics as DataFrame plans.
+
+``pagerank_trade_graph`` is the third iterative-algorithm family in
+the engine (alongside k-means in clustering.py and connected
+components in dedup.py): weighted PageRank over the bipartite
+customer<->supplier trade graph, with full dangling-mass
+redistribution.
+
+Determinism contract (same idiom as k-means): edge weights are exact
+counts, ranks are rounded to 6dp after every iteration, so both
+engines walk identical rank sequences and the DuckDB oracle unrolls
+the same iterations as plain CTEs.
+
+Scale shape: the rank table is node-count-sized and each iteration does
+one shuffle (contribution groupBy on dst) plus a broadcast of the
+1-row dangling aggregate; ranks are localCheckpointed per iteration
+so plan depth stays constant in n_iter — the exact recipe Lloyd's
+loop uses. Edge construction is the only corpus-scale stage (one
+orders⋈lineitem aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def pagerank_trade_graph(
+    spark: SparkSession, sf_dir: str, n_iter: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Weighted PageRank over the customer<->supplier trade graph.
+
+    Nodes: every customer ('c:<key>') and supplier ('s:<key>').
+    Edges: both directions of each (customer, supplier) trade pair,
+    weighted by lineitem count — rank flows proportional to trade
+    volume. Nodes with no trades are dangling; their rank mass is
+    redistributed uniformly each iteration (standard PageRank
+    correction, so total rank is conserved at 1).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    trade = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    c_node = F.concat(F.lit("c:"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    edges = trade.select(c_node.alias("src"), s_node.alias("dst"), "w").unionByName(
+        trade.select(s_node.alias("src"), c_node.alias("dst"), "w")
+    )
+    nodes = (
+        customer.select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .unionByName(
+            supplier.select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+        )
+        .distinct()
+    )
+    n_nodes = nodes.count()  # graph dimension (scalar for the teleport term)
+
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    weighted = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    )
+
+    # the same double on both engines: identical literal, one division
+    teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
+    ranks = nodes.select("node", r6(F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                r6(
+                    teleport
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy("node")

@@ -18,6 +18,7 @@ from .operators import (
     dedup,
     dimensional,
     gold,
+    graph,
     multimodal,
     relational as R,
     relational2 as R2,
@@ -417,6 +418,7 @@ _DRIVER_PRIORITY_R3 = [
     "event_dedup_windowed",
     "kmv_distinct_terms",
     "cms_term_counts",
+    "pagerank_trade_graph",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -540,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dedup_windowed": R6.event_dedup_windowed,
         "kmv_distinct_terms": sketches.kmv_distinct_terms,
         "cms_term_counts": sketches.cms_term_counts,
+        "pagerank_trade_graph": graph.pagerank_trade_graph,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1636,6 +1639,7 @@ FROM top
         "event_dedup_windowed": _event_dedup_oracle(),
         "kmv_distinct_terms": _kmv_oracle(),
         "cms_term_counts": _cms_oracle(),
+        "pagerank_trade_graph": _pagerank_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2347,6 +2351,48 @@ SELECT rank AS rank, probes.term AS term,
 FROM probes JOIN cells USING (row, b)
 GROUP BY probes.rank, probes.term, probes.n_exact ORDER BY rank
 """
+
+
+def _pagerank_oracle(n_iter: int = 3, d: float = 0.85) -> str:
+    sql = f"""
+WITH trade AS (
+  SELECT o_custkey AS ck, l_suppkey AS sk, count(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT 'c:' || ck AS src, 's:' || sk AS dst, w FROM trade
+  UNION ALL SELECT 's:' || sk, 'c:' || ck, w FROM trade
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT 'c:' || c_custkey AS node FROM customer
+    UNION ALL SELECT 's:' || s_suppkey FROM supplier
+  )
+), nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+shares AS (
+  SELECT e.src, e.dst, e.w / o.ow AS share FROM edges e JOIN outw o ON e.src = o.src
+),
+r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes)"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+c{i} AS (
+  SELECT s.dst AS node, sum(p.rank * s.share) AS inflow
+  FROM shares s JOIN {prev} p ON s.src = p.node GROUP BY 1
+),
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dang FROM {prev}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+r{i} AS (
+  SELECT n.node,
+    round((1 - {d}) / (SELECT n FROM nn)
+      + {d} * (coalesce(c.inflow, 0) + (SELECT dang FROM d{i}) / (SELECT n FROM nn)),
+      6) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT node, rank FROM {prev} ORDER BY node"
 
 
 def _event_dedup_oracle(window_minutes: int = 30) -> str:

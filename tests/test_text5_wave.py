@@ -132,3 +132,19 @@ def test_cms_never_undercounts(spark):
     assert all(r.overcount >= 0 for r in rows)  # CMS structural invariant
     assert all(r.n_cms >= r.n_exact for r in rows)
     assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_pagerank_mass_conserved_and_ordered(spark):
+    from github_issues_lakehouse_spark.operators.graph import pagerank_trade_graph
+
+    rows = pagerank_trade_graph(spark, SF_DIR, n_iter=2).collect()
+    total = sum(r.rank for r in rows)
+    # teleport + damping + dangling redistribution conserve rank mass
+    assert abs(total - 1.0) < 1e-3, total
+    ranks = {r.node: r.rank for r in rows}
+    # suppliers aggregate many customers' trade -> every supplier should
+    # outrank the median customer
+    supp = [v for k, v in ranks.items() if k.startswith("s:")]
+    cust = sorted(v for k, v in ranks.items() if k.startswith("c:"))
+    median_cust = cust[len(cust) // 2]
+    assert min(supp) > median_cust
