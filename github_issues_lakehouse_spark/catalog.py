@@ -109,7 +109,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "split(norm_text(t), ' ')",
         "ws_token_count": "(t STRING) RETURNS INT RETURN size(ws_tokens(t))",
         "punct_ratio_f": "(t STRING) RETURNS DOUBLE RETURN "
-        "length(regexp_replace(t, '[^\\\\.\\\\,\\\;\\\\:\\\\!\\\\?]', ''))"
+        "length(regexp_replace(t, '[^\\\\.\\\\,\\\\;\\\\:\\\\!\\\\?]', ''))"
         " / greatest(length(t), 1)",
         "stopword_ratio_f": f"(t STRING) RETURNS DOUBLE RETURN "
         f"size(filter(ws_tokens(t), x -> array_contains(array({stop}), x)))"
