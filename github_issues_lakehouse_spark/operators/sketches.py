@@ -35,6 +35,30 @@ def _u01(col):
     )
 
 
+def kmv_term_hashes(docs: DataFrame) -> DataFrame:
+    """(source, term, h) for every distinct term per source — the raw
+    material of the KMV sketch. Mergeable: the union of two hash sets
+    deduped on (source, term) is the hash set of the union corpus."""
+    return (
+        docs.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .withColumn("h", _u01(F.concat(F.col("term"), F.lit("#kmv"))))
+    )
+
+
+def kmv_state(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Bounded KMV state: the k smallest (source, term, h) rows per
+    source. Merging two states = union -> dedup -> re-take k smallest
+    (associative, order-insensitive) — the streaming fold."""
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
+    return (
+        kmv_term_hashes(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "term", "h")
+    )
+
+
 def kmv_distinct_terms(
     spark: SparkSession, sf_dir: str, k: int = 64
 ) -> DataFrame:
@@ -53,11 +77,7 @@ def kmv_distinct_terms(
     gate checks the estimator against.
     """
     d = load_table(spark, sf_dir, "documents")
-    terms = (
-        d.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
-        .distinct()
-        .withColumn("h", _u01(F.concat(F.col("term"), F.lit("#kmv"))))
-    )
+    terms = kmv_term_hashes(d)
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
     ranked = terms.withColumn("rk", F.row_number().over(w))
     per_source = ranked.groupBy("source").agg(
@@ -73,6 +93,42 @@ def kmv_distinct_terms(
         est.cast("long").alias("n_estimated"),
         r6(F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_error"),
     ).orderBy("source")
+
+
+def _cms_bucket(row: int, width: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#cms{row}"))), 1, 15),
+        16,
+        10,
+    ).cast("decimal(20,0)").cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_cells(docs: DataFrame, width: int = 256, depth: int = 3) -> DataFrame:
+    """The Count-Min cell table (row, b, cell_count) over a document
+    set — depth*width rows, built in one map-side-combinable pass.
+    Purely ADDITIVE: merging two corpora's sketches is a cell-wise
+    sum, which is what makes CMS the streaming-fold frequency
+    structure."""
+    toks = docs.select(F.explode(norm_tokens(F.col("text"))).alias("term"))
+    return (
+        toks.select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("row"),
+                            _cms_bucket(r, width).cast("long").alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
 
 
 def cms_term_counts(
@@ -102,31 +158,9 @@ def cms_term_counts(
     toks = d.select(F.explode(norm_tokens(F.col("text"))).alias("term"))
 
     def bucket(row: int):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#cms{row}"))), 1, 15),
-            16,
-            10,
-        ).cast("decimal(20,0)").cast("long")
-        return F.pmod(h, F.lit(width))
+        return _cms_bucket(row, width)
 
-    cells = (
-        toks.select(
-            "term",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).cast("int").alias("row"),
-                            bucket(r).cast("long").alias("b"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("cell"),
-        )
-        .groupBy(F.col("cell.row").alias("row"), F.col("cell.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("cell_count"))
-    )
+    cells = cms_cells(d, width=width, depth=depth)
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
     w = Window.orderBy(F.col("n_exact").desc(), F.col("term").asc())
     probes = (

@@ -345,7 +345,7 @@ def read_mart(spark, path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(path, meta["version"]))
 
 
-def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
+def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str, merge=None) -> bool:
     """Fold one micro-batch into the stored mart, exactly once.
 
     foreachBatch is at-least-once: after a crash the last batch is
@@ -365,6 +365,11 @@ def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
     A crash at any point leaves ``_CURRENT`` referencing a complete
     version whose batch_id tells the replay where to resume. Returns
     True if the batch was applied, False if skipped as a replay.
+
+    ``merge(existing_or_None, batch_df) -> DataFrame`` customizes the
+    fold (default: the additive daily event mart); any associative
+    merge — additive counters, cell-wise sketch sums, k-min unions —
+    inherits the same exactly-once protocol.
     """
     import json
     import os
@@ -372,6 +377,7 @@ def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
 
     from ..operators.gold import merge_mart_increment
 
+    merge = merge or merge_mart_increment
     spark = batch_df.sparkSession
     os.makedirs(path, exist_ok=True)
     meta = _read_mart_meta(path)
@@ -380,7 +386,7 @@ def mart_fold_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
     existing = (
         spark.read.parquet(os.path.join(path, meta["version"])) if meta else None
     )
-    merged = merge_mart_increment(existing, batch_df)
+    merged = merge(existing, batch_df)
     vdir = f"v_{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
     ptr = os.path.join(path, "_CURRENT")
@@ -413,6 +419,80 @@ def stream_mart_maintenance(events: DataFrame, path: str, checkpoint: str):
 
     return (
         events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_cms_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, width: int = 256, depth: int = 3
+):
+    """D13: streaming Count-Min sketch maintenance — each micro-batch
+    of documents folds into the stored depth x width cell table by
+    CELL-WISE SUM (CMS is additive, the textbook mergeable-sketch
+    property), under the same exactly-once versioned-commit protocol
+    as the daily mart. After draining, the committed state equals the
+    batch CMS over every document ingested — the constant-size
+    frequency summary a 100 TB ingest keeps per stream without ever
+    re-scanning history. Read with read_mart. Returns the query."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cms_cells
+
+    def merge(existing, batch_df):
+        delta = cms_cells(batch_df, width=width, depth=depth)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("row", "b")
+            .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_kmv_maintenance(docs: DataFrame, path: str, checkpoint: str, k: int = 64):
+    """D14: streaming KMV distinct-count sketch — each micro-batch's
+    per-source k-minimum term hashes union into the stored state and
+    the k smallest survive (min-union is associative and
+    order-insensitive, so replay order cannot change the state).
+    Same exactly-once commit protocol; after draining, the state
+    equals the batch kmv_state over all documents, so the distinct
+    estimate (k-1)/U_k is available at any time without a distinct
+    over history. Read with read_mart. Returns the query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import kmv_state
+
+    def merge(existing, batch_df):
+        delta = kmv_state(batch_df, k=k)
+        if existing is None:
+            return delta
+        w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
+        return (
+            existing.unionByName(delta)
+            .dropDuplicates(["source", "term"])
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("source", "term", "h")
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -373,3 +373,47 @@ def test_mart_fold_replay_and_crash_recovery(spark, tmp_path):
     # superseded versions are GC'd; only the committed version remains
     vdirs = [d for d in os.listdir(path) if d.startswith("v_")]
     assert vdirs == ["v_1"]
+
+
+def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
+    """D13/D14: after draining a document stream, the committed CMS
+    cell table and KMV state equal their batch twins over the whole
+    corpus — mergeable-sketch folds under the exactly-once commit
+    protocol."""
+    from github_issues_lakehouse_spark.operators.sketches import cms_cells, kmv_state
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_cms_maintenance,
+        stream_kmv_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    def docs_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    cms_path = str(tmp_path / "cms_state")
+    q1 = stream_cms_maintenance(docs_stream(), cms_path, str(tmp_path / "ck1"), width=64)
+    q1.awaitTermination(180)
+    got_cms = {
+        (r.row, r.b): r.cell_count for r in read_mart(spark, cms_path).collect()
+    }
+    want_cms = {
+        (r.row, r.b): r.cell_count for r in cms_cells(docs, width=64).collect()
+    }
+    assert got_cms == want_cms
+
+    kmv_path = str(tmp_path / "kmv_state")
+    q2 = stream_kmv_maintenance(docs_stream(), kmv_path, str(tmp_path / "ck2"), k=16)
+    q2.awaitTermination(180)
+    got_kmv = {
+        (r.source, r.term) for r in read_mart(spark, kmv_path).collect()
+    }
+    want_kmv = {(r.source, r.term) for r in kmv_state(docs, k=16).collect()}
+    assert got_kmv == want_kmv
