@@ -29,6 +29,14 @@ HEAVY = [
     "training_corpus_filter",
     "silver_merge_dedup",
     "moving_avg_user_value",
+    # round-3 additions over the replicated documents/events
+    "gopher_quality_rules",
+    "doc_entropy",
+    "zipf_slope",
+    "term_source_association",
+    "kmv_distinct_terms",
+    "cms_term_counts",
+    "event_dedup_windowed",
 ]
 
 
