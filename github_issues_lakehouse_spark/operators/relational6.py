@@ -587,3 +587,89 @@ def event_dedup_windowed(
         burst_id.cast("long").alias("burst_id"),
         (F.col("nb") == 1).alias("is_kept"),
     )
+
+
+def label_association_rules(
+    spark: SparkSession, sf_dir: str, min_pair_count: int = 20
+) -> DataFrame:
+    """Market-basket association rules over issue label sets: for
+    every directed label pair (a -> b) co-occurring on at least
+    ``min_pair_count`` issues, the classic support / confidence /
+    lift triple — the triage-automation mart ("issues labeled
+    Blocker are x4 likelier to also carry Regression").
+
+    Shapes: explode labels once; the pair table is a self-join ON
+    issue_id (co-occurrence, not a cross product) whose output is
+    bounded by sum(|labels|^2) per issue (labels arrays are tiny);
+    per-label supports broadcast onto the pair aggregate. Output is
+    bounded by the label vocabulary squared.
+    """
+    from .silver import synth_issues
+
+    s = synth_issues(spark, sf_dir).select("issue_id", "labels")
+    n_issues = s.count()  # support denominator (scalar dimension)
+    il = s.select("issue_id", F.explode(F.array_distinct("labels")).alias("label"))
+    supp = il.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    a = il.select("issue_id", F.col("label").alias("label_a"))
+    b = il.select("issue_id", F.col("label").alias("label_b"))
+    pair = (
+        a.join(b, "issue_id")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_count)
+    )
+    sa = supp.select(F.col("label").alias("label_a"), F.col("n_label").alias("n_a"))
+    sb = supp.select(F.col("label").alias("label_b"), F.col("n_label").alias("n_b"))
+    conf = F.col("n_both") / F.col("n_a")
+    return (
+        pair.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            r6(F.col("n_both") / F.lit(float(n_issues))).alias("support"),
+            r6(conf).alias("confidence"),
+            r6(conf / (F.col("n_b") / F.lit(float(n_issues)))).alias("lift"),
+        )
+    )
+
+
+def daily_anomaly_events(
+    spark: SparkSession, sf_dir: str, trailing_days: int = 7, z_thresh: float = 2.0
+) -> DataFrame:
+    """Volume-anomaly monitor: per (event_type, day), the robust-ish
+    z-score of the day's event count against the trailing
+    ``trailing_days`` days (excluding the current day), flagged when
+    |z| exceeds ``z_thresh`` — the standing ingest-health alarm a
+    pipeline runs before trusting a day's partition.
+
+    One aggregate to daily grain (the only corpus-scale work), then a
+    window per event_type over days — the window input is one row per
+    (type, day), thousands of rows per year, never the raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("event_type"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    nt = F.count("n_events").over(w)
+    z = (F.col("n_events") - mu) / sd
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(nt >= 2, r6(mu)).alias("trailing_avg"),
+        F.when((nt >= 2) & (sd > 0), r6(z)).alias("z_score"),
+        F.when((nt >= 2) & (sd > 0), F.abs(z) > z_thresh)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

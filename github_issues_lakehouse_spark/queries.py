@@ -419,6 +419,8 @@ _DRIVER_PRIORITY_R3 = [
     "kmv_distinct_terms",
     "cms_term_counts",
     "pagerank_trade_graph",
+    "label_association_rules",
+    "daily_anomaly_events",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -543,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_terms": sketches.kmv_distinct_terms,
         "cms_term_counts": sketches.cms_term_counts,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
+        "label_association_rules": R6.label_association_rules,
+        "daily_anomaly_events": R6.daily_anomaly_events,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1640,6 +1644,8 @@ FROM top
         "kmv_distinct_terms": _kmv_oracle(),
         "cms_term_counts": _cms_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
+        "label_association_rules": _label_assoc_oracle(),
+        "daily_anomaly_events": _daily_anomaly_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2350,6 +2356,71 @@ SELECT rank AS rank, probes.term AS term,
   CAST(min(cell_count) - probes.n_exact AS BIGINT) AS overcount
 FROM probes JOIN cells USING (row, b)
 GROUP BY probes.rank, probes.term, probes.n_exact ORDER BY rank
+"""
+
+
+_LABELS_CTE = """
+lbl AS (
+  SELECT o.o_orderkey AS issue_id,
+    list_filter([
+      CASE WHEN o.o_orderpriority LIKE '1%' THEN 'Blocker'
+           WHEN o.o_orderpriority LIKE '2%' THEN 'Regression' END,
+      CASE WHEN o.o_orderkey % 2 = 0 THEN 'Bug'
+           WHEN o.o_orderkey % 3 = 0 THEN 'Docs'
+           WHEN o.o_orderkey % 5 = 0 THEN 'Enhancement'
+           WHEN o.o_orderkey % 7 = 0 THEN 'Usage Question' END,
+      CASE WHEN o.o_orderkey % 13 <> 0 THEN 'component: ' || c.c_mktsegment END,
+      CASE WHEN o.o_orderkey % 17 = 0 THEN 'Performance' END,
+      CASE WHEN o.o_orderkey % 11 = 0 THEN 'Needs Triage' END
+    ], x -> x IS NOT NULL) AS labels
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)"""
+
+
+def _label_assoc_oracle(min_pair_count: int = 20) -> str:
+    return f"""
+WITH {_LABELS_CTE},
+nn AS (SELECT count(*) AS n FROM lbl),
+il AS (
+  SELECT issue_id, unnest(list_distinct(labels)) AS label FROM lbl
+),
+supp AS (SELECT label, count(*) AS n_label FROM il GROUP BY 1),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_both
+  FROM il a JOIN il b ON a.issue_id = b.issue_id AND a.label <> b.label
+  GROUP BY 1, 2 HAVING count(*) >= {min_pair_count}
+)
+SELECT label_a, label_b, CAST(n_both AS BIGINT) AS n_both,
+  round(n_both / (SELECT n FROM nn), 6) AS support,
+  round(CAST(n_both AS DOUBLE) / sa.n_label, 6) AS confidence,
+  round((CAST(n_both AS DOUBLE) / sa.n_label)
+        / (CAST(sb.n_label AS DOUBLE) / (SELECT n FROM nn)), 6) AS lift
+FROM pair
+JOIN supp sa ON pair.label_a = sa.label
+JOIN supp sb ON pair.label_b = sb.label
+"""
+
+
+def _daily_anomaly_oracle(trailing_days: int = 7, z: float = 2.0) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, n_events,
+    avg(n_events) OVER w AS mu,
+    stddev_samp(n_events) OVER w AS sd,
+    count(n_events) OVER w AS nt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {trailing_days} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+  CASE WHEN nt >= 2 THEN round(mu, 6) END AS trailing_avg,
+  CASE WHEN nt >= 2 AND sd > 0 THEN round((n_events - mu) / sd, 6) END AS z_score,
+  CASE WHEN nt >= 2 AND sd > 0 THEN abs((n_events - mu) / sd) > {z}
+       ELSE FALSE END AS is_anomaly
+FROM win
 """
 
 

@@ -148,3 +148,60 @@ def test_pagerank_mass_conserved_and_ordered(spark):
     cust = sorted(v for k, v in ranks.items() if k.startswith("c:"))
     median_cust = cust[len(cust) // 2]
     assert min(supp) > median_cust
+
+
+def test_label_association_rules_invariants(spark):
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        label_association_rules,
+    )
+
+    rows = label_association_rules(spark, SF_DIR, min_pair_count=5).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9
+        assert r.lift > 0
+        seen.add((r.label_a, r.label_b))
+    # symmetric pair existence: a->b implies b->a (same n_both)
+    for a, b in seen:
+        assert (b, a) in seen
+    # every Blocker is a priority label on '1-URGENT' orders whose kind
+    # label depends only on the key mod — lift of (Blocker -> Bug)
+    # should be close to independence (~1), not degenerate
+    by_pair = {(r.label_a, r.label_b): r for r in rows}
+    if ("Blocker", "Bug") in by_pair:
+        assert 0.5 < by_pair[("Blocker", "Bug")].lift < 2.0
+
+
+def test_daily_anomaly_flags_spike(spark, tmp_path):
+    """A synthetic 10x volume spike after a flat week must be
+    flagged; flat days must not be."""
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        daily_anomaly_events,
+    )
+
+    d = str(tmp_path / "sf")
+    rows = []
+    eid = 0
+    base = datetime.datetime(2020, 3, 1)
+    for day in range(10):
+        # days 0-8: ~20 events/day with mild jitter, day 9: 200
+        n = 200 if day == 9 else 20 + (day % 3)
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=i), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    res = {r.day.isoformat(): r for r in daily_anomaly_events(spark, d).collect()}
+    assert res["2020-03-10"].is_anomaly
+    assert res["2020-03-10"].z_score > 50
+    # flat days with a settled trailing sample (>=5 days) stay quiet;
+    # the 2-3 sample warmup days can legitimately trip a 2-sigma bar
+    for k in ("2020-03-06", "2020-03-07", "2020-03-08", "2020-03-09"):
+        assert not res[k].is_anomaly, k
