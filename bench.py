@@ -71,6 +71,18 @@ HEADLINE = [
     "neardup_keep_best",
     "cross_source_overlap",
     "label_separability",
+    # r3 operator wave: corpus diagnostics, sketches, graph, rules
+    "gopher_quality_rules",
+    "doc_entropy",
+    "zipf_slope",
+    "term_source_association",
+    "embedding_covariance",
+    "event_dedup_windowed",
+    "kmv_distinct_terms",
+    "cms_term_counts",
+    "pagerank_trade_graph",
+    "label_association_rules",
+    "daily_anomaly_events",
 ]
 
 

@@ -62,11 +62,17 @@ def pagerank_trade_graph(
         )
         .distinct()
     )
+    # Loop-invariant tables are materialized ONCE (localCheckpoint):
+    # without this every iteration re-runs the orders⋈lineitem edge
+    # aggregate — n_iter corpus scans instead of one.
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # graph dimension (scalar for the teleport term)
 
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    weighted = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
+    weighted = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .localCheckpoint(eager=True)
     )
 
     # the same double on both engines: identical literal, one division

@@ -37,6 +37,7 @@ HEAVY = [
     "kmv_distinct_terms",
     "cms_term_counts",
     "event_dedup_windowed",
+    "daily_anomaly_events",
 ]
 
 
