@@ -90,6 +90,70 @@ def run_sql(
     return spark.sql(sql)
 
 
+# Registry operators whose DataFrames are PURE LAZY PLANS — no driver
+# action (count/collect/localCheckpoint) at construction time — so
+# registering them as views costs nothing until queried. Iterative
+# operators (k-means, PageRank) and scalar-dimension ops are excluded
+# on purpose: building their DataFrame runs jobs.
+LAZY_QUERY_VIEWS = [
+    "corpus_stats",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "vocab_stats",
+    "dedup_exact",
+    "dedup_keep_best",
+    "duplication_profile",
+    "source_mixing_weights",
+    "training_corpus_filter",
+    "dq_violations",
+    "gopher_quality_rules",
+    "doc_entropy",
+    "ttr_stats",
+    "char_class_stats",
+    "daily_anomaly_events",
+    "event_dedup_windowed",
+    "sessionize_events",
+    "holdout_split",
+]
+
+
+def register_query_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    *,
+    prefix: str = "q_",
+    force: bool = False,
+) -> list[str]:
+    """Expose registry operators as temp views named ``q_<name>`` so a
+    SQL-only user drives the engine's marts directly::
+
+        register_query_views(spark, sf_dir)
+        spark.sql("SELECT l.lang, avg(q.quality_score) FROM q_lang_id l "
+                  "JOIN q_quality_score q USING (doc_id) GROUP BY 1")
+
+    Defaults to ``LAZY_QUERY_VIEWS`` (construction-safe plans). Any
+    registry name is accepted explicitly — but operators that run
+    driver-side work at construction (iterative algorithms) will pay
+    it at registration. Same ownership guard as ``register_views``.
+    """
+    from . import queries as Q
+
+    reg = Q.queries()
+    todo = names if names is not None else LAZY_QUERY_VIEWS
+    out = []
+    for n in todo:
+        if n not in reg:
+            raise KeyError(f"unknown registry query {n!r}")
+        _register_one(
+            spark, f"{prefix}{n}", lambda n=n: reg[n](spark, sf_dir), sf_dir, force
+        )
+        out.append(f"{prefix}{n}")
+    return out
+
+
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Expose the engine's core text functions as Spark SQL scalar
     functions (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN` SQL

@@ -380,3 +380,36 @@ def test_register_views_guard(spark):
     # force re-points it to the engine table
     register_views(spark, SF_DIR, force=True)
     assert "o_orderkey" in spark.table("orders").columns
+
+
+def test_register_query_views_sql_composition(spark):
+    """Registry operators exposed as q_* views compose in plain SQL:
+    join two marts, aggregate; results match the DataFrame twin."""
+    from github_issues_lakehouse_spark.catalog import (
+        LAZY_QUERY_VIEWS,
+        register_query_views,
+    )
+    from github_issues_lakehouse_spark.operators.text import lang_id, quality_score
+
+    names = register_query_views(spark, SF_DIR)
+    assert names == [f"q_{n}" for n in LAZY_QUERY_VIEWS]
+    got = {
+        (r.pred_lang, r.avg_q)
+        for r in spark.sql(
+            "SELECT l.pred_lang, round(avg(q.quality_score), 4) AS avg_q "
+            "FROM q_lang_id l JOIN q_quality_score q USING (doc_id) GROUP BY 1"
+        ).collect()
+    }
+    want_df = (
+        lang_id(spark, SF_DIR)
+        .join(quality_score(spark, SF_DIR), "doc_id")
+        .groupBy("pred_lang")
+        .agg(F.round(F.avg("quality_score"), 4).alias("avg_q"))
+    )
+    want = {(r.pred_lang, r.avg_q) for r in want_df.collect()}
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        register_query_views(spark, SF_DIR, names=["no_such_query"])
