@@ -324,3 +324,65 @@ def contamination_attribution(
             F.col("n_shared").cast("long").alias("n_shared_ngrams"),
         )
     )
+
+
+def redact_contaminated_spans(
+    spark: SparkSession, sf_dir: str, n: int = 3, benchmark_mod: int = 100
+) -> DataFrame:
+    """Surgical decontamination: instead of DROPPING documents that
+    share an n-gram with the benchmark set (``decontaminate_ngram``),
+    remove only the contaminated token spans and keep the rest — the
+    higher-yield variant a pretraining pipeline prefers when whole
+    documents are too valuable to discard over one leaked span.
+
+    A contaminated shingle start s covers tokens s..s+n-1 (1-based);
+    a token survives iff no contaminated span covers it. Output per
+    training doc: token counts before/removed and the rebuilt text.
+
+    Shapes: the benchmark grams broadcast (as in decontaminate_ngram);
+    the train side explodes shingle starts once and joins — the
+    match output is only the contaminated (doc, start) pairs, folded
+    to a per-doc start array; the rebuild is a higher-order
+    ``filter`` with a nested ``exists`` over that (tiny) array — no
+    second pass over the corpus, no UDF.
+    """
+    from .dedup import shingles_from
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", norm_tokens(F.col("text")))
+    )
+    bench_grams = (
+        base.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select(F.explode(F.array_distinct(shingles_from(F.col("_toks"), n))).alias("gram"))
+        .distinct()
+    )
+    train = base.filter(F.col("doc_id") % benchmark_mod != 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.array_size(F.col("_toks")) - (n - 1), F.lit(1))
+    )
+    grams = train.select(
+        "doc_id", F.col("_toks").alias("_t"), F.explode(starts).alias("i")
+    ).select(
+        "doc_id", "i", F.array_join(F.slice(F.col("_t"), F.col("i"), n), " ").alias("gram")
+    )
+    bad = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("bad_starts"))
+    )
+    joined = train.join(bad, "doc_id", "left")
+    covered = lambda idx: F.exists(  # noqa: E731
+        F.col("bad_starts"), lambda s: (idx + 1 >= s) & (idx + 1 <= s + (n - 1))
+    )
+    kept = F.when(F.col("bad_starts").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda x, idx: ~covered(idx))
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.array_size("_toks").cast("long").alias("n_tokens"),
+        (F.array_size("_toks") - F.array_size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

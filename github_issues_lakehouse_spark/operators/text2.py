@@ -313,3 +313,38 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str, n_buckets: int = 4096) -
             ).alias("perplexity"),
         )
     )
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ``source_mixing_weights`` equalization: every document
+    gets a deterministic keep verdict with probability
+    ``sample_prob(source)`` — over-represented sources thin toward the
+    uniform mixture, under-represented ones keep everything. The
+    composition step between the mixture mart and the corpus writer.
+
+    Integer-exact decision (same idiom as ``weighted_sample``): the
+    uniform draw is md5(doc_id || '#mix') mod 1e6 compared against the
+    6dp sample_prob frozen to micro-units — pure BIGINT comparison,
+    no float boundary can flip between engines. One broadcast join of
+    the (tiny) weights mart onto a single corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wts = source_mixing_weights(spark, sf_dir).select("source", "sample_prob")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 1_000_000
+    )
+    p_micro = F.round(F.col("sample_prob") * 1_000_000).cast("long")
+    return d.join(F.broadcast(wts), "source").select(
+        "doc_id",
+        "source",
+        u.alias("u_micro"),
+        p_micro.alias("p_micro"),
+        (u < p_micro).alias("keep"),
+    )

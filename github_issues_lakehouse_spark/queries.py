@@ -421,6 +421,8 @@ _DRIVER_PRIORITY_R3 = [
     "pagerank_trade_graph",
     "label_association_rules",
     "daily_anomaly_events",
+    "mixture_resample",
+    "redact_contaminated_spans",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -547,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
         "daily_anomaly_events": R6.daily_anomaly_events,
+        "mixture_resample": text2.mixture_resample,
+        "redact_contaminated_spans": chunking.redact_contaminated_spans,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1646,6 +1650,8 @@ FROM top
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
         "daily_anomaly_events": _daily_anomaly_oracle(),
+        "mixture_resample": _mixture_resample_oracle(),
+        "redact_contaminated_spans": _redact_spans_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2356,6 +2362,62 @@ SELECT rank AS rank, probes.term AS term,
   CAST(min(cell_count) - probes.n_exact AS BIGINT) AS overcount
 FROM probes JOIN cells USING (row, b)
 GROUP BY probes.rank, probes.term, probes.n_exact ORDER BY rank
+"""
+
+
+def _mixture_resample_oracle() -> str:
+    return """
+WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS ns FROM per),
+wts AS (
+  SELECT source,
+    round(least(1.0, (CAST(total AS DOUBLE) / ns) / n_docs), 6) AS sample_prob
+  FROM per CROSS JOIN tot
+), verdict AS (
+  SELECT doc_id, d.source,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))
+         AS BIGINT) % 1000000 AS u_micro,
+    CAST(round(sample_prob * 1000000) AS BIGINT) AS p_micro
+  FROM documents d JOIN wts USING (source)
+)
+SELECT doc_id, source, CAST(u_micro AS BIGINT) AS u_micro, p_micro,
+  u_micro < p_micro AS keep
+FROM verdict
+"""
+
+
+def _redact_spans_oracle(n: int = 3, benchmark_mod: int = 100) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, {_norm_toks_sql()} AS toks FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i
+    FROM docs WHERE doc_id % {benchmark_mod} = 0
+  )
+), train AS (
+  SELECT * FROM docs WHERE doc_id % {benchmark_mod} <> 0
+), starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i
+  FROM train
+), bad AS (
+  SELECT s.doc_id, s.i FROM starts s
+  JOIN bench b ON array_to_string(s.toks[s.i:s.i+{n - 1}], ' ') = b.gram
+), toks_pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM train
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p FROM toks_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bad
+    WHERE bad.doc_id = tp.doc_id AND tp.p BETWEEN bad.i AND bad.i + {n - 1}
+  )
+)
+SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(t.toks) - count(k.p) AS BIGINT) AS n_removed,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+FROM train t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, t.source, len(t.toks)
 """
 
 

@@ -205,3 +205,47 @@ def test_daily_anomaly_flags_spike(spark, tmp_path):
     # the 2-3 sample warmup days can legitimately trip a 2-sigma bar
     for k in ("2020-03-06", "2020-03-07", "2020-03-08", "2020-03-09"):
         assert not res[k].is_anomaly, k
+
+
+def test_mixture_resample_thins_overrepresented_sources(spark, tmp_path):
+    from github_issues_lakehouse_spark.operators.text2 import mixture_resample
+
+    d = str(tmp_path / "sf")
+    rows = [(i, f"doc {i} words here", "en", "big" if i < 900 else "small", 10)
+            for i in range(1000)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    res = mixture_resample(spark, d)
+    kept = res.filter("keep").groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    # target = 500/source: 'small' (100 docs) keeps all, 'big' (900)
+    # thins toward 500 (binomial, wide tolerance)
+    assert by_src["small"] == 100
+    assert 400 < by_src["big"] < 600, by_src
+    # determinism
+    again = mixture_resample(spark, d)
+    assert res.exceptAll(again).count() == 0
+
+
+def test_redact_spans_removes_only_contaminated_tokens(spark, tmp_path):
+    from github_issues_lakehouse_spark.operators.chunking import (
+        redact_contaminated_spans,
+    )
+
+    d = str(tmp_path / "sf")
+    # doc 0 (doc_id % 100 == 0) is the benchmark; docs 1-3 train
+    rows = [
+        (0, "alpha beta gamma", "en", "bench", 16),
+        (1, "x y alpha beta gamma z w", "en", "train", 24),  # one leaked 3-gram
+        (2, "p q r s t", "en", "train", 9),                   # clean
+        (3, "alpha beta gamma alpha beta gamma", "en", "train", 33),  # all leaked
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    res = {r.doc_id: r for r in redact_contaminated_spans(spark, d, n=3).collect()}
+    assert set(res) == {1, 2, 3}
+    assert res[1].clean_text == "x y z w" and res[1].n_removed == 3
+    assert res[2].clean_text == "p q r s t" and res[2].n_removed == 0
+    assert res[3].clean_text == "" and res[3].n_removed == 6
