@@ -83,6 +83,8 @@ HEADLINE = [
     "pagerank_trade_graph",
     "label_association_rules",
     "daily_anomaly_events",
+    "mixture_resample",
+    "redact_contaminated_spans",
 ]
 
 

@@ -186,3 +186,18 @@ def test_r3_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["embedding_covariance"](spark, SF_DIR)) == 1
     assert _shuffle_count(qs["zipf_slope"](spark, SF_DIR)) <= 3
     assert _shuffle_count(qs["term_source_association"](spark, SF_DIR)) <= 4
+
+
+def test_r3_second_wave_shuffle_budgets(spark):
+    """Second r3 wave: association rules <= 4 (explode agg, pair agg,
+    two broadcast support joins ride free); anomaly = 2 (daily agg +
+    per-type window on daily grain); mixture = 1 (weights agg,
+    broadcast back onto the scan); redact <= 3 (bench-gram agg +
+    bad-start fold + rebuild join)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["label_association_rules"](spark, SF_DIR)) <= 4
+    assert _shuffle_count(qs["daily_anomaly_events"](spark, SF_DIR)) == 2
+    assert _shuffle_count(qs["mixture_resample"](spark, SF_DIR)) <= 2
+    assert _shuffle_count(qs["redact_contaminated_spans"](spark, SF_DIR)) <= 4
