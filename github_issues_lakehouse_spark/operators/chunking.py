@@ -386,3 +386,72 @@ def redact_contaminated_spans(
         (F.array_size("_toks") - F.array_size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def length_bucketed_batches(
+    spark: SparkSession, sf_dir: str, band_width: int = 32, batch_size: int = 8
+) -> DataFrame:
+    """Length-bucketed batching plan: documents are banded by token
+    count (``band_width``-token bands), batched within their band in
+    doc_id order, and each batch reports its padding waste — the
+    tokens a fixed-shape collator would burn padding every member up
+    to the batch max. The mart that justifies length bucketing: waste
+    within a narrow band is bounded by band_width * batch_size.
+
+    Scale: banding is a map-only expression; the per-band window
+    parallelizes across bands (shuffle on band). Output is one row
+    per batch — corpus/batch_size rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_size(norm_tokens(F.col("text"))).alias("n_tokens")
+    )
+    banded = d.withColumn("band", F.floor(F.col("n_tokens") / band_width))
+    w = Window.partitionBy("band").orderBy("doc_id")
+    batched = banded.withColumn(
+        "batch_in_band", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    return (
+        batched.groupBy("band", "batch_in_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("batch_in_band").cast("long").alias("batch_in_band"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("max_tokens").cast("long").alias("max_tokens"),
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )
+
+
+def source_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional source interleaving: every document
+    gets a normalized position key ``(rank_in_source - 0.5) /
+    n_docs_in_source`` — sorting the corpus by that key interleaves
+    sources evenly regardless of their sizes (each source's docs are
+    spread uniformly over [0, 1)), which is the training-order
+    property a data loader wants instead of source-contiguous blocks.
+
+    Deliberately NO global row_number: a global rank would funnel the
+    corpus through one sort partition. The key itself is the product
+    — the writer range-partitions + sortWithinPartitions on it, so
+    the global order materializes at write time without a single-task
+    sort. One shuffle (per-source window) + a broadcast of per-source
+    counts.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.withColumn("src_rank", F.row_number().over(w))
+    return ranked.join(F.broadcast(counts), "source").select(
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        F.round((F.col("src_rank") - 0.5) / F.col("n_src"), 6).alias("interleave_key"),
+    )

@@ -673,3 +673,30 @@ def daily_anomaly_events(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue: each month's order revenue
+    against the same month one year earlier (12-row LAG over the
+    month grain) with the percent change — the first chart on every
+    BI dashboard. The only corpus-scale work is the monthly
+    aggregate; the window input is one row per month.
+
+    Exact DECIMAL month sums; the yoy ratio divides doubles of those
+    exact sums (same idiom as revenue_concentration).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        F.col("revenue").cast("decimal(28,2)").alias("revenue"),
+        prev.cast("decimal(28,2)").alias("revenue_prev_year"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round((F.col("revenue").cast("double") - prev.cast("double")) / prev.cast("double"), 6),
+        ).alias("yoy_pct"),
+    )

@@ -423,6 +423,9 @@ _DRIVER_PRIORITY_R3 = [
     "daily_anomaly_events",
     "mixture_resample",
     "redact_contaminated_spans",
+    "length_bucketed_batches",
+    "source_interleave_plan",
+    "yoy_revenue",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -551,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomaly_events": R6.daily_anomaly_events,
         "mixture_resample": text2.mixture_resample,
         "redact_contaminated_spans": chunking.redact_contaminated_spans,
+        "length_bucketed_batches": chunking.length_bucketed_batches,
+        "source_interleave_plan": chunking.source_interleave_plan,
+        "yoy_revenue": R6.yoy_revenue,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1652,6 +1658,9 @@ FROM top
         "daily_anomaly_events": _daily_anomaly_oracle(),
         "mixture_resample": _mixture_resample_oracle(),
         "redact_contaminated_spans": _redact_spans_oracle(),
+        "length_bucketed_batches": _length_batches_oracle(),
+        "source_interleave_plan": _interleave_oracle(),
+        "yoy_revenue": _yoy_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -2362,6 +2371,58 @@ SELECT rank AS rank, probes.term AS term,
   CAST(min(cell_count) - probes.n_exact AS BIGINT) AS overcount
 FROM probes JOIN cells USING (row, b)
 GROUP BY probes.rank, probes.term, probes.n_exact ORDER BY rank
+"""
+
+
+def _length_batches_oracle(band_width: int = 32, batch_size: int = 8) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({_norm_toks_sql()}) AS n_tokens FROM documents
+), banded AS (
+  SELECT doc_id, n_tokens, n_tokens // {band_width} AS band FROM d
+), batched AS (
+  SELECT band, n_tokens,
+    (row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) // {batch_size}
+      AS batch_in_band
+  FROM banded
+)
+SELECT CAST(band AS BIGINT) AS band,
+  CAST(batch_in_band AS BIGINT) AS batch_in_band,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+FROM batched GROUP BY 1, 2
+"""
+
+
+def _interleave_oracle() -> str:
+    return """
+WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM documents
+)
+SELECT doc_id, ranked.source, CAST(src_rank AS BIGINT) AS src_rank,
+  round((src_rank - 0.5) / n_src, 6) AS interleave_key
+FROM ranked JOIN counts ON ranked.source = counts.source
+"""
+
+
+def _yoy_oracle() -> str:
+    return """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(revenue AS DECIMAL(28,2)) AS revenue,
+  CAST(lag(revenue, 12) OVER w AS DECIMAL(28,2)) AS revenue_prev_year,
+  CASE WHEN lag(revenue, 12) OVER w IS NOT NULL AND lag(revenue, 12) OVER w <> 0
+       THEN round((CAST(revenue AS DOUBLE) - CAST(lag(revenue, 12) OVER w AS DOUBLE))
+                  / CAST(lag(revenue, 12) OVER w AS DOUBLE), 6) END AS yoy_pct
+FROM monthly WINDOW w AS (ORDER BY month)
 """
 
 

@@ -249,3 +249,52 @@ def test_redact_spans_removes_only_contaminated_tokens(spark, tmp_path):
     assert res[1].clean_text == "x y z w" and res[1].n_removed == 3
     assert res[2].clean_text == "p q r s t" and res[2].n_removed == 0
     assert res[3].clean_text == "" and res[3].n_removed == 6
+
+
+def test_length_bucketed_batches_waste_bound(spark):
+    from github_issues_lakehouse_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    band_width, batch_size = 32, 8
+    rows = length_bucketed_batches(spark, SF_DIR, band_width, batch_size).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_docs <= batch_size
+        # within-band spread < band_width per doc -> bounded waste
+        assert r.padding_waste <= (band_width - 1) * (r.n_docs - 1)
+        assert r.max_tokens // band_width == r.band
+
+
+def test_source_interleave_spreads_sources(spark):
+    from github_issues_lakehouse_spark.operators.chunking import (
+        source_interleave_plan,
+    )
+
+    rows = source_interleave_plan(spark, SF_DIR).collect()
+    assert all(0.0 < r.interleave_key < 1.0 for r in rows)
+    # sorting by key interleaves: in any prefix of the global order,
+    # every source's share of the prefix is close to its corpus share
+    ordered = sorted(rows, key=lambda r: (r.interleave_key, r.doc_id))
+    n = len(ordered)
+    prefix = ordered[: n // 4]
+    from collections import Counter
+
+    full = Counter(r.source for r in ordered)
+    part = Counter(r.source for r in prefix)
+    for src, total in full.items():
+        expect = total / 4
+        assert abs(part.get(src, 0) - expect) <= max(2, 0.5 * expect), src
+
+
+def test_yoy_revenue_window(spark):
+    from github_issues_lakehouse_spark.operators.relational6 import yoy_revenue
+
+    rows = {r.month: r for r in yoy_revenue(spark, SF_DIR).collect()}
+    months = sorted(rows)
+    assert len(months) > 24
+    # first 12 months have no prior-year reference
+    for m in months[:12]:
+        assert rows[m].revenue_prev_year is None and rows[m].yoy_pct is None
+    # spot-check the lag: month 13's prev_year equals month 1's revenue
+    assert rows[months[12]].revenue_prev_year == rows[months[0]].revenue
