@@ -316,9 +316,34 @@ def run_corpus(
     return rows
 
 
+def run_mart(
+    events_path: str, mart_dir: str, batch_id: int | None = None
+) -> tuple[int, bool]:
+    """Incremental daily-mart maintenance, batch form: fold one events
+    parquet batch into the versioned mart at ``mart_dir`` under the
+    same exactly-once protocol the streaming path uses (idempotent on
+    batch_id, atomic pointer commit) — the scheduled-job twin of
+    ``stream_mart_maintenance`` for shops that land hourly files
+    instead of running a stream. Returns (batch_id, applied)."""
+    from .streaming.ops import _read_mart_meta, mart_fold_batch, read_mart
+
+    spark = _spark("mart")
+    events = spark.read.parquet(events_path)
+    if batch_id is None:
+        meta = _read_mart_meta(mart_dir)
+        batch_id = (meta["batch_id"] + 1) if meta else 0
+    applied = mart_fold_batch(events, batch_id, mart_dir)
+    state = "applied" if applied else "skipped (replay)"
+    n = read_mart(spark, mart_dir).count()
+    print(f"[mart] batch {batch_id} {state}; mart now {n} rows -> {mart_dir}")
+    return batch_id, applied
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="github_issues_lakehouse_spark")
-    parser.add_argument("command", choices=["ingest", "silver", "gold", "demo", "corpus"])
+    parser.add_argument(
+        "command", choices=["ingest", "silver", "gold", "demo", "corpus", "mart"]
+    )
     parser.add_argument("--config", default="config.yml")
     parser.add_argument("--data-dir", default=os.getenv("DATA_DIR", "./data"))
     parser.add_argument("--input", help="ingest: local issues JSONL path")
@@ -331,9 +356,10 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--run-id", help="ingest: bronze run id (default: timestamp)")
     parser.add_argument("--approx", action="store_true", help="gold: approximate percentiles")
     parser.add_argument("--sf-dir", default=os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    parser.add_argument("--out", help="corpus: output directory")
+    parser.add_argument("--out", help="corpus/mart: output directory")
     parser.add_argument("--min-quality", type=float, default=0.8)
     parser.add_argument("--shard-tokens", type=int, default=512)
+    parser.add_argument("--batch-id", type=int, help="mart: explicit batch id")
     args = parser.parse_args(argv)
 
     if args.command == "ingest":
@@ -348,6 +374,10 @@ def main(argv: list[str] | None = None) -> None:
         if not args.out:
             parser.error("corpus requires --out <dir>")
         run_corpus(args.sf_dir, args.out, args.min_quality, args.shard_tokens)
+    elif args.command == "mart":
+        if not (args.input and args.out):
+            parser.error("mart requires --input <events.parquet> --out <mart_dir>")
+        run_mart(args.input, args.out, args.batch_id)
     else:
         run_demo(args.config, args.data_dir)
     print(f"Command selected: {args.command}")

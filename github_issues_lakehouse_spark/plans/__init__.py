@@ -4,5 +4,6 @@ from .introspect import (  # noqa: F401
     broadcast_join_count,
     formatted_plan,
     has_pushed_filters,
+    lineage_report,
     shuffle_count,
 )

@@ -96,3 +96,43 @@ def advise(df: DataFrame) -> list[str]:
             "Column functions or an Arrow-batched pandas UDF"
         )
     return warnings
+
+
+def lineage_report(df: DataFrame) -> list[dict]:
+    """Source-column lineage from the OPTIMIZED physical plan: one
+    entry per parquet scan with the table (from the file location),
+    the exact columns read (ReadSchema — i.e. what survived column
+    pruning) and the predicates pushed into the scan. The audit a
+    platform team runs to answer "which source columns does this mart
+    actually depend on, and is the scan pruned?" — a scan reading all
+    columns for a narrow projection is a pruning bug.
+    """
+    import re
+
+    p = _plan_str(df)
+    out: list[dict] = []
+    # formatted explain prints per-scan blocks: Location, then
+    # PushedFilters / ReadSchema lines belonging to the same scan
+    blocks = re.split(r"\(\d+\) Scan parquet", p)[1:]
+    for b in blocks:
+        loc = re.search(r"Location:.*?\[(.*?)\]", b)
+        schema = re.search(r"ReadSchema: struct<(.*?)>", b, re.S)
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", b, re.S)
+        table = None
+        if loc:
+            table = loc.group(1).rstrip("/").rsplit("/", 1)[-1].replace(".parquet", "")
+        cols = []
+        if schema:
+            cols = [
+                c.split(":", 1)[0].strip()
+                for c in re.split(r",(?![^<]*>)", schema.group(1))
+                if c.strip()
+            ]
+        out.append(
+            {
+                "table": table,
+                "columns": cols,
+                "pushed_filters": (pushed.group(1).strip() if pushed else ""),
+            }
+        )
+    return out

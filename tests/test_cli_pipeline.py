@@ -326,3 +326,36 @@ def test_demo_bronze_clamps_resolution_hours(tmp_path, spark):
     cols = ("avg_resolution_hours", "median_resolution_hours", "p90_resolution_hours")
     bad = [r for r in rows if any(r[c] and float(r[c]) < 0 for c in cols)]
     assert bad == []
+
+
+def test_mart_cli_incremental_fold(tmp_path, spark):
+    """`mart` folds event batches incrementally with replay safety:
+    two batches equal the batch mart over both; re-running the last
+    batch id is a no-op."""
+    from github_issues_lakehouse_spark.cli import run_mart
+    from github_issues_lakehouse_spark.operators.gold import daily_event_mart
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import read_mart
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    b0 = events.filter(events.event_id % 2 == 0)
+    b1 = events.filter(events.event_id % 2 == 1)
+    p0, p1 = str(tmp_path / "b0.parquet"), str(tmp_path / "b1.parquet")
+    b0.write.parquet(p0)
+    b1.write.parquet(p1)
+    mart = str(tmp_path / "mart")
+
+    assert run_mart(p0, mart) == (0, True)
+    assert run_mart(p1, mart) == (1, True)
+    # replay of batch 1: skipped
+    assert run_mart(p1, mart, batch_id=1) == (1, False)
+
+    got = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in read_mart(spark, mart).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in daily_event_mart(events).collect()
+    }
+    assert got == want

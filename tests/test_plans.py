@@ -201,3 +201,24 @@ def test_r3_second_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["daily_anomaly_events"](spark, SF_DIR)) == 2
     assert _shuffle_count(qs["mixture_resample"](spark, SF_DIR)) <= 2
     assert _shuffle_count(qs["redact_contaminated_spans"](spark, SF_DIR)) <= 4
+
+
+def test_lineage_report_prunes_and_pushes(spark):
+    """The lineage audit reads the optimized plan: q1 touches ONLY
+    lineitem, reads exactly the 7 needed columns (pruning), and shows
+    the shipdate predicate pushed into the scan."""
+    from github_issues_lakehouse_spark.plans import lineage_report
+
+    rep = lineage_report(R.q1_pricing_summary(spark, SF_DIR))
+    assert [r["table"] for r in rep] == ["lineitem"]
+    cols = set(rep[0]["columns"])
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    assert "l_shipdate" in rep[0]["pushed_filters"]
+
+    # a multi-table mart reports every scan
+    rep5 = lineage_report(R.q5_region_revenue(spark, SF_DIR))
+    tables = {r["table"] for r in rep5}
+    assert {"customer", "orders", "lineitem", "supplier", "nation", "region"} <= tables
