@@ -417,3 +417,38 @@ def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
     }
     want_kmv = {(r.source, r.term) for r in kmv_state(docs, k=16).collect()}
     assert got_kmv == want_kmv
+
+
+def test_mart_fold_any_replay_pattern_converges(spark, tmp_path):
+    """Exactly-once property: ANY delivery sequence that is a
+    supersequence of the batch ids in order (arbitrary replays of
+    already-applied ids interleaved anywhere) produces the identical
+    committed mart. Covers the at-least-once space foreachBatch can
+    generate, beyond the single-replay case."""
+    from github_issues_lakehouse_spark.operators.gold import daily_event_mart
+    from github_issues_lakehouse_spark.streaming import mart_fold_batch, read_mart
+
+    events = load_table(spark, SF_DIR, "events")
+    batches = [events.filter(F.col("event_id") % 3 == k) for k in range(3)]
+
+    def run(pattern, path):
+        for bid in pattern:
+            mart_fold_batch(batches[bid], bid, path)
+        return {
+            (r.day, r.event_type): (r.n_events, float(r.total_value))
+            for r in read_mart(spark, path).collect()
+        }
+
+    want = {
+        (r.day, r.event_type): (r.n_events, float(r.total_value))
+        for r in daily_event_mart(events).collect()
+    }
+    patterns = [
+        [0, 1, 2],                     # clean
+        [0, 0, 1, 1, 2, 2],            # every batch replayed once
+        [0, 1, 0, 2, 1, 0],            # stale replays interleaved late
+        [0, 1, 2, 0, 1, 2, 2],         # full redelivery after completion
+    ]
+    for i, pat in enumerate(patterns):
+        got = run(pat, str(tmp_path / f"mart{i}"))
+        assert got == want, pat
