@@ -402,13 +402,18 @@ def length_bucketed_batches(
     parallelizes across bands (shuffle on band). Output is one row
     per batch — corpus/batch_size rows.
     """
+    from .scale import distributed_rank
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_size(norm_tokens(F.col("text"))).alias("n_tokens")
     )
     banded = d.withColumn("band", F.floor(F.col("n_tokens") / band_width))
-    w = Window.partitionBy("band").orderBy("doc_id")
-    batched = banded.withColumn(
-        "batch_in_band", F.floor((F.row_number().over(w) - 1) / batch_size)
+    # two-level rank: a plain per-band window would hold a whole
+    # band's documents in one task (bands are few; corpus/band is
+    # huge at scale)
+    ranked = distributed_rank(banded, ["band"], "doc_id", rank_col="_rk")
+    batched = ranked.withColumn(
+        "batch_in_band", F.floor((F.col("_rk") - 1) / batch_size)
     )
     return (
         batched.groupBy("band", "batch_in_band")
@@ -442,13 +447,15 @@ def source_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through one sort partition. The key itself is the product
     — the writer range-partitions + sortWithinPartitions on it, so
     the global order materializes at write time without a single-task
-    sort. One shuffle (per-source window) + a broadcast of per-source
-    counts.
+    sort. The per-source rank itself uses the two-level
+    ``distributed_rank`` decomposition (bucket windows + a one-row-
+    per-bucket carry), so no task ever holds a whole source either.
     """
+    from .scale import distributed_rank
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    w = Window.partitionBy("source").orderBy("doc_id")
-    ranked = d.withColumn("src_rank", F.row_number().over(w))
+    ranked = distributed_rank(d, ["source"], "doc_id", rank_col="src_rank")
     return ranked.join(F.broadcast(counts), "source").select(
         "doc_id",
         "source",

@@ -143,10 +143,13 @@ def returned_items_top_customers(
         .groupBy("o_custkey")
         .agg(F.sum(_rev()).alias("rev_exact"))
     )
+    # TakeOrdered top-k (per-partition partial + driver merge), never a
+    # single-task rank over every customer; the k survivors get ranks
+    # from a k-row window
+    top = per_cust.orderBy(F.col("rev_exact").desc(), F.col("o_custkey").asc()).limit(k)
     w = Window.orderBy(F.col("rev_exact").desc(), F.col("o_custkey").asc())
     return (
-        per_cust.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        top.withColumn("rn", F.row_number().over(w))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(

@@ -192,3 +192,45 @@ def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return d.select(
         "doc_id", "source", bucket.cast("long").alias("fold")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    id_col: str,
+    bucket_width: int = 1000,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """row_number() over (PARTITION BY part_cols ORDER BY id_col),
+    computed WITHOUT putting a whole partition's rows in one task:
+    the same two-level prefix-sum decomposition as plan_token_shards,
+    keyed by id ranges. Within-bucket ranks come from a window on
+    (part, bucket) — each task holds at most ``bucket_width`` rows —
+    and the cross-bucket carry is a window over ONE ROW PER BUCKET.
+    ``id_col`` must be numeric and unique within a partition. At
+    extreme scale the carry layer recurses with the same
+    decomposition; at bucket_width=1000 it is 0.1% of the input.
+    """
+    bucket = F.expr(f"{id_col} div {bucket_width}")
+    d = df.withColumn("_drb", bucket)
+    w_local = Window.partitionBy(*part_cols, "_drb").orderBy(id_col)
+    local = d.withColumn("_lr", F.row_number().over(w_local))
+    # bucket sizes from the WINDOW OUTPUT (max local rank) so this
+    # branch reuses the window's exchange instead of planning a
+    # second scan-side aggregate
+    per_bucket = local.groupBy(*part_cols, "_drb").agg(F.max("_lr").alias("_bn"))
+    w_carry = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_drb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_bucket.select(
+        *part_cols,
+        "_drb",
+        F.coalesce(F.sum("_bn").over(w_carry), F.lit(0)).alias("_carry"),
+    )
+    return (
+        local.join(carry, [*part_cols, "_drb"])
+        .withColumn(rank_col, (F.col("_carry") + F.col("_lr")).cast("long"))
+        .drop("_drb", "_lr", "_carry")
+    )

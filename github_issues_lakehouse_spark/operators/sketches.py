@@ -162,10 +162,14 @@ def cms_term_counts(
 
     cells = cms_cells(d, width=width, depth=depth)
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # partial top-n, driver merge) — a rank window here would sort the
+    # ENTIRE vocabulary in one task; only the n survivors see the
+    # rank window
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("term").asc()).limit(top_n)
     w = Window.orderBy(F.col("n_exact").desc(), F.col("term").asc())
     probes = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_n)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             "term",
             "n_exact",

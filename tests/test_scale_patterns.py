@@ -413,3 +413,20 @@ def test_register_query_views_sql_composition(spark):
 
     with _pytest.raises(KeyError):
         register_query_views(spark, SF_DIR, names=["no_such_query"])
+
+
+def test_distributed_rank_matches_window(spark):
+    """Two-level rank equals a plain per-partition row_number, with
+    each local window task bounded by bucket_width rows."""
+    from pyspark.sql import Window
+
+    from github_issues_lakehouse_spark.operators.scale import distributed_rank
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    got = distributed_rank(d, ["source"], "doc_id", bucket_width=16)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = d.withColumn("rank", F.row_number().over(w).cast("long"))
+    assert got.select("doc_id", "source", "rank").exceptAll(
+        want.select("doc_id", "source", "rank")
+    ).count() == 0
+    assert want.exceptAll(got.select("doc_id", "source", "rank")).count() == 0
