@@ -50,14 +50,17 @@ def salted_join(
 def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 10) -> DataFrame:
     """Deterministic stratified downsample: the ``per_stratum``
     documents per source with the smallest md5(doc_id) — reproducible
-    across engines, runs, and partitionings (no RNG), one shuffle on
-    the stratum key."""
+    across engines, runs, and partitionings (no RNG). A map-side
+    partial bottom-k prunes each input partition to ``per_stratum``
+    rows per source before the exact window, so no task ever holds a
+    whole stratum; one shuffle on the stratum key over the survivors."""
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    hashed = d.select("doc_id", "source", "n_chars", h.alias("h"))
+    pruned = partial_topk(hashed, ["source"], "h", "doc_id", per_stratum, ascending=True)
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
-        d.select("doc_id", "source", "n_chars", h.alias("h"))
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= per_stratum)
         .select("source", F.col("rk").cast("long").alias("rk"), "doc_id", "h")
     )
@@ -234,3 +237,40 @@ def distributed_rank(
         .withColumn(rank_col, (F.col("_carry") + F.col("_lr")).cast("long"))
         .drop("_drb", "_lr", "_carry")
     )
+
+
+def partial_topk(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    tie_col: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Map-side partial top-k per group — the narrow (no-shuffle)
+    pruning pass that bounds any downstream exact per-group window to
+    k rows per input partition instead of the whole group. Rows are
+    totally ordered by (score, tie) with a unique tie column, so the
+    pruning is lossless: the global top-k over survivors equals the
+    global top-k over everything, ties included. Output schema ==
+    input schema. ``ascending=True`` keeps the k SMALLEST scores
+    (hash-sampling shapes); default keeps the largest.
+    """
+    schema = scored.schema
+    sort_cols = [*group_cols, score_col, tie_col]
+    asc = [True] * len(group_cols) + [ascending, True]
+
+    def local_topk(batches):
+        # self-contained closure: workers may not be able to import
+        # this package (foreign-cwd driver), so only pandas here
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cand = cand.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            best = cand.groupby(group_cols, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return scored.mapInPandas(local_topk, schema=schema)

@@ -47,25 +47,13 @@ def _partial_topk(
     so the global top-k over the survivors equals the global top-k
     over everything, ties included. Output schema == input schema;
     downstream plans and oracle hashes are unchanged.
+
+    (Canonical implementation: ``operators.scale.partial_topk`` —
+    shared with the hash-sampling shapes, which keep the k smallest.)
     """
-    schema = scored.schema
-    sort_cols = [*group_cols, score_col, tie_col]
-    ascending = [True] * len(group_cols) + [False, True]
+    from .scale import partial_topk
 
-    def local_topk(batches):
-        # self-contained closure: workers may not be able to import this
-        # package (foreign-cwd driver), so only pandas here
-        import pandas as pd
-
-        best = None
-        for pdf in batches:
-            cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
-            cand = cand.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-            best = cand.groupby(group_cols, sort=False).head(k)
-        if best is not None:
-            yield best
-
-    return scored.mapInPandas(local_topk, schema=schema)
+    return partial_topk(scored, group_cols, score_col, tie_col, k, ascending=False)
 
 
 def ann_bruteforce_topk(

@@ -49,11 +49,22 @@ def kmv_term_hashes(docs: DataFrame) -> DataFrame:
 def kmv_state(docs: DataFrame, k: int = 64) -> DataFrame:
     """Bounded KMV state: the k smallest (source, term, h) rows per
     source. Merging two states = union -> dedup -> re-take k smallest
-    (associative, order-insensitive) — the streaming fold."""
+    (associative, order-insensitive) — the streaming fold. A map-side
+    partial bottom-k prunes each input partition before the exact
+    window, so the per-source task never holds the whole vocabulary."""
+    from .scale import partial_topk
+
+    pruned = partial_topk(
+        kmv_term_hashes(docs).select("source", "term", "h"),
+        ["source"],
+        "h",
+        "term",
+        k,
+        ascending=True,
+    )
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
     return (
-        kmv_term_hashes(docs)
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("source", "term", "h")
     )
@@ -78,11 +89,18 @@ def kmv_distinct_terms(
     """
     d = load_table(spark, sf_dir, "documents")
     terms = kmv_term_hashes(d)
-    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("term").asc())
-    ranked = terms.withColumn("rk", F.row_number().over(w))
-    per_source = ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("u_k"),
+    # the exact count is a map-side-combinable aggregate; U_k comes
+    # from the bounded k-row state — NO full-vocabulary window
+    n_exact = terms.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    state_agg = (
+        kmv_state(d, k=k)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_k"), F.max("h").alias("u_k_raw"))
+    )
+    per_source = n_exact.join(F.broadcast(state_agg), "source").select(
+        "source",
+        "n_exact",
+        F.when(F.col("n_k") == k, F.col("u_k_raw")).alias("u_k"),
     )
     est = F.when(
         F.col("u_k").isNotNull(), F.floor(F.lit(float(k - 1)) / F.col("u_k"))
