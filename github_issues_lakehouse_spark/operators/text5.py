@@ -107,6 +107,13 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks come from one window over the per-source term counts
     (shuffle on source); the regression is a five-sum fold — no
     second pass, bounded output (one row per source).
+
+    Scale note: the rank window holds one source's VOCABULARY (not
+    its corpus) per task — vocabularies grow sublinearly (Heaps'
+    law), so this survives far past the corpus sizes that break
+    row-level windows; for extreme vocabularies, fit on the top-N
+    terms via a TakeOrdered pre-filter (the head of the rank-
+    frequency curve determines the slope anyway).
     """
     from pyspark.sql import Window
 
@@ -153,6 +160,8 @@ def term_source_association(
     the exploded scan (per-source-term df and per-term df) joined on
     term, then a top-k window per source. All keys are low-cardinality
     after aggregation; the explode is the only corpus-sized stage.
+    The per-source window input is the min_df-filtered vocabulary
+    (sublinear in corpus size); raise ``min_df`` to bound it harder.
     """
     from pyspark.sql import Window
 
