@@ -700,3 +700,30 @@ def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("revenue").cast("double") - prev.cast("double")) / prev.cast("double"), 6),
         ).alias("yoy_pct"),
     )
+
+
+def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness diagnostic: treating event_id as arrival
+    order, how often and how badly does event time run backwards per
+    user — the measurement that picks a streaming watermark (the
+    p-max disorder bounds the lateness horizon a pipeline must
+    tolerate). One shuffle on user_id; lag over arrival order.
+
+    Output per user: events, inversion count/rate, and the worst
+    backward jump in seconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    back_us = F.unix_micros(prev_ts) - F.unix_micros(F.col("ts"))
+    flagged = e.select(
+        "user_id",
+        F.when(back_us > 0, 1).otherwise(0).alias("inv"),
+        F.when(back_us > 0, back_us).alias("back_us"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("inv").cast("long").alias("n_inversions"),
+        r6(F.sum("inv") / F.count(F.lit(1))).alias("inversion_rate"),
+        r6(F.max("back_us") / 1e6).alias("max_disorder_s"),
+    )

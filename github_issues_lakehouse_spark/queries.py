@@ -426,6 +426,7 @@ _DRIVER_PRIORITY_R3 = [
     "length_bucketed_batches",
     "source_interleave_plan",
     "yoy_revenue",
+    "event_order_inversions",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -554,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomaly_events": R6.daily_anomaly_events,
         "mixture_resample": text2.mixture_resample,
         "redact_contaminated_spans": chunking.redact_contaminated_spans,
+        "event_order_inversions": R6.event_order_inversions,
         "length_bucketed_batches": chunking.length_bucketed_batches,
         "source_interleave_plan": chunking.source_interleave_plan,
         "yoy_revenue": R6.yoy_revenue,
@@ -1658,6 +1660,7 @@ FROM top
         "daily_anomaly_events": _daily_anomaly_oracle(),
         "mixture_resample": _mixture_resample_oracle(),
         "redact_contaminated_spans": _redact_spans_oracle(),
+        "event_order_inversions": _event_inversions_oracle(),
         "length_bucketed_batches": _length_batches_oracle(),
         "source_interleave_plan": _interleave_oracle(),
         "yoy_revenue": _yoy_oracle(),
@@ -2423,6 +2426,23 @@ SELECT month, CAST(revenue AS DECIMAL(28,2)) AS revenue,
        THEN round((CAST(revenue AS DOUBLE) - CAST(lag(revenue, 12) OVER w AS DOUBLE))
                   / CAST(lag(revenue, 12) OVER w AS DOUBLE), 6) END AS yoy_pct
 FROM monthly WINDOW w AS (ORDER BY month)
+"""
+
+
+def _event_inversions_oracle() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(lag(ts) OVER w) - epoch_us(ts) > 0 THEN 1 ELSE 0 END AS inv,
+    CASE WHEN epoch_us(lag(ts) OVER w) - epoch_us(ts) > 0
+         THEN epoch_us(lag(ts) OVER w) - epoch_us(ts) END AS back_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(inv) AS BIGINT) AS n_inversions,
+  round(sum(inv) / count(*), 6) AS inversion_rate,
+  round(max(back_us) / 1e6, 6) AS max_disorder_s
+FROM flagged GROUP BY 1
 """
 
 

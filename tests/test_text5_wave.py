@@ -298,3 +298,28 @@ def test_yoy_revenue_window(spark):
         assert rows[m].revenue_prev_year is None and rows[m].yoy_pct is None
     # spot-check the lag: month 13's prev_year equals month 1's revenue
     assert rows[months[12]].revenue_prev_year == rows[months[0]].revenue
+
+
+def test_event_order_inversions_detects_disorder(spark, tmp_path):
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        event_order_inversions,
+    )
+
+    d = str(tmp_path / "sf")
+    base = datetime.datetime(2020, 1, 1)
+
+    def ev(i, seconds, uid):
+        return (i, base + datetime.timedelta(seconds=seconds), uid, "click", 1.0, "{}")
+
+    # user 1: perfectly ordered; user 2: one 90s backward jump
+    spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1),
+         ev(4, 0, 2), ev(5, 100, 2), ev(6, 10, 2)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    rows = {r.user_id: r for r in event_order_inversions(spark, d).collect()}
+    assert rows[1].n_inversions == 0 and rows[1].max_disorder_s is None
+    assert rows[2].n_inversions == 1
+    assert rows[2].max_disorder_s == 90.0
