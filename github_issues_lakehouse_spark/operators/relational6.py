@@ -727,3 +727,74 @@ def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("inv") / F.count(F.lit(1))).alias("inversion_rate"),
         r6(F.max("back_us") / 1e6).alias("max_disorder_s"),
     )
+
+
+def weighted_median_price(
+    spark: SparkSession, sf_dir: str, bucket_width: int = 1000
+) -> DataFrame:
+    """Exact QUANTITY-weighted median of extended price per return
+    flag — the distributed weighted-quantile algorithm, with no
+    whole-group sort anywhere:
+
+    1. weights collapse to per-(group, price) sums (the only
+       corpus-scale shuffle; prices de-duplicate, killing ties);
+    2. price-bucket partial sums + a cumulative carry over ONE ROW
+       PER BUCKET locate the bucket containing the half-weight point;
+    3. a second pass sorts ONLY that bucket's (few) distinct prices.
+
+    The median is min price with cumweight >= total/2. Every
+    comparison is ``2*cum >= total`` in DECIMAL — division-free and
+    exact, so no float boundary can flip between engines. This is
+    the same two-level prefix-sum discipline as plan_token_shards,
+    applied to order statistics — the pattern that generalizes to
+    any exact weighted quantile at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(18,2)"
+    pp = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("w"))
+    bucket = F.floor(F.col("price") / bucket_width)
+    per_bucket = pp.groupBy("grp", bucket.alias("b")).agg(F.sum("w").alias("bw"))
+    w_carry = (
+        Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn(
+        "carry_in", F.coalesce(F.sum("bw").over(w_carry), F.lit(0).cast(DEC))
+    ).withColumn("cum", F.col("carry_in") + F.col("bw"))
+    totals = carried.groupBy("grp").agg(F.sum("bw").alias("total"))
+    sel = carried.join(F.broadcast(totals), "grp")
+    med_bucket = (
+        sel.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("grp")
+        .agg(F.min("b").alias("mb"))
+    )
+    binfo = (
+        sel.join(F.broadcast(med_bucket), "grp")
+        .filter(F.col("b") == F.col("mb"))
+        .select("grp", "mb", "carry_in", "total")
+    )
+    inb = pp.withColumn("b", bucket).join(F.broadcast(binfo), "grp").filter(
+        F.col("b") == F.col("mb")
+    )
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum2 = F.col("carry_in") + F.sum("w").over(w_in)
+    return (
+        inb.withColumn("cum2", cum2)
+        .filter(F.col("cum2") * 2 >= F.col("total"))
+        .groupBy("grp")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.first("total").alias("total_weight"),
+        )
+        .select(
+            "grp",
+            F.round(F.col("weighted_median"), 2).alias("weighted_median"),
+            F.col("total_weight").cast("decimal(28,2)").alias("total_weight"),
+        )
+    )

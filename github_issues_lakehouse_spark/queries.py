@@ -427,6 +427,7 @@ _DRIVER_PRIORITY_R3 = [
     "source_interleave_plan",
     "yoy_revenue",
     "event_order_inversions",
+    "weighted_median_price",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -556,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": text2.mixture_resample,
         "redact_contaminated_spans": chunking.redact_contaminated_spans,
         "event_order_inversions": R6.event_order_inversions,
+        "weighted_median_price": R6.weighted_median_price,
         "length_bucketed_batches": chunking.length_bucketed_batches,
         "source_interleave_plan": chunking.source_interleave_plan,
         "yoy_revenue": R6.yoy_revenue,
@@ -1661,6 +1663,7 @@ FROM top
         "mixture_resample": _mixture_resample_oracle(),
         "redact_contaminated_spans": _redact_spans_oracle(),
         "event_order_inversions": _event_inversions_oracle(),
+        "weighted_median_price": _weighted_median_oracle(),
         "length_bucketed_batches": _length_batches_oracle(),
         "source_interleave_plan": _interleave_oracle(),
         "yoy_revenue": _yoy_oracle(),
@@ -2426,6 +2429,31 @@ SELECT month, CAST(revenue AS DECIMAL(28,2)) AS revenue,
        THEN round((CAST(revenue AS DOUBLE) - CAST(lag(revenue, 12) OVER w AS DOUBLE))
                   / CAST(lag(revenue, 12) OVER w AS DOUBLE), 6) END AS yoy_pct
 FROM monthly WINDOW w AS (ORDER BY month)
+"""
+
+
+def _weighted_median_oracle() -> str:
+    # full-sort reference implementation (DuckDB affords the per-group
+    # sort at oracle SF); same decimal weights, same division-free
+    # half-point comparison as the bucketed two-pass Spark plan
+    return """
+WITH pp AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS price,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT grp, sum(w) AS total FROM pp GROUP BY 1
+), c AS (
+  SELECT grp, price,
+    sum(w) OVER (PARTITION BY grp ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pp
+)
+SELECT c.grp, round(min(price), 2) AS weighted_median,
+  CAST(t.total AS DECIMAL(28,2)) AS total_weight
+FROM c JOIN t ON c.grp = t.grp
+WHERE cum * 2 >= total
+GROUP BY c.grp, t.total
 """
 
 

@@ -323,3 +323,56 @@ def test_event_order_inversions_detects_disorder(spark, tmp_path):
     assert rows[1].n_inversions == 0 and rows[1].max_disorder_s is None
     assert rows[2].n_inversions == 1
     assert rows[2].max_disorder_s == 90.0
+
+
+def test_weighted_median_known_answer(spark, tmp_path):
+    """Hand-computable case: prices 10 (w=1), 20 (w=2), 30 (w=1);
+    total 4, half 2 -> min price with cum*2 >= 4 is 20. Also check a
+    bucket boundary: bucket_width smaller than price spread."""
+    d = str(tmp_path / "sf")
+    rows = [
+        (1, 10.0, 1.0, "A"), (2, 20.0, 2.0, "A"), (3, 30.0, 1.0, "A"),
+        # group B: all weight on one price
+        (4, 99.0, 5.0, "B"),
+    ]
+    spark.createDataFrame(
+        [(i, 1, p, q, f) for i, p, q, f in rows],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, l_quantity double, l_returnflag string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        weighted_median_price,
+    )
+
+    for width in (5, 1000):
+        got = {r.grp: r for r in weighted_median_price(spark, d, bucket_width=width).collect()}
+        assert float(got["A"].weighted_median) == 20.0, width
+        assert float(got["B"].weighted_median) == 99.0
+        assert float(got["A"].total_weight) == 4.0
+
+
+def test_weighted_median_matches_numpy(spark):
+    """Bucketed two-pass result equals a brute-force driver-side
+    weighted median on the real table."""
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        weighted_median_price,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    got = {r.grp: float(r.weighted_median)
+           for r in weighted_median_price(spark, SF_DIR, bucket_width=500).collect()}
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: defaultdict(float))
+    for r in li:
+        acc[r.l_returnflag][r.l_extendedprice] += r.l_quantity
+    for grp, wmap in acc.items():
+        total = sum(wmap.values())
+        cum = 0.0
+        for price in sorted(wmap):
+            cum += wmap[price]
+            if cum * 2 >= total:
+                assert got[grp] == round(price, 2), grp
+                break
