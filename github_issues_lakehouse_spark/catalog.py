@@ -189,3 +189,41 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     for name, body in defs.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
     return list(defs)
+
+
+def register_udtfs(spark: SparkSession) -> list[str]:
+    """Register the engine's Python TABLE functions (Spark 4 UDTFs):
+    SQL-addressable row-expanding functions for exploratory lateral
+    joins — `SELECT d.doc_id, g.gram FROM docs d, LATERAL
+    ngrams(d.text, 3) g`.
+
+    UDTFs are the Python slow path (row-at-a-time): right for ad-hoc
+    SQL exploration, wrong for the hot path — every production
+    operator in this engine expresses the same expansions as JVM
+    Column algebra (shingles_from, chunk_documents). The classes are
+    defined in function scope so cloudpickle ships them by value and
+    foreign-cwd workers never need this package importable.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class Ngrams:
+        def eval(self, text: str, n: int):
+            toks = (text or "").lower().split()
+            for i in range(max(0, len(toks) - n + 1)):
+                yield i, " ".join(toks[i : i + n])
+
+    @udtf(returnType="chunk_idx int, start_tok int, chunk string")
+    class SlidingChunks:
+        def eval(self, text: str, width: int, stride: int):
+            toks = (text or "").split()
+            if not toks:
+                return
+            idx = 0
+            for start in range(0, max(1, len(toks) - width + 1), max(1, stride)):
+                yield idx, start, " ".join(toks[start : start + width])
+                idx += 1
+
+    spark.udtf.register("ngrams", Ngrams)
+    spark.udtf.register("sliding_chunks", SlidingChunks)
+    return ["ngrams", "sliding_chunks"]

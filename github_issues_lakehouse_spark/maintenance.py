@@ -134,3 +134,31 @@ def schema_drift(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, type_a string, type_b string"
     )
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    column: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """Index-pruned read: open ONLY the files ``files_for_predicate``
+    keeps, then apply the exact predicate to the survivors (the index
+    prunes at file grain; the residual filter handles rows inside
+    kept files outside the range). Semantically identical to reading
+    the whole table with the filter — the index just avoids opening
+    provably-irrelevant files, which at 100 TB is the difference
+    between touching one day's files and listing three years of them.
+    """
+    kept = [r.file for r in files_for_predicate(index, column, lo, hi).collect()]
+    if not kept:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*kept)
+    if lo is not None:
+        df = df.filter(F.col(column) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(column) <= hi)
+    return df

@@ -82,3 +82,23 @@ def test_schema_drift_detects_changes(spark, tmp_path):
     assert drift["score"].change == "type_changed"
     assert (drift["score"].type_a, drift["score"].type_b) == ("double", "int")
     assert "id" not in drift
+
+
+def test_read_pruned_equals_full_filter(spark, tmp_path):
+    path = str(tmp_path / "orders_rp")
+    load_table(spark, SF_DIR, "orders").repartitionByRange(
+        4, "o_orderdate"
+    ).sortWithinPartitions("o_orderdate").write.parquet(path)
+    from github_issues_lakehouse_spark.maintenance import read_pruned
+
+    idx = file_skipping_index(spark, path, ["o_orderdate"])
+    lo, hi = "1996-01-01", "1996-12-31"
+    pruned = read_pruned(spark, path, idx, "o_orderdate", lo, hi)
+    full = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    )
+    assert pruned.count() == full.count() > 0
+    assert pruned.select("o_orderkey").exceptAll(full.select("o_orderkey")).count() == 0
+    # empty range: no files kept, schema preserved
+    none = read_pruned(spark, path, idx, "o_orderdate", "2099-01-01", "2099-12-31")
+    assert none.count() == 0 and "o_orderkey" in none.columns

@@ -430,3 +430,44 @@ def test_distributed_rank_matches_window(spark):
         want.select("doc_id", "source", "rank")
     ).count() == 0
     assert want.exceptAll(got.select("doc_id", "source", "rank")).count() == 0
+
+
+def test_udtf_lateral_join_matches_column_shingles(spark):
+    """Registered table functions work in LATERAL SQL and agree with
+    the JVM-side shingles_from Column implementation."""
+    from github_issues_lakehouse_spark.catalog import (
+        register_query_views,
+        register_udtfs,
+        register_views,
+    )
+    from github_issues_lakehouse_spark.operators.dedup import shingles_from
+    from github_issues_lakehouse_spark.functions.textfns import norm_tokens
+
+    assert register_udtfs(spark) == ["ngrams", "sliding_chunks"]
+    register_views(spark, SF_DIR)
+    got = {
+        (r.doc_id, r.gram)
+        for r in spark.sql(
+            "SELECT d.doc_id, g.gram FROM documents d, "
+            "LATERAL ngrams(d.text, 3) g WHERE d.doc_id < 5"
+        ).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 5)
+    want = {
+        (r.doc_id, r.s)
+        for r in d.select(
+            "doc_id",
+            F.explode(shingles_from(norm_tokens(F.col("text")), 3)).alias("s"),
+        ).collect()
+        # shingles_from emits one partial shingle for docs < n tokens;
+        # the UDTF emits none — restrict to full shingles
+        if len(r.s.split()) == 3
+    }
+    assert got == want
+
+    chunks = spark.sql(
+        "SELECT * FROM sliding_chunks('a b c d e f', 4, 2)"
+    ).collect()
+    assert [(r.chunk_idx, r.start_tok, r.chunk) for r in chunks] == [
+        (0, 0, "a b c d"), (1, 2, "c d e f"),
+    ]
