@@ -316,6 +316,32 @@ def run_corpus(
     return rows
 
 
+def run_export(config: str, data_dir: str, docs_data: str = "docs/data") -> list[str]:
+    """Publish the serving CSVs to the dashboard data dir (reference
+    scripts/export_pages_data.py behavior): copy each repo's gold
+    kpi_monthly_global.csv (and the silver label catalog) into
+    ``docs_data`` for the static dashboard / GitHub Pages."""
+    import shutil
+
+    cfg = _load_cfg(config)
+    out = Path(docs_data)
+    out.mkdir(parents=True, exist_ok=True)
+    copied = []
+    for owner, repo in _repos(cfg):
+        slug = f"{owner}__{repo}"
+        src = os.path.join(data_dir, "gold", slug, "kpi_monthly_global.csv")
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"Missing {src} (run gold first)")
+        shutil.copy2(src, out / "kpi_monthly_global.csv")
+        copied.append(str(out / "kpi_monthly_global.csv"))
+        cat = os.path.join(data_dir, "silver", slug, "label_catalog.csv")
+        if os.path.exists(cat):
+            shutil.copy2(cat, out / "label_catalog.csv")
+            copied.append(str(out / "label_catalog.csv"))
+        print(f"[export] {slug}: published {len(copied)} file(s) -> {out}")
+    return copied
+
+
 def run_mart(
     events_path: str, mart_dir: str, batch_id: int | None = None
 ) -> tuple[int, bool]:
@@ -342,7 +368,8 @@ def run_mart(
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="github_issues_lakehouse_spark")
     parser.add_argument(
-        "command", choices=["ingest", "silver", "gold", "demo", "corpus", "mart"]
+        "command",
+        choices=["ingest", "silver", "gold", "demo", "corpus", "mart", "export"],
     )
     parser.add_argument("--config", default="config.yml")
     parser.add_argument("--data-dir", default=os.getenv("DATA_DIR", "./data"))
@@ -378,6 +405,8 @@ def main(argv: list[str] | None = None) -> None:
         if not (args.input and args.out):
             parser.error("mart requires --input <events.parquet> --out <mart_dir>")
         run_mart(args.input, args.out, args.batch_id)
+    elif args.command == "export":
+        run_export(args.config, args.data_dir, args.out or "docs/data")
     else:
         run_demo(args.config, args.data_dir)
     print(f"Command selected: {args.command}")

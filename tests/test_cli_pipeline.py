@@ -359,3 +359,33 @@ def test_mart_cli_incremental_fold(tmp_path, spark):
         for r in daily_event_mart(events).collect()
     }
     assert got == want
+
+
+def test_export_publishes_serving_csvs(tmp_path):
+    """`export` (reference scripts/export_pages_data.py parity)
+    copies the gold CSV + label catalog into the dashboard data dir;
+    missing gold raises."""
+    import pytest as _pytest
+
+    from github_issues_lakehouse_spark.cli import run_export
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("source:\n  repos:\n    - {owner: acme, repo: widgets}\n")
+    data = tmp_path / "data"
+    docs = tmp_path / "docs_data"
+
+    with _pytest.raises(FileNotFoundError):
+        run_export(str(cfg), str(data), str(docs))
+
+    gold = data / "gold" / "acme__widgets"
+    gold.mkdir(parents=True)
+    (gold / "kpi_monthly_global.csv").write_text("month,created_count\n2020-01,5\n")
+    silver = data / "silver" / "acme__widgets"
+    silver.mkdir(parents=True)
+    (silver / "label_catalog.csv").write_text("label,count\nBug,3\n")
+
+    copied = run_export(str(cfg), str(data), str(docs))
+    assert sorted(p.rsplit("/", 1)[-1] for p in copied) == [
+        "kpi_monthly_global.csv", "label_catalog.csv",
+    ]
+    assert (docs / "kpi_monthly_global.csv").read_text().startswith("month,")
