@@ -798,3 +798,71 @@ def weighted_median_price(
             F.col("total_weight").cast("decimal(28,2)").alias("total_weight"),
         )
     )
+
+
+def weighted_quantiles_price(
+    spark: SparkSession,
+    sf_dir: str,
+    q_pcts: tuple = (25, 50, 75, 90),
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Exact weighted quantile SUITE per group — the generalization of
+    ``weighted_median_price`` to any list of quantiles, still with no
+    whole-group sort: one bucket-carry pass locates EVERY quantile's
+    bucket simultaneously (each quantile q as an integer percent, so
+    the half-point test ``cum*100 >= q*total`` stays division-free
+    DECIMAL arithmetic), then one second pass touches only the union
+    of selected buckets. Output one row per (group, quantile).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(18,2)"
+    pp = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("w"))
+    bucket = F.floor(F.col("price") / bucket_width)
+    per_bucket = pp.groupBy("grp", bucket.alias("b")).agg(F.sum("w").alias("bw"))
+    w_carry = (
+        Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn(
+        "carry_in", F.coalesce(F.sum("bw").over(w_carry), F.lit(0).cast(DEC))
+    ).withColumn("cum", F.col("carry_in") + F.col("bw"))
+    totals = carried.groupBy("grp").agg(F.sum("bw").alias("total"))
+    qtab = totals.select(
+        "grp",
+        "total",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("q_pct"),
+    )
+    cand = (
+        carried.join(F.broadcast(qtab), "grp")
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("grp", "q_pct", "total")
+        .agg(F.min("b").alias("mb"))
+    )
+    binfo = (
+        carried.select("grp", "b", "carry_in")
+        .join(F.broadcast(cand), "grp")
+        .filter(F.col("b") == F.col("mb"))
+        .select("grp", "q_pct", "total", "mb", "carry_in")
+    )
+    inb = pp.withColumn("b", bucket).join(
+        F.broadcast(binfo), on=["grp"]
+    ).filter(F.col("b") == F.col("mb"))
+    w_in = (
+        Window.partitionBy("grp", "q_pct")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        inb.withColumn("cum2", F.col("carry_in") + F.sum("w").over(w_in))
+        .filter(F.col("cum2") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("grp", "q_pct")
+        .agg(F.min("price").alias("qv"), F.first("total").alias("total"))
+        .select(
+            "grp",
+            F.col("q_pct").cast("int").alias("q_pct"),
+            F.round(F.col("qv"), 2).alias("quantile_value"),
+            F.col("total").cast("decimal(28,2)").alias("total_weight"),
+        )
+    )

@@ -428,6 +428,7 @@ _DRIVER_PRIORITY_R3 = [
     "yoy_revenue",
     "event_order_inversions",
     "weighted_median_price",
+    "weighted_quantiles_price",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -558,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_contaminated_spans": chunking.redact_contaminated_spans,
         "event_order_inversions": R6.event_order_inversions,
         "weighted_median_price": R6.weighted_median_price,
+        "weighted_quantiles_price": R6.weighted_quantiles_price,
         "length_bucketed_batches": chunking.length_bucketed_batches,
         "source_interleave_plan": chunking.source_interleave_plan,
         "yoy_revenue": R6.yoy_revenue,
@@ -1664,6 +1666,7 @@ FROM top
         "redact_contaminated_spans": _redact_spans_oracle(),
         "event_order_inversions": _event_inversions_oracle(),
         "weighted_median_price": _weighted_median_oracle(),
+        "weighted_quantiles_price": _weighted_quantiles_oracle(),
         "length_bucketed_batches": _length_batches_oracle(),
         "source_interleave_plan": _interleave_oracle(),
         "yoy_revenue": _yoy_oracle(),
@@ -2454,6 +2457,30 @@ SELECT c.grp, round(min(price), 2) AS weighted_median,
 FROM c JOIN t ON c.grp = t.grp
 WHERE cum * 2 >= total
 GROUP BY c.grp, t.total
+"""
+
+
+def _weighted_quantiles_oracle(q_pcts: tuple = (25, 50, 75, 90)) -> str:
+    qlist = ", ".join(str(int(q)) for q in q_pcts)
+    return f"""
+WITH pp AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS price,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT grp, sum(w) AS total FROM pp GROUP BY 1
+), c AS (
+  SELECT grp, price,
+    sum(w) OVER (PARTITION BY grp ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pp
+), ql AS (SELECT unnest([{qlist}]) AS q_pct)
+SELECT c.grp, CAST(q_pct AS INT) AS q_pct,
+  round(min(price), 2) AS quantile_value,
+  CAST(t.total AS DECIMAL(28,2)) AS total_weight
+FROM c CROSS JOIN ql JOIN t ON c.grp = t.grp
+WHERE cum * 100 >= q_pct * total
+GROUP BY c.grp, q_pct, t.total
 """
 
 

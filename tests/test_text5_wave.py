@@ -376,3 +376,23 @@ def test_weighted_median_matches_numpy(spark):
             if cum * 2 >= total:
                 assert got[grp] == round(price, 2), grp
                 break
+
+
+def test_weighted_quantiles_consistent_with_median(spark):
+    """The q=50 row of the quantile suite equals weighted_median_price
+    and quantile values are monotone in q."""
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        weighted_median_price,
+        weighted_quantiles_price,
+    )
+
+    suite = weighted_quantiles_price(spark, SF_DIR).collect()
+    med = {r.grp: float(r.weighted_median)
+           for r in weighted_median_price(spark, SF_DIR).collect()}
+    by_grp = {}
+    for r in suite:
+        by_grp.setdefault(r.grp, {})[r.q_pct] = float(r.quantile_value)
+    for grp, qs in by_grp.items():
+        assert set(qs) == {25, 50, 75, 90}
+        assert qs[50] == med[grp]
+        assert qs[25] <= qs[50] <= qs[75] <= qs[90]
