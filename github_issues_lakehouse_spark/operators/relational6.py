@@ -654,6 +654,17 @@ def daily_anomaly_events(
         e.groupBy(F.col("event_type"), F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return daily_anomaly_from_counts(daily, trailing_days, z_thresh)
+
+
+def daily_anomaly_from_counts(
+    daily: DataFrame, trailing_days: int = 7, z_thresh: float = 2.0
+) -> DataFrame:
+    """The anomaly readout over an ALREADY-AGGREGATED daily grain
+    (event_type, day, n_events) — composable with the incrementally
+    maintained streaming mart (stream_mart_maintenance keeps exactly
+    this grain), so the alarm runs on the committed mart without ever
+    rescanning events."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

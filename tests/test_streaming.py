@@ -452,3 +452,39 @@ def test_mart_fold_any_replay_pattern_converges(spark, tmp_path):
     for i, pat in enumerate(patterns):
         got = run(pat, str(tmp_path / f"mart{i}"))
         assert got == want, pat
+
+
+def test_streaming_mart_feeds_anomaly_readout(spark, events_dir, tmp_path):
+    """D15 composition: the incrementally maintained daily mart is
+    exactly the grain the anomaly readout consumes — alarm over the
+    committed mart equals the batch daily_anomaly_events over all
+    events, with zero event rescans."""
+    from github_issues_lakehouse_spark.operators.relational6 import (
+        daily_anomaly_events,
+        daily_anomaly_from_counts,
+    )
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_mart_maintenance,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    mart_path = str(tmp_path / "daily")
+    q = stream_mart_maintenance(stream, mart_path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    mart = read_mart(spark, mart_path).select("event_type", "day", "n_events")
+    got = {
+        (r.event_type, r.day): (r.z_score, r.is_anomaly)
+        for r in daily_anomaly_from_counts(mart).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.z_score, r.is_anomaly)
+        for r in daily_anomaly_events(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 100
