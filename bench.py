@@ -85,6 +85,12 @@ HEADLINE = [
     "daily_anomaly_events",
     "mixture_resample",
     "redact_contaminated_spans",
+    "event_order_inversions",
+    "weighted_median_price",
+    "weighted_quantiles_price",
+    "length_bucketed_batches",
+    "source_interleave_plan",
+    "yoy_revenue",
 ]
 
 
