@@ -1,0 +1,267 @@
+"""Relational wave 7 (r3, third batch): equi-depth histogram via
+distributed order statistics, a column-profile stats mart, marketing
+touch attribution, and exact trailing EWMA.
+
+Scale idioms carried over from earlier waves: no whole-table window
+(the histogram ranks inside value bands and carries across a
+band-count-sized summary), per-group state bounded by a constant
+frame (EWMA), 1-row aggregates broadcast instead of collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def equi_depth_histogram(
+    spark: SparkSession, sf_dir: str, buckets: int = 20, n_bands: int = 1024
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice —
+    the optimizer-statistics twin of the equal-width
+    ``histogram_prices``: bucket b holds rows with global rank in
+    [b*N/B, (b+1)*N/B), so every bucket has (near-)equal row count
+    and the bucket bounds trace the quantile curve.
+
+    The global rank never materializes a whole-table window: rows are
+    ranked inside ~``n_bands`` value bands (band width from the 1-row
+    min/max aggregate, broadcast), and a cumulative carry over the
+    band summary (n_bands rows, not N) lifts local ranks to global —
+    the same two-level prefix-sum as distributed_rank/plan_token_shards,
+    keyed by VALUE ranges so the rank order follows the price order.
+    Bucket assignment is integer arithmetic ((rank-1)*B div N) so
+    boundaries are exact on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    uid = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid")
+    rows = li.select(F.col("l_extendedprice").alias("price"), uid)
+    stats = rows.agg(
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    banded = rows.crossJoin(F.broadcast(stats)).withColumn(
+        "band",
+        F.least(
+            F.floor(
+                (F.col("price") - F.col("lo"))
+                * n_bands
+                / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            ),
+            F.lit(n_bands - 1),
+        ),
+    )
+    w_local = Window.partitionBy("band").orderBy("price", "uid")
+    local = banded.withColumn("lr", F.row_number().over(w_local))
+    per_band = local.groupBy("band").agg(F.max("lr").alias("bn"))
+    w_carry = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_band.select(
+        "band", F.coalesce(F.sum("bn").over(w_carry), F.lit(0)).alias("carry")
+    )
+    ranked = local.join(F.broadcast(carry), "band").withColumn(
+        "bucket", F.expr(f"(((carry + lr) - 1) * {buckets}) div n")
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+            F.avg("price").alias("avg_price"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("lo", 2).alias("price_lo"),
+            F.round("hi", 2).alias("price_hi"),
+            r6(F.col("avg_price")).alias("avg_price"),
+        )
+    )
+
+
+# column -> kind ('num' castable to double, 'ts' -> epoch, 'str' -> no range)
+_PROFILE_TABLES = {
+    "orders": [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "num"),
+        ("l_partkey", "num"),
+        ("l_suppkey", "num"),
+        ("l_linenumber", "num"),
+        ("l_quantity", "num"),
+        ("l_extendedprice", "num"),
+        ("l_discount", "num"),
+        ("l_tax", "num"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ],
+}
+
+
+def table_stats_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics mart over orders and
+    lineitem: row count, null count, exact distinct count, and the
+    numeric min/max (timestamps as epoch seconds; strings have no
+    numeric range) — the inputs a cost-based optimizer or a data
+    catalog publishes per column.
+
+    One aggregate pass per table computes EVERY column's stats in the
+    same job (Catalyst plans multi-distinct via a single expand — one
+    shuffle per table, not one per column), then the wide 1-row
+    result unpivots to the long (table, column) mart shape.
+    """
+    out: DataFrame | None = None
+    for tname, cols in _PROFILE_TABLES.items():
+        t = load_table(spark, sf_dir, tname)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c, kind in cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+            if kind != "str":
+                num = (
+                    F.unix_timestamp(c).cast("double")
+                    if kind == "ts"
+                    else F.col(c).cast("double")
+                )
+                aggs.append(F.min(num).alias(f"mn_{c}"))
+                aggs.append(F.max(num).alias(f"mx_{c}"))
+        wide = t.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(tname).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                (
+                    r6(F.col(f"mn_{c}")) if kind != "str" else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    r6(F.col(f"mx_{c}")) if kind != "str" else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for c, kind in cols
+        ]
+        long = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+        out = long if out is None else out.unionByName(long)
+    return out
+
+
+def attribution_touchpoints(
+    spark: SparkSession, sf_dir: str, lookback_days: int = 7
+) -> DataFrame:
+    """Marketing attribution: for every purchase event, the click /
+    view touches by the same user in the preceding ``lookback_days``
+    window — touch count, first- and last-touch event type (the two
+    classic attribution models), and days from first touch to
+    conversion.
+
+    The touch match is an equi-join on user_id with a time-band
+    predicate (the as-of/range-join family); first/last touch are
+    resolved with one window row_number per direction over the joined
+    touches (ties broken by event_id), then a conditional aggregate —
+    no argmin over structs, so both engines use identical semantics.
+    Purchases with no touches survive via the left join with
+    n_touches = 0.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_days} DAYS")),
+    )
+    w_asc = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    w_desc = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    attributed = (
+        joined.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("p_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("t_type"))).alias(
+                "first_touch_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("t_type"))).alias(
+                "last_touch_type"
+            ),
+            F.max(
+                F.when(F.col("rn_a") == 1, F.col("t_ts"))
+            ).alias("first_touch_ts"),
+        )
+    )
+    return (
+        purchases.join(attributed, "p_id", "left")
+        .select(
+            F.col("p_id").alias("purchase_event_id"),
+            F.col("p_user").alias("user_id"),
+            F.col("p_ts").alias("purchase_ts"),
+            F.round("p_value", 2).alias("purchase_value"),
+            F.coalesce(F.col("n_touches"), F.lit(0)).cast("long").alias("n_touches"),
+            "first_touch_type",
+            "last_touch_type",
+            # exact integer seconds (a fractional-days division can
+            # straddle a 6dp rounding boundary differently per engine)
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("first_touch_ts")
+            ).cast("long").alias("secs_to_convert"),
+        )
+    )
+
+
+def ewma_user_value(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3, k: int = 16
+) -> DataFrame:
+    """Exact exponentially-weighted moving average of event value per
+    user over the trailing ``k`` events (pandas ewm(adjust=False)
+    recursion seeded at the frame's oldest row): the smoothing
+    primitive behind rate monitors and anomaly scores.
+
+    The frame is a constant ``k`` rows, so per-row state is bounded
+    regardless of user history length (an unbounded EWMA window would
+    be O(history) per row). Both engines collect the frame in ts
+    order and run the IDENTICAL left fold acc*(1-a) + x*a — same
+    operation order, same doubles — so the 6dp rounding is stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(k - 1), 0)
+    )
+    arr = F.collect_list(F.col("value")).over(w)
+    d = e.select("event_id", "user_id", "ts", "value", arr.alias("frame"))
+    ewma = F.aggregate(
+        F.slice(F.col("frame"), 2, k),
+        F.element_at(F.col("frame"), 1),
+        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        r6(ewma).alias(f"ewma_{k}"),
+    )

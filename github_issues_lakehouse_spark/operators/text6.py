@@ -1,0 +1,127 @@
+"""Corpus-analysis operators, sixth wave: token-window co-occurrence
+PMI (the word2vec/GloVe co-occurrence statistic) and hashing-trick
+feature vectors.
+
+Both stay JVM-side: co-occurrence pairs come from array-shift zips
+(no positional self-join, no window shuffle — the pairs of a document
+never leave its row until the final count aggregate), and feature
+hashing reuses the engine's md5 determinism idiom so the DuckDB
+oracle reproduces bucket ids bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import norm_tokens
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def term_cooccurrence_pmi(
+    spark: SparkSession, sf_dir: str, window: int = 2, min_pairs: int = 5
+) -> DataFrame:
+    """Directional term co-occurrence PMI within a ``window``-token
+    forward window — the association statistic co-occurrence-matrix
+    embeddings (GloVe) and collocation detectors start from.
+
+    Pair events (a at i, b at i+d), d in 1..window, are built by
+    zipping the token array with its own d-shifted slices — an O(doc
+    length * window) per-row array expression, so pair extraction
+    adds NO shuffle; the only exchanges are the two count aggregates
+    (pairs, unigrams). PMI = log2(p(a,b) / (p(a) p(b))) with unigram
+    marginals over all tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(norm_tokens(F.col("text")).alias("t"))
+    n = F.array_size(F.col("t"))
+    shifted = [
+        F.arrays_zip(
+            F.slice(F.col("t"), 1, F.greatest(n - dd, F.lit(0))).alias("a"),
+            F.slice(F.col("t"), 1 + dd, F.greatest(n - dd, F.lit(0))).alias("b"),
+        )
+        for dd in range(1, window + 1)
+    ]
+    pairs = (
+        toks.select(F.explode(F.flatten(F.array(*shifted))).alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    )
+    pair_counts = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pairs)
+    )
+    # totals from array sizes — no second explode pass: the d-shift
+    # produces exactly max(n-d, 0) pairs per doc by construction
+    n = F.array_size(F.col("t"))
+    total_pairs = toks.agg(
+        F.sum(
+            sum(F.greatest(n - dd, F.lit(0)) for dd in range(1, window + 1))
+        ).alias("tp")
+    )
+    uni = (
+        toks.select(F.explode(F.col("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    total_toks = toks.agg(F.sum(n).alias("tt"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(total_pairs))
+        .crossJoin(F.broadcast(total_toks))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            r6(
+                F.log2(
+                    (F.col("n_pair") / F.col("tp"))
+                    / (
+                        (F.col("n_a") / F.col("tt"))
+                        * (F.col("n_b") / F.col("tt"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+def feature_hash_counts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> DataFrame:
+    """Hashing-trick document features: every token maps to bucket
+    md5(term) mod ``n_buckets`` and the per-(doc, bucket) term counts
+    are the sparse feature vector — the fixed-width, vocabulary-free
+    featurization linear text classifiers train on at corpus scale.
+
+    One explode + one count aggregate; the hash is the engine's md5
+    determinism idiom (15 hex chars -> BIGINT), so bucket assignment
+    is identical on both engines and across any partitioning. Output
+    also carries each bucket's distinct-term count — the collision
+    diagnostic that tells you when n_buckets is too small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % n_buckets
+    )
+    hashed = tok.withColumn("bucket", bucket)
+    feats = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("term").alias("n_terms"),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )

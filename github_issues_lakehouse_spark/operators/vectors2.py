@@ -211,3 +211,87 @@ def embedding_covariance(
         moments.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.dim_i", "r.dim_j", "r.cov")
     )
+
+
+def pca_top_component(
+    spark: SparkSession, sf_dir: str, dim: int = 8, n_iter: int = 4
+) -> DataFrame:
+    """Top principal component of the first ``dim`` embedding
+    dimensions by deterministic power iteration on the covariance
+    matrix — the dominant-direction diagnostic (anisotropy, rogue
+    dimension detection) run before whitening or dimension pruning.
+
+    The corpus is touched ONCE: the same single-pass moment aggregate
+    as embedding_covariance. Everything after operates on the
+    dim x dim covariance rows — dim^2 values, bounded by embedding
+    width, never by data — as tiny DataFrame joins (matvec = join on
+    j + groupBy i), localCheckpointed per iteration like the other
+    iterative families. Determinism contract: v0 = 1/sqrt(dim), each
+    iterate is normalized then rounded to 6dp, so both engines walk
+    identical vector sequences and the DuckDB oracle unrolls the same
+    iterations as CTEs. Output: one row per dimension with the
+    loading, plus the Rayleigh-quotient eigenvalue estimate.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    x = [F.element_at(v, i + 1) for i in range(dim)]
+    aggs = [F.avg(x[i]).alias(f"m{i}") for i in range(dim)]
+    aggs += [
+        F.avg(x[i] * x[j]).alias(f"p{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    moments = e.agg(*aggs)
+    # full (mirrored) matrix so the matvec is a plain join on j
+    rows = []
+    for i in range(dim):
+        for j in range(dim):
+            lo, hi = min(i, j), max(i, j)
+            rows.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.round(
+                        F.col(f"p{lo}_{hi}") - F.col(f"m{lo}") * F.col(f"m{hi}"), 6
+                    ).alias("c"),
+                )
+            )
+    cov = (
+        moments.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.i", "r.j", "r.c")
+        .localCheckpoint(eager=True)
+    )
+    v0 = round(1.0 / dim**0.5, 6)
+    vec = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(v0).alias("x")
+    )
+    for _ in range(n_iter):
+        w = (
+            cov.join(F.broadcast(vec), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("wx"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wx") * F.col("wx"))).alias("n"))
+        vec = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), F.round(F.col("wx") / F.col("n"), 6).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    # Rayleigh quotient lambda = v' C v (v is unit up to rounding)
+    cv = (
+        cov.join(F.broadcast(vec), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("cv"))
+    )
+    lam = (
+        cv.join(F.broadcast(vec.select(F.col("j").alias("i"), "x")), "i")
+        .agg(F.round(F.sum(F.col("cv") * F.col("x")), 6).alias("eigenvalue"))
+    )
+    return (
+        vec.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("int").alias("dim_i"),
+            F.col("x").alias("loading"),
+            "eigenvalue",
+        )
+    )

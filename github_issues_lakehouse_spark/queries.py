@@ -19,6 +19,7 @@ from .operators import (
     dimensional,
     gold,
     graph,
+    graph2,
     multimodal,
     relational as R,
     relational2 as R2,
@@ -26,6 +27,7 @@ from .operators import (
     relational4 as R4,
     relational5 as R5,
     relational6 as R6,
+    relational7 as R7,
     quality_checks as QC,
     scale,
     silver,
@@ -36,6 +38,7 @@ from .operators import (
     text3,
     text4,
     text5,
+    text6,
     vectors2 as V2,
 )
 
@@ -429,6 +432,16 @@ _DRIVER_PRIORITY_R3 = [
     "event_order_inversions",
     "weighted_median_price",
     "weighted_quantiles_price",
+    # new in r3 third batch (unevidenced)
+    "supplier_cosupply_triangles",
+    "part_copurchase_lift",
+    "equi_depth_histogram",
+    "table_stats_mart",
+    "attribution_touchpoints",
+    "ewma_user_value",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
+    "pca_top_component",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -563,6 +576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucketed_batches": chunking.length_bucketed_batches,
         "source_interleave_plan": chunking.source_interleave_plan,
         "yoy_revenue": R6.yoy_revenue,
+        # r3 third batch: one-shot graph analytics, basket association,
+        # optimizer statistics, attribution, EWMA, co-occurrence PMI,
+        # hashing-trick features, power-iteration PCA
+        "supplier_cosupply_triangles": graph2.supplier_cosupply_triangles,
+        "part_copurchase_lift": graph2.part_copurchase_lift,
+        "equi_depth_histogram": R7.equi_depth_histogram,
+        "table_stats_mart": R7.table_stats_mart,
+        "attribution_touchpoints": R7.attribution_touchpoints,
+        "ewma_user_value": R7.ewma_user_value,
+        "term_cooccurrence_pmi": text6.term_cooccurrence_pmi,
+        "feature_hash_counts": text6.feature_hash_counts,
+        "pca_top_component": V2.pca_top_component,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1670,6 +1695,15 @@ FROM top
         "length_bucketed_batches": _length_batches_oracle(),
         "source_interleave_plan": _interleave_oracle(),
         "yoy_revenue": _yoy_oracle(),
+        "supplier_cosupply_triangles": _triangles_oracle(),
+        "part_copurchase_lift": _copurchase_oracle(),
+        "equi_depth_histogram": _equi_depth_oracle(),
+        "table_stats_mart": _table_stats_oracle(),
+        "attribution_touchpoints": _attribution_oracle(),
+        "ewma_user_value": _ewma_oracle(),
+        "term_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
+        "feature_hash_counts": _feature_hash_oracle(),
+        "pca_top_component": _pca_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -3702,4 +3736,272 @@ SELECT o_custkey AS custkey, o_orderpriority AS priority,
   strftime(nxt - INTERVAL 1 DAY, '%Y-%m-%d') AS valid_to,
   (nxt IS NULL) AS is_current
 FROM iv
+"""
+
+
+def _triangles_oracle() -> str:
+    return """
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT tu AS node FROM tri
+    UNION ALL SELECT tv FROM tri
+    UNION ALL SELECT tw FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+)
+SELECT s.s_suppkey,
+  CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+  round(CASE WHEN coalesce(d.degree, 0) >= 2
+        THEN 2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1))
+        ELSE 0.0 END, 6) AS clustering
+FROM supplier s
+LEFT JOIN deg d ON s.s_suppkey = d.node
+LEFT JOIN pn p ON s.s_suppkey = p.node
+"""
+
+
+def _copurchase_oracle(min_pairs: int = 3) -> str:
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+singles AS (SELECT brand, count(*) AS n_single FROM baskets GROUP BY 1),
+no AS (SELECT count(*) AS n_orders FROM orders),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_pair
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pairs}
+)
+SELECT pr.brand_a, pr.brand_b, CAST(pr.n_pair AS BIGINT) AS n_pair,
+  round(pr.n_pair / no.n_orders, 6) AS support,
+  round(pr.n_pair / sa.n_single, 6) AS confidence_a_to_b,
+  round(pr.n_pair * no.n_orders / (sa.n_single * sb.n_single), 6) AS lift
+FROM pairs pr
+JOIN singles sa ON pr.brand_a = sa.brand
+JOIN singles sb ON pr.brand_b = sb.brand
+CROSS JOIN no
+"""
+
+
+def _equi_depth_oracle(buckets: int = 20) -> str:
+    return f"""
+WITH r AS (
+  SELECT l_extendedprice AS price,
+    row_number() OVER (ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber) AS rnk,
+    count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(((rnk - 1) * {buckets}) // n AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  round(min(price), 2) AS price_lo,
+  round(max(price), 2) AS price_hi,
+  round(avg(price), 6) AS avg_price
+FROM r GROUP BY 1
+"""
+
+
+def _table_stats_oracle() -> str:
+    from .operators.relational7 import _PROFILE_TABLES
+
+    parts = []
+    for tname, cols in _PROFILE_TABLES.items():
+        aggs = ["count(*) AS _n"]
+        sels = []
+        for c, kind in cols:
+            aggs.append(f"count({c}) AS c_{c}")
+            aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+            if kind == "num":
+                aggs.append(f"round(CAST(min({c}) AS DOUBLE), 6) AS mn_{c}")
+                aggs.append(f"round(CAST(max({c}) AS DOUBLE), 6) AS mx_{c}")
+                mn, mx = f"mn_{c}", f"mx_{c}"
+            elif kind == "ts":
+                aggs.append(f"round(CAST(floor(epoch(min({c}))) AS DOUBLE), 6) AS mn_{c}")
+                aggs.append(f"round(CAST(floor(epoch(max({c}))) AS DOUBLE), 6) AS mx_{c}")
+                mn, mx = f"mn_{c}", f"mx_{c}"
+            else:
+                mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            sels.append(
+                f"SELECT '{tname}' AS table_name, '{c}' AS column_name, "
+                f"CAST(_n AS BIGINT) AS n_rows, CAST(_n - c_{c} AS BIGINT) AS n_nulls, "
+                f"CAST(d_{c} AS BIGINT) AS n_distinct, {mn} AS min_num, {mx} AS max_num "
+                f"FROM agg_{tname}"
+            )
+        parts.append((tname, ",\n    ".join(aggs), sels))
+    ctes = ",\n".join(
+        f"agg_{t} AS (SELECT {a} FROM {t})" for t, a, _ in parts
+    )
+    unions = "\nUNION ALL ".join(s for _, _, sels in parts for s in sels)
+    return f"WITH {ctes}\n{unions}"
+
+
+def _attribution_oracle(lookback_days: int = 7) -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts, event_type AS t_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.p_id, t.t_ts, t.t_id, t.t_type,
+    row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_a,
+    row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_d
+  FROM p JOIN t ON p.p_user = t.t_user
+    AND t.t_ts < p.p_ts
+    AND t.t_ts >= p.p_ts - INTERVAL {lookback_days} DAY
+),
+a AS (
+  SELECT p_id, count(*) AS n_touches,
+    max(CASE WHEN rn_a = 1 THEN t_type END) AS first_touch_type,
+    max(CASE WHEN rn_d = 1 THEN t_type END) AS last_touch_type,
+    max(CASE WHEN rn_a = 1 THEN t_ts END) AS first_touch_ts
+  FROM j GROUP BY 1
+)
+SELECT p.p_id AS purchase_event_id, p.p_user AS user_id, p.p_ts AS purchase_ts,
+  round(p.p_value, 2) AS purchase_value,
+  CAST(coalesce(a.n_touches, 0) AS BIGINT) AS n_touches,
+  a.first_touch_type, a.last_touch_type,
+  CAST(floor(epoch(p.p_ts)) - floor(epoch(a.first_touch_ts)) AS BIGINT)
+    AS secs_to_convert
+FROM p LEFT JOIN a ON p.p_id = a.p_id
+"""
+
+
+def _ewma_oracle(alpha: float = 0.3, k: int = 16) -> str:
+    keep = 1.0 - alpha
+    return f"""
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT event_id, user_id, ts, round(value, 2) AS value,
+  round(CAST(list_reduce(frame, (acc, x) -> acc * {keep} + x * {alpha}) AS DOUBLE), 6)
+    AS ewma_{k}
+FROM framed
+"""
+
+
+def _cooccurrence_pmi_oracle(window: int = 2, min_pairs: int = 5) -> str:
+    shifts = "\n  UNION ALL ".join(
+        f"SELECT unnest(t[1:len(t)-{d}]) AS term_a, unnest(t[{d + 1}:len(t)]) AS term_b FROM toks"
+        for d in range(1, window + 1)
+    )
+    return f"""
+WITH toks AS (SELECT {_norm_toks_sql()} AS t FROM documents),
+pairs AS (
+  {shifts}
+),
+pc AS (
+  SELECT term_a, term_b, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {min_pairs}
+),
+tp AS (SELECT count(*) AS tp FROM pairs),
+uni AS (
+  SELECT term, count(*) AS n_term
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+),
+tt AS (SELECT sum(n_term) AS tt FROM uni)
+SELECT pc.term_a, pc.term_b, CAST(pc.n_pair AS BIGINT) AS n_pair,
+  round(log2((pc.n_pair / tp.tp)
+             / ((ua.n_term / tt.tt) * (ub.n_term / tt.tt))), 6) AS pmi
+FROM pc
+JOIN uni ua ON pc.term_a = ua.term
+JOIN uni ub ON pc.term_b = ub.term
+CROSS JOIN tp CROSS JOIN tt
+"""
+
+
+def _feature_hash_oracle(n_buckets: int = 64) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_norm_toks_sql()}) AS term FROM documents
+),
+h AS (
+  SELECT doc_id, term,
+    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {n_buckets} AS bucket
+  FROM tok
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS tf,
+  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM h GROUP BY 1, 2
+"""
+
+
+def _pca_oracle(dim: int = 8, n_iter: int = 4) -> str:
+    moments = ",\n    ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE)) AS p{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    means = ",\n    ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS m{i}" for i in range(dim)
+    )
+    cov_rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, round(p{min(i,j)}_{max(i,j)} - m{min(i,j)} * m{max(i,j)}, 6) AS c FROM mom"
+        for i in range(dim)
+        for j in range(dim)
+    )
+    v0 = round(1.0 / dim**0.5, 6)
+    v_rows = "\n  UNION ALL ".join(f"SELECT {j} AS j, {v0} AS x" for j in range(dim))
+    iters = []
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        iters.append(
+            f"w{t} AS (SELECT cov.i, round(sum(cov.c * {prev}.x), 6) AS wx "
+            f"FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY 1),\n"
+            f"n{t} AS (SELECT sqrt(sum(wx * wx)) AS nn FROM w{t}),\n"
+            f"v{t} AS (SELECT w{t}.i AS j, round(w{t}.wx / n{t}.nn, 6) AS x "
+            f"FROM w{t} CROSS JOIN n{t})"
+        )
+        prev = f"v{t}"
+    iter_sql = ",\n".join(iters)
+    # MATERIALIZED: DuckDB inlines CTEs by default, which would re-run
+    # the corpus moment aggregate once per cov row (dim^2 scans)
+    return f"""
+WITH mom AS MATERIALIZED (
+  SELECT {means},
+    {moments}
+  FROM embeddings
+),
+cov AS MATERIALIZED (
+  {cov_rows}
+),
+v0 AS (
+  {v_rows}
+),
+{iter_sql},
+cv AS (
+  SELECT cov.i, round(sum(cov.c * {prev}.x), 6) AS cv
+  FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY 1
+),
+lam AS (
+  SELECT round(sum(cv.cv * v.x), 6) AS eigenvalue
+  FROM cv JOIN {prev} v ON cv.i = v.j
+)
+SELECT CAST(v.j AS INT) AS dim_i, v.x AS loading, lam.eigenvalue
+FROM {prev} v CROSS JOIN lam
 """

@@ -222,3 +222,28 @@ def test_lineage_report_prunes_and_pushes(spark):
     rep5 = lineage_report(R.q5_region_revenue(spark, SF_DIR))
     tables = {r["table"] for r in rep5}
     assert {"customer", "orders", "lineitem", "supplier", "nation", "region"} <= tables
+
+
+def test_r3_third_wave_shuffle_budgets(spark):
+    """Third r3 wave: triangles <= 8 (edges checkpointed once, then
+    wedge/closing joins + two explode-aggs + supplier join); lift <= 4
+    (baskets checkpointed, pair agg + two broadcast support joins);
+    equi-depth <= 6 (two lineitem passes: stats + band window/carry/
+    final agg); stats mart = 2 per table (multi-distinct expand);
+    attribution = 2 (touch join + purchase window); ewma = 1 (the
+    bounded-frame window); PMI <= 5 (pair agg + unigram agg + three
+    broadcast totals); feature hashing = 2 (doc-bucket agg incl.
+    distinct); PCA = 2 (one corpus moment aggregate — iterations run
+    on checkpointed dim-sized tables, invisible here)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["supplier_cosupply_triangles"](spark, SF_DIR)) <= 8
+    assert _shuffle_count(qs["part_copurchase_lift"](spark, SF_DIR)) <= 4
+    assert _shuffle_count(qs["equi_depth_histogram"](spark, SF_DIR)) <= 6
+    assert _shuffle_count(qs["table_stats_mart"](spark, SF_DIR)) <= 4
+    assert _shuffle_count(qs["attribution_touchpoints"](spark, SF_DIR)) <= 2
+    assert _shuffle_count(qs["ewma_user_value"](spark, SF_DIR)) == 1
+    assert _shuffle_count(qs["term_cooccurrence_pmi"](spark, SF_DIR)) <= 5
+    assert _shuffle_count(qs["feature_hash_counts"](spark, SF_DIR)) <= 2
+    assert _shuffle_count(qs["pca_top_component"](spark, SF_DIR)) <= 2
