@@ -91,6 +91,18 @@ HEADLINE = [
     "length_bucketed_batches",
     "source_interleave_plan",
     "yoy_revenue",
+    # r3 third batch: graph analytics, optimizer stats, attribution,
+    # EWMA, co-occurrence PMI, feature hashing, PCA
+    "supplier_cosupply_triangles",
+    "part_copurchase_lift",
+    "equi_depth_histogram",
+    "table_stats_mart",
+    "attribution_touchpoints",
+    "ewma_user_value",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
+    "pca_top_component",
+    "bpe_merge_learning",
 ]
 
 

@@ -116,6 +116,13 @@ LAZY_QUERY_VIEWS = [
     "event_dedup_windowed",
     "sessionize_events",
     "holdout_split",
+    # r3 third batch (construction-safe: no driver-side iteration)
+    "equi_depth_histogram",
+    "table_stats_mart",
+    "attribution_touchpoints",
+    "ewma_user_value",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
 ]
 
 

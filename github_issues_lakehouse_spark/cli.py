@@ -310,17 +310,62 @@ def run_corpus(
         .orderBy("split")
     )
     sinks.export_csv_single(summary, str(out / "summary.csv"), sort_by=["split"])
+
+    # Serving CSVs for the corpus dashboard (docs/corpus.html): the
+    # registry marts themselves, exported single-file like the gold
+    # KPIs. All are source- or bucket-grained (serving-sized).
+    from .operators.text import quality_score
+    from .operators.text2 import dedup_rate_mart, source_mixing_weights
+
+    sinks.export_csv_single(
+        source_mixing_weights(spark, sf_dir), str(out / "source_mix.csv"),
+        sort_by=["source"],
+    )
+    sinks.export_csv_single(
+        dedup_rate_mart(spark, sf_dir), str(out / "dedup_rate.csv"),
+        sort_by=["source"],
+    )
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.least(F.floor(F.col("quality_score") * 20), F.lit(19))
+        .cast("int")
+        .alias("bucket"),
+    )
+    hist = (
+        q.join(kept.select("doc_id", F.lit(1).alias("is_kept")), "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_kept", F.lit(0))).cast("long").alias("n_kept"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 20.0, 2).alias("q_lo"),
+            F.round((F.col("bucket") + 1) / 20.0, 2).alias("q_hi"),
+            "n_docs",
+            "n_kept",
+        )
+    )
+    sinks.export_csv_single(hist, str(out / "quality_hist.csv"), sort_by=["bucket"])
+
     rows = {r["split"]: (r["n_docs"], r["n_tokens"], r["n_shards"]) for r in summary.collect()}
     for sp, (nd, nt, ns) in rows.items():
         print(f"[corpus] {sp}: {nd} docs, {nt} tokens, {ns} shards")
     return rows
 
 
-def run_export(config: str, data_dir: str, docs_data: str = "docs/data") -> list[str]:
+def run_export(
+    config: str,
+    data_dir: str,
+    docs_data: str = "docs/data",
+    corpus_dir: str | None = None,
+) -> list[str]:
     """Publish the serving CSVs to the dashboard data dir (reference
     scripts/export_pages_data.py behavior): copy each repo's gold
     kpi_monthly_global.csv (and the silver label catalog) into
-    ``docs_data`` for the static dashboard / GitHub Pages."""
+    ``docs_data`` for the static dashboard / GitHub Pages. With
+    ``corpus_dir`` (a `corpus` command output dir), also publish the
+    corpus marts under ``docs_data``/corpus for docs/corpus.html."""
     import shutil
 
     cfg = _load_cfg(config)
@@ -339,6 +384,16 @@ def run_export(config: str, data_dir: str, docs_data: str = "docs/data") -> list
             shutil.copy2(cat, out / "label_catalog.csv")
             copied.append(str(out / "label_catalog.csv"))
         print(f"[export] {slug}: published {len(copied)} file(s) -> {out}")
+    if corpus_dir is not None:
+        cdir = out / "corpus"
+        cdir.mkdir(parents=True, exist_ok=True)
+        for name in ("summary.csv", "source_mix.csv", "dedup_rate.csv", "quality_hist.csv"):
+            src = os.path.join(corpus_dir, name)
+            if not os.path.exists(src):
+                raise FileNotFoundError(f"Missing {src} (run corpus first)")
+            shutil.copy2(src, cdir / name)
+            copied.append(str(cdir / name))
+        print(f"[export] corpus marts published -> {cdir}")
     return copied
 
 
@@ -387,6 +442,9 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--min-quality", type=float, default=0.8)
     parser.add_argument("--shard-tokens", type=int, default=512)
     parser.add_argument("--batch-id", type=int, help="mart: explicit batch id")
+    parser.add_argument(
+        "--corpus-dir", help="export: corpus output dir to publish as corpus marts"
+    )
     args = parser.parse_args(argv)
 
     if args.command == "ingest":
@@ -406,7 +464,12 @@ def main(argv: list[str] | None = None) -> None:
             parser.error("mart requires --input <events.parquet> --out <mart_dir>")
         run_mart(args.input, args.out, args.batch_id)
     elif args.command == "export":
-        run_export(args.config, args.data_dir, args.out or "docs/data")
+        run_export(
+            args.config,
+            args.data_dir,
+            args.out or "docs/data",
+            corpus_dir=args.corpus_dir,
+        )
     else:
         run_demo(args.config, args.data_dir)
     print(f"Command selected: {args.command}")

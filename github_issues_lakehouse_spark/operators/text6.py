@@ -125,3 +125,91 @@ def feature_hash_counts(
         F.col("tf").cast("long").alias("tf"),
         F.col("n_terms").cast("long").alias("n_terms"),
     )
+
+
+def bpe_merge_learning(
+    spark: SparkSession, sf_dir: str, n_merges: int = 5
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus —
+    classic byte-pair-encoding tokenizer induction (Sennrich et al.
+    2016, public paper): repeatedly pick the most frequent adjacent
+    symbol pair (weighted by word frequency) and fuse it everywhere.
+
+    The working set is the DISTINCT-word vocabulary with counts, not
+    the corpus — after the one corpus-scale word count, every
+    iteration is vocabulary-bounded (pair explode + one aggregate +
+    a 1-row broadcast argmax), localCheckpointed per round like the
+    other iterative families.
+
+    Merge application is declarative and engine-portable: symbol
+    strings are double-space joined (' h  e  l  l  o ') so the plain
+    left-to-right non-overlapping replace(' a  b ', ' ab ') consumes
+    one boundary space per side and leaves the neighbor's boundary
+    intact — exactly greedy BPE application, identical in Spark and
+    DuckDB. Ties on pair count break (pair_left, pair_right) asc, so
+    the learned merge sequence is fully deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(norm_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "), F.array_join(F.split(F.col("word"), ""), "  "), F.lit(" ")
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    out: DataFrame | None = None
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("sym")), "  ")
+        n = F.array_size(syms)
+        zipped = F.arrays_zip(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+        )
+        top = (
+            vocab.select("freq", F.explode(zipped).alias("p"))
+            .groupBy(F.col("p.a").alias("pair_left"), F.col("p.b").alias("pair_right"))
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair_left", "pair_right")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("pair_left"),
+                        F.lit("  "),
+                        F.col("pair_right"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("pair_left"),
+                        F.col("pair_right"),
+                        F.lit(" "),
+                    ),
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        step = top.select(
+            F.lit(rank).cast("int").alias("merge_rank"),
+            "pair_left",
+            "pair_right",
+            F.concat(F.col("pair_left"), F.col("pair_right")).alias("merged"),
+            F.col("pair_freq").cast("long").alias("pair_freq"),
+        )
+        out = step if out is None else out.unionByName(step)
+    return out

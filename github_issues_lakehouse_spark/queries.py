@@ -442,6 +442,7 @@ _DRIVER_PRIORITY_R3 = [
     "term_cooccurrence_pmi",
     "feature_hash_counts",
     "pca_top_component",
+    "bpe_merge_learning",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -588,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence_pmi": text6.term_cooccurrence_pmi,
         "feature_hash_counts": text6.feature_hash_counts,
         "pca_top_component": V2.pca_top_component,
+        "bpe_merge_learning": text6.bpe_merge_learning,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1704,6 +1706,7 @@ FROM top
         "term_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
         "feature_hash_counts": _feature_hash_oracle(),
         "pca_top_component": _pca_oracle(),
+        "bpe_merge_learning": _bpe_merges_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4004,4 +4007,54 @@ lam AS (
 )
 SELECT CAST(v.j AS INT) AS dim_i, v.x AS loading, lam.eigenvalue
 FROM {prev} v CROSS JOIN lam
+"""
+
+
+def _bpe_merges_oracle(n_merges: int = 5) -> str:
+    iters = []
+    finals = []
+    prev = "v0"
+    for t in range(1, n_merges + 1):
+        iters.append(
+            f"""p{t} AS (
+  SELECT a, b, sum(freq) AS pair_freq FROM (
+    SELECT freq,
+      unnest(sl[1:len(sl)-1]) AS a,
+      unnest(sl[2:len(sl)]) AS b
+    FROM (SELECT freq, string_split(trim(sym), '  ') AS sl FROM {prev})
+  ) GROUP BY 1, 2
+),
+t{t} AS MATERIALIZED (
+  SELECT a AS pair_left, b AS pair_right, pair_freq
+  FROM p{t} ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 1
+),
+v{t} AS MATERIALIZED (
+  SELECT word, freq,
+    replace(sym,
+            concat(' ', t{t}.pair_left, '  ', t{t}.pair_right, ' '),
+            concat(' ', t{t}.pair_left, t{t}.pair_right, ' ')) AS sym
+  FROM {prev} CROSS JOIN t{t}
+)"""
+        )
+        finals.append(
+            f"SELECT {t} AS merge_rank, pair_left, pair_right, "
+            f"concat(pair_left, pair_right) AS merged, "
+            f"CAST(pair_freq AS BIGINT) AS pair_freq FROM t{t}"
+        )
+        prev = f"v{t}"
+    iter_sql = ",\n".join(iters)
+    final_sql = "\nUNION ALL ".join(finals)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest({_norm_toks_sql()}) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+    concat(' ', array_to_string(string_split(word, ''), '  '), ' ') AS sym
+  FROM words
+),
+{iter_sql}
+{final_sql}
 """

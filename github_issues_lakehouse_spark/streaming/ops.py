@@ -497,3 +497,80 @@ def stream_kmv_maintenance(docs: DataFrame, path: str, checkpoint: str, k: int =
         .trigger(availableNow=True)
         .start()
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ewma", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """D16: stateful per-user EWMA over the event stream — the
+    streaming twin of the batch ``ewma_user_value`` recursion
+    (pandas ewm(adjust=False), seeded at the user's first event).
+    Emits one row per event carrying the smoothed value; keyed state
+    is TWO numbers per user (last ewma + count), so state size is
+    O(users) regardless of stream length.
+
+    Within a micro-batch rows are folded in (ts, event_id) order;
+    across batches the fold continues from state, so a drained
+    availableNow stream reproduces the batch fold exactly. Events
+    arriving out of order across batches fold in arrival order — the
+    same caveat as sessionize_stream; feed from a source that
+    preserves per-key time order (or pre-sort per trigger) when exact
+    time order matters.
+    """
+
+    def fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        # self-contained closure: workers may not be able to import
+        # this package (foreign-cwd driver), so only pandas here
+        import pandas as pd  # noqa: F811
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if rows.empty:
+            return
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = 0.0, 0
+        out = []
+        for _, r in rows.iterrows():
+            x = float(r["value"])
+            last = x if n == 0 else last * (1.0 - alpha) + x * alpha
+            n += 1
+            out.append((int(r["event_id"]), r["ts"], x, last))
+        state.update((float(last), int(n)))
+        yield pd.DataFrame(
+            {
+                "event_id": [o[0] for o in out],
+                "user_id": [user_id] * len(out),
+                "ts": [o[1] for o in out],
+                "value": [o[2] for o in out],
+                "ewma": [o[3] for o in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

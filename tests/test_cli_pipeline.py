@@ -389,3 +389,47 @@ def test_export_publishes_serving_csvs(tmp_path):
         "kpi_monthly_global.csv", "label_catalog.csv",
     ]
     assert (docs / "kpi_monthly_global.csv").read_text().startswith("month,")
+
+
+def test_corpus_exports_dashboard_marts(spark, tmp_path):
+    """`corpus` publishes the dashboard mart CSVs (source mix, dedup
+    rate, quality histogram) and `export --corpus-dir` copies them to
+    the docs data dir; histogram counts conserve the corpus total and
+    the kept column matches the kept document count."""
+    import csv
+
+    from github_issues_lakehouse_spark.cli import run_corpus, run_export
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    out = str(tmp_path / "corpus")
+    run_corpus("/root/testdata/sf0.001", out, min_quality=0.5)
+    for name in ("source_mix.csv", "dedup_rate.csv", "quality_hist.csv"):
+        assert (tmp_path / "corpus" / name).exists(), name
+
+    with open(tmp_path / "corpus" / "quality_hist.csv") as f:
+        hist = list(csv.DictReader(f))
+    n_all = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    n_kept = spark.read.parquet(f"{out}/documents.parquet").count()
+    assert sum(int(r["n_docs"]) for r in hist) == n_all
+    assert sum(int(r["n_kept"]) for r in hist) == n_kept
+    for r in hist:
+        assert 0 <= int(r["n_kept"]) <= int(r["n_docs"])
+
+    with open(tmp_path / "corpus" / "source_mix.csv") as f:
+        mix = list(csv.DictReader(f))
+    assert abs(sum(float(r["share"]) for r in mix) - 1.0) < 1e-3
+
+    # export publishes them under docs_data/corpus (no gold needed:
+    # write a minimal gold layout first)
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("source:\n  repos:\n    - {owner: acme, repo: widgets}\n")
+    docs_data = tmp_path / "docs_data"
+    gold = tmp_path / "data" / "gold" / "acme__widgets"
+    gold.mkdir(parents=True)
+    (gold / "kpi_monthly_global.csv").write_text("month,created_count\n2024-01,1\n")
+    copied = run_export(
+        str(cfg), str(tmp_path / "data"), str(docs_data), corpus_dir=out
+    )
+    for name in ("summary.csv", "source_mix.csv", "dedup_rate.csv", "quality_hist.csv"):
+        assert (docs_data / "corpus" / name).exists(), name
+    assert len(copied) >= 5

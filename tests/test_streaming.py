@@ -488,3 +488,23 @@ def test_streaming_mart_feeds_anomaly_readout(spark, events_dir, tmp_path):
         for r in daily_anomaly_events(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_stream_ewma_matches_batch(spark, events_dir):
+    """D16: drained streaming EWMA equals the batch trailing-EWMA
+    with a frame wider than any user's history (the unbounded
+    recursion both reduce to)."""
+    from github_issues_lakehouse_spark.operators.relational7 import ewma_user_value
+    from github_issues_lakehouse_spark.streaming import stream_ewma
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = _run_stream(spark, stream_ewma(stream), "ewma_stream").collect()
+    # k wider than the longest per-user history -> exact recursion
+    expect = ewma_user_value(spark, SF_DIR, k=100_000).collect()
+    exp_map = {r.event_id: r for r in expect}
+    assert len(got) == len(expect) > 0
+    for r in got:
+        e = exp_map[r.event_id]
+        assert abs(round(r.ewma, 6) - e.ewma_100000) < 1e-9, r.event_id
+        assert r.user_id == e.user_id

@@ -38,6 +38,19 @@ HEAVY = [
     "cms_term_counts",
     "event_dedup_windowed",
     "daily_anomaly_events",
+    # r3 third batch — orders/lineitem now replicate too (shifted
+    # order keys, FIXED dims: 10x transactions over the same
+    # suppliers/parts/users, so the co-occurrence graphs densify the
+    # way a real 10x month would)
+    "supplier_cosupply_triangles",
+    "part_copurchase_lift",
+    "equi_depth_histogram",
+    "table_stats_mart",
+    "attribution_touchpoints",
+    "ewma_user_value",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
+    "bpe_merge_learning",
 ]
 
 
@@ -84,7 +97,40 @@ def main() -> None:
         .write.mode("overwrite")
         .parquet(f"{dst}/events.parquet")
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"):
+    o = load_table(spark, src, "orders")
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/orders.parquet")
+    )
+    li = load_table(spark, src, "lineitem")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/lineitem.parquet")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
