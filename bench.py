@@ -103,6 +103,13 @@ HEADLINE = [
     "feature_hash_counts",
     "pca_top_component",
     "bpe_merge_learning",
+    # r3 fifth batch: search/ranking, time-series, diagnostics
+    "bm25_topk",
+    "rrf_hybrid_topk",
+    "seasonal_decompose_daily",
+    "cusum_changepoint",
+    "corr_matrix_lineitem",
+    "join_key_skew",
 ]
 
 

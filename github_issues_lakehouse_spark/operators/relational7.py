@@ -265,3 +265,81 @@ def ewma_user_value(
         F.round("value", 2).alias("value"),
         r6(ewma).alias(f"ewma_{k}"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    measures (upper triangle incl. diagonal) — the EDA/feature-
+    selection companion of stats_summary_lineitem, computed like
+    embedding_covariance: EVERY moment (means, squares, cross
+    products) in ONE map-side-combinable aggregate, correlations
+    assembled on the 1-row result. Adding a column adds accumulators,
+    never a pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = []
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        aggs.append(F.avg(x).alias(f"m{i}"))
+        for j in range(i, len(cols)):
+            y = F.col(cols[j]).cast("double")
+            aggs.append(F.avg(x * y).alias(f"p{i}_{j}"))
+    mom = li.agg(*aggs)
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            cov = F.col(f"p{i}_{j}") - F.col(f"m{i}") * F.col(f"m{j}")
+            sd_i = F.sqrt(F.col(f"p{i}_{i}") - F.col(f"m{i}") * F.col(f"m{i}"))
+            sd_j = F.sqrt(F.col(f"p{j}_{j}") - F.col(f"m{j}") * F.col(f"m{j}"))
+            rows.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.round(cov / (sd_i * sd_j), 6).alias("corr"),
+                )
+            )
+    return mom.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )
+
+
+def join_key_skew(
+    spark: SparkSession, sf_dir: str, key: str = "l_partkey", topn: int = 10
+) -> DataFrame:
+    """Join-key skew report for a fact-table key — the diagnostic run
+    BEFORE sizing a big join (the engine's salting and AQE-skew
+    machinery needs to know which keys are hot): the ``topn``
+    heaviest keys with their row share and skew ratio (key rows /
+    mean rows per key).
+
+    One count aggregate on the key, a bounded top-n cut (rank by
+    (count desc, key) — global TakeOrdered, no full sort), and the
+    per-key mean from a broadcast 1-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.avg("n_rows").alias("mean_rows"),
+    )
+    top = per_key.orderBy(F.desc("n_rows"), "key").limit(topn)
+    w = Window.orderBy(F.desc("n_rows"), "key")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            r6(F.col("n_rows") / F.col("n_total")).alias("row_share"),
+            r6(F.col("n_rows") / F.col("mean_rows")).alias("skew_ratio"),
+            F.col("n_keys").cast("long").alias("n_keys_total"),
+        )
+    )

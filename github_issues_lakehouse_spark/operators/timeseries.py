@@ -1,0 +1,125 @@
+"""Time-series decomposition and changepoint analytics over the
+daily event grid — the monitoring layer a lakehouse runs on its own
+ingest volumes.
+
+Both operators work on the (days x types) gap-filled grid, which is
+calendar-bounded (tiny relative to the fact table): the only
+corpus-scale stage is the initial daily aggregate; every window after
+that partitions by event_type over day-grain rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import r6
+
+
+def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily counts per event_type (same grid discipline
+    as daily_gapfill_events, counts only)."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.agg(F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume per
+    type: trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, residual =
+    observed - trend - seasonal. The classic STL-lite a monitoring
+    pipeline runs to separate weekly rhythm from drift before
+    alarming on residuals.
+
+    Day-grain only after the first aggregate; weekday keying uses an
+    explicit Monday=0 formula (floor-mod on the epoch day) so both
+    engines agree regardless of their DOW conventions.
+    """
+    g = _daily_grid(spark, sf_dir)
+    # Monday=0 ... Sunday=6, portable: 1970-01-01 was a Thursday (3)
+    wd = F.pmod(F.datediff(F.col("day"), F.lit("1970-01-05")), F.lit(7))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    d = (
+        g.withColumn("weekday", wd.cast("int"))
+        .withColumn("w_n", F.count(F.lit(1)).over(w7))
+        .withColumn(
+            "trend",
+            F.when(F.col("w_n") == 7, r6(F.avg(F.col("n")).over(w7))),
+        )
+        .drop("w_n")
+    )
+    seasonal = (
+        d.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "weekday")
+        .agg(r6(F.avg(F.col("n") - F.col("trend"))).alias("seasonal"))
+    )
+    return (
+        d.join(F.broadcast(seasonal), ["event_type", "weekday"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "weekday",
+            "trend",
+            "seasonal",
+            r6(F.col("n") - F.col("trend") - F.col("seasonal")).alias("residual"),
+        )
+    )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location per event_type: S_t = cumulative
+    sum of (x_i - global mean); the day maximizing |S_t| is the
+    classic single-changepoint estimate (the level shift splits the
+    series where the cumulative deviation peaks).
+
+    One day-grain running-sum window per type plus a per-type max
+    carried by a second tiny window — no recursion, no whole-series
+    state beyond the calendar-bounded grid. Output one row per day
+    with the cusum path and an is_changepoint flag on the argmax day
+    (earliest day on ties).
+    """
+    g = _daily_grid(spark, sf_dir)
+    stats = g.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        g.join(F.broadcast(stats), "event_type")
+        # + 0.0 normalizes IEEE -0.0 (the full-series sum cancels to
+        # zero with either sign depending on fold order)
+        .withColumn("cusum", r6(F.sum(F.col("n") - F.col("mu")).over(w_run)) + 0.0)
+    )
+    w_all = Window.partitionBy("event_type")
+    d = d.withColumn("peak", F.max(F.abs(F.col("cusum"))).over(w_all))
+    w_first = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # flag only the EARLIEST day attaining the peak
+    at_peak = (F.abs(F.col("cusum")) == F.col("peak")).cast("int")
+    d = d.withColumn("n_peaks_so_far", F.sum(at_peak).over(w_first))
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "cusum",
+        (
+            (F.abs(F.col("cusum")) == F.col("peak")) & (F.col("n_peaks_so_far") == 1)
+        ).alias("is_changepoint"),
+    )

@@ -30,6 +30,7 @@ from .operators import (
     relational7 as R7,
     quality_checks as QC,
     scale,
+    search,
     silver,
     similarity,
     sketches,
@@ -39,6 +40,7 @@ from .operators import (
     text4,
     text5,
     text6,
+    timeseries,
     vectors2 as V2,
 )
 
@@ -443,6 +445,12 @@ _DRIVER_PRIORITY_R3 = [
     "feature_hash_counts",
     "pca_top_component",
     "bpe_merge_learning",
+    "bm25_topk",
+    "rrf_hybrid_topk",
+    "seasonal_decompose_daily",
+    "cusum_changepoint",
+    "corr_matrix_lineitem",
+    "join_key_skew",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -590,6 +598,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_counts": text6.feature_hash_counts,
         "pca_top_component": V2.pca_top_component,
         "bpe_merge_learning": text6.bpe_merge_learning,
+        # r3 fifth batch: search/ranking, time-series decomposition,
+        # changepoint, correlation matrix, join-skew diagnostics
+        "bm25_topk": search.bm25_topk,
+        "rrf_hybrid_topk": search.rrf_hybrid_topk,
+        "seasonal_decompose_daily": timeseries.seasonal_decompose_daily,
+        "cusum_changepoint": timeseries.cusum_changepoint,
+        "corr_matrix_lineitem": R7.corr_matrix_lineitem,
+        "join_key_skew": R7.join_key_skew,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1707,6 +1723,12 @@ FROM top
         "feature_hash_counts": _feature_hash_oracle(),
         "pca_top_component": _pca_oracle(),
         "bpe_merge_learning": _bpe_merges_oracle(),
+        "bm25_topk": _bm25_oracle(),
+        "rrf_hybrid_topk": _rrf_oracle(),
+        "seasonal_decompose_daily": _seasonal_oracle(),
+        "cusum_changepoint": _cusum_oracle(),
+        "corr_matrix_lineitem": _corr_matrix_oracle(),
+        "join_key_skew": _join_key_skew_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4057,4 +4079,188 @@ v0 AS MATERIALIZED (
 ),
 {iter_sql}
 {final_sql}
+"""
+
+
+def _bm25_oracle(
+    query_terms: tuple = ("fast", "join", "stream"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 20,
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_norm_toks_sql()} AS t FROM documents
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+    round(sum(
+      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (p.tf * ({k1} + 1.0)
+         / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))
+    ), 6) AS score,
+    count(*) AS n_matched_terms
+  FROM postings p
+  JOIN lens l USING (doc_id)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, score, CAST(n_matched_terms AS BIGINT) AS n_matched_terms
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {topn}
+"""
+
+
+def _rrf_oracle(k: int = 5, c: int = 60) -> str:
+    return f"""
+WITH lsh AS MATERIALIZED ({_ann_lsh_oracle()}),
+ivf AS MATERIALIZED ({_ann_ivf_oracle()}),
+both_lists AS (
+  SELECT coalesce(l.q_id, i.q_id) AS q_id,
+    coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+    l.rank AS lsh_rank, i.rank AS ivf_rank
+  FROM lsh l FULL OUTER JOIN ivf i
+    ON l.q_id = i.q_id AND l.neighbor_id = i.neighbor_id
+),
+scored AS (
+  SELECT q_id, neighbor_id, lsh_rank, ivf_rank,
+    round(coalesce(1.0 / ({c} + lsh_rank), 0.0)
+        + coalesce(1.0 / ({c} + ivf_rank), 0.0), 6) AS rrf_score
+  FROM both_lists
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY rrf_score DESC, neighbor_id ASC
+  ) AS fused_rank
+  FROM scored
+)
+SELECT q_id, CAST(fused_rank AS INT) AS fused_rank, neighbor_id,
+  rrf_score, lsh_rank, ivf_rank
+FROM ranked WHERE fused_rank <= {k}
+"""
+
+
+_DAILY_GRID_SQL = """
+bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
+  FROM (SELECT day, event_type FROM days, types) g
+  LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+)"""
+
+
+def _seasonal_oracle() -> str:
+    return f"""
+WITH {_DAILY_GRID_SQL},
+base AS (
+  SELECT day, event_type, n,
+    CAST((day - DATE '1970-01-05') % 7 AS INT) AS weekday,
+    count(*) OVER w7 AS w_n,
+    round(avg(n) OVER w7, 6) AS trend_raw
+  FROM grid
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+b2 AS (
+  SELECT day, event_type, n, weekday,
+    CASE WHEN w_n = 7 THEN trend_raw END AS trend
+  FROM base
+),
+seas AS (
+  SELECT event_type, weekday, round(avg(n - trend), 6) AS seasonal
+  FROM b2 WHERE trend IS NOT NULL GROUP BY 1, 2
+)
+SELECT strftime(b2.day, '%Y-%m-%d') AS day, b2.event_type,
+  CAST(b2.n AS BIGINT) AS n, b2.weekday, b2.trend, s.seasonal,
+  round(b2.n - b2.trend - s.seasonal, 6) AS residual
+FROM b2 LEFT JOIN seas s
+  ON b2.event_type = s.event_type AND b2.weekday = s.weekday
+"""
+
+
+def _cusum_oracle() -> str:
+    return f"""
+WITH {_DAILY_GRID_SQL},
+stats AS (SELECT event_type, avg(n) AS mu FROM grid GROUP BY 1),
+d AS (
+  SELECT g.day, g.event_type, g.n,
+    round(sum(g.n - s.mu) OVER (PARTITION BY g.event_type ORDER BY g.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cusum
+  FROM grid g JOIN stats s ON g.event_type = s.event_type
+),
+p AS (
+  SELECT *, max(abs(cusum)) OVER (PARTITION BY event_type) AS peak FROM d
+),
+f AS (
+  SELECT *, sum(CASE WHEN abs(cusum) = peak THEN 1 ELSE 0 END) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_peaks_so_far
+  FROM p
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+  CAST(n AS BIGINT) AS n, cusum,
+  (abs(cusum) = peak AND n_peaks_so_far = 1) AS is_changepoint
+FROM f
+"""
+
+
+def _corr_matrix_oracle() -> str:
+    from .operators.relational7 import _CORR_COLS as cols
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(f"avg(CAST({c} AS DOUBLE)) AS m{i}")
+        for j in range(i, len(cols)):
+            aggs.append(
+                f"avg(CAST({c} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)) AS p{i}_{j}"
+            )
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            rows.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"round((p{i}_{j} - m{i} * m{j}) / "
+                f"(sqrt(p{i}_{i} - m{i} * m{i}) * sqrt(p{j}_{j} - m{j} * m{j})), 6) "
+                f"AS corr FROM mom"
+            )
+    agg_sql = ",\n    ".join(aggs)
+    rows_sql = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH mom AS MATERIALIZED (
+  SELECT {agg_sql}
+  FROM lineitem
+)
+{rows_sql}
+"""
+
+
+def _join_key_skew_oracle(key: str = "l_partkey", topn: int = 10) -> str:
+    return f"""
+WITH per_key AS (SELECT {key} AS key, count(*) AS n_rows FROM lineitem GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_keys, sum(n_rows) AS n_total, avg(n_rows) AS mean_rows
+  FROM per_key
+),
+top AS (SELECT key, n_rows FROM per_key ORDER BY n_rows DESC, key ASC LIMIT {topn})
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT) AS rank,
+  key, CAST(n_rows AS BIGINT) AS n_rows,
+  round(n_rows / s.n_total, 6) AS row_share,
+  round(n_rows / s.mean_rows, 6) AS skew_ratio,
+  CAST(s.n_keys AS BIGINT) AS n_keys_total
+FROM top CROSS JOIN stats s
 """

@@ -247,3 +247,21 @@ def test_r3_third_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["term_cooccurrence_pmi"](spark, SF_DIR)) <= 5
     assert _shuffle_count(qs["feature_hash_counts"](spark, SF_DIR)) <= 2
     assert _shuffle_count(qs["pca_top_component"](spark, SF_DIR)) <= 2
+
+
+def test_r3_fifth_wave_shuffle_budgets(spark):
+    """Fifth r3 wave: bm25 <= 5 (postings agg + df agg + score join,
+    term filter beside the generator); rrf <= 8 (two bounded ANN
+    subtrees + one fusion window); seasonal/cusum <= 6 (grid build is
+    3 aggregates, then day-grain windows only); corr matrix == 1 (the
+    single moment aggregate); skew report <= 3 (key agg + bounded
+    top-n + broadcast stats)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["bm25_topk"](spark, SF_DIR)) <= 5
+    assert _shuffle_count(qs["rrf_hybrid_topk"](spark, SF_DIR)) <= 8
+    assert _shuffle_count(qs["seasonal_decompose_daily"](spark, SF_DIR)) <= 6
+    assert _shuffle_count(qs["cusum_changepoint"](spark, SF_DIR)) <= 6
+    assert _shuffle_count(qs["corr_matrix_lineitem"](spark, SF_DIR)) == 1
+    assert _shuffle_count(qs["join_key_skew"](spark, SF_DIR)) <= 3

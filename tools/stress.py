@@ -51,6 +51,13 @@ HEAVY = [
     "term_cooccurrence_pmi",
     "feature_hash_counts",
     "bpe_merge_learning",
+    # r3 fifth batch (bm25 over replicated documents; seasonal/cusum
+    # over replicated events; corr/skew over replicated lineitem)
+    "bm25_topk",
+    "seasonal_decompose_daily",
+    "cusum_changepoint",
+    "corr_matrix_lineitem",
+    "join_key_skew",
 ]
 
 
