@@ -110,6 +110,10 @@ HEADLINE = [
     "cusum_changepoint",
     "corr_matrix_lineitem",
     "join_key_skew",
+    # r3 sixth batch
+    "bpe_tokenize_stats",
+    "ab_test_conversion",
+    "supplier_neighbor_jaccard",
 ]
 
 

@@ -170,3 +170,59 @@ def part_copurchase_lift(
             ).alias("lift"),
         )
     )
+
+
+def supplier_neighbor_jaccard(
+    spark: SparkSession, sf_dir: str, min_common: int = 2
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between supplier pairs on the
+    co-supply graph — the classic link-prediction / role-similarity
+    feature: two suppliers are similar when they trade into the same
+    orders as the same OTHER suppliers, whether or not they are
+    adjacent themselves.
+
+    Common-neighbor counts come from one wedge join on the
+    checkpointed symmetric edge list (each shared neighbor v
+    contributes one (u < w) wedge row); union sizes from broadcast
+    degrees; direct adjacency flagged with a left join back to the
+    edges. Only pairs with >= ``min_common`` shared neighbors are
+    emitted, which bounds the quadratic pair space the way the dedup
+    family's candidate filters do.
+    """
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # wedge u - v(shared) - w with u < w
+    a = sym.alias("a")
+    b = sym.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    degree = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = degree.select(F.col("u"), F.col("deg").alias("deg_u"))
+    dw = degree.select(F.col("u").alias("w"), F.col("deg").alias("deg_w"))
+    adj = edges.select(
+        F.col("u"), F.col("v").alias("w"), F.lit(True).alias("is_adjacent")
+    )
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .join(adj, ["u", "w"], "left")
+        .select(
+            F.col("u").alias("supp_a"),
+            F.col("w").alias("supp_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            r6(
+                F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("n_common"))
+            ).alias("jaccard"),
+            F.coalesce(F.col("is_adjacent"), F.lit(False)).alias("is_adjacent"),
+        )
+    )

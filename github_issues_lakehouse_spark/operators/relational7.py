@@ -343,3 +343,79 @@ def join_key_skew(
             F.col("n_keys").cast("long").alias("n_keys_total"),
         )
     )
+
+
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are split into two arms by the
+    engine's md5 idiom (deterministic, engine-portable), conversion =
+    user made >= 1 purchase, and the two-proportion z statistic
+    quantifies the arm difference — the standing experimentation mart.
+
+    One distinct-user pass with a conditional conversion aggregate;
+    the z statistic assembles on the 2-row arm summary (broadcast),
+    attached to both rows so the output is a single flat table.
+    Conversion = above-average purchase count (a has-any-purchase
+    definition is degenerate on this data — every user purchases —
+    which collapses the pooled variance to zero); the z statistic is
+    NULL when the pooled variance is zero anyway (all or none
+    converted), mirrored in the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # user-count-sized and consumed by two branches (threshold + arm
+    # assignment) — materialize once instead of re-scanning events
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases")
+        )
+        .localCheckpoint(eager=True)
+    )
+    avg_p = per_user.agg(F.avg("n_purchases").alias("avg_p"))
+    users = per_user.crossJoin(F.broadcast(avg_p)).select(
+        "user_id",
+        (F.col("n_purchases") > F.col("avg_p")).cast("int").alias("converted"),
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    arms = (
+        users.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .localCheckpoint(eager=True)  # 2 rows, consumed twice
+    )
+    # z over the 2-row summary: pivot to one row, compute, re-attach
+    wide = arms.groupBy().pivot("arm", ["A", "B"]).agg(
+        F.first("n_users").alias("n"), F.first("n_converted").alias("c")
+    )
+    p_pool = (F.col("A_c") + F.col("B_c")) / (F.col("A_n") + F.col("B_n"))
+    se = F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("A_n") + 1.0 / F.col("B_n"))
+    )
+    z = F.when(
+        se > 0.0,
+        ((F.col("A_c") / F.col("A_n")) - (F.col("B_c") / F.col("B_n"))) / se,
+    )
+    ztab = wide.select(r6(z).alias("z_stat"))
+    return (
+        arms.crossJoin(F.broadcast(ztab))
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            r6(F.col("n_converted") / F.col("n_users")).alias("conv_rate"),
+            "z_stat",
+        )
+    )

@@ -149,6 +149,17 @@ def bpe_merge_learning(
     DuckDB. Ties on pair count break (pair_left, pair_right) asc, so
     the learned merge sequence is fully deterministic.
     """
+    merges, _vocab = _bpe_learn(spark, sf_dir, n_merges)
+    return merges
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE learner: returns (merge table, final symbolized
+    vocabulary). See bpe_merge_learning for the algorithm contract;
+    bpe_tokenize_stats reuses the final vocabulary to APPLY the
+    learned tokenizer."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(norm_tokens(F.col("text"))).alias("word"))
@@ -212,4 +223,43 @@ def bpe_merge_learning(
             F.col("pair_freq").cast("long").alias("pair_freq"),
         )
         out = step if out is None else out.unionByName(step)
-    return out
+    return out, vocab
+
+
+def bpe_tokenize_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = 5
+) -> DataFrame:
+    """APPLY the learned BPE tokenizer (closing the learn->apply->
+    measure loop): symbolize every word with the final merge state
+    and report per-source token economics — BPE tokens, whitespace
+    words, and fertility (BPE tokens per word), the number a
+    tokenizer team watches per domain.
+
+    The application is a broadcast-sized join: per-(source, word)
+    counts (vocabulary-bounded) join the final symbolized vocabulary;
+    token counts per word come from the symbol-string split — the
+    corpus is never re-scanned after the two word-count aggregates.
+    """
+    _merges, vocab = _bpe_learn(spark, sf_dir, n_merges)
+    d = load_table(spark, sf_dir, "documents")
+    words_src = (
+        d.select("source", F.explode(norm_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks_per_word = F.array_size(F.split(F.trim(F.col("sym")), "  "))
+    return (
+        words_src.join(F.broadcast(vocab.select("word", "sym")), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * toks_per_word).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            r6(F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        )
+    )

@@ -451,6 +451,9 @@ _DRIVER_PRIORITY_R3 = [
     "cusum_changepoint",
     "corr_matrix_lineitem",
     "join_key_skew",
+    "bpe_tokenize_stats",
+    "ab_test_conversion",
+    "supplier_neighbor_jaccard",
     # heavy composites: last within the unevidenced block
     "cluster_mixing_weights",
     "detector_agreement",
@@ -606,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": timeseries.cusum_changepoint,
         "corr_matrix_lineitem": R7.corr_matrix_lineitem,
         "join_key_skew": R7.join_key_skew,
+        # r3 sixth batch: tokenizer application, experimentation,
+        # graph node similarity
+        "bpe_tokenize_stats": text6.bpe_tokenize_stats,
+        "ab_test_conversion": R7.ab_test_conversion,
+        "supplier_neighbor_jaccard": graph2.supplier_neighbor_jaccard,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1729,6 +1737,9 @@ FROM top
         "cusum_changepoint": _cusum_oracle(),
         "corr_matrix_lineitem": _corr_matrix_oracle(),
         "join_key_skew": _join_key_skew_oracle(),
+        "bpe_tokenize_stats": _bpe_tokenize_oracle(),
+        "ab_test_conversion": _ab_test_oracle(),
+        "supplier_neighbor_jaccard": _neighbor_jaccard_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4032,7 +4043,9 @@ FROM {prev} v CROSS JOIN lam
 """
 
 
-def _bpe_merges_oracle(n_merges: int = 5) -> str:
+def _bpe_iter_ctes(n_merges: int):
+    """Shared unrolled BPE iteration CTEs (p{t}/t{t}/v{t}); returns
+    (iter_sql, final_vocab_name, final_selects)."""
     iters = []
     finals = []
     prev = "v0"
@@ -4064,7 +4077,11 @@ v{t} AS MATERIALIZED (
             f"CAST(pair_freq AS BIGINT) AS pair_freq FROM t{t}"
         )
         prev = f"v{t}"
-    iter_sql = ",\n".join(iters)
+    return ",\n".join(iters), prev, finals
+
+
+def _bpe_merges_oracle(n_merges: int = 5) -> str:
+    iter_sql, _last, finals = _bpe_iter_ctes(n_merges)
     final_sql = "\nUNION ALL ".join(finals)
     return f"""
 WITH words AS MATERIALIZED (
@@ -4263,4 +4280,106 @@ SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT) AS rank,
   round(n_rows / s.mean_rows, 6) AS skew_ratio,
   CAST(s.n_keys AS BIGINT) AS n_keys_total
 FROM top CROSS JOIN stats s
+"""
+
+
+def _bpe_tokenize_oracle(n_merges: int = 5) -> str:
+    iter_sql, last, _finals = _bpe_iter_ctes(n_merges)
+    return f"""
+WITH words_src AS MATERIALIZED (
+  SELECT source, word, count(*) AS freq FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+words AS MATERIALIZED (
+  SELECT word, sum(freq) AS freq FROM words_src GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+    concat(' ', array_to_string(string_split(word, ''), '  '), ' ') AS sym
+  FROM words
+),
+{iter_sql}
+SELECT ws.source,
+  CAST(sum(ws.freq) AS BIGINT) AS n_words,
+  CAST(sum(ws.freq * len(string_split(trim(v.sym), '  '))) AS BIGINT) AS n_bpe_tokens,
+  round(sum(ws.freq * len(string_split(trim(v.sym), '  '))) / sum(ws.freq), 6)
+    AS fertility
+FROM words_src ws JOIN {last} v USING (word)
+GROUP BY 1
+"""
+
+
+def _ab_test_oracle() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+  FROM events GROUP BY 1
+),
+avg_p AS (SELECT avg(n_purchases) AS avg_p FROM per_user),
+users AS (
+  SELECT user_id,
+    CAST(n_purchases > a.avg_p AS INT) AS converted
+  FROM per_user CROSS JOIN avg_p a
+),
+armed AS (
+  SELECT CASE WHEN CAST(concat('0x',
+      substr(md5(CAST(user_id AS VARCHAR) || '#ab'), 1, 15)) AS BIGINT) % 2 = 0
+    THEN 'A' ELSE 'B' END AS arm, converted
+  FROM users
+),
+arms AS (
+  SELECT arm, count(*) AS n_users, sum(converted) AS n_converted
+  FROM armed GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 'A' THEN n_users END) AS a_n,
+    max(CASE WHEN arm = 'A' THEN n_converted END) AS a_c,
+    max(CASE WHEN arm = 'B' THEN n_users END) AS b_n,
+    max(CASE WHEN arm = 'B' THEN n_converted END) AS b_c
+  FROM arms
+),
+z AS (
+  SELECT round(CASE WHEN
+    sqrt(((a_c + b_c) / (a_n + b_n)) * (1.0 - (a_c + b_c) / (a_n + b_n))
+         * (1.0 / a_n + 1.0 / b_n)) > 0.0
+    THEN ((a_c / a_n) - (b_c / b_n))
+         / sqrt(((a_c + b_c) / (a_n + b_n)) * (1.0 - (a_c + b_c) / (a_n + b_n))
+                * (1.0 / a_n + 1.0 / b_n)) END, 6) AS z_stat
+  FROM wide
+)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+  CAST(n_converted AS BIGINT) AS n_converted,
+  round(n_converted / n_users, 6) AS conv_rate, z.z_stat
+FROM arms CROSS JOIN z
+"""
+
+
+def _neighbor_jaccard_oracle(min_common: int = 2) -> str:
+    return f"""
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+common AS (
+  SELECT a.u AS u, b.u AS w, count(*) AS n_common
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+SELECT c.u AS supp_a, c.w AS supp_b, CAST(c.n_common AS BIGINT) AS n_common,
+  round(c.n_common / (du.deg + dw.deg - c.n_common), 6) AS jaccard,
+  coalesce(e.adj, FALSE) AS is_adjacent
+FROM common c
+JOIN deg du ON c.u = du.u
+JOIN deg dw ON c.w = dw.u
+LEFT JOIN (SELECT u, v AS w, TRUE AS adj FROM edges) e
+  ON c.u = e.u AND c.w = e.w
 """

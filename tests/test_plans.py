@@ -265,3 +265,17 @@ def test_r3_fifth_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["cusum_changepoint"](spark, SF_DIR)) <= 6
     assert _shuffle_count(qs["corr_matrix_lineitem"](spark, SF_DIR)) == 1
     assert _shuffle_count(qs["join_key_skew"](spark, SF_DIR)) <= 3
+
+
+def test_r3_sixth_wave_shuffle_budgets(spark):
+    """Sixth r3 wave: bpe apply <= 3 (two word-count aggregates; the
+    learned vocabulary is checkpointed, broadcast back); ab test <= 2
+    (the per-user aggregate, checkpointed for its two consumers);
+    neighbor jaccard <= 6 (checkpointed edges + wedge agg + degree
+    agg + adjacency probe)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["bpe_tokenize_stats"](spark, SF_DIR)) <= 3
+    assert _shuffle_count(qs["ab_test_conversion"](spark, SF_DIR)) <= 2
+    assert _shuffle_count(qs["supplier_neighbor_jaccard"](spark, SF_DIR)) <= 6
