@@ -114,6 +114,10 @@ HEADLINE = [
     "bpe_tokenize_stats",
     "ab_test_conversion",
     "supplier_neighbor_jaccard",
+    # r3 seventh batch (audit layer)
+    "pca_projection_outliers",
+    "classifier_pr_curve",
+    "lsh_recall_vs_exact",
 ]
 
 

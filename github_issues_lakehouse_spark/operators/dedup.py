@@ -595,3 +595,66 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("detector")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def lsh_recall_vs_exact(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Index-quality audit for the MinHash-LSH banding (the text-dedup
+    twin of ann_recall_at_k): compare the LSH pair list against the
+    EXACT all-pairs shingle-Jaccard ground truth at the same
+    threshold and report candidate recall. Because LSH candidates are
+    verified with the same exact Jaccard, precision is 1 by
+    construction — the number that can silently degrade (band count,
+    bucket caps) is recall, and this mart measures it.
+
+    The exact side is the diagnostic's cost: an inverted-index join
+    on shingles WITHOUT df capping (ground truth must not prune), so
+    this is a heavy composite by contract — run it on samples at
+    100 TB, like the other exact-verification paths.
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.withColumn("_toks", tokens()).withColumn(
+        "sh", shingles_from(F.col("_toks"), 3)
+    )
+    sd = docs.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    sizes = sd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sd.alias("a")
+    b = sd.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    hit = lsh.withColumn("hit", F.lit(1))
+    joined = exact.join(hit, ["doc_a", "doc_b"], "left")
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_pairs"),
+            F.col("n_lsh").cast("long").alias("n_lsh_pairs"),
+            F.col("n_caught").cast("long").alias("n_caught"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_caught") / F.col("n_exact"), 6),
+            ).alias("recall"),
+        )
+    )

@@ -134,3 +134,54 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 curve for the quality classifier against
+    the end-to-end corpus gate (training_corpus_filter) as the gold
+    keep label — the calibration mart that decides the production
+    threshold before a filter ships.
+
+    One scored table (classifier prob + gold flag per doc), exploded
+    against a broadcast 9-point threshold grid, one conditional
+    aggregate per threshold — the corpus is scanned once regardless
+    of grid size. Zero-denominator cells (no predicted / no gold
+    positives) yield NULL, mirrored in the oracle.
+    """
+    from .scale import training_corpus_filter
+    from .text3 import quality_classifier
+
+    scored = quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+    gold = training_corpus_filter(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("gold")
+    )
+    base = scored.join(gold, "doc_id", "left").select(
+        "doc_id", "quality_prob", F.coalesce("gold", F.lit(0)).alias("gold")
+    )
+    grid = F.explode(F.array(*[F.lit(round(t / 10.0, 1)) for t in range(1, 10)]))
+    g = base.select("quality_prob", "gold", grid.alias("threshold"))
+    pred = (F.col("quality_prob") >= F.col("threshold")).cast("int")
+    agg = g.groupBy("threshold").agg(
+        F.sum(pred * F.col("gold")).alias("tp"),
+        F.sum(pred * (1 - F.col("gold"))).alias("fp"),
+        F.sum((1 - pred) * F.col("gold")).alias("fn"),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    )
+    return agg.select(
+        F.round("threshold", 1).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -232,6 +232,32 @@ def pca_top_component(
     iterations as CTEs. Output: one row per dimension with the
     loading, plus the Rayleigh-quotient eigenvalue estimate.
     """
+    cov, vec = _pca_power(spark, sf_dir, dim, n_iter)
+    # Rayleigh quotient lambda = v' C v (v is unit up to rounding)
+    cv = (
+        cov.join(F.broadcast(vec), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("cv"))
+    )
+    lam = (
+        cv.join(F.broadcast(vec.select(F.col("j").alias("i"), "x")), "i")
+        .agg(F.round(F.sum(F.col("cv") * F.col("x")), 6).alias("eigenvalue"))
+    )
+    return (
+        vec.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("int").alias("dim_i"),
+            F.col("x").alias("loading"),
+            "eigenvalue",
+        )
+    )
+
+
+def _pca_power(
+    spark: SparkSession, sf_dir: str, dim: int, n_iter: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared power-iteration core: returns (cov rows (i, j, c),
+    unit eigenvector (j, x)) — both checkpointed, dim-sized."""
     e = load_table(spark, sf_dir, "embeddings")
     v = to_double(F.col("embedding"))
     x = [F.element_at(v, i + 1) for i in range(dim)]
@@ -277,21 +303,52 @@ def pca_top_component(
             .select(F.col("i").alias("j"), F.round(F.col("wx") / F.col("n"), 6).alias("x"))
             .localCheckpoint(eager=True)
         )
-    # Rayleigh quotient lambda = v' C v (v is unit up to rounding)
-    cv = (
-        cov.join(F.broadcast(vec), "j")
-        .groupBy("i")
-        .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("cv"))
+    return cov, vec
+
+
+def pca_projection_outliers(
+    spark: SparkSession, sf_dir: str, dim: int = 8, n_iter: int = 4, z_cap: float = 3.0
+) -> DataFrame:
+    """APPLY the learned top principal component (the transform twin
+    of pca_top_component, same learn->apply discipline as the BPE
+    pair): project every embedding onto the dominant direction and
+    flag |z| > ``z_cap`` projection outliers — the rogue-vector QA
+    pass an embedding pipeline runs after indexing.
+
+    The eigenvector is dim rows, pivoted wide and broadcast; the
+    projection is a fixed left-to-right dot-product expression (same
+    association order in the oracle, so doubles match bit-for-bit
+    before rounding); mean/std of the projection come from one 1-row
+    aggregate, broadcast back — two corpus passes total, no shuffle
+    wider than the global aggregate.
+    """
+    _cov, vec = _pca_power(spark, sf_dir, dim, n_iter)
+    wide = (
+        vec.groupBy()
+        .pivot("j", list(range(dim)))
+        .agg(F.first("x"))
+        .select(*[F.col(f"`{j}`").alias(f"x{j}") for j in range(dim)])
     )
-    lam = (
-        cv.join(F.broadcast(vec.select(F.col("j").alias("i"), "x")), "i")
-        .agg(F.round(F.sum(F.col("cv") * F.col("x")), 6).alias("eigenvalue"))
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    proj_expr = None
+    for j in range(dim):
+        term = F.col(f"x{j}") * F.element_at(v, j + 1)
+        proj_expr = term if proj_expr is None else proj_expr + term
+    projected = e.crossJoin(F.broadcast(wide)).select(
+        "vec_id", "label", r6(proj_expr).alias("proj")
     )
+    stats = projected.agg(
+        F.avg("proj").alias("mu"), F.stddev_pop("proj").alias("sd")
+    )
+    z = (F.col("proj") - F.col("mu")) / F.col("sd")
     return (
-        vec.crossJoin(F.broadcast(lam))
+        projected.crossJoin(F.broadcast(stats))
         .select(
-            F.col("j").cast("int").alias("dim_i"),
-            F.col("x").alias("loading"),
-            "eigenvalue",
+            "vec_id",
+            "label",
+            "proj",
+            r6(z).alias("z_score"),
+            (F.abs(r6(z)) > z_cap).alias("is_outlier"),
         )
     )

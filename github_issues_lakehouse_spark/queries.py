@@ -454,7 +454,10 @@ _DRIVER_PRIORITY_R3 = [
     "bpe_tokenize_stats",
     "ab_test_conversion",
     "supplier_neighbor_jaccard",
+    "pca_projection_outliers",
+    "classifier_pr_curve",
     # heavy composites: last within the unevidenced block
+    "lsh_recall_vs_exact",
     "cluster_mixing_weights",
     "detector_agreement",
     "edit_distance_pairs",
@@ -614,6 +617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_stats": text6.bpe_tokenize_stats,
         "ab_test_conversion": R7.ab_test_conversion,
         "supplier_neighbor_jaccard": graph2.supplier_neighbor_jaccard,
+        # r3 seventh batch: learned-transform application + index /
+        # classifier audits
+        "pca_projection_outliers": V2.pca_projection_outliers,
+        "classifier_pr_curve": QC.classifier_pr_curve,
+        "lsh_recall_vs_exact": dedup.lsh_recall_vs_exact,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1740,6 +1748,9 @@ FROM top
         "bpe_tokenize_stats": _bpe_tokenize_oracle(),
         "ab_test_conversion": _ab_test_oracle(),
         "supplier_neighbor_jaccard": _neighbor_jaccard_oracle(),
+        "pca_projection_outliers": _pca_projection_oracle(),
+        "classifier_pr_curve": _pr_curve_oracle(),
+        "lsh_recall_vs_exact": _lsh_recall_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -3987,7 +3998,9 @@ FROM h GROUP BY 1, 2
 """
 
 
-def _pca_oracle(dim: int = 8, n_iter: int = 4) -> str:
+def _pca_ctes(dim: int, n_iter: int) -> tuple[str, str]:
+    """Shared power-iteration CTE chain (mom/cov/v0..vN); returns
+    (cte_sql, final_vector_name)."""
     moments = ",\n    ".join(
         f"avg(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE)) AS p{i}_{j}"
         for i in range(dim)
@@ -4017,8 +4030,7 @@ def _pca_oracle(dim: int = 8, n_iter: int = 4) -> str:
     iter_sql = ",\n".join(iters)
     # MATERIALIZED: DuckDB inlines CTEs by default, which would re-run
     # the corpus moment aggregate once per cov row (dim^2 scans)
-    return f"""
-WITH mom AS MATERIALIZED (
+    ctes = f"""mom AS MATERIALIZED (
   SELECT {means},
     {moments}
   FROM embeddings
@@ -4029,7 +4041,14 @@ cov AS MATERIALIZED (
 v0 AS (
   {v_rows}
 ),
-{iter_sql},
+{iter_sql}"""
+    return ctes, prev
+
+
+def _pca_oracle(dim: int = 8, n_iter: int = 4) -> str:
+    ctes, prev = _pca_ctes(dim, n_iter)
+    return f"""
+WITH {ctes},
 cv AS (
   SELECT cov.i, round(sum(cov.c * {prev}.x), 6) AS cv
   FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY 1
@@ -4382,4 +4401,102 @@ JOIN deg du ON c.u = du.u
 JOIN deg dw ON c.w = dw.u
 LEFT JOIN (SELECT u, v AS w, TRUE AS adj FROM edges) e
   ON c.u = e.u AND c.w = e.w
+"""
+
+
+def _pca_projection_oracle(
+    dim: int = 8, n_iter: int = 4, z_cap: float = 3.0
+) -> str:
+    ctes, prev = _pca_ctes(dim, n_iter)
+    wide_cols = ",\n    ".join(
+        f"max(CASE WHEN j = {j} THEN x END) AS x{j}" for j in range(dim)
+    )
+    dot = " + ".join(
+        f"w.x{j} * CAST(e.embedding[{j + 1}] AS DOUBLE)" for j in range(dim)
+    )
+    return f"""
+WITH {ctes},
+wide AS (
+  SELECT {wide_cols}
+  FROM {prev}
+),
+projected AS MATERIALIZED (
+  SELECT e.vec_id, e.label, round({dot}, 6) AS proj
+  FROM embeddings e CROSS JOIN wide w
+),
+stats AS (SELECT avg(proj) AS mu, stddev_pop(proj) AS sd FROM projected)
+SELECT p.vec_id, p.label, p.proj,
+  round((p.proj - s.mu) / s.sd, 6) AS z_score,
+  (abs(round((p.proj - s.mu) / s.sd, 6)) > {z_cap}) AS is_outlier
+FROM projected p CROSS JOIN stats s
+"""
+
+
+def _lsh_recall_oracle(threshold: float = 0.5) -> str:
+    return f"""
+WITH lshp AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(threshold=threshold)})
+),
+{_shingle_cte(3)},
+sd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT inter.doc_a, inter.doc_b FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE inter.i / (sa.n + sb.n - inter.i) >= {threshold}
+),
+j AS (
+  SELECT e.doc_a, e.doc_b,
+    CASE WHEN l.doc_a IS NOT NULL THEN 1 END AS hit
+  FROM exact e LEFT JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+),
+cnt AS (
+  SELECT count(*) AS n_exact, coalesce(sum(hit), 0) AS n_caught FROM j
+),
+nl AS (SELECT count(*) AS n_lsh FROM lshp)
+SELECT CAST(cnt.n_exact AS BIGINT) AS n_exact_pairs,
+  CAST(nl.n_lsh AS BIGINT) AS n_lsh_pairs,
+  CAST(cnt.n_caught AS BIGINT) AS n_caught,
+  CASE WHEN cnt.n_exact > 0
+       THEN round(cnt.n_caught / cnt.n_exact, 6) END AS recall
+FROM cnt CROSS JOIN nl
+"""
+
+
+def _pr_curve_oracle() -> str:
+    thresholds = ", ".join(f"CAST(0.{t} AS DOUBLE)" for t in range(1, 10))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, quality_prob FROM ({_quality_classifier_oracle()})
+),
+gold AS (
+  SELECT doc_id FROM ({_corpus_filter_oracle()})
+),
+base AS (
+  SELECT s.quality_prob,
+    CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gold
+  FROM scored s LEFT JOIN gold g ON s.doc_id = g.doc_id
+),
+grid AS (SELECT unnest([{thresholds}]) AS threshold),
+g AS (SELECT b.quality_prob, b.gold, grid.threshold FROM base b CROSS JOIN grid),
+agg AS (
+  SELECT threshold,
+    sum(CASE WHEN quality_prob >= threshold THEN gold ELSE 0 END) AS tp,
+    sum(CASE WHEN quality_prob >= threshold THEN 1 - gold ELSE 0 END) AS fp,
+    sum(CASE WHEN quality_prob < threshold THEN gold ELSE 0 END) AS fn
+  FROM g GROUP BY 1
+)
+SELECT round(threshold, 1) AS threshold,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM agg
 """

@@ -279,3 +279,18 @@ def test_r3_sixth_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["bpe_tokenize_stats"](spark, SF_DIR)) <= 3
     assert _shuffle_count(qs["ab_test_conversion"](spark, SF_DIR)) <= 2
     assert _shuffle_count(qs["supplier_neighbor_jaccard"](spark, SF_DIR)) <= 6
+
+
+def test_r3_seventh_wave_shuffle_budgets(spark):
+    """Seventh r3 wave: pca projection <= 5 (moment agg + pivot of
+    the dim-row vector + projection stats, corpus touched twice);
+    pr curve <= 3 (classifier scan + gate join + one threshold-grid
+    aggregate); lsh recall <= 12 (heavy composite by contract: the
+    full LSH subtree + the uncapped exact inverted-index join it
+    audits)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["pca_projection_outliers"](spark, SF_DIR)) <= 5
+    assert _shuffle_count(qs["classifier_pr_curve"](spark, SF_DIR)) <= 3
+    assert _shuffle_count(qs["lsh_recall_vs_exact"](spark, SF_DIR)) <= 12

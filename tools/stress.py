@@ -62,6 +62,11 @@ HEAVY = [
     "bpe_tokenize_stats",
     "ab_test_conversion",
     "supplier_neighbor_jaccard",
+    # r3 seventh batch (lsh_recall is the uncapped exact audit —
+    # quadratic on replicated boilerplate by contract, like
+    # dedup_ngram_jaccard)
+    "pca_projection_outliers",
+    "classifier_pr_curve",
 ]
 
 
