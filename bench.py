@@ -118,6 +118,10 @@ HEADLINE = [
     "pca_projection_outliers",
     "classifier_pr_curve",
     "lsh_recall_vs_exact",
+    # r3 eighth batch
+    "dau_wau_stickiness",
+    "event_trigram_patterns",
+    "join_size_estimate",
 ]
 
 

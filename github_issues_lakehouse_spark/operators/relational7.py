@@ -419,3 +419,61 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat",
         )
     )
+
+
+_JOIN_ESTIMATES = [
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+]
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook CBO join-cardinality estimation validated against
+    ground truth: est = |L| * |R| / max(ndv_L, ndv_R) for the three
+    fact joins, next to the ACTUAL join row count and the relative
+    error — the mart that tells you whether statistics-based planning
+    can be trusted on this data.
+
+    Per join: one count+distinct aggregate per side (1-row each,
+    broadcast) and the real join counted once. Estimates assemble on
+    broadcast scalars; nothing wider than the actual joins runs.
+    """
+    out: DataFrame | None = None
+    for name, lt, lk, rt, rk in _JOIN_ESTIMATES:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        ls = left.agg(
+            F.count(F.lit(1)).alias("n_left"), F.countDistinct(lk).alias("ndv_left")
+        )
+        rs = right.agg(
+            F.count(F.lit(1)).alias("n_right"), F.countDistinct(rk).alias("ndv_right")
+        )
+        actual = (
+            left.join(right, left[lk] == right[rk])
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        est = F.col("n_left") * F.col("n_right") / F.greatest(
+            F.col("ndv_left"), F.col("ndv_right")
+        )
+        row = (
+            ls.crossJoin(F.broadcast(rs))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("ndv_left").cast("long").alias("ndv_left"),
+                F.col("ndv_right").cast("long").alias("ndv_right"),
+                F.round(est, 6).alias("est_rows"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+                F.when(
+                    F.col("actual_rows") > 0,
+                    F.round(
+                        F.abs(est - F.col("actual_rows")) / F.col("actual_rows"), 6
+                    ),
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -123,3 +123,85 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cusum")) == F.col("peak")) & (F.col("n_peaks_so_far") == 1)
         ).alias("is_changepoint"),
     )
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the product-analytics staple:
+    daily active users, trailing-7-day active users (EXACT distinct,
+    not a sum of dailies), and their ratio.
+
+    A naive per-day distinct over a sliding window rescans history;
+    instead each (user, active-day) row is exploded to the <= 7
+    window END days it contributes to (a bounded 7x expansion), and
+    one distinct-count per end day finishes the job — two aggregates
+    over a 7x-bounded intermediate, no window over raw events, the
+    standard scale-out for sliding distinct counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    au = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dau = au.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (
+        au.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.least(F.date_add(F.col("day"), 6), F.col("d1"))
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    grid = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    return (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.when(
+                F.coalesce("wau", F.lit(0)) > 0,
+                F.round(F.col("dau") / F.col("wau"), 6),
+            ).alias("stickiness"),
+        )
+    )
+
+
+def event_trigram_patterns(
+    spark: SparkSession, sf_dir: str, min_count: int = 5
+) -> DataFrame:
+    """Frequent 3-event sequences per user stream (PrefixSpan-lite,
+    contiguous form): the (prev2, prev1, current) pattern counts and
+    their share of all eligible positions — the sequence-mining
+    extension of the Markov event_transitions mart.
+
+    Two LAG columns in ONE window pass (same (user, time) sort the
+    sessionizers use), then a bounded aggregate: the output space is
+    |event types|^3 regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    total = seq.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("support"),
+        )
+    )

@@ -456,6 +456,9 @@ _DRIVER_PRIORITY_R3 = [
     "supplier_neighbor_jaccard",
     "pca_projection_outliers",
     "classifier_pr_curve",
+    "dau_wau_stickiness",
+    "event_trigram_patterns",
+    "join_size_estimate",
     # heavy composites: last within the unevidenced block
     "lsh_recall_vs_exact",
     "cluster_mixing_weights",
@@ -622,6 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection_outliers": V2.pca_projection_outliers,
         "classifier_pr_curve": QC.classifier_pr_curve,
         "lsh_recall_vs_exact": dedup.lsh_recall_vs_exact,
+        # r3 eighth batch: product analytics, CBO validation, sequence
+        # mining
+        "dau_wau_stickiness": timeseries.dau_wau_stickiness,
+        "event_trigram_patterns": timeseries.event_trigram_patterns,
+        "join_size_estimate": R7.join_size_estimate,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1751,6 +1759,9 @@ FROM top
         "pca_projection_outliers": _pca_projection_oracle(),
         "classifier_pr_curve": _pr_curve_oracle(),
         "lsh_recall_vs_exact": _lsh_recall_oracle(),
+        "dau_wau_stickiness": _dau_wau_oracle(),
+        "event_trigram_patterns": _trigram_oracle(),
+        "join_size_estimate": _join_estimate_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4500,3 +4511,70 @@ SELECT round(threshold, 1) AS threshold,
        THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
 FROM agg
 """
+
+
+def _dau_wau_oracle() -> str:
+    return """
+WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+dau AS (SELECT day, count(*) AS dau FROM au GROUP BY 1),
+cover AS (
+  SELECT DISTINCT
+    CAST(unnest(generate_series(CAST(au.day AS TIMESTAMP),
+      CAST(least(au.day + 6, b.d1) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day,
+    au.user_id
+  FROM au CROSS JOIN bounds b
+),
+wau AS (SELECT day, count(*) AS wau FROM cover GROUP BY 1),
+grid AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT strftime(g.day, '%Y-%m-%d') AS day,
+  CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+  CAST(coalesce(w.wau, 0) AS BIGINT) AS wau,
+  CASE WHEN coalesce(w.wau, 0) > 0 THEN round(d.dau / w.wau, 6) END AS stickiness
+FROM grid g
+LEFT JOIN dau d ON g.day = d.day
+LEFT JOIN wau w ON g.day = w.day
+"""
+
+
+def _trigram_oracle(min_count: int = 5) -> str:
+    return f"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (SELECT * FROM seq WHERE e1 IS NOT NULL),
+total AS (SELECT count(*) AS n_total FROM f)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) / t.n_total, 6) AS support
+FROM f CROSS JOIN total t
+GROUP BY e1, e2, e3, t.n_total
+HAVING count(*) >= {min_count}
+"""
+
+
+def _join_estimate_oracle() -> str:
+    from .operators.relational7 import _JOIN_ESTIMATES
+
+    parts = []
+    for name, lt, lk, rt, rk in _JOIN_ESTIMATES:
+        parts.append(f"""SELECT '{name}' AS join_name,
+  CAST(ls.n_left AS BIGINT) AS n_left, CAST(rs.n_right AS BIGINT) AS n_right,
+  CAST(ls.ndv_left AS BIGINT) AS ndv_left, CAST(rs.ndv_right AS BIGINT) AS ndv_right,
+  round(ls.n_left * rs.n_right / greatest(ls.ndv_left, rs.ndv_right), 6) AS est_rows,
+  CAST(a.actual_rows AS BIGINT) AS actual_rows,
+  CASE WHEN a.actual_rows > 0 THEN
+    round(abs(ls.n_left * rs.n_right / greatest(ls.ndv_left, rs.ndv_right)
+              - a.actual_rows) / a.actual_rows, 6) END AS rel_error
+FROM (SELECT count(*) AS n_left, count(DISTINCT {lk}) AS ndv_left FROM {lt}) ls
+CROSS JOIN (SELECT count(*) AS n_right, count(DISTINCT {rk}) AS ndv_right FROM {rt}) rs
+CROSS JOIN (SELECT count(*) AS actual_rows
+            FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk}) a""")
+    return "\nUNION ALL ".join(parts)

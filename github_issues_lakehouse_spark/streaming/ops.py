@@ -574,3 +574,81 @@ def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def batch_column_stats(events: DataFrame) -> DataFrame:
+    """Mergeable per-column statistics of an events batch: count,
+    nulls, numeric min/max (timestamps as epoch seconds; strings have
+    no numeric range) — the streaming-foldable subset of
+    table_stats_mart (exact NDV is NOT mergeable; the KMV sketch
+    fold D14 is the streaming answer for distincts)."""
+    cols = [
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        if kind != "str":
+            num = (
+                F.unix_timestamp(c).cast("double")
+                if kind == "ts"
+                else F.col(c).cast("double")
+            )
+            aggs.append(F.min(num).alias(f"mn_{c}"))
+            aggs.append(F.max(num).alias(f"mx_{c}"))
+    wide = events.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+            (
+                F.col(f"mn_{c}") if kind != "str" else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"mx_{c}") if kind != "str" else F.lit(None).cast("double")
+            ).alias("max_num"),
+        )
+        for c, kind in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def stream_stats_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D17: streaming table-statistics maintenance — the ANALYZE mart
+    kept fresh per micro-batch under the same exactly-once fold as
+    D12-D14 (idempotent on batch_id, atomic versioned commit).
+    Count/null adds and min/max merges are associative and
+    order-insensitive, so replayed or reordered batches cannot drift
+    the state; after draining, the stored mart equals
+    batch_column_stats over everything ingested. Read with read_mart.
+    """
+
+    def merge(existing, batch_df):
+        delta = batch_column_stats(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("column_name")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("n_nulls").cast("long").alias("n_nulls"),
+                F.min("min_num").alias("min_num"),
+                F.max("max_num").alias("max_num"),
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

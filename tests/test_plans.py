@@ -294,3 +294,18 @@ def test_r3_seventh_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["pca_projection_outliers"](spark, SF_DIR)) <= 5
     assert _shuffle_count(qs["classifier_pr_curve"](spark, SF_DIR)) <= 3
     assert _shuffle_count(qs["lsh_recall_vs_exact"](spark, SF_DIR)) <= 12
+
+
+def test_r3_eighth_wave_shuffle_budgets(spark):
+    """Eighth r3 wave: dau/wau <= 7 (two distincts + two aggregates
+    over the 7x-bounded cover expansion, grid joins broadcast);
+    trigrams <= 4 (one user window + bounded aggregate + 1-row
+    total); join size estimate <= 15 (three REAL validation joins +
+    six 1-row stat aggregates by design — the estimate itself is
+    broadcast scalars)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["dau_wau_stickiness"](spark, SF_DIR)) <= 7
+    assert _shuffle_count(qs["event_trigram_patterns"](spark, SF_DIR)) <= 4
+    assert _shuffle_count(qs["join_size_estimate"](spark, SF_DIR)) <= 15

@@ -508,3 +508,32 @@ def test_stream_ewma_matches_batch(spark, events_dir):
         e = exp_map[r.event_id]
         assert abs(round(r.ewma, 6) - e.ewma_100000) < 1e-9, r.event_id
         assert r.user_id == e.user_id
+
+
+def test_stream_stats_maintenance_equals_batch(spark, events_dir, tmp_path):
+    """D17: after draining, the incrementally-folded column-stats
+    mart equals batch_column_stats over all events (count/null adds
+    and min/max merges are exactly mergeable)."""
+    from github_issues_lakehouse_spark.streaming import (
+        batch_column_stats,
+        read_mart,
+        stream_stats_maintenance,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = stream_stats_maintenance(
+        stream, str(tmp_path / "stats_mart"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.column_name: r for r in read_mart(spark, str(tmp_path / "stats_mart")).collect()}
+    want = {r.column_name: r for r in batch_column_stats(batch).collect()}
+    assert set(got) == set(want)
+    for c, w in want.items():
+        g = got[c]
+        assert (g.n_rows, g.n_nulls) == (w.n_rows, w.n_nulls), c
+        assert g.min_num == w.min_num and g.max_num == w.max_num, c

@@ -67,6 +67,10 @@ HEAVY = [
     # dedup_ngram_jaccard)
     "pca_projection_outliers",
     "classifier_pr_curve",
+    # r3 eighth batch
+    "dau_wau_stickiness",
+    "event_trigram_patterns",
+    "join_size_estimate",
 ]
 
 
