@@ -122,6 +122,9 @@ HEADLINE = [
     "dau_wau_stickiness",
     "event_trigram_patterns",
     "join_size_estimate",
+    # r3 ninth batch
+    "lang_id_confusion",
+    "user_churn_flags",
 ]
 
 

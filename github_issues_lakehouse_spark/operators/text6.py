@@ -263,3 +263,35 @@ def bpe_tokenize_stats(
             r6(F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
         )
     )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language detector against the
+    corpus's gold ``lang`` labels, with per-cell share of the gold
+    row — the detector-eval mart that decides whether the heuristic
+    is safe to gate on per language.
+
+    One join of two single-scan operators and one bounded aggregate
+    (|langs| x |predictions| cells); the per-gold-row share rides a
+    broadcast of the gold counts.
+    """
+    from .text import lang_id
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir)
+    cells = (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gold_totals = cells.groupBy("lang").agg(F.sum("n").alias("n_gold"))
+    return (
+        cells.join(F.broadcast(gold_totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            r6(F.col("n") / F.col("n_gold")).alias("share_of_gold"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+    )

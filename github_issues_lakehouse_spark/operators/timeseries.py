@@ -205,3 +205,38 @@ def event_trigram_patterns(
             F.round(F.col("n") / F.col("n_total"), 6).alias("support"),
         )
     )
+
+
+def user_churn_flags(
+    spark: SparkSession, sf_dir: str, churn_days: int = 7
+) -> DataFrame:
+    """Per-user churn snapshot at the corpus horizon: last activity,
+    exact integer days idle, and the churned flag (idle >
+    ``churn_days``) plus each user's lifetime event count and value —
+    the retention mart fed to win-back campaigns.
+
+    One per-user aggregate; the corpus horizon (max ts) is a 1-row
+    broadcast. Integer-seconds idle arithmetic (no fractional-day
+    rounding divergence — same lesson as attribution_touchpoints).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    horizon = e.agg(F.max("ts").alias("h_ts"))
+    idle_secs = F.unix_timestamp("h_ts") - F.unix_timestamp("last_ts")
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "last_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+            idle_secs.cast("long").alias("idle_secs"),
+            (idle_secs > churn_days * 86400).alias("is_churned"),
+        )
+    )

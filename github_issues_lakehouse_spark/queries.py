@@ -459,6 +459,8 @@ _DRIVER_PRIORITY_R3 = [
     "dau_wau_stickiness",
     "event_trigram_patterns",
     "join_size_estimate",
+    "lang_id_confusion",
+    "user_churn_flags",
     # heavy composites: last within the unevidenced block
     "lsh_recall_vs_exact",
     "cluster_mixing_weights",
@@ -630,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_wau_stickiness": timeseries.dau_wau_stickiness,
         "event_trigram_patterns": timeseries.event_trigram_patterns,
         "join_size_estimate": R7.join_size_estimate,
+        # r3 ninth batch: detector eval, retention snapshot
+        "lang_id_confusion": text6.lang_id_confusion,
+        "user_churn_flags": timeseries.user_churn_flags,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1762,6 +1767,8 @@ FROM top
         "dau_wau_stickiness": _dau_wau_oracle(),
         "event_trigram_patterns": _trigram_oracle(),
         "join_size_estimate": _join_estimate_oracle(),
+        "lang_id_confusion": _lang_confusion_oracle(),
+        "user_churn_flags": _churn_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4578,3 +4585,34 @@ CROSS JOIN (SELECT count(*) AS n_right, count(DISTINCT {rk}) AS ndv_right FROM {
 CROSS JOIN (SELECT count(*) AS actual_rows
             FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk}) a""")
     return "\nUNION ALL ".join(parts)
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_id_oracle()}),
+cells AS (
+  SELECT d.lang, p.pred_lang, count(*) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+),
+gt AS (SELECT lang, sum(n) AS n_gold FROM cells GROUP BY 1)
+SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+  round(c.n / g.n_gold, 6) AS share_of_gold,
+  (c.lang = c.pred_lang) AS is_correct
+FROM cells c JOIN gt g ON c.lang = g.lang
+"""
+
+
+def _churn_oracle(churn_days: int = 7) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+    round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+  FROM events GROUP BY 1
+),
+h AS (SELECT max(ts) AS h_ts FROM events)
+SELECT user_id, last_ts, CAST(n_events AS BIGINT) AS n_events, total_value,
+  CAST(floor(epoch(h.h_ts)) - floor(epoch(last_ts)) AS BIGINT) AS idle_secs,
+  (floor(epoch(h.h_ts)) - floor(epoch(last_ts)) > {churn_days} * 86400) AS is_churned
+FROM per_user CROSS JOIN h
+"""

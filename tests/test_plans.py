@@ -309,3 +309,14 @@ def test_r3_eighth_wave_shuffle_budgets(spark):
     assert _shuffle_count(qs["dau_wau_stickiness"](spark, SF_DIR)) <= 7
     assert _shuffle_count(qs["event_trigram_patterns"](spark, SF_DIR)) <= 4
     assert _shuffle_count(qs["join_size_estimate"](spark, SF_DIR)) <= 15
+
+
+def test_r3_ninth_wave_shuffle_budgets(spark):
+    """Ninth r3 wave: confusion matrix <= 3 (doc join + cell
+    aggregate + broadcast gold totals); churn flags <= 2 (one
+    per-user aggregate + broadcast horizon)."""
+    from github_issues_lakehouse_spark import queries as Q
+
+    qs = Q.queries()
+    assert _shuffle_count(qs["lang_id_confusion"](spark, SF_DIR)) <= 3
+    assert _shuffle_count(qs["user_churn_flags"](spark, SF_DIR)) <= 2

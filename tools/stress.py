@@ -71,6 +71,9 @@ HEAVY = [
     "dau_wau_stickiness",
     "event_trigram_patterns",
     "join_size_estimate",
+    # r3 ninth batch
+    "lang_id_confusion",
+    "user_churn_flags",
 ]
 
 
