@@ -287,9 +287,12 @@ def test_r3_seventh_wave_shuffle_budgets(spark):
     pr curve <= 3 (classifier scan + gate join + one threshold-grid
     aggregate); lsh recall <= 12 (heavy composite by contract: the
     full LSH subtree + the uncapped exact inverted-index join it
-    audits)."""
+    audits). Cold cache: a minhash subtree persisted by an earlier
+    test gets CacheManager-substituted into this plan and shifts the
+    exchange count — the budget is about the cold plan shape."""
     from github_issues_lakehouse_spark import queries as Q
 
+    spark.catalog.clearCache()
     qs = Q.queries()
     assert _shuffle_count(qs["pca_projection_outliers"](spark, SF_DIR)) <= 5
     assert _shuffle_count(qs["classifier_pr_curve"](spark, SF_DIR)) <= 3
