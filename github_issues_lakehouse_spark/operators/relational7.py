@@ -241,29 +241,35 @@ def ewma_user_value(
 
     The frame is a constant ``k`` rows, so per-row state is bounded
     regardless of user history length (an unbounded EWMA window would
-    be O(history) per row). Both engines collect the frame in ts
-    order and run the IDENTICAL left fold acc*(1-a) + x*a — same
-    operation order, same doubles — so the 6dp rounding is stable.
+    be O(history) per row). The recursion runs in FIXED-POINT integer
+    cents — acc' = (acc*(10-a10) + x*a10 + 5) div 10 with a10 =
+    10*alpha — because a float fold is NOT bit-stable across engines:
+    at sf0.1 the two engines' float kernels (FMA contraction) drift
+    by 1 ulp on ~6 of 100k rows, enough to flip a 6dp rounding.
+    Integer arithmetic is exactly portable; the result is the
+    cent-quantized EWMA (alpha quantized to tenths).
     """
+    a10 = int(round(alpha * 10))
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-(k - 1), 0)
     )
-    arr = F.collect_list(F.col("value")).over(w)
+    cents = F.round(F.col("value") * 100).cast("long")
+    arr = F.collect_list(cents).over(w)
     d = e.select("event_id", "user_id", "ts", "value", arr.alias("frame"))
-    ewma = F.aggregate(
+    ewma_cents = F.aggregate(
         F.slice(F.col("frame"), 2, k),
         F.element_at(F.col("frame"), 1),
-        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+        lambda acc, x: F.floor((acc * (10 - a10) + x * a10 + 5) / 10).cast("long"),
     )
     return d.select(
         "event_id",
         "user_id",
         "ts",
         F.round("value", 2).alias("value"),
-        r6(ewma).alias(f"ewma_{k}"),
+        r6(ewma_cents / 100.0).alias(f"ewma_{k}"),
     )
 
 

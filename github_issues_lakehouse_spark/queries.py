@@ -3954,17 +3954,21 @@ FROM p LEFT JOIN a ON p.p_id = a.p_id
 
 
 def _ewma_oracle(alpha: float = 0.3, k: int = 16) -> str:
-    keep = 1.0 - alpha
+    # fixed-point integer-cent recursion — see ewma_user_value: a
+    # float fold drifts by engine FMA differences at scale
+    a10 = int(round(alpha * 10))
     return f"""
 WITH framed AS (
   SELECT event_id, user_id, ts, value,
-    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS frame
+    list(CAST(round(value * 100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS frame
   FROM events
 )
 SELECT event_id, user_id, ts, round(value, 2) AS value,
-  round(CAST(list_reduce(frame, (acc, x) -> acc * {keep} + x * {alpha}) AS DOUBLE), 6)
-    AS ewma_{k}
+  round(CAST(list_reduce(frame,
+      (acc, x) -> CAST(floor((acc * {10 - a10} + x * {a10} + 5) / 10) AS BIGINT)
+    ) AS DOUBLE) / 100.0, 6) AS ewma_{k}
 FROM framed
 """
 

@@ -511,7 +511,9 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
 
 EWMA_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("last_ewma", T.DoubleType()),
+        # fixed-point cents (same recursion as the batch twin — a
+        # float fold is not bit-stable across engines/restarts)
+        T.StructField("last_cents", T.LongType()),
         T.StructField("n_seen", T.LongType()),
     ]
 )
@@ -549,14 +551,16 @@ def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         if state.exists:
             last, n = state.get
         else:
-            last, n = 0.0, 0
+            last, n = 0, 0
+        a10 = int(round(alpha * 10))
         out = []
         for _, r in rows.iterrows():
             x = float(r["value"])
-            last = x if n == 0 else last * (1.0 - alpha) + x * alpha
+            cents = int(round(x * 100))
+            last = cents if n == 0 else (last * (10 - a10) + cents * a10 + 5) // 10
             n += 1
-            out.append((int(r["event_id"]), r["ts"], x, last))
-        state.update((float(last), int(n)))
+            out.append((int(r["event_id"]), r["ts"], x, last / 100.0))
+        state.update((int(last), int(n)))
         yield pd.DataFrame(
             {
                 "event_id": [o[0] for o in out],
