@@ -4400,29 +4400,22 @@ FROM arms CROSS JOIN z
 
 def _neighbor_jaccard_oracle(min_common: int = 2) -> str:
     return f"""
-WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-edges AS MATERIALIZED (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-),
-sym AS (
-  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+WITH sc AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 common AS (
-  SELECT a.u AS u, b.u AS w, count(*) AS n_common
-  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_common
+  FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
   GROUP BY 1, 2
   HAVING count(*) >= {min_common}
 ),
-deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
-SELECT c.u AS supp_a, c.w AS supp_b, CAST(c.n_common AS BIGINT) AS n_common,
-  round(c.n_common / (du.deg + dw.deg - c.n_common), 6) AS jaccard,
-  coalesce(e.adj, FALSE) AS is_adjacent
-FROM common c
-JOIN deg du ON c.u = du.u
-JOIN deg dw ON c.w = dw.u
-LEFT JOIN (SELECT u, v AS w, TRUE AS adj FROM edges) e
-  ON c.u = e.u AND c.w = e.w
+sizes AS (SELECT s, count(*) AS n_cust FROM sc GROUP BY 1)
+SELECT cm.supp_a, cm.supp_b, CAST(cm.n_common AS BIGINT) AS n_common,
+  round(cm.n_common / (sa.n_cust + sb.n_cust - cm.n_common), 6) AS jaccard
+FROM common cm
+JOIN sizes sa ON cm.supp_a = sa.s
+JOIN sizes sb ON cm.supp_b = sb.s
 """
 
 

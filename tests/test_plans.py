@@ -271,8 +271,8 @@ def test_r3_sixth_wave_shuffle_budgets(spark):
     """Sixth r3 wave: bpe apply <= 3 (two word-count aggregates; the
     learned vocabulary is checkpointed, broadcast back); ab test <= 2
     (the per-user aggregate, checkpointed for its two consumers);
-    neighbor jaccard <= 6 (checkpointed edges + wedge agg + degree
-    agg + adjacency probe)."""
+    neighbor jaccard <= 6 (checkpointed bipartite supplier-customer
+    set + customer-keyed wedge agg + broadcast set sizes)."""
     from github_issues_lakehouse_spark import queries as Q
 
     qs = Q.queries()
