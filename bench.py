@@ -125,6 +125,9 @@ HEADLINE = [
     # r3 ninth batch
     "lang_id_confusion",
     "user_churn_flags",
+    # r3 tenth batch (BI heat grids)
+    "price_quantity_heatmap",
+    "weekday_hour_heatmap",
 ]
 
 

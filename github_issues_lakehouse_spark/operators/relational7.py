@@ -483,3 +483,58 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def price_quantity_heatmap(
+    spark: SparkSession, sf_dir: str, price_step: int = 10000, qty_step: int = 10
+) -> DataFrame:
+    """2-D histogram of lineitem (price band x quantity band) with
+    counts and revenue share — the heat-grid mart behind a pricing
+    dashboard. Integer floor-division banding (portable, exact) and
+    one map-side-combinable aggregate; grid size is bounded by the
+    value ranges, not the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pb = F.floor(F.col("l_extendedprice") / price_step).cast("int")
+    qb = F.floor(F.col("l_quantity") / qty_step).cast("int")
+    DEC = "decimal(18,2)"
+    cells = li.groupBy(pb.alias("price_band"), qb.alias("qty_band")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("revenue"),
+    )
+    total = cells.agg(F.sum("revenue").alias("total_rev"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "price_band",
+            "qty_band",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("revenue").cast("decimal(28,2)").alias("revenue"),
+            r6(
+                F.col("revenue").cast("double") / F.col("total_rev").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-activity heat grid (weekday x hour): counts and share of
+    all events per cell — the when-are-users-active mart. Portable
+    Monday=0 weekday via the epoch-day floor-mod (engine DOW
+    conventions differ); one aggregate, bounded 7x24 output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wd = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-05")), F.lit(7))
+    cells = e.groupBy(
+        wd.cast("int").alias("weekday"), F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "weekday",
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            r6(F.col("n_events") / F.col("n_total")).alias("share"),
+        )
+    )

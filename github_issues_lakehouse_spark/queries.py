@@ -461,6 +461,8 @@ _DRIVER_PRIORITY_R3 = [
     "join_size_estimate",
     "lang_id_confusion",
     "user_churn_flags",
+    "price_quantity_heatmap",
+    "weekday_hour_heatmap",
     # heavy composites: last within the unevidenced block
     "lsh_recall_vs_exact",
     "cluster_mixing_weights",
@@ -635,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 ninth batch: detector eval, retention snapshot
         "lang_id_confusion": text6.lang_id_confusion,
         "user_churn_flags": timeseries.user_churn_flags,
+        "price_quantity_heatmap": R7.price_quantity_heatmap,
+        "weekday_hour_heatmap": R7.weekday_hour_heatmap,
         # B entries fixed in r2 or lacking r1 driver evidence
         "label_array_funcs": R3.label_array_funcs,
         "null_semantics_orders": R3.null_semantics_orders,
@@ -1769,6 +1773,8 @@ FROM top
         "join_size_estimate": _join_estimate_oracle(),
         "lang_id_confusion": _lang_confusion_oracle(),
         "user_churn_flags": _churn_oracle(),
+        "price_quantity_heatmap": _pq_heatmap_oracle(),
+        "weekday_hour_heatmap": _wh_heatmap_oracle(),
         "length_outliers": _length_outliers_oracle(),
         "winnow_overlap_pairs": _winnow_overlap_oracle(),
         "cross_split_leakage": _cross_split_leakage_oracle(),
@@ -4612,4 +4618,36 @@ SELECT user_id, last_ts, CAST(n_events AS BIGINT) AS n_events, total_value,
   CAST(floor(epoch(h.h_ts)) - floor(epoch(last_ts)) AS BIGINT) AS idle_secs,
   (floor(epoch(h.h_ts)) - floor(epoch(last_ts)) > {churn_days} * 86400) AS is_churned
 FROM per_user CROSS JOIN h
+"""
+
+
+def _pq_heatmap_oracle(price_step: int = 10000, qty_step: int = 10) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor(l_extendedprice / {price_step}) AS INT) AS price_band,
+    CAST(floor(l_quantity / {qty_step}) AS INT) AS qty_band,
+    count(*) AS n_rows,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1, 2
+),
+total AS (SELECT sum(revenue) AS total_rev FROM cells)
+SELECT price_band, qty_band, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(revenue AS DECIMAL(28,2)) AS revenue,
+  round(CAST(revenue AS DOUBLE) / CAST(t.total_rev AS DOUBLE), 6) AS revenue_share
+FROM cells CROSS JOIN total t
+"""
+
+
+def _wh_heatmap_oracle() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS INT) AS weekday,
+    CAST(extract(hour FROM ts) AS INT) AS hour,
+    count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+total AS (SELECT sum(n_events) AS n_total FROM cells)
+SELECT weekday, hour, CAST(n_events AS BIGINT) AS n_events,
+  round(n_events / t.n_total, 6) AS share
+FROM cells CROSS JOIN total t
 """
