@@ -1,8 +1,13 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line as the LAST stdout line (the driver's
+tail capture is ~2.2 KB; the r3 full per-query map overflowed it and
+the driver recorded no headline number):
+  {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+   "queries": {<the 22 r1-baseline queries only>}}
+The FULL per-query map is written to BENCH_QUERIES.json next to this
+file.
 """
 
 from __future__ import annotations
@@ -128,6 +133,12 @@ HEADLINE = [
     # r3 tenth batch (BI heat grids)
     "price_quantity_heatmap",
     "weekday_hour_heatmap",
+    # r4: reference-README SLA mart + the three r3 hash-FAIL queries
+    # rewritten with exact integer arithmetic (watch for perf drift)
+    "gold_sla_stability",
+    "customer_rfm",
+    "order_seasonality",
+    "unpivot_lineitem_metrics",
 ]
 
 
@@ -189,15 +200,38 @@ def main() -> None:
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
     spark.catalog.clearCache()
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query map -> side file (the driver records the stdout
+    # tail only; keep the final line comfortably under ~1 KB)
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    with open(side, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_wall_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+        )
+    # "queries" stays in the contract line but holds ONLY the 22
+    # r1-baseline queries (~600 bytes) so the line parses inside the
+    # tail budget; the full 90+ map lives in the side file.
+    baseline22 = {k: timings[k] for k in HEADLINE[:22] if k in timings}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "baseline22_total": round(sum(baseline22.values()), 3),
+                "queries": baseline22,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -1,0 +1,34 @@
+"""Environment-proof exact arithmetic helpers.
+
+The driver's correctness gate hashes rendered values from Spark and
+DuckDB; any float quotient near a ``round(x, 6)`` boundary can flip
+between engines/versions (the r3 ``order_seasonality`` failure). The
+helpers here keep ratio-style outputs in pure BIGINT arithmetic so
+both engines produce bit-identical integers.
+"""
+
+from __future__ import annotations
+
+
+def ppm_expr(part: str, total: str) -> str:
+    """SQL expression (Spark SQL ``DIV`` spelling): floor(part * 1e6
+    / total) computed entirely in BIGINT via a two-level remainder
+    split — ``(p*1000 div t)*1000 + ((p*1000 mod t)*1000) div t``.
+    Every intermediate stays <= total*1000, so the result is exact
+    for totals up to ~9.2e15 (vs ~9.2e12 for the naive ``p*1e6``).
+    Both operands must be non-negative BIGINTs.
+    """
+    return (
+        f"(({part} * 1000) DIV {total}) * 1000"
+        f" + ((({part} * 1000) % {total}) * 1000) DIV {total}"
+    )
+
+
+def ppm_sql(part: str, total: str) -> str:
+    """DuckDB spelling of :func:`ppm_expr` (``//`` integer division).
+    Keep the two in lockstep — they are the oracle-parity contract.
+    """
+    return (
+        f"(({part} * 1000) // {total}) * 1000"
+        f" + ((({part} * 1000) % {total}) * 1000) // {total}"
+    )

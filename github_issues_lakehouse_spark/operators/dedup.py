@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import ppm_expr as _ppm
 from ..sources.registry import load_table
 from .relational import r6
 
@@ -598,7 +599,7 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_recall_vs_exact(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, sample_pct: int = 40
 ) -> DataFrame:
     """Index-quality audit for the MinHash-LSH banding (the text-dedup
     twin of ann_recall_at_k): compare the LSH pair list against the
@@ -609,14 +610,34 @@ def lsh_recall_vs_exact(
     bucket caps) is recall, and this mart measures it.
 
     The exact side is the diagnostic's cost: an inverted-index join
-    on shingles WITHOUT df capping (ground truth must not prune), so
-    this is a heavy composite by contract — run it on samples at
-    100 TB, like the other exact-verification paths.
+    on shingles WITHOUT df capping (ground truth must not prune) —
+    quadratic in any hot shingle's doc-frequency. The scale contract
+    is therefore ENFORCED, not advisory (VERDICT r3 #5):
+    ``sample_pct`` keeps a deterministic md5 doc sample (default 40%
+    of docs => ~16% of pairs) and BOTH sides — index and ground
+    truth — run on the same sample, so the recall estimate stays
+    unbiased. ``sample_pct=100`` is the explicit opt-in for the full
+    audit. Recall is emitted as integer ppm (exact BIGINT split —
+    no float rounding boundary between engines).
     """
-    lsh = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+    base = load_table(spark, sf_dir, "documents")
+    if sample_pct < 100:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#lshrecall"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        base = base.filter(bucket < sample_pct)
+    lsh = dedup_minhash_lsh(spark, sf_dir, threshold=threshold, docs=base).select(
         "doc_a", "doc_b"
     )
-    base = load_table(spark, sf_dir, "documents")
     docs = base.withColumn("_toks", tokens()).withColumn(
         "sh", shingles_from(F.col("_toks"), 3)
     )
@@ -654,7 +675,9 @@ def lsh_recall_vs_exact(
             F.col("n_caught").cast("long").alias("n_caught"),
             F.when(
                 F.col("n_exact") > 0,
-                F.round(F.col("n_caught") / F.col("n_exact"), 6),
-            ).alias("recall"),
+                F.expr(_ppm("n_caught", "n_exact")),
+            )
+            .cast("long")
+            .alias("recall_ppm"),
         )
     )

@@ -175,3 +175,141 @@ def kpi_monthly_global(
         *[(F.sum(F.col(c) * w) / F.sum(w)).alias(c) for c in metric_cols]
     )
     return sums.join(weighted, on="month", how="left")
+
+
+def sla_stability_mart(
+    silver_df: DataFrame,
+    sla_hours: int = 168,
+    rules: LakehouseRules | None = None,
+    critical_tiers: tuple = ("P0", "P1"),
+) -> DataFrame:
+    """Monthly SLA / stability KPIs for CRITICAL issues — the mart the
+    reference README describes (README.md "Critical issue rule" /
+    "SLA rule" / "Monthly KPIs": total_critical_hours,
+    stability_index, sla_breach_rate, created/closed_critical,
+    backlog_critical_end; config.yml ``rules.hours_in_month``) but
+    whose gold.py never ships. Critical = priority tier P0/P1 (the
+    Blocker/Regression label tiers — the closest live analogue of the
+    README's never-defined ``rules.critical_labels``).
+
+    Semantics per (month, component):
+    - ``total_critical_hours_e6``: micro-hours critical issues spent
+      OPEN during the month — each closed issue's [created, closed)
+      interval is split across the calendar months it overlaps
+      (``sequence()`` month explode, the daily_gapfill idiom; the
+      fan-out is bounded by months-spanned, not data size).
+    - ``stability_index_ppm``: 1e6 * (1 - total_hours/hours_in_month)
+      — the README formula in integer ppm.
+    - ``sla_breach_ppm``: share of critical closures that month with
+      resolution > ``sla_hours`` (NULL when nothing closed).
+    - ``created_critical`` / ``closed_critical`` /
+      ``backlog_critical_end``: counts + per-component cumulative
+      backlog.
+
+    Exactness: intervals freeze to integer MICROSECONDS; micro-hours
+    are ``us DIV 3600``; both ppm outputs use the two-level BIGINT
+    remainder split (functions/exact.py) — no float division
+    anywhere, so the mart is engine/version-proof. Shuffles: three
+    (month, component) aggregates + one full-outer merge + one
+    bounded per-component backlog window.
+    """
+    from ..functions.exact import ppm_expr
+    from ..functions.timefns import month_str
+
+    rules = rules or LakehouseRules()
+    month_us = int(rules.hours_in_month) * 3_600_000_000
+    sla_us = int(sla_hours) * 3_600_000_000
+
+    crit = silver_df.filter(F.col("priority_tier").isin(*critical_tiers))
+    cts = F.col("created_at").cast("timestamp")
+    zts = F.col("closed_at").cast("timestamp")
+
+    created = (
+        crit.filter(F.col("created_at").isNotNull())
+        .groupBy(month_str(cts).alias("month"), "component")
+        .agg(F.count(F.lit(1)).alias("created_critical"))
+    )
+
+    closed_base = crit.filter(F.col("closed_at").isNotNull() & F.col("created_at").isNotNull())
+    res_us = F.unix_micros(zts) - F.unix_micros(cts)
+    closed = closed_base.groupBy(month_str(zts).alias("month"), "component").agg(
+        F.count(F.lit(1)).alias("closed_critical"),
+        F.sum((res_us > sla_us).cast("long")).alias("sla_breaches"),
+    )
+
+    # a raw feed can deliver closed_at < created_at (the synthetic
+    # silver does); such rows hold zero open-time, so they are
+    # excluded from the exposure split (sequence() would reject the
+    # inverted month range)
+    spans = closed_base.filter(zts >= cts).select(
+        "component",
+        F.unix_micros(cts).alias("c_us"),
+        F.unix_micros(zts).alias("z_us"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", cts),
+                F.date_trunc("month", zts),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mth"),
+    )
+    m_start = F.unix_micros(F.col("mth"))
+    m_end = F.unix_micros(F.add_months(F.col("mth").cast("date"), 1).cast("timestamp"))
+    hours = (
+        spans.select(
+            month_str(F.col("mth")).alias("month"),
+            "component",
+            (F.least(F.col("z_us"), m_end) - F.greatest(F.col("c_us"), m_start)).alias(
+                "open_us"
+            ),
+        )
+        .filter(F.col("open_us") > 0)
+        .groupBy("month", "component")
+        .agg(F.sum("open_us").alias("open_us"))
+    )
+
+    keys = ["month", "component"]
+    merged = (
+        created.join(closed, keys, "full_outer")
+        .join(hours, keys, "full_outer")
+        .select(
+            *keys,
+            F.coalesce("created_critical", F.lit(0)).cast("long").alias("created_critical"),
+            F.coalesce("closed_critical", F.lit(0)).cast("long").alias("closed_critical"),
+            F.col("sla_breaches").cast("long").alias("sla_breaches"),
+            F.coalesce("open_us", F.lit(0)).cast("long").alias("open_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("component")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "backlog_critical_end",
+            F.sum(F.col("created_critical") - F.col("closed_critical")).over(w).cast("long"),
+        )
+        .withColumn("total_critical_hours_e6", F.expr("open_us DIV 3600"))
+        .withColumn(
+            "stability_index_ppm",
+            F.expr(f"1000000 - ({ppm_expr('open_us', str(month_us))})"),
+        )
+        .withColumn(
+            "sla_breach_ppm",
+            F.when(
+                F.col("closed_critical") > 0,
+                F.expr(ppm_expr("sla_breaches", "closed_critical")),
+            ).cast("long"),
+        )
+        .select(
+            "month",
+            "component",
+            "created_critical",
+            "closed_critical",
+            "backlog_critical_end",
+            "total_critical_hours_e6",
+            "stability_index_ppm",
+            "sla_breach_ppm",
+        )
+    )

@@ -173,7 +173,7 @@ def part_copurchase_lift(
 
 
 def supplier_neighbor_jaccard(
-    spark: SparkSession, sf_dir: str, min_common: int = 2
+    spark: SparkSession, sf_dir: str, min_common: int = 2, basket_cap: int = 1000
 ) -> DataFrame:
     """Jaccard similarity between supplier pairs over their CUSTOMER
     sets — collaborative-filtering item-item similarity on the
@@ -189,13 +189,26 @@ def supplier_neighbor_jaccard(
     ~1e9 wedge rows vs ~2e7 here for identical output semantics on
     shared customers). Set sizes broadcast; pairs below
     ``min_common`` shared customers are dropped.
+
+    ``basket_cap`` is the super-key guard (the minhash ``bucket_cap``
+    discipline, VERDICT r3 #10): a customer connected to more than
+    ``basket_cap`` suppliers would alone contribute O(cap^2) wedge
+    rows, so such hub customers are excluded from the graph entirely
+    (wedges AND set sizes — the similarity stays self-consistent on
+    the filtered graph). TPC-H-ish data never reaches the default
+    cap; on a real trade graph the cap bounds the worst key at
+    cap^2 regardless of corpus size.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    sc = (
+    sc0 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+    )
+    deg = sc0.groupBy("c").agg(F.count(F.lit(1)).alias("n_s"))
+    sc = (
+        sc0.join(deg.filter(F.col("n_s") <= basket_cap).select("c"), "c")
         .localCheckpoint(eager=True)
     )
     a = sc.alias("a")

@@ -290,27 +290,30 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     DEC = "decimal(18,2)"
-    # Every value column is cast to ONE decimal type BEFORE the
-    # unpivot: the melt coerces all value columns to a common type,
-    # and leaving mixed scales lets each engine pick its own common
-    # scale (DuckDB rounded the scale-4 column to scale 2).
-    OUT = "decimal(24,4)"
+    # Every value column becomes a BIGINT in fixed e4 units (value x
+    # 10000) BEFORE the unpivot: the melt coerces all value columns
+    # to a common type, and any DECIMAL in that position lets each
+    # engine (or engine VERSION) pick its own common scale/rendering
+    # — the r3 driver-hash failure. Integers unpivot to integers
+    # everywhere; the decimal sums are exact, the x10000 lands on an
+    # integral value, so the cast loses nothing. Headroom: per-group
+    # sums stay exact up to ~9e14 currency units per cell.
     wide = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast(OUT).alias("quantity"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast(OUT).alias("extendedprice"),
-        F.sum(
+        (F.sum(F.col("l_quantity").cast(DEC)) * 10000).cast("long").alias("quantity"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)) * 10000).cast("long").alias("extendedprice"),
+        (F.sum(
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-        ).cast(OUT).alias("discounted"),
-        F.sum(F.col("l_tax").cast(DEC)).cast(OUT).alias("tax"),
+        ) * 10000).cast("long").alias("discounted"),
+        (F.sum(F.col("l_tax").cast(DEC)) * 10000).cast("long").alias("tax"),
     )
     long = wide.unpivot(
         ids=["l_returnflag", "l_linestatus"],
         values=["quantity", "extendedprice", "discounted", "tax"],
         variableColumnName="metric",
-        valueColumnName="total",
+        valueColumnName="total_e4",
     )
-    return long.select("l_returnflag", "l_linestatus", "metric", "total")
+    return long.select("l_returnflag", "l_linestatus", "metric", "total_e4")
 
 
 def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,9 +469,17 @@ def contingency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar seasonality profile: order count and exact-decimal
     revenue per month-of-year (pooled across years), with each
-    month's share of the total — the dashboard staple for "is Q4
-    really bigger". One scan, one 12-group aggregate; shares divide
-    exact sums cast to double.
+    month's share of the total in integer PARTS-PER-MILLION — the
+    dashboard staple for "is Q4 really bigger".
+
+    Exactness: shares are floor(part * 1e6 / total) computed entirely
+    in BIGINT via a two-level remainder split
+    (``(p*1000 div t)*1000 + ((p*1000 mod t)*1000) div t``), so no
+    float quotient or round() boundary can flip between engines —
+    the r3 driver-hash failure mode. The split keeps every
+    intermediate <= total*1000, exact for totals up to ~9e15 cents.
+    Plan: one scan, one 12-group aggregate; the grand total is a
+    1-row broadcast (not a whole-table window).
     """
     DEC = "decimal(18,2)"
     o = load_table(spark, sf_dir, "orders")
@@ -476,19 +487,83 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("revenue"),
     )
-    w = Window.partitionBy()
-    return per_month.select(
-        F.col("month_of_year").cast("long").alias("month_of_year"),
-        F.col("n_orders").cast("long").alias("n_orders"),
-        "revenue",
-        F.round(
-            F.col("n_orders").cast("double")
-            / F.sum("n_orders").over(w).cast("double"),
-            6,
-        ).alias("order_share"),
-        F.round(
-            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"), 6
-        ).alias("revenue_share"),
+    tot = per_month.agg(
+        F.sum("n_orders").alias("tot_orders"),
+        (F.sum("revenue").cast("decimal(38,2)") * 100).cast("long").alias("tot_cents"),
+    )
+    from ..functions.exact import ppm_expr as ppm
+
+    return (
+        per_month.join(F.broadcast(tot))
+        .withColumn("cents", (F.col("revenue") * 100).cast("long"))
+        .selectExpr(
+            "CAST(month_of_year AS BIGINT) AS month_of_year",
+            "CAST(n_orders AS BIGINT) AS n_orders",
+            "revenue",
+            f"CAST({ppm('n_orders', 'tot_orders')} AS BIGINT) AS order_share_ppm",
+            f"CAST({ppm('cents', 'tot_cents')} AS BIGINT) AS revenue_share_ppm",
+        )
+    )
+
+
+def disc_quintile_thresholds(df: DataFrame, col: str, bucket_width, prefix: str) -> DataFrame:
+    """1-row DataFrame of EXACT discrete quintile thresholds
+    ``{prefix}20 .. {prefix}80`` for a numeric column: threshold k is
+    percentile_disc(k/5) = the MIN data value v whose cumulative
+    count satisfies ``5*cum(v) >= k*N`` — an actual element of the
+    data, never an interpolated double, so scoring by ``>=`` on
+    exact BIGINT/DECIMAL metrics is engine-invariant (the r3
+    ``customer_rfm`` driver-hash failure was a last-ulp flip in
+    ``F.percentile``'s interpolated threshold).
+
+    Scale shape (the ``weighted_median_price`` two-level prefix-sum
+    discipline, with unit weights): values collapse to distinct-value
+    counts, the cumulative carry runs over ONE ROW PER BUCKET of
+    width ``bucket_width``, and the second pass sorts only the <=4
+    selected buckets' distinct values. No whole-table sort anywhere.
+    """
+    vals = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    bucket = F.floor(F.col("v") / bucket_width)
+    per_bucket = vals.groupBy(bucket.alias("b")).agg(F.sum("c").alias("bc"))
+    w_carry = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    carried = per_bucket.withColumn(
+        "carry_in", F.coalesce(F.sum("bc").over(w_carry), F.lit(0))
+    ).withColumn("cum", F.col("carry_in") + F.col("bc"))
+    total = carried.agg(F.sum("bc").alias("n"))
+    qtab = total.select(
+        "n", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k")
+    )
+    cand = (
+        carried.join(F.broadcast(qtab))
+        .filter(F.col("cum") * 5 >= F.col("k") * F.col("n"))
+        .groupBy("k", "n")
+        .agg(F.min("b").alias("mb"))
+    )
+    binfo = (
+        carried.select("b", "carry_in")
+        .join(F.broadcast(cand), F.col("b") == F.col("mb"))
+        .select("k", "n", "mb", "carry_in")
+    )
+    inb = vals.withColumn("b", bucket).join(F.broadcast(binfo)).filter(
+        F.col("b") == F.col("mb")
+    )
+    w_in = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    th = (
+        inb.withColumn("cum2", F.col("carry_in") + F.sum("c").over(w_in))
+        .filter(F.col("cum2") * 5 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").alias("t"))
+    )
+    piv = th.groupBy().pivot("k", [1, 2, 3, 4]).agg(F.first("t"))
+    return piv.select(
+        F.col("1").alias(f"{prefix}20"),
+        F.col("2").alias(f"{prefix}40"),
+        F.col("3").alias(f"{prefix}60"),
+        F.col("4").alias(f"{prefix}80"),
     )
 
 
@@ -500,11 +575,14 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the canonical ntile(5) would funnel every customer
     through ONE sort partition; here the five bands come from exact
-    percentile thresholds (a 1-row broadcast) and per-row
-    comparisons, so scoring is map-side and the only shuffles are
-    the per-customer aggregate and the threshold aggregate over it.
-    Threshold ties resolve by >= on exact integer/decimal metrics —
-    engine-invariant.
+    DISCRETE quintile thresholds (``disc_quintile_thresholds``, a
+    1-row broadcast built with the two-level prefix-sum — no
+    whole-table sort) and per-row ``>=`` comparisons on exact
+    BIGINT/DECIMAL metrics, so scoring is map-side. No interpolated
+    double thresholds: percentile_disc semantics make the banding
+    engine-invariant (threshold k is a data value, and
+    ``x >= t_k  <=>  5*cum(x) >= k*N`` — the identity the DuckDB
+    oracle uses directly).
     """
     DEC = "decimal(18,2)"
     o = load_table(spark, sf_dir, "orders")
@@ -513,20 +591,19 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("monetary"),
     )
-    w = Window.partitionBy()
-    per_cust = per_cust.withColumn(
+    maxd = per_cust.agg(F.max("last_order").alias("corpus_max"))
+    per_cust = per_cust.join(F.broadcast(maxd)).withColumn(
         "recency_days",
-        F.datediff(F.max("last_order").over(w), F.col("last_order")).cast("long"),
+        F.datediff(F.col("corpus_max"), F.col("last_order")).cast("long"),
     )
-    pct = lambda c, q: F.percentile(c, F.lit(q))  # noqa: E731
-    thresholds = per_cust.agg(
-        *[pct(F.col("recency_days").cast("double"), q).alias(f"r{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
-        *[pct(F.col("frequency").cast("double"), q).alias(f"f{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
-        *[pct(F.col("monetary").cast("double"), q).alias(f"m{int(q*100)}") for q in (0.2, 0.4, 0.6, 0.8)],
+    thresholds = (
+        disc_quintile_thresholds(per_cust, "recency_days", 100, "r")
+        .join(F.broadcast(disc_quintile_thresholds(per_cust, "frequency", 8, "f")))
+        .join(F.broadcast(disc_quintile_thresholds(per_cust, "monetary", 100000, "m")))
     )
 
     def band(metric, prefix, invert=False):
-        c = F.col(metric).cast("double")
+        c = F.col(metric)
         score = (
             F.when(c >= F.col(f"{prefix}80"), 5)
             .when(c >= F.col(f"{prefix}60"), 4)

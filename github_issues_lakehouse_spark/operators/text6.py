@@ -68,9 +68,14 @@ def term_cooccurrence_pmi(
     total_toks = toks.agg(F.sum(n).alias("tt"))
     ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("n_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("n_b"))
+    # no broadcast hint on the unigram sides: vocabulary cardinality
+    # is unbounded at corpus scale (an 8 GB broadcast ceiling away
+    # from failure), and a plain shuffled equi-join on the term key
+    # is safe at any size — AQE still broadcasts small vocabularies
+    # at runtime via the 64 MB threshold (ADVICE r3)
     return (
-        pair_counts.join(F.broadcast(ua), "term_a")
-        .join(F.broadcast(ub), "term_b")
+        pair_counts.join(ua, "term_a")
+        .join(ub, "term_b")
         .crossJoin(F.broadcast(total_pairs))
         .crossJoin(F.broadcast(total_toks))
         .select(
@@ -249,8 +254,11 @@ def bpe_tokenize_stats(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     toks_per_word = F.array_size(F.split(F.trim(F.col("sym")), "  "))
+    # shuffled join on the word key — the symbolized vocabulary is
+    # corpus-dependent and unbounded, so no explicit broadcast hint
+    # (AQE upgrades to broadcast at runtime when it fits; ADVICE r3)
     return (
-        words_src.join(F.broadcast(vocab.select("word", "sym")), "word")
+        words_src.join(vocab.select("word", "sym"), "word")
         .groupBy("source")
         .agg(
             F.sum("freq").cast("long").alias("n_words"),

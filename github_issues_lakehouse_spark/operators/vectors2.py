@@ -341,7 +341,12 @@ def pca_projection_outliers(
     stats = projected.agg(
         F.avg("proj").alias("mu"), F.stddev_pop("proj").alias("sd")
     )
-    z = (F.col("proj") - F.col("mu")) / F.col("sd")
+    # sd == 0 guard (degenerate all-equal projections): Spark's
+    # divide-by-zero yields NULL while DuckDB's IEEE division yields
+    # inf/nan — pin both engines to NULL via an explicit predicate
+    # (ADVICE r3; same null-on-degenerate pattern as
+    # classifier_pr_curve)
+    z = F.when(F.col("sd") > 0, (F.col("proj") - F.col("mu")) / F.col("sd"))
     return (
         projected.crossJoin(F.broadcast(stats))
         .select(

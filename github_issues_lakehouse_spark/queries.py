@@ -319,6 +319,93 @@ FROM sums s LEFT JOIN weighted w ON s.month = w.month
 )
 
 
+def q_gold_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the reference-README SLA/stability mart (README.md
+    "Critical issue rule"/"SLA rule"/"Monthly KPIs", config.yml
+    ``hours_in_month``) — monthly critical-issue exposure hours,
+    stability index, SLA breach rate, backlog. See
+    operators/gold.py:sla_stability_mart."""
+    return gold.sla_stability_mart(silver.silver_issues(spark, sf_dir))
+
+
+_SLA_US = 168 * 3_600_000_000
+_MONTH_US = 720 * 3_600_000_000
+
+ORACLE_GOLD_SLA = (
+    _SILVER_SQL
+    + f"""
+, crit AS (SELECT * FROM silver WHERE priority_tier IN ('P0', 'P1'))
+, created_k AS (
+  SELECT strftime(created_at, '%Y-%m') AS month, component,
+    count(*) AS created_critical
+  FROM crit WHERE created_at IS NOT NULL GROUP BY 1, 2
+), closed_k AS (
+  SELECT strftime(closed_at, '%Y-%m') AS month, component,
+    count(*) AS closed_critical,
+    sum(CASE WHEN epoch_us(CAST(closed_at AS TIMESTAMP))
+             - epoch_us(CAST(created_at AS TIMESTAMP)) > {_SLA_US}
+        THEN 1 ELSE 0 END) AS sla_breaches
+  FROM crit WHERE closed_at IS NOT NULL AND created_at IS NOT NULL
+  GROUP BY 1, 2
+), spans AS (
+  SELECT component,
+    epoch_us(CAST(created_at AS TIMESTAMP)) AS c_us,
+    epoch_us(CAST(closed_at AS TIMESTAMP)) AS z_us,
+    unnest(generate_series(date_trunc('month', CAST(created_at AS TIMESTAMP)),
+                           date_trunc('month', CAST(closed_at AS TIMESTAMP)),
+                           INTERVAL 1 MONTH)) AS mth
+  FROM crit WHERE closed_at IS NOT NULL AND created_at IS NOT NULL
+    AND closed_at >= created_at
+), hours AS (
+  SELECT strftime(mth, '%Y-%m') AS month, component, sum(open_us) AS open_us
+  FROM (
+    SELECT component, mth,
+      least(z_us, epoch_us(mth + INTERVAL 1 MONTH))
+        - greatest(c_us, epoch_us(mth)) AS open_us
+    FROM spans
+  ) WHERE open_us > 0 GROUP BY 1, 2
+), cz AS (
+  SELECT coalesce(c.month, z.month) AS month,
+    coalesce(c.component, z.component) AS component,
+    coalesce(c.created_critical, 0) AS created_critical,
+    coalesce(z.closed_critical, 0) AS closed_critical,
+    z.sla_breaches
+  FROM created_k c FULL OUTER JOIN closed_k z
+    ON c.month = z.month AND c.component = z.component
+), merged AS (
+  SELECT coalesce(a.month, h.month) AS month,
+    coalesce(a.component, h.component) AS component,
+    coalesce(a.created_critical, 0) AS created_critical,
+    coalesce(a.closed_critical, 0) AS closed_critical,
+    a.sla_breaches,
+    coalesce(h.open_us, 0) AS open_us
+  FROM cz a FULL OUTER JOIN hours h
+    ON a.month = h.month AND a.component = h.component
+), final AS (
+  SELECT *,
+    sum(created_critical - closed_critical) OVER (
+      PARTITION BY component ORDER BY month
+      ROWS UNBOUNDED PRECEDING) AS backlog_critical_end
+  FROM merged
+)
+SELECT month, component,
+  CAST(created_critical AS BIGINT) AS created_critical,
+  CAST(closed_critical AS BIGINT) AS closed_critical,
+  CAST(backlog_critical_end AS BIGINT) AS backlog_critical_end,
+  CAST(open_us // 3600 AS BIGINT) AS total_critical_hours_e6,
+  CAST(1000000 - ({{PPM_OPEN}}) AS BIGINT) AS stability_index_ppm,
+  CAST(CASE WHEN closed_critical > 0 THEN {{PPM_BREACH}} END AS BIGINT) AS sla_breach_ppm
+FROM final
+"""
+)
+
+from .functions.exact import ppm_sql as _ppm_sql  # noqa: E402
+
+ORACLE_GOLD_SLA = ORACLE_GOLD_SLA.replace(
+    "{PPM_OPEN}", _ppm_sql("open_us", str(_MONTH_US))
+).replace("{PPM_BREACH}", _ppm_sql("sla_breaches", "closed_critical"))
+
+
 def q_gold_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month KPI deltas on the global mart — the reporting
     layer a dashboard reads on top of gold: lag/delta/%-change per
@@ -351,126 +438,82 @@ def q_gold_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap. Round 3 ordering (VERDICT.md r2,
-# task 1): the 58 keys with NO green driver row in CORRECTNESS_r01/r02
-# come first — the 3 whose last driver evidence is a FAIL (fixed in r2
-# but never re-shown), then the B44-B71 relational tail, then the
-# C42-C67 pipeline tail, with the 6 heavy composites (10-20s each at
-# check SF) last inside the unevidenced block so a budget cutoff costs
-# depth, not breadth. Everything already driver-green rides at the tail.
-_DRIVER_PRIORITY_R3 = [
-    # last driver evidence = FAIL (r1) — re-prove first
-    "label_array_funcs",
-    "null_semantics_orders",
-    "profile_orders",
-    # never driver-checked: B41 + B44-B71 relational tail
-    "histogram_prices",
-    "min_cost_supplier",
-    "important_parts_share",
-    "top_supplier_revenue",
-    "returns_blame_suppliers",
-    "idle_rich_customers",
-    "order_priority_checking",
-    "national_market_share",
-    "product_profit",
-    "returned_items_top_customers",
-    "late_shipment_priority",
-    "promo_revenue_share",
-    "parts_supplier_count",
-    "excess_supply_suppliers",
-    "q6_forecast_revenue",
-    "concurrent_sessions",
-    "trailing_window_user_value",
-    "session_window_batch",
-    "variant_events",
-    "unpivot_lineitem_metrics",
-    "time_weighted_value",
-    "activity_streaks",
-    "filtered_agg_orders",
-    "contingency_orders",
-    "order_seasonality",
+# order under a ~50-entry budget cap (r3 checked exactly 50). Round 4
+# ordering (VERDICT.md r3, tasks 1+3): positions 1-3 are the three r3
+# driver-hash FAILs, rewritten this round with environment-proof
+# integer/percentile_disc arithmetic — they MUST re-prove. Position 4
+# is the new reference-README SLA mart (task 6). Positions 5-50 are
+# 46 of the 56 never-driver-checked keys, complex families first
+# (pagerank, exact weighted quantiles, BPE learn/apply, PCA pair,
+# BM25/RRF, graph analytics, sketches, heavy dedup composites) so a
+# budget cutoff sacrifices trivial marts, not depth. The ~10 overflow
+# (heat grids, churn flags, kfold, char classes...) heads the r5
+# queue. Everything already driver-green rides at the tail.
+_DRIVER_PRIORITY_R4 = [
+    # r3 driver-hash FAILs, fixed this round — re-prove first
     "customer_rfm",
-    "revenue_concentration",
-    "event_path_match",
-    "dq_violations",
-    # never driver-checked: C34, C39-C57, C61-C65, C67 pipeline tail
-    "scd2_priority_history",
-    "bpe_pair_counts",
-    "cross_source_overlap",
-    "quality_classifier",
-    "ttr_stats",
-    "length_outliers",
-    "weighted_sample",
-    "embedding_norm_outliers",
-    "label_separability",
-    "plan_token_shards",
-    "holdout_split",
-    "token_histogram",
-    "winnow_overlap_pairs",
-    "source_drift_kl",
-    "tokenizer_fertility",
-    "cross_split_leakage",
-    "vocab_coverage",
-    "modality_qa_join",
-    "char_class_stats",
-    "kfold_assignment",
-    # new in r3 (also unevidenced, but behind the older backlog)
-    "gopher_quality_rules",
-    "doc_entropy",
-    "zipf_slope",
-    "term_source_association",
-    "embedding_covariance",
-    "event_dedup_windowed",
-    "kmv_distinct_terms",
-    "cms_term_counts",
+    "order_seasonality",
+    "unpivot_lineitem_metrics",
+    # new this round: reference-README SLA/stability mart
+    "gold_sla_stability",
+    # never driver-checked, complex families first
     "pagerank_trade_graph",
-    "label_association_rules",
-    "daily_anomaly_events",
-    "mixture_resample",
-    "redact_contaminated_spans",
-    "length_bucketed_batches",
-    "source_interleave_plan",
-    "yoy_revenue",
-    "event_order_inversions",
     "weighted_median_price",
     "weighted_quantiles_price",
-    # new in r3 third batch (unevidenced)
+    "bpe_merge_learning",
+    "bpe_tokenize_stats",
+    "pca_top_component",
+    "pca_projection_outliers",
+    "bm25_topk",
+    "rrf_hybrid_topk",
+    "supplier_neighbor_jaccard",
+    "lsh_recall_vs_exact",
+    "neardup_keep_best",
+    "bigram_perplexity",
+    "contamination_attribution",
+    "cluster_mixing_weights",
+    "detector_agreement",
+    "edit_distance_pairs",
     "supplier_cosupply_triangles",
     "part_copurchase_lift",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
+    "kmv_distinct_terms",
+    "cms_term_counts",
+    "embedding_covariance",
+    "classifier_pr_curve",
+    "seasonal_decompose_daily",
+    "cusum_changepoint",
+    "corr_matrix_lineitem",
     "equi_depth_histogram",
     "table_stats_mart",
     "attribution_touchpoints",
     "ewma_user_value",
-    "term_cooccurrence_pmi",
-    "feature_hash_counts",
-    "pca_top_component",
-    "bpe_merge_learning",
-    "bm25_topk",
-    "rrf_hybrid_topk",
-    "seasonal_decompose_daily",
-    "cusum_changepoint",
-    "corr_matrix_lineitem",
+    "label_association_rules",
+    "daily_anomaly_events",
+    "gopher_quality_rules",
+    "doc_entropy",
+    "zipf_slope",
+    "term_source_association",
+    "event_dedup_windowed",
+    "redact_contaminated_spans",
+    "length_bucketed_batches",
+    "source_interleave_plan",
     "join_key_skew",
-    "bpe_tokenize_stats",
-    "ab_test_conversion",
-    "supplier_neighbor_jaccard",
-    "pca_projection_outliers",
-    "classifier_pr_curve",
-    "dau_wau_stickiness",
-    "event_trigram_patterns",
     "join_size_estimate",
+    "ab_test_conversion",
     "lang_id_confusion",
+    # ---- position 50 boundary: everything below likely waits for r5
+    "event_trigram_patterns",
+    "mixture_resample",
+    "yoy_revenue",
+    "event_order_inversions",
+    "dau_wau_stickiness",
     "user_churn_flags",
     "price_quantity_heatmap",
     "weekday_hour_heatmap",
-    # heavy composites: last within the unevidenced block
-    "lsh_recall_vs_exact",
-    "cluster_mixing_weights",
-    "detector_agreement",
-    "edit_distance_pairs",
-    "bigram_perplexity",
-    "contamination_attribution",
-    "neardup_keep_best",
+    "char_class_stats",
+    "kfold_assignment",
 ]
 
 
@@ -484,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_kpi_component_tier": q_gold_component_tier,
         "gold_kpi_global": q_gold_global,
         "gold_kpi_mom": q_gold_mom,
+        "gold_sla_stability": q_gold_sla,
         "snapshot_diff": scale.snapshot_diff,
         # C. LLM-data pipeline (no driver evidence in r1 — check first)
         "dedup_exact": dedup.dedup_exact,
@@ -711,7 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R3 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R4 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 
@@ -722,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "label_catalog": ORACLE_LABEL_CATALOG,
         "gold_kpi_component_tier": ORACLE_GOLD_COMPONENT,
         "gold_kpi_global": ORACLE_GOLD_GLOBAL,
+        "gold_sla_stability": ORACLE_GOLD_SLA,
         "gold_kpi_mom": f"""
 WITH g AS ({ORACLE_GOLD_GLOBAL})
 SELECT month, created_count,
@@ -947,6 +992,10 @@ SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
   strftime("end", '%Y-%m-%d') AS streak_end
 FROM ranked WHERE rn = 1
 """,
+        # percentile_disc scoring, expressed through the exact
+        # integer identity  x >= t_k  <=>  5*cum(x) >= k*N  (see
+        # operators/relational6.py:customer_rfm) — every comparison
+        # is BIGINT/DECIMAL, no interpolated thresholds anywhere.
         "customer_rfm": """
 WITH per_cust AS (
   SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
@@ -954,44 +1003,45 @@ WITH per_cust AS (
     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS monetary
   FROM orders GROUP BY 1
 ), r AS (
-  SELECT *, CAST(datediff('day', last_order, max(last_order) OVER ()) AS BIGINT) AS recency_days
+  SELECT *, CAST(datediff('day', last_order,
+      (SELECT max(last_order) FROM per_cust)) AS BIGINT) AS recency_days
   FROM per_cust
-), t AS (
-  SELECT
-    quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20, quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
-    quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60, quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
-    quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20, quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
-    quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60, quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
-    quantile_cont(CAST(monetary AS DOUBLE), 0.2) AS m20, quantile_cont(CAST(monetary AS DOUBLE), 0.4) AS m40,
-    quantile_cont(CAST(monetary AS DOUBLE), 0.6) AS m60, quantile_cont(CAST(monetary AS DOUBLE), 0.8) AS m80
+), c AS (
+  SELECT *,
+    count(*) OVER (ORDER BY recency_days RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+    count(*) OVER (ORDER BY frequency RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_f,
+    count(*) OVER (ORDER BY monetary RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m,
+    count(*) OVER () AS n
   FROM r
 )
 SELECT custkey, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
-  CAST(6 - (CASE WHEN CAST(recency_days AS DOUBLE) >= r80 THEN 5
-       WHEN CAST(recency_days AS DOUBLE) >= r60 THEN 4
-       WHEN CAST(recency_days AS DOUBLE) >= r40 THEN 3
-       WHEN CAST(recency_days AS DOUBLE) >= r20 THEN 2 ELSE 1 END) AS BIGINT) AS r_score,
-  CAST(CASE WHEN CAST(frequency AS DOUBLE) >= f80 THEN 5
-       WHEN CAST(frequency AS DOUBLE) >= f60 THEN 4
-       WHEN CAST(frequency AS DOUBLE) >= f40 THEN 3
-       WHEN CAST(frequency AS DOUBLE) >= f20 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
-  CAST(CASE WHEN CAST(monetary AS DOUBLE) >= m80 THEN 5
-       WHEN CAST(monetary AS DOUBLE) >= m60 THEN 4
-       WHEN CAST(monetary AS DOUBLE) >= m40 THEN 3
-       WHEN CAST(monetary AS DOUBLE) >= m20 THEN 2 ELSE 1 END AS BIGINT) AS m_score
-FROM r CROSS JOIN t
+  CAST(6 - (1 + least(4, (5 * cum_r) // n)) AS BIGINT) AS r_score,
+  CAST(1 + least(4, (5 * cum_f) // n) AS BIGINT) AS f_score,
+  CAST(1 + least(4, (5 * cum_m) // n) AS BIGINT) AS m_score
+FROM c
 """,
+        # shares as BIGINT parts-per-million via the two-level
+        # integer remainder split — no float quotient can flip a
+        # round() boundary between engines.
         "order_seasonality": """
 WITH per_month AS (
   SELECT month(o_orderdate) AS month_of_year, count(*) AS n_orders,
     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
   FROM orders GROUP BY 1
+), t AS (
+  SELECT *,
+    sum(n_orders) OVER () AS tot_orders,
+    CAST(sum(revenue) OVER () * 100 AS BIGINT) AS tot_cents,
+    CAST(revenue * 100 AS BIGINT) AS cents
+  FROM per_month
 )
 SELECT CAST(month_of_year AS BIGINT) AS month_of_year,
   CAST(n_orders AS BIGINT) AS n_orders, revenue,
-  round(CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS order_share,
-  round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share
-FROM per_month
+  CAST(((n_orders * 1000) // tot_orders) * 1000
+       + (((n_orders * 1000) % tot_orders) * 1000) // tot_orders AS BIGINT) AS order_share_ppm,
+  CAST(((cents * 1000) // tot_cents) * 1000
+       + (((cents * 1000) % tot_cents) * 1000) // tot_cents AS BIGINT) AS revenue_share_ppm
+FROM t
 """,
         "contingency_orders": """
 WITH cells AS (
@@ -1039,19 +1089,23 @@ SELECT user_id,
 FROM terms WHERE dur_us IS NOT NULL
 GROUP BY 1
 """,
+        # value columns pinned to BIGINT e4 units BEFORE the melt so
+        # the UNPIVOT common-type coercion has nothing to decide —
+        # the r3 driver-hash failure was an engine-version decimal
+        # rendering of the unpivoted value column.
         "unpivot_lineitem_metrics": """
 WITH wide AS (
   SELECT l_returnflag, l_linestatus,
-    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS quantity,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS extendedprice,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS quantity,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS extendedprice,
     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS discounted,
-    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS tax
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS discounted,
+    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) * 10000 AS BIGINT) AS tax
   FROM lineitem GROUP BY 1, 2
 )
-SELECT l_returnflag, l_linestatus, metric, total
+SELECT l_returnflag, l_linestatus, metric, total_e4
 FROM wide
-UNPIVOT (total FOR metric IN (quantity, extendedprice, discounted, tax))
+UNPIVOT (total_e4 FOR metric IN (quantity, extendedprice, discounted, tax))
 """,
         "variant_events": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2788,10 +2842,10 @@ FROM flagged
 """
 
 
-def _shingle_cte(n: int = 3) -> str:
+def _shingle_cte(n: int = 3, source: str = "documents") -> str:
     """CTE producing (doc_id, s) word n-gram shingle rows."""
     return f"""
-docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM documents),
+docs AS (SELECT doc_id, {_norm_toks_sql()} AS toks FROM {source}),
 starts AS (
   SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i
   FROM docs
@@ -2802,14 +2856,18 @@ shing AS (
 
 
 def _minhash_oracle(
-    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, bucket_cap: int = 200
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int = 200,
+    source: str = "documents",
 ) -> str:
     # bucket_cap mirrors the Spark operator's skew guard exactly: band
     # buckets larger than the cap generate no candidates (same bucket
     # => same count, so constraining side a suffices)
     rows = num_hashes // bands
     return f"""
-WITH {_shingle_cte(3)},
+WITH {_shingle_cte(3, source=source)},
 sd AS (SELECT DISTINCT doc_id, s FROM shing),
 seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
 sig AS (
@@ -4404,12 +4462,16 @@ FROM arms CROSS JOIN z
 """
 
 
-def _neighbor_jaccard_oracle(min_common: int = 2) -> str:
+def _neighbor_jaccard_oracle(min_common: int = 2, basket_cap: int = 1000) -> str:
+    # basket_cap mirrors the Spark operator's super-customer guard:
+    # hub customers above the cap leave the graph entirely
     return f"""
-WITH sc AS MATERIALIZED (
+WITH sc0 AS (
   SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
+keepc AS (SELECT c FROM sc0 GROUP BY c HAVING count(*) <= {basket_cap}),
+sc AS MATERIALIZED (SELECT sc0.s, sc0.c FROM sc0 JOIN keepc USING (c)),
 common AS (
   SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_common
   FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
@@ -4447,18 +4509,26 @@ projected AS MATERIALIZED (
 ),
 stats AS (SELECT avg(proj) AS mu, stddev_pop(proj) AS sd FROM projected)
 SELECT p.vec_id, p.label, p.proj,
-  round((p.proj - s.mu) / s.sd, 6) AS z_score,
-  (abs(round((p.proj - s.mu) / s.sd, 6)) > {z_cap}) AS is_outlier
+  round(CASE WHEN s.sd > 0 THEN (p.proj - s.mu) / s.sd END, 6) AS z_score,
+  (abs(round(CASE WHEN s.sd > 0 THEN (p.proj - s.mu) / s.sd END, 6)) > {z_cap}) AS is_outlier
 FROM projected p CROSS JOIN stats s
 """
 
 
-def _lsh_recall_oracle(threshold: float = 0.5) -> str:
+def _lsh_recall_oracle(threshold: float = 0.5, sample_pct: int = 40) -> str:
+    # same deterministic md5 doc sample as the Spark operator: BOTH
+    # the LSH index side and the exact ground-truth side run on the
+    # sampled corpus (unbiased recall; bounded all-pairs cost)
+    src = (
+        "(SELECT * FROM documents WHERE"
+        " CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#lshrecall')), 1, 15)) AS BIGINT)"
+        f" % 100 < {sample_pct})"
+    )
     return f"""
 WITH lshp AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_minhash_oracle(threshold=threshold)})
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(threshold=threshold, source=src)})
 ),
-{_shingle_cte(3)},
+{_shingle_cte(3, source=src)},
 sd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM shing),
 sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
 inter AS (
@@ -4485,7 +4555,7 @@ SELECT CAST(cnt.n_exact AS BIGINT) AS n_exact_pairs,
   CAST(nl.n_lsh AS BIGINT) AS n_lsh_pairs,
   CAST(cnt.n_caught AS BIGINT) AS n_caught,
   CASE WHEN cnt.n_exact > 0
-       THEN round(cnt.n_caught / cnt.n_exact, 6) END AS recall
+       THEN CAST({_ppm_sql('cnt.n_caught', 'cnt.n_exact')} AS BIGINT) END AS recall_ppm
 FROM cnt CROSS JOIN nl
 """
 

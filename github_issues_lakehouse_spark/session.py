@@ -58,5 +58,8 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # no [Stage N:>...] \r spam: it shares the driver's small
+        # output-tail capture budget with bench.py's one JSON line
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -529,7 +529,12 @@ def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 
     Within a micro-batch rows are folded in (ts, event_id) order;
     across batches the fold continues from state, so a drained
-    availableNow stream reproduces the batch fold exactly. Events
+    availableNow stream reproduces the batch EWMA fold over each
+    user's FULL history. Note the batch twin ``ewma_user_value``
+    truncates to a trailing k-event frame (default k=16): the two
+    agree exactly only when k >= every user's event count (the
+    equivalence test uses k=100000 for this reason); at the default
+    k they differ for longer histories (ADVICE r3). Events
     arriving out of order across batches fold in arrival order — the
     same caveat as sessionize_stream; feed from a source that
     preserves per-key time order (or pre-sort per trigger) when exact

@@ -4,11 +4,21 @@ same SF, compare row count, sorted column names, and an
 order-insensitive value hash.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+
+Modes (env VERIFY_CANON, VERDICT r3 task 4):
+- ``rounded`` (default): floats rounded to 9dp before hashing — the
+  historical local gate.
+- ``strict``: full ``repr(float)``, no rounding. The driver's canon
+  may hash raw values, so a query that passes only in rounded mode is
+  carrying sub-1e-9 environment drift — exactly the r3 driver-FAIL
+  signature — and must be rewritten with fixed-point arithmetic.
+- ``both``: require both hashes to agree (the new bar).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 import traceback
@@ -16,7 +26,7 @@ import traceback
 sys.path.insert(0, ".")
 
 
-def canon(rows, cols):
+def canon(rows, cols, strict=False):
     """Order-insensitive canonical form: sort columns by name, render
     every value to a stable TYPED string, sort rows.
 
@@ -35,7 +45,7 @@ def canon(rows, cols):
             elif isinstance(v, bool):
                 vals.append(str(v))
             elif isinstance(v, float):
-                vals.append("nan" if v != v else repr(round(v, 9)))
+                vals.append("nan" if v != v else (repr(v) if strict else repr(round(v, 9))))
             elif isinstance(v, (bytes, bytearray)):
                 vals.append("0x" + bytes(v).hex())
             else:
@@ -96,10 +106,16 @@ def main():
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            h1 = canon([list(r) for r in srows], scols)
-            h2 = canon([list(r) for r in drows], dcols)
-            if h1 != h2:
-                problems.append("value-hash mismatch")
+            mode = os.environ.get("VERIFY_CANON", "rounded")
+            mismatched = []
+            for m in ("rounded", "strict") if mode == "both" else (mode,):
+                strict = m == "strict"
+                h1 = canon([list(r) for r in srows], scols, strict=strict)
+                h2 = canon([list(r) for r in drows], dcols, strict=strict)
+                if h1 != h2:
+                    mismatched.append(m)
+            if mismatched:
+                problems.append(f"value-hash mismatch ({'+'.join(mismatched)})")
                 # show a sample diff
                 s_set = {}
                 d_set = {}
