@@ -155,7 +155,11 @@ def run_gold(config: str, data_dir: str, approx: bool = False) -> None:
     gold.py:21-166). ``--approx`` switches exact percentiles to
     percentile_approx — the 100 TB path."""
     from . import sinks
-    from .operators.gold import kpi_monthly_component_tier, kpi_monthly_global
+    from .operators.gold import (
+        kpi_monthly_component_tier,
+        kpi_monthly_global,
+        sla_stability_mart,
+    )
 
     cfg = _load_cfg(config)
     rules = LakehouseRules.from_yaml(config)
@@ -180,6 +184,14 @@ def run_gold(config: str, data_dir: str, approx: bool = False) -> None:
         sinks.write_partitioned(glob_kpi, str(gold_dir / "kpi_monthly_global.parquet"))
         sinks.export_csv_single(
             glob_kpi, str(gold_dir / "kpi_monthly_global.csv"), sort_by=["month"]
+        )
+        # reference-README SLA/stability KPIs (README "SLA rule" /
+        # "Monthly KPIs"; the reference describes them but never
+        # ships them)
+        sla = sla_stability_mart(silver, rules=rules)
+        sinks.write_partitioned(sla, str(gold_dir / "sla_stability.parquet"))
+        sinks.export_csv_single(
+            sla, str(gold_dir / "sla_stability.csv"), sort_by=["component", "month"]
         )
         n_months = glob_kpi.count()
         print(f"[gold] {slug}: saved -> {gold_dir} ({n_months} months)")
@@ -383,6 +395,10 @@ def run_export(
         if os.path.exists(cat):
             shutil.copy2(cat, out / "label_catalog.csv")
             copied.append(str(out / "label_catalog.csv"))
+        sla = os.path.join(data_dir, "gold", slug, "sla_stability.csv")
+        if os.path.exists(sla):
+            shutil.copy2(sla, out / "sla_stability.csv")
+            copied.append(str(out / "sla_stability.csv"))
         print(f"[export] {slug}: published {len(copied)} file(s) -> {out}")
     if corpus_dir is not None:
         cdir = out / "corpus"

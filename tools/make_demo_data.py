@@ -53,6 +53,7 @@ def main() -> None:
         for name, src in (
             ("kpi_monthly_global.csv", os.path.join(data_dir, "gold", slug, "kpi_monthly_global.csv")),
             ("label_catalog.csv", os.path.join(data_dir, "silver", slug, "label_catalog.csv")),
+            ("sla_stability.csv", os.path.join(data_dir, "gold", slug, "sla_stability.csv")),
         ):
             shutil.copyfile(src, os.path.join(docs_data, name))
             print(f"[demo-data] refreshed {os.path.join(docs_data, name)}")

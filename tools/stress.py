@@ -74,6 +74,15 @@ HEAVY = [
     # r3 ninth batch
     "lang_id_confusion",
     "user_churn_flags",
+    # r4: SLA exposure mart (month-interval explode over replicated
+    # orders), exact-integer rewrites (rank-quintile RFM, ppm
+    # seasonality), and the now-SAMPLED lsh recall audit — its exact
+    # side must scale with sample^2, not corpus^2
+    "gold_sla_stability",
+    "customer_rfm",
+    "order_seasonality",
+    "unpivot_lineitem_metrics",
+    "lsh_recall_vs_exact",
 ]
 
 
