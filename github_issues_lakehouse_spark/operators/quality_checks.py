@@ -166,22 +166,26 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pred * (1 - F.col("gold"))).alias("fp"),
         F.sum((1 - pred) * F.col("gold")).alias("fn"),
     )
+    # integer ppm metrics (VERDICT r3 task 7): precision/recall/F1
+    # are ratios of small counts — the rounded-double hash-flip class
+    from ..functions.exact import ppm_expr as _ppm
+
     precision = F.when(
-        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+        F.col("tp") + F.col("fp") > 0, F.expr(_ppm("tp", "(tp + fp)"))
     )
     recall = F.when(
-        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+        F.col("tp") + F.col("fn") > 0, F.expr(_ppm("tp", "(tp + fn)"))
     )
     f1 = F.when(
         (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
-        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        F.expr(_ppm("(2 * tp)", "(2 * tp + fp + fn)")),
     )
     return agg.select(
         F.round("threshold", 1).alias("threshold"),
         F.col("tp").cast("long").alias("tp"),
         F.col("fp").cast("long").alias("fp"),
         F.col("fn").cast("long").alias("fn"),
-        F.round(precision, 6).alias("precision"),
-        F.round(recall, 6).alias("recall"),
-        F.round(f1, 6).alias("f1"),
+        precision.cast("long").alias("precision_ppm"),
+        recall.cast("long").alias("recall_ppm"),
+        f1.cast("long").alias("f1_ppm"),
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import ppm_expr as _ppmx
 from ..sources.registry import load_table
 from .relational import r6
 
@@ -777,7 +778,10 @@ def label_association_rules(
     )
     sa = supp.select(F.col("label").alias("label_a"), F.col("n_label").alias("n_a"))
     sb = supp.select(F.col("label").alias("label_b"), F.col("n_label").alias("n_b"))
-    conf = F.col("n_both") / F.col("n_a")
+    # integer metrics (VERDICT r3 task 7): support/confidence in ppm,
+    # lift in e6 units via lift = n_both*N / (n_a*n_b) — all BIGINT
+    # (n_both*N stays under the ppm helper's 9.2e15 bound up to ~1e7
+    # co-occurrences x 1e8 issues; beyond that, DECIMAL(38,0))
     return (
         pair.join(F.broadcast(sa), "label_a")
         .join(F.broadcast(sb), "label_b")
@@ -785,9 +789,11 @@ def label_association_rules(
             "label_a",
             "label_b",
             F.col("n_both").cast("long").alias("n_both"),
-            r6(F.col("n_both") / F.lit(float(n_issues))).alias("support"),
-            r6(conf).alias("confidence"),
-            r6(conf / (F.col("n_b") / F.lit(float(n_issues)))).alias("lift"),
+            F.expr(_ppmx("n_both", str(int(n_issues)))).cast("long").alias("support_ppm"),
+            F.expr(_ppmx("n_both", "n_a")).cast("long").alias("confidence_ppm"),
+            F.expr(_ppmx(f"(n_both * {int(n_issues)})", "(n_a * n_b)"))
+            .cast("long")
+            .alias("lift_e6"),
         )
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import norm_tokens
+from ..functions.exact import ppm_expr as _ppm
 from ..sources.registry import load_table
 from .relational import r6
 
@@ -299,7 +300,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "pred_lang",
             F.col("n").cast("long").alias("n"),
-            r6(F.col("n") / F.col("n_gold")).alias("share_of_gold"),
+            # integer ppm (VERDICT r3 task 7 — rounded small-int
+            # ratios are the engine-version hash-flip class)
+            F.expr(_ppm("n", "n_gold")).cast("long").alias("share_of_gold_ppm"),
             (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
         )
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import ppm_expr as _ppm
 from ..sources.registry import load_table
 from .relational import r6
 
@@ -164,10 +165,14 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
             F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            # integer ppm: a round(double/double, 6) here is the
+            # engine-version hash-flip class VERDICT r3 task 7 sweeps
             F.when(
                 F.coalesce("wau", F.lit(0)) > 0,
-                F.round(F.col("dau") / F.col("wau"), 6),
-            ).alias("stickiness"),
+                F.expr(_ppm("coalesce(dau, 0)", "wau")),
+            )
+            .cast("long")
+            .alias("stickiness_ppm"),
         )
     )
 
@@ -202,7 +207,7 @@ def event_trigram_patterns(
             "e2",
             "e3",
             F.col("n").cast("long").alias("n"),
-            F.round(F.col("n") / F.col("n_total"), 6).alias("support"),
+            F.expr(_ppm("n", "n_total")).cast("long").alias("support_ppm"),
         )
     )
 

@@ -2748,10 +2748,9 @@ pair AS (
   GROUP BY 1, 2 HAVING count(*) >= {min_pair_count}
 )
 SELECT label_a, label_b, CAST(n_both AS BIGINT) AS n_both,
-  round(n_both / (SELECT n FROM nn), 6) AS support,
-  round(CAST(n_both AS DOUBLE) / sa.n_label, 6) AS confidence,
-  round((CAST(n_both AS DOUBLE) / sa.n_label)
-        / (CAST(sb.n_label AS DOUBLE) / (SELECT n FROM nn)), 6) AS lift
+  CAST({_ppm_sql('n_both', '(SELECT n FROM nn)')} AS BIGINT) AS support_ppm,
+  CAST({_ppm_sql('n_both', 'sa.n_label')} AS BIGINT) AS confidence_ppm,
+  CAST({_ppm_sql('(n_both * (SELECT n FROM nn))', '(sa.n_label * sb.n_label)')} AS BIGINT) AS lift_e6
 FROM pair
 JOIN supp sa ON pair.label_a = sa.label
 JOIN supp sb ON pair.label_b = sb.label
@@ -3921,9 +3920,9 @@ pairs AS (
   HAVING count(*) >= {min_pairs}
 )
 SELECT pr.brand_a, pr.brand_b, CAST(pr.n_pair AS BIGINT) AS n_pair,
-  round(pr.n_pair / no.n_orders, 6) AS support,
-  round(pr.n_pair / sa.n_single, 6) AS confidence_a_to_b,
-  round(pr.n_pair * no.n_orders / (sa.n_single * sb.n_single), 6) AS lift
+  CAST({_ppm_sql('pr.n_pair', 'no.n_orders')} AS BIGINT) AS support_ppm,
+  CAST({_ppm_sql('pr.n_pair', 'sa.n_single')} AS BIGINT) AS confidence_ppm,
+  CAST({_ppm_sql('(pr.n_pair * no.n_orders)', '(sa.n_single * sb.n_single)')} AS BIGINT) AS lift_e6
 FROM pairs pr
 JOIN singles sa ON pr.brand_a = sa.brand
 JOIN singles sb ON pr.brand_b = sb.brand
@@ -4457,9 +4456,9 @@ z AS (
 )
 SELECT arm, CAST(n_users AS BIGINT) AS n_users,
   CAST(n_converted AS BIGINT) AS n_converted,
-  round(n_converted / n_users, 6) AS conv_rate, z.z_stat
+  CAST({{PPM_CONV}} AS BIGINT) AS conv_rate_ppm, z.z_stat
 FROM arms CROSS JOIN z
-"""
+""".replace("{{PPM_CONV}}", _ppm_sql("n_converted", "n_users"))
 
 
 def _neighbor_jaccard_oracle(min_common: int = 2, basket_cap: int = 1000) -> str:
@@ -4480,7 +4479,8 @@ common AS (
 ),
 sizes AS (SELECT s, count(*) AS n_cust FROM sc GROUP BY 1)
 SELECT cm.supp_a, cm.supp_b, CAST(cm.n_common AS BIGINT) AS n_common,
-  round(cm.n_common / (sa.n_cust + sb.n_cust - cm.n_common), 6) AS jaccard
+  CAST({_ppm_sql('cm.n_common', '(sa.n_cust + sb.n_cust - cm.n_common)')} AS BIGINT)
+    AS jaccard_ppm
 FROM common cm
 JOIN sizes sa ON cm.supp_a = sa.s
 JOIN sizes sb ON cm.supp_b = sb.s
@@ -4585,16 +4585,18 @@ agg AS (
 )
 SELECT round(threshold, 1) AS threshold,
   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
-  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
-  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+  CASE WHEN tp + fp > 0
+       THEN CAST({_ppm_sql('tp', '(tp + fp)')} AS BIGINT) END AS precision_ppm,
+  CASE WHEN tp + fn > 0
+       THEN CAST({_ppm_sql('tp', '(tp + fn)')} AS BIGINT) END AS recall_ppm,
   CASE WHEN 2 * tp + fp + fn > 0
-       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+       THEN CAST({_ppm_sql('(2 * tp)', '(2 * tp + fp + fn)')} AS BIGINT) END AS f1_ppm
 FROM agg
 """
 
 
 def _dau_wau_oracle() -> str:
-    return """
+    return f"""
 WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
 bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
 dau AS (SELECT day, count(*) AS dau FROM au GROUP BY 1),
@@ -4614,7 +4616,9 @@ grid AS (
 SELECT strftime(g.day, '%Y-%m-%d') AS day,
   CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
   CAST(coalesce(w.wau, 0) AS BIGINT) AS wau,
-  CASE WHEN coalesce(w.wau, 0) > 0 THEN round(d.dau / w.wau, 6) END AS stickiness
+  CASE WHEN coalesce(w.wau, 0) > 0
+       THEN CAST({_ppm_sql('coalesce(d.dau, 0)', 'w.wau')} AS BIGINT)
+  END AS stickiness_ppm
 FROM grid g
 LEFT JOIN dau d ON g.day = d.day
 LEFT JOIN wau w ON g.day = w.day
@@ -4633,7 +4637,7 @@ WITH seq AS (
 f AS (SELECT * FROM seq WHERE e1 IS NOT NULL),
 total AS (SELECT count(*) AS n_total FROM f)
 SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
-  round(count(*) / t.n_total, 6) AS support
+  CAST({_ppm_sql('count(*)', 't.n_total')} AS BIGINT) AS support_ppm
 FROM f CROSS JOIN total t
 GROUP BY e1, e2, e3, t.n_total
 HAVING count(*) >= {min_count}
@@ -4670,7 +4674,7 @@ cells AS (
 ),
 gt AS (SELECT lang, sum(n) AS n_gold FROM cells GROUP BY 1)
 SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
-  round(c.n / g.n_gold, 6) AS share_of_gold,
+  CAST({_ppm_sql('c.n', 'g.n_gold')} AS BIGINT) AS share_of_gold_ppm,
   (c.lang = c.pred_lang) AS is_correct
 FROM cells c JOIN gt g ON c.lang = g.lang
 """

@@ -159,18 +159,18 @@ def test_label_association_rules_invariants(spark):
     assert rows
     seen = set()
     for r in rows:
-        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9
-        assert r.lift > 0
+        assert 0 < r.support_ppm <= r.confidence_ppm <= 1_000_000
+        assert r.lift_e6 > 0
         seen.add((r.label_a, r.label_b))
     # symmetric pair existence: a->b implies b->a (same n_both)
     for a, b in seen:
         assert (b, a) in seen
     # every Blocker is a priority label on '1-URGENT' orders whose kind
     # label depends only on the key mod — lift of (Blocker -> Bug)
-    # should be close to independence (~1), not degenerate
+    # should be close to independence (~1e6 in e6 units), not degenerate
     by_pair = {(r.label_a, r.label_b): r for r in rows}
     if ("Blocker", "Bug") in by_pair:
-        assert 0.5 < by_pair[("Blocker", "Bug")].lift < 2.0
+        assert 500_000 < by_pair[("Blocker", "Bug")].lift_e6 < 2_000_000
 
 
 def test_daily_anomaly_flags_spike(spark, tmp_path):

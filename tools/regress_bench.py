@@ -1,8 +1,12 @@
 """Compare a bench JSON line against the per-query reference numbers
 in BASELINE.md and flag regressions.
 
-    python bench.py > /tmp/bench.json
-    python tools/regress_bench.py /tmp/bench.json [threshold]
+    python bench.py > /tmp/bench.json      # also writes BENCH_QUERIES.json
+    python tools/regress_bench.py BENCH_QUERIES.json [threshold]
+
+(bench.py's stdout line carries only the 22 r1-baseline queries to
+stay inside the driver's tail capture; the FULL per-query map this
+tool wants is the BENCH_QUERIES.json side file.)
 
 Prints per-query ratio vs baseline, sorted worst-first; exits 1 if
 any query exceeds the threshold (default 1.5x, BASELINE.md's stated
@@ -28,11 +32,18 @@ def baseline_table(path: str = "BASELINE.md") -> dict[str, float]:
 def main() -> None:
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdin"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
-    data = None
-    for line in open(bench_path):
-        line = line.strip()
-        if line.startswith("{"):
-            data = json.loads(line)
+    text = open(bench_path).read()
+    try:
+        data = json.loads(text)  # a JSON document (BENCH_QUERIES.json)
+    except json.JSONDecodeError:
+        data = None  # bench stdout: last JSON line wins
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    data = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
     if data is None:
         print("no JSON line found", file=sys.stderr)
         sys.exit(2)
