@@ -139,6 +139,8 @@ HEADLINE = [
     "customer_rfm",
     "order_seasonality",
     "unpivot_lineitem_metrics",
+    # r4 second wave
+    "embedding_decontaminate",
 ]
 
 

@@ -212,12 +212,31 @@ def sla_stability_mart(
     anywhere, so the mart is engine/version-proof. Shuffles: three
     (month, component) aggregates + one full-outer merge + one
     bounded per-component backlog window.
+
+    Structure: ``sla_core`` (per-(month, component) ADDITIVE
+    measures — the part a streaming maintainer can fold batch by
+    batch) composed with ``sla_finalize`` (backlog window + derived
+    ppm indices). ``stream_sla_maintenance`` (streaming/ops.py)
+    reuses both for the incremental exactly-once twin.
     """
-    from ..functions.exact import ppm_expr
+    return sla_finalize(
+        sla_core(silver_df, sla_hours=sla_hours, critical_tiers=critical_tiers),
+        rules=rules,
+    )
+
+
+def sla_core(
+    silver_df: DataFrame,
+    sla_hours: int = 168,
+    critical_tiers: tuple = ("P0", "P1"),
+) -> DataFrame:
+    """The ADDITIVE core of the SLA mart: per (month, component) —
+    created_critical, closed_critical, sla_breaches, open_us. Every
+    measure is a sum over issues, so the core of a union of disjoint
+    issue batches equals the sum-merge of the per-batch cores (the
+    property the streaming maintainer relies on)."""
     from ..functions.timefns import month_str
 
-    rules = rules or LakehouseRules()
-    month_us = int(rules.hours_in_month) * 3_600_000_000
     sla_us = int(sla_hours) * 3_600_000_000
 
     crit = silver_df.filter(F.col("priority_tier").isin(*critical_tiers))
@@ -269,24 +288,48 @@ def sla_stability_mart(
     )
 
     keys = ["month", "component"]
-    merged = (
+    return (
         created.join(closed, keys, "full_outer")
         .join(hours, keys, "full_outer")
         .select(
             *keys,
             F.coalesce("created_critical", F.lit(0)).cast("long").alias("created_critical"),
             F.coalesce("closed_critical", F.lit(0)).cast("long").alias("closed_critical"),
-            F.col("sla_breaches").cast("long").alias("sla_breaches"),
+            F.coalesce("sla_breaches", F.lit(0)).cast("long").alias("sla_breaches"),
             F.coalesce("open_us", F.lit(0)).cast("long").alias("open_us"),
         )
     )
+
+
+def sla_merge_core(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Fold a new batch's additive core into the stored core: union +
+    sum per (month, component) — merging two small aggregates, never
+    rescanning issue history (the ``merge_mart_increment``
+    discipline)."""
+    if existing is None:
+        return delta
+    agg = [
+        F.sum(c).cast("long").alias(c)
+        for c in ("created_critical", "closed_critical", "sla_breaches", "open_us")
+    ]
+    return existing.unionByName(delta).groupBy("month", "component").agg(*agg)
+
+
+def sla_finalize(core: DataFrame, rules: LakehouseRules | None = None) -> DataFrame:
+    """Derive the serving mart from the additive core: per-component
+    cumulative backlog (calendar-bounded window), micro-hours, and
+    the two exact-integer ppm indices."""
+    from ..functions.exact import ppm_expr
+
+    rules = rules or LakehouseRules()
+    month_us = int(rules.hours_in_month) * 3_600_000_000
     w = (
         Window.partitionBy("component")
         .orderBy("month")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        merged.withColumn(
+        core.withColumn(
             "backlog_critical_end",
             F.sum(F.col("created_critical") - F.col("closed_critical")).over(w).cast("long"),
         )

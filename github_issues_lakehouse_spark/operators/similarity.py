@@ -273,6 +273,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _lsh_signature(vec_col, planes):
+    """Random-hyperplane LSH signature Column: bit p set iff the
+    left-associated dot product with plane p is >= 0 (the fold order
+    the DuckDB oracle reproduces term-for-term)."""
+    bits = []
+    for p_idx, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+    sig = F.lit(0)
+    for b in bits:
+        sig = sig + b
+    return sig.cast("long")
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -291,25 +313,7 @@ def ann_lsh_topk(
     planes = _hyperplanes(dim, n_planes)
     corpus = _corpus(spark, sf_dir)
 
-    def signature(vec_col):
-        bits = []
-        for p_idx, plane in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-        sig = F.lit(0)
-        for b in bits:
-            sig = sig + b
-        return sig.cast("long")
-
-    sigd = corpus.withColumn("bucket", signature(F.col("vec")))
+    sigd = corpus.withColumn("bucket", _lsh_signature(F.col("vec"), planes))
     queries = sigd.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -439,4 +443,105 @@ def knn_label_purity(
             F.col("n_same_label").cast("long").alias("n_same_label"),
             r6(F.col("n_same_label") / float(k)).alias("purity"),
         )
+    )
+
+
+def embedding_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    n_planes: int = 48,
+    bands: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space member of the
+    decontaminate family (ngram -> bloom -> span -> semantic): flag
+    every TRAIN-split vector whose cosine to ANY TEST-split vector
+    reaches ``threshold``, the cross-split twin of semdedup that
+    catches paraphrased benchmark leakage exact n-gram matching
+    misses.
+
+    Split assignment is the deterministic ``holdout_split`` md5
+    idiom on vec_id (bucket < 100 of 1000 => 10% test). Candidates
+    come from BANDED random-hyperplane signatures — ``bands`` bands
+    of ``n_planes/bands`` sign bits each (the OR-construction of
+    ``dedup_minhash_lsh``, here over hyperplane bits): a pair is a
+    candidate iff some band matches exactly. With the 12x4 default,
+    a pair at cosine 0.3 collides with probability ~0.81 and at the
+    realistic paraphrase range (>= 0.8) with ~1 - 1e-4, while
+    random orthogonal pairs only pass a band at 2^-4 — raise the
+    per-band bit count to prune harder at high thresholds. Never an
+    all-pairs join; cosines are rounded to 6dp BEFORE the threshold
+    compare on both engines (the neardup_embedding_cosine
+    discipline). Approximate by construction (banding recall < 1) —
+    the oracle implements the identical banding, so the parity
+    check is still exact.
+
+    Output: one row per contaminated train vector —
+    (train_vec_id, n_test_matches, max_cos).
+    """
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    planes = _hyperplanes(dim, n_planes)
+    corpus = _corpus(spark, sf_dir)
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#split"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+    def band_keys(vec_col):
+        """Array of per-band struct(band_id, band_val) keys."""
+        keys = []
+        for b in range(bands):
+            val = F.lit(0)
+            for i in range(bits_per_band):
+                plane = planes[b * bits_per_band + i]
+                proj = F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(v) for v in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                val = val + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            keys.append(
+                F.struct(F.lit(b).alias("band_id"), val.cast("long").alias("band_val"))
+            )
+        return F.array(*keys)
+
+    sigd = corpus.select(
+        "vec_id", "vec", band_keys(F.col("vec")).alias("bk"), split_bucket.alias("sb")
+    )
+    test = sigd.filter(F.col("sb") < 100).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("vec").alias("t_vec"),
+        F.explode("bk").alias("k"),
+    )
+    train = sigd.filter(F.col("sb") >= 100).select(
+        "vec_id", "vec", F.explode("bk").alias("k")
+    )
+    cand = (
+        train.join(test, train["k"] == test["k"])
+        .select("vec_id", "vec", "t_id", "t_vec")
+        .dropDuplicates(["vec_id", "t_id"])
+    )
+    scored = cand.select(
+        "vec_id", "t_id", r6(cosine(F.col("vec"), F.col("t_vec"))).alias("cos_sim")
+    )
+    return (
+        scored.filter(F.col("cos_sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_matches"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .select(F.col("vec_id").alias("train_vec_id"), "n_test_matches", "max_cos")
     )

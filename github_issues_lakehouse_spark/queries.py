@@ -454,8 +454,10 @@ _DRIVER_PRIORITY_R4 = [
     "customer_rfm",
     "order_seasonality",
     "unpivot_lineitem_metrics",
-    # new this round: reference-README SLA/stability mart
+    # new this round: reference-README SLA/stability mart + semantic
+    # cross-split decontamination
     "gold_sla_stability",
+    "embedding_decontaminate",
     # never driver-checked, complex families first
     "pagerank_trade_graph",
     "weighted_median_price",
@@ -564,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": multimodal.audio_features,
         "pii_redact": text2.pii_redact,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
         "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
         "hard_negative_mining": similarity.hard_negative_mining,
         "knn_label_purity": similarity.knn_label_purity,
@@ -1751,6 +1754,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
         "ann_bruteforce_topk": _ann_bf_oracle(),
+        "embedding_decontaminate": _emb_decontam_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
         "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
@@ -3234,6 +3238,66 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _emb_decontam_oracle(
+    threshold: float = 0.3, n_planes: int = 48, bands: int = 12, dim: int = 64
+) -> str:
+    """Semantic-decontamination twin: identical md5 hyperplanes,
+    left-associated projection fold, md5 split buckets, the same
+    BANDED OR-construction (bands x sign-bits band keys), and
+    6dp-rounded-cosine thresholding."""
+    from .operators.similarity import _hyperplanes
+
+    bits_per_band = n_planes // bands
+    planes = _hyperplanes(dim, n_planes)
+
+    def band_val(b: int) -> str:
+        bits = []
+        for i in range(bits_per_band):
+            plane = planes[b * bits_per_band + i]
+            terms = " + ".join(
+                f"v[{d + 1}] * ({coef!r})" for d, coef in enumerate(plane)
+            )
+            bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << i} ELSE 0 END")
+        return " + ".join(bits)
+
+    band_structs = ", ".join(
+        f"{{'band_id': {b}, 'band_val': CAST({band_val(b)} AS BIGINT)}}"
+        for b in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(tr.v, te.t_vec) /"
+        " (sqrt(list_dot_product(tr.v, tr.v)) *"
+        " sqrt(list_dot_product(te.t_vec, te.t_vec))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, [{band_structs}] AS bk,
+    CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR), '#split')), 1, 15)) AS BIGINT)
+      % 1000 AS sb
+  FROM c
+),
+test AS (SELECT vec_id AS t_id, v AS t_vec, unnest(bk, recursive := true) FROM s WHERE sb < 100),
+train AS (SELECT vec_id, v, unnest(bk, recursive := true) FROM s WHERE sb >= 100),
+cand AS (
+  SELECT DISTINCT tr.vec_id, te.t_id
+  FROM train tr JOIN test te
+    ON tr.band_id = te.band_id AND tr.band_val = te.band_val
+),
+scored AS (
+  SELECT cand.vec_id, cand.t_id, {cos} AS cos_sim
+  FROM cand
+  JOIN (SELECT DISTINCT vec_id, v FROM train) tr ON cand.vec_id = tr.vec_id
+  JOIN (SELECT DISTINCT t_id, t_vec FROM test) te ON cand.t_id = te.t_id
+)
+SELECT vec_id AS train_vec_id,
+  CAST(count(*) AS BIGINT) AS n_test_matches,
+  max(cos_sim) AS max_cos
+FROM scored WHERE cos_sim >= {threshold}
+GROUP BY 1
 """
 
 

@@ -661,3 +661,48 @@ def stream_stats_maintenance(events: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sla_maintenance(
+    issues: DataFrame,
+    path: str,
+    checkpoint: str,
+    sla_hours: int = 168,
+    critical_tiers: tuple = ("P0", "P1"),
+):
+    """D18: streaming maintenance of the reference-README SLA mart
+    (gold.sla_stability_mart) — each micro-batch of silver issues
+    folds its ADDITIVE core (``gold.sla_core``: per-(month,
+    component) created/closed counts, SLA breaches, open-exposure
+    microseconds) into the stored core by per-key sum
+    (``gold.sla_merge_core``) under the same exactly-once
+    versioned-commit protocol as the daily mart (D12). The derived
+    columns (backlog window, ppm stability/breach indices) are NOT
+    stored — they are order-sensitive, so the reader computes them
+    with ``gold.sla_finalize`` over the (months x components)-sized
+    core, never over issue history.
+
+    Contract: each issue row arrives in exactly ONE batch (the
+    silver merge-dedup upstream guarantees this); then the drained
+    stream's finalized mart EQUALS the batch mart over the union of
+    all batches — additivity of the core is the whole proof. Read
+    with ``sla_finalize(read_mart(spark, path))``. Returns the
+    started query.
+    """
+    from ..operators.gold import sla_core, sla_merge_core
+
+    def merge(existing, batch_df):
+        delta = sla_core(
+            batch_df, sla_hours=sla_hours, critical_tiers=critical_tiers
+        )
+        return sla_merge_core(existing, delta)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        issues.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -257,3 +257,59 @@ def test_r4_no_cartesian(spark):
     qs = Q.queries()
     for k in ("customer_rfm", "gold_sla_stability", "lsh_recall_vs_exact"):
         assert_no_cartesian(qs[k](spark, SF_DIR))
+
+
+# ------------------------------------------ semantic decontamination
+
+
+def test_embedding_decontaminate_flags_are_cross_split(spark):
+    """Flagged ids are train-split only; every flag is confirmed by an
+    exact brute-force cross-split cosine >= tau; and the LSH candidate
+    recall is sane (multiprobe must catch the overwhelming majority
+    of true matches on this corpus)."""
+    from github_issues_lakehouse_spark.functions.vectors import cosine, to_double
+    from github_issues_lakehouse_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    tau = 0.3
+    out = {r.train_vec_id: r for r in embedding_decontaminate(spark, SF_DIR, threshold=tau).collect()}
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
+    )
+    sb = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#split"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    tagged = e.withColumn("sb", sb)
+    test = tagged.filter(F.col("sb") < 100).select(
+        F.col("vec_id").alias("t_id"), F.col("vec").alias("t_vec")
+    )
+    train = tagged.filter(F.col("sb") >= 100)
+    exact = (
+        train.crossJoin(test)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("vec"), F.col("t_vec")), 6).alias("c"),
+        )
+        .filter(F.col("c") >= tau)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("mx"))
+    )
+    truth = {r.vec_id: r for r in exact.collect()}
+    train_ids = {r.vec_id for r in train.select("vec_id").collect()}
+    assert set(out) <= train_ids
+    # no false positives: every flagged match exists in ground truth
+    for vid, r in out.items():
+        assert vid in truth
+        assert r.n_test_matches <= truth[vid].n
+        assert r.max_cos <= truth[vid].mx + 1e-9
+    # multiprobe recall on this corpus: at least half the true
+    # contaminated ids surface (LSH is approximate by contract)
+    if truth:
+        assert len(out) >= len(truth) / 2

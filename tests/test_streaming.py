@@ -537,3 +537,42 @@ def test_stream_stats_maintenance_equals_batch(spark, events_dir, tmp_path):
         g = got[c]
         assert (g.n_rows, g.n_nulls) == (w.n_rows, w.n_nulls), c
         assert g.min_num == w.min_num and g.max_num == w.max_num, c
+
+
+def test_stream_sla_maintenance_equals_batch(spark, tmp_path):
+    """D18: after draining, sla_finalize over the incrementally
+    maintained additive core equals the batch SLA mart over all
+    issues — including the order-sensitive backlog window and the
+    derived ppm indices, which are computed by the reader, never
+    stored."""
+    from github_issues_lakehouse_spark.operators.gold import (
+        sla_finalize,
+        sla_stability_mart,
+    )
+    from github_issues_lakehouse_spark.operators.silver import silver_issues
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_sla_maintenance,
+    )
+
+    issues = silver_issues(spark, SF_DIR).select(
+        "issue_id", "priority_tier", "component", "created_at", "closed_at"
+    )
+    src = str(tmp_path / "issues_src")
+    # several files -> several micro-batches; each issue in exactly one
+    issues.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    mart_path = str(tmp_path / "sla_core.parquet")
+    q = stream_sla_maintenance(stream, mart_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    key = lambda r: (r.month, r.component)  # noqa: E731
+    got = {key(r): r for r in sla_finalize(read_mart(spark, mart_path)).collect()}
+    expect = {key(r): r for r in sla_stability_mart(issues).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], (k, got[k], expect[k])
