@@ -16,19 +16,21 @@ def ppm_expr(part: str, total: str) -> str:
     split — ``(p*1000 div t)*1000 + ((p*1000 mod t)*1000) div t``.
     Every intermediate stays <= total*1000, so the result is exact
     for totals up to ~9.2e15 (vs ~9.2e12 for the naive ``p*1e6``).
-    Both operands must be non-negative BIGINTs.
+    Both operands must be non-negative and fit in BIGINT; each is
+    explicitly CAST to BIGINT so small literals cannot be typed
+    INT32 (DuckDB overflows INT32 on ``p*1000`` at p > ~2.1e6) and
+    HUGEINT sums are pinned back to one integer width. The RESULT
+    must also fit: callers with part > total (the lift_e6 shapes)
+    must guarantee part/total < ~9.2e12 — shares (part <= total)
+    are always safe.
     """
-    return (
-        f"(({part} * 1000) DIV {total}) * 1000"
-        f" + ((({part} * 1000) % {total}) * 1000) DIV {total}"
-    )
+    p, t = f"CAST({part} AS BIGINT)", f"CAST({total} AS BIGINT)"
+    return f"(({p} * 1000) DIV {t}) * 1000 + ((({p} * 1000) % {t}) * 1000) DIV {t}"
 
 
 def ppm_sql(part: str, total: str) -> str:
     """DuckDB spelling of :func:`ppm_expr` (``//`` integer division).
     Keep the two in lockstep — they are the oracle-parity contract.
     """
-    return (
-        f"(({part} * 1000) // {total}) * 1000"
-        f" + ((({part} * 1000) % {total}) * 1000) // {total}"
-    )
+    p, t = f"CAST({part} AS BIGINT)", f"CAST({total} AS BIGINT)"
+    return f"(({p} * 1000) // {t}) * 1000 + ((({p} * 1000) % {t}) * 1000) // {t}"

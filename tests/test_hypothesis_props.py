@@ -128,3 +128,21 @@ def test_array_jaccard_matches_set_math(spark, a, b):
     sa, sb = set(a), set(b)
     assert row.i == len(sa & sb)
     assert row.u == len(sa | sb)
+
+
+@given(
+    t=st.integers(min_value=1, max_value=9_200_000_000_000_000),
+    frac=st.fractions(min_value=0, max_value=1),
+)
+@settings(max_examples=300, deadline=None)
+def test_ppm_sql_equals_integer_floor(duck, t, frac):
+    """functions/exact.py ppm_sql == floor(p*1e6/t) over the share
+    contract (0 <= p <= t) for totals up to the documented 9.2e15
+    bound (DuckDB evaluates the exact integer arithmetic; the Spark
+    spelling is covered by the fixed cross-engine cases in
+    test_r4_wave)."""
+    from github_issues_lakehouse_spark.functions.exact import ppm_sql
+
+    p = int(frac * t)
+    got = duck.execute(f"SELECT CAST({ppm_sql(str(p), str(t))} AS BIGINT)").fetchone()[0]
+    assert got == (p * 1_000_000) // t
