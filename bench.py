@@ -141,6 +141,8 @@ HEADLINE = [
     "unpivot_lineitem_metrics",
     # r4 second wave
     "embedding_decontaminate",
+    "dedup_exact_substrings",
+    "token_dedup_savings",
 ]
 
 

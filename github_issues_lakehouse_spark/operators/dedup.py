@@ -681,3 +681,125 @@ def lsh_recall_vs_exact(
             .alias("recall_ppm"),
         )
     )
+
+
+def dedup_exact_substrings(
+    spark: SparkSession, sf_dir: str, block_tokens: int = 10
+) -> DataFrame:
+    """EXACT-substring (block-level) dedup — the declarative form of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public paper):
+    repeated ``block_tokens``-token runs are removed from every
+    occurrence except the globally FIRST one, catching boilerplate
+    shared across otherwise-distinct documents that document-level
+    near-dup misses.
+
+    Tractable fixed-grid variant: documents split into consecutive
+    non-overlapping k-token blocks (O(n/k) rows — a full
+    stride-1/suffix-array pass is O(n) suffixes with a corpus sort;
+    the grid catches any duplicated run >= 2k-1 tokens and most of
+    the >= k mass at 1/k of the cost). First occurrence = the
+    min (doc_id, position) struct per block hash — a map-side
+    combinable aggregate, NOT a per-hash row_number window, so a hot
+    boilerplate block (millions of copies) costs one partial-agg
+    cell per task instead of a single skewed sort partition.
+
+    Output per doc: block/duplicate counts, tokens removed, and the
+    md5 fingerprint of the CLEANED text (kept blocks + the sub-k
+    tail, in order) — the rewrite is reconstructed distributively
+    with an order-pinned fold, and the fingerprint keeps the parity
+    hash small. Plan: one explode pass, one hash aggregate + an
+    equi-join back, one per-doc aggregate.
+    """
+    from ..functions.textfns import norm_tokens
+
+    k = block_tokens
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", norm_tokens(F.col("text")).alias("t"))
+    n = F.array_size("t")
+    nb = F.floor(n / k).cast("long")
+    withn = base.select("doc_id", "source", "t", n.alias("n_toks"), nb.alias("nb"))
+    blocks = withn.filter(F.col("nb") > 0).select(
+        "doc_id",
+        "nb",
+        "n_toks",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice("t", (F.col("pos") * k + 1).cast("int"), k), " "
+        ).alias("bt"),
+    )
+    hashed = blocks.withColumn("h", F.md5("bt"))
+    first = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
+    flagged = hashed.join(first, "h").withColumn(
+        "is_dup",
+        (F.col("doc_id") != F.col("keep.doc_id")) | (F.col("pos") != F.col("keep.pos")),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_dup"), F.struct("pos", "bt"))
+                    )
+                ),
+                lambda s: s["bt"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    tail = F.array_join(
+        F.slice(
+            "t",
+            (F.col("nb") * k + 1).cast("int"),
+            (F.col("n_toks") - F.col("nb") * k).cast("int"),
+        ),
+        " ",
+    )
+    return (
+        withn.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_dup_blocks", F.lit(0)).cast("long").alias("n_dup_blocks"),
+            (F.coalesce("n_dup_blocks", F.lit(0)) * k).cast("long").alias("tokens_removed"),
+            F.col("n_toks").cast("long").alias("n_tokens"),
+            F.md5(
+                F.trim(F.concat(F.coalesce("kept_text", F.lit("")), F.lit(" "), tail))
+            ).alias("cleaned_fingerprint"),
+        )
+    )
+
+
+def token_dedup_savings(
+    spark: SparkSession, sf_dir: str, block_tokens: int = 10
+) -> DataFrame:
+    """Pipeline-accounting mart over ``dedup_exact_substrings``: per
+    source, total tokens vs tokens removed by block dedup and the
+    savings rate in exact ppm — the "how much did dedup save"
+    number every corpus build reports. One extra aggregate over the
+    dedup output."""
+    stats = dedup_exact_substrings(spark, sf_dir, block_tokens=block_tokens)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("tokens_removed").alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("tokens_removed").cast("long").alias("tokens_removed"),
+            F.expr(_ppm("tokens_removed", "total_tokens")).cast("long").alias("savings_ppm"),
+        )
+    )

@@ -458,6 +458,8 @@ _DRIVER_PRIORITY_R4 = [
     # cross-split decontamination
     "gold_sla_stability",
     "embedding_decontaminate",
+    "dedup_exact_substrings",
+    "token_dedup_savings",
     # never driver-checked, complex families first
     "pagerank_trade_graph",
     "weighted_median_price",
@@ -567,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": text2.pii_redact,
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "embedding_decontaminate": similarity.embedding_decontaminate,
+        "dedup_exact_substrings": dedup.dedup_exact_substrings,
+        "token_dedup_savings": dedup.token_dedup_savings,
         "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
         "hard_negative_mining": similarity.hard_negative_mining,
         "knn_label_purity": similarity.knn_label_purity,
@@ -1755,6 +1759,8 @@ WHERE round(list_dot_product(a.v, b.v) /
 """,
         "ann_bruteforce_topk": _ann_bf_oracle(),
         "embedding_decontaminate": _emb_decontam_oracle(),
+        "dedup_exact_substrings": _substring_dedup_oracle(),
+        "token_dedup_savings": _token_savings_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
         "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
@@ -3238,6 +3244,64 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _substring_dedup_oracle(block_tokens: int = 10) -> str:
+    """Block-level exact-substring dedup twin: identical fixed
+    k-token grid, md5 block hashes, first-occurrence = min
+    (doc_id, pos) (row_number spelling — same total order as the
+    Spark min-struct aggregate), order-pinned cleaned-text
+    reconstruction + md5 fingerprint."""
+    k = block_tokens
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {_norm_toks_sql()} AS t FROM documents
+),
+withn AS (
+  SELECT doc_id, source, t, len(t) AS n_toks,
+    CAST(floor(len(t) / {k}) AS BIGINT) AS nb
+  FROM base
+),
+blocks AS (
+  SELECT doc_id, pos, array_to_string(t[pos*{k}+1 : pos*{k}+{k}], ' ') AS bt
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(0, CAST(nb AS INT) - 1)) AS pos
+    FROM withn WHERE nb > 0
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, bt,
+    row_number() OVER (PARTITION BY md5(bt) ORDER BY doc_id, pos) > 1 AS is_dup
+  FROM blocks
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_blocks,
+    sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_blocks,
+    coalesce(string_agg(CASE WHEN NOT is_dup THEN bt END, ' ' ORDER BY pos), '')
+      AS kept_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT w.doc_id, w.source,
+  CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+  CAST(coalesce(p.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+  CAST(coalesce(p.n_dup_blocks, 0) * {k} AS BIGINT) AS tokens_removed,
+  CAST(w.n_toks AS BIGINT) AS n_tokens,
+  md5(trim(concat(coalesce(p.kept_text, ''), ' ',
+      array_to_string(w.t[w.nb*{k}+1 : w.n_toks], ' ')))) AS cleaned_fingerprint
+FROM withn w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _token_savings_oracle(block_tokens: int = 10) -> str:
+    return f"""
+WITH stats AS ({_substring_dedup_oracle(block_tokens)})
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
+  CAST({_ppm_sql('sum(tokens_removed)', 'sum(n_tokens)')} AS BIGINT) AS savings_ppm
+FROM stats GROUP BY 1
 """
 
 

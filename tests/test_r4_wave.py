@@ -313,3 +313,73 @@ def test_embedding_decontaminate_flags_are_cross_split(spark):
     # contaminated ids surface (LSH is approximate by contract)
     if truth:
         assert len(out) >= len(truth) / 2
+
+
+# ----------------------------------------- exact substring block dedup
+
+
+def test_dedup_exact_substrings_matches_bruteforce(spark):
+    """Tiny synthetic corpus with planted shared boilerplate: block
+    counts, removal counts, and the cleaned-text fingerprint all match
+    an independent pure-Python reimplementation."""
+    import hashlib
+
+    from github_issues_lakehouse_spark.operators.dedup import dedup_exact_substrings
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    k = 10
+    out = {r.doc_id: r for r in dedup_exact_substrings(spark, SF_DIR, block_tokens=k).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+
+    # pure-Python reference
+    import re as _re
+
+    toks = {
+        d: _re.sub(r"\s+", " ", t.lower()).strip().split(" ") for d, t in docs.items()
+    }
+    first: dict = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for pos in range(len(t) // k):
+            bt = " ".join(t[pos * k : pos * k + k])
+            first.setdefault(bt, (d, pos))
+    for d in sorted(toks):
+        t = toks[d]
+        nb = len(t) // k
+        kept = []
+        n_dup = 0
+        for pos in range(nb):
+            bt = " ".join(t[pos * k : pos * k + k])
+            if first[bt] == (d, pos):
+                kept.append(bt)
+            else:
+                n_dup += 1
+        tail = " ".join(t[nb * k :])
+        cleaned = (" ".join(kept) + " " + tail).strip()
+        fp = hashlib.md5(cleaned.encode()).hexdigest()
+        r = out[d]
+        assert r.n_blocks == nb, d
+        assert r.n_dup_blocks == n_dup, d
+        assert r.tokens_removed == n_dup * k, d
+        assert r.n_tokens == len(t), d
+        assert r.cleaned_fingerprint == fp, d
+
+
+def test_token_dedup_savings_consistency(spark):
+    from github_issues_lakehouse_spark.operators.dedup import (
+        dedup_exact_substrings,
+        token_dedup_savings,
+    )
+
+    sav = token_dedup_savings(spark, SF_DIR).collect()
+    stats = dedup_exact_substrings(spark, SF_DIR).groupBy("source").agg(
+        F.sum("tokens_removed").alias("rm"), F.sum("n_tokens").alias("tot")
+    )
+    by_src = {r.source: r for r in stats.collect()}
+    for r in sav:
+        assert r.tokens_removed == by_src[r.source].rm
+        assert r.total_tokens == by_src[r.source].tot
+        assert r.savings_ppm == r.tokens_removed * 1_000_000 // r.total_tokens

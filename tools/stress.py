@@ -83,6 +83,7 @@ HEAVY = [
     "order_seasonality",
     "unpivot_lineitem_metrics",
     "lsh_recall_vs_exact",
+    "dedup_exact_substrings",
 ]
 
 
