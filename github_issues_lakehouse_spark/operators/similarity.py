@@ -517,24 +517,71 @@ def embedding_decontaminate(
             )
         return F.array(*keys)
 
+    from ..functions.vectors import dot, norm
+
+    # norms are folded ONCE per vector here; per candidate pair only
+    # the a.b fold remains (cosine() would re-fold |a| and |b| per
+    # pair — 3x the interpreted higher-order-function work on the
+    # pair set, which dominates this operator at low thresholds)
     sigd = corpus.select(
-        "vec_id", "vec", band_keys(F.col("vec")).alias("bk"), split_bucket.alias("sb")
+        "vec_id",
+        "vec",
+        norm(F.col("vec")).alias("nrm"),
+        band_keys(F.col("vec")).alias("bk"),
+        split_bucket.alias("sb"),
     )
     test = sigd.filter(F.col("sb") < 100).select(
         F.col("vec_id").alias("t_id"),
         F.col("vec").alias("t_vec"),
+        F.col("nrm").alias("t_nrm"),
         F.explode("bk").alias("k"),
     )
     train = sigd.filter(F.col("sb") >= 100).select(
-        "vec_id", "vec", F.explode("bk").alias("k")
+        "vec_id", "vec", "nrm", F.explode("bk").alias("k")
     )
+    # candidate pairs dedup on BARE IDS — dragging the two 64-double
+    # payload arrays through the distinct shuffle multiplied shuffle
+    # bytes ~60x (measured: the payload-carrying form dominated the
+    # operator); vectors rejoin AFTER the distinct, keyed by id
     cand = (
-        train.join(test, train["k"] == test["k"])
-        .select("vec_id", "vec", "t_id", "t_vec")
+        train.select("vec_id", "k")
+        .join(test.select("t_id", "k"), "k")
+        .select("vec_id", "t_id")
         .dropDuplicates(["vec_id", "t_id"])
     )
-    scored = cand.select(
-        "vec_id", "t_id", r6(cosine(F.col("vec"), F.col("t_vec"))).alias("cos_sim")
+    tr_vec = sigd.filter(F.col("sb") >= 100).select("vec_id", "vec", "nrm")
+    te_vec = sigd.filter(F.col("sb") < 100).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("vec").alias("t_vec"),
+        F.col("nrm").alias("t_nrm"),
+    )
+    paired = cand.join(tr_vec, "vec_id").join(F.broadcast(te_vec), "t_id").select(
+        "vec_id", "t_id", "vec", "t_vec", "nrm", "t_nrm"
+    )
+
+    def batch_cosine(batches):
+        # self-contained closure (foreign-cwd driver): numpy/pandas only.
+        # One einsum per Arrow batch — the per-pair interpreted
+        # zip_with/aggregate fold was ~3x the whole operator's cost.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["t_vec"].to_numpy()).astype(np.float64)
+            cos = np.round(
+                np.einsum("ij,ij->i", A, B)
+                / (pdf["nrm"].to_numpy() * pdf["t_nrm"].to_numpy()),
+                6,
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "t_id": pdf["t_id"], "cos_sim": cos}
+            )
+
+    scored = paired.mapInPandas(
+        batch_cosine, schema="vec_id long, t_id long, cos_sim double"
     )
     return (
         scored.filter(F.col("cos_sim") >= threshold)
