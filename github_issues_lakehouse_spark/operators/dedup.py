@@ -683,6 +683,63 @@ def lsh_recall_vs_exact(
     )
 
 
+def _doc_token_grid(docs_df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, source, t, n_toks, nb): token array + fixed-grid block
+    count per document — shared by the batch substring dedup and the
+    streaming block-index maintainer."""
+    from ..functions.textfns import norm_tokens
+
+    base = docs_df.select("doc_id", "source", norm_tokens(F.col("text")).alias("t"))
+    n = F.array_size("t")
+    return base.select(
+        "doc_id", "source", "t", n.alias("n_toks"), F.floor(n / k).cast("long").alias("nb")
+    )
+
+
+def block_hashes(docs_df: DataFrame, k: int = 10) -> DataFrame:
+    """(doc_id, pos, bt, h): every k-token grid block of every doc
+    with its md5 — the hash stage of ``dedup_exact_substrings``,
+    exposed so the streaming index maintainer folds the same rows."""
+    withn = _doc_token_grid(docs_df, k)
+    return (
+        withn.filter(F.col("nb") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice("t", (F.col("pos") * k + 1).cast("int"), k), " "
+            ).alias("bt"),
+        )
+        .withColumn("h", F.md5("bt"))
+    )
+
+
+def block_first_index(docs_df: DataFrame, k: int = 10) -> DataFrame:
+    """The block-dedup INDEX: per block hash, the globally FIRST
+    occurrence (min (doc_id, pos)) and the occurrence count. Both
+    measures are mergeable (min and sum), which is what makes the
+    index maintainable incrementally (streaming/ops.py D19)."""
+    return (
+        block_hashes(docs_df, k)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "h",
+            F.col("keep.doc_id").alias("first_doc_id"),
+            F.col("keep.pos").alias("first_pos"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
 def dedup_exact_substrings(
     spark: SparkSession, sf_dir: str, block_tokens: int = 10
 ) -> DataFrame:
@@ -711,28 +768,10 @@ def dedup_exact_substrings(
     hash small. Plan: one explode pass, one hash aggregate + an
     equi-join back, one per-doc aggregate.
     """
-    from ..functions.textfns import norm_tokens
-
     k = block_tokens
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", "source", norm_tokens(F.col("text")).alias("t"))
-    n = F.array_size("t")
-    nb = F.floor(n / k).cast("long")
-    withn = base.select("doc_id", "source", "t", n.alias("n_toks"), nb.alias("nb"))
-    blocks = withn.filter(F.col("nb") > 0).select(
-        "doc_id",
-        "nb",
-        "n_toks",
-        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("pos"),
-        "t",
-    ).select(
-        "doc_id",
-        "pos",
-        F.array_join(
-            F.slice("t", (F.col("pos") * k + 1).cast("int"), k), " "
-        ).alias("bt"),
-    )
-    hashed = blocks.withColumn("h", F.md5("bt"))
+    withn = _doc_token_grid(d, k)
+    hashed = block_hashes(d, k)
     first = hashed.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("keep")
     )

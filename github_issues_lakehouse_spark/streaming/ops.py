@@ -706,3 +706,53 @@ def stream_sla_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_block_index_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, block_tokens: int = 10
+):
+    """D19: streaming maintenance of the exact-substring dedup INDEX
+    (``operators.dedup.block_first_index``: block hash -> globally
+    first (doc_id, pos) + occurrence count). Both measures merge
+    associatively — first-occurrence is a MIN over (doc_id, pos)
+    structs, counts are sums — so each micro-batch's index folds
+    into the stored one under the exactly-once versioned-commit
+    protocol and the drained state equals the batch index over every
+    document ingested, regardless of arrival order or replays. This
+    is the state a streaming corpus ingest keeps to dedup incoming
+    documents against EVERYTHING already ingested without rescanning
+    history; the per-document rewrite (cleaned text) stays a batch
+    read over the index. Read with read_mart. Returns the query.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import block_first_index
+
+    def merge(existing, batch_df):
+        delta = block_first_index(batch_df, k=block_tokens)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("h")
+            .agg(
+                F.min(F.struct("first_doc_id", "first_pos")).alias("keep"),
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            )
+            .select(
+                "h",
+                F.col("keep.first_doc_id").alias("first_doc_id"),
+                F.col("keep.first_pos").alias("first_pos"),
+                "n_occurrences",
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -576,3 +576,42 @@ def test_stream_sla_maintenance_equals_batch(spark, tmp_path):
     assert set(got) == set(expect)
     for k in expect:
         assert got[k] == expect[k], (k, got[k], expect[k])
+
+
+def test_stream_block_index_equals_batch_any_order(spark, tmp_path):
+    """D19: the drained streaming block-dedup index equals the batch
+    index over all documents — including the first-occurrence
+    (doc_id, pos) winners, which must be arrival-order-independent
+    because the merge is a struct MIN."""
+    from github_issues_lakehouse_spark.operators.dedup import block_first_index
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_block_index_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    # reverse-ish file split: high doc_ids land in earlier files, so a
+    # later batch must WIN first-occurrence for low ids via the min-merge
+    docs.withColumn("_b", F.pmod(-F.col("doc_id"), F.lit(4))).repartition(
+        4, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    mart_path = str(tmp_path / "block_index.parquet")
+    q = stream_block_index_maintenance(stream, mart_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r.h: (r.first_doc_id, r.first_pos, r.n_occurrences)
+        for r in read_mart(spark, mart_path).collect()
+    }
+    expect = {
+        r.h: (r.first_doc_id, r.first_pos, r.n_occurrences)
+        for r in block_first_index(docs).collect()
+    }
+    assert got == expect
