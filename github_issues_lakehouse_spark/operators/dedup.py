@@ -771,7 +771,11 @@ def dedup_exact_substrings(
     k = block_tokens
     d = load_table(spark, sf_dir, "documents")
     withn = _doc_token_grid(d, k)
-    hashed = block_hashes(d, k)
+    # pinned once: the block table feeds BOTH the first-occurrence
+    # aggregate and the flag-join probe side — unpinned, the
+    # tokenize+explode subtree replans per consumer (3 corpus passes
+    # for a "one explode pass" operator; the customer_rfm lesson)
+    hashed = block_hashes(d, k).localCheckpoint(eager=False)
     first = hashed.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("keep")
     )

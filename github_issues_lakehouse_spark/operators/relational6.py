@@ -509,63 +509,14 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def disc_quintile_thresholds(df: DataFrame, col: str, bucket_width, prefix: str) -> DataFrame:
     """1-row DataFrame of EXACT discrete quintile thresholds
-    ``{prefix}20 .. {prefix}80`` for a numeric column: threshold k is
-    percentile_disc(k/5) = the MIN data value v whose cumulative
+    ``{prefix}20 .. {prefix}80`` for one numeric column: threshold k
+    is percentile_disc(k/5) = the MIN data value v whose cumulative
     count satisfies ``5*cum(v) >= k*N`` — an actual element of the
-    data, never an interpolated double, so scoring by ``>=`` on
-    exact BIGINT/DECIMAL metrics is engine-invariant (the r3
-    ``customer_rfm`` driver-hash failure was a last-ulp flip in
-    ``F.percentile``'s interpolated threshold).
-
-    Scale shape (the ``weighted_median_price`` two-level prefix-sum
-    discipline, with unit weights): values collapse to distinct-value
-    counts, the cumulative carry runs over ONE ROW PER BUCKET of
-    width ``bucket_width``, and the second pass sorts only the <=4
-    selected buckets' distinct values. No whole-table sort anywhere.
-    """
-    vals = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    bucket = F.floor(F.col("v") / bucket_width)
-    per_bucket = vals.groupBy(bucket.alias("b")).agg(F.sum("c").alias("bc"))
-    w_carry = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    carried = per_bucket.withColumn(
-        "carry_in", F.coalesce(F.sum("bc").over(w_carry), F.lit(0))
-    ).withColumn("cum", F.col("carry_in") + F.col("bc"))
-    total = carried.agg(F.sum("bc").alias("n"))
-    qtab = total.select(
-        "n", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k")
-    )
-    cand = (
-        carried.join(F.broadcast(qtab))
-        .filter(F.col("cum") * 5 >= F.col("k") * F.col("n"))
-        .groupBy("k", "n")
-        .agg(F.min("b").alias("mb"))
-    )
-    binfo = (
-        carried.select("b", "carry_in")
-        .join(F.broadcast(cand), F.col("b") == F.col("mb"))
-        .select("k", "n", "mb", "carry_in")
-    )
-    inb = vals.withColumn("b", bucket).join(F.broadcast(binfo)).filter(
-        F.col("b") == F.col("mb")
-    )
-    w_in = (
-        Window.partitionBy("k")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    th = (
-        inb.withColumn("cum2", F.col("carry_in") + F.sum("c").over(w_in))
-        .filter(F.col("cum2") * 5 >= F.col("k") * F.col("n"))
-        .groupBy("k")
-        .agg(F.min("v").alias("t"))
-    )
-    piv = th.groupBy().pivot("k", [1, 2, 3, 4]).agg(F.first("t"))
-    return piv.select(
-        F.col("1").alias(f"{prefix}20"),
-        F.col("2").alias(f"{prefix}40"),
-        F.col("3").alias(f"{prefix}60"),
-        F.col("4").alias(f"{prefix}80"),
-    )
+    data, never an interpolated double (the r3 ``customer_rfm``
+    driver-hash failure was a last-ulp flip in ``F.percentile``'s
+    interpolated threshold). Thin wrapper over the metric-keyed
+    multi pipeline (one implementation to keep exact)."""
+    return disc_quintile_thresholds_multi(df, {prefix: (col, bucket_width)})
 
 
 def disc_quintile_thresholds_multi(

@@ -555,33 +555,24 @@ def embedding_decontaminate(
         F.col("vec").alias("t_vec"),
         F.col("nrm").alias("t_nrm"),
     )
-    paired = cand.join(tr_vec, "vec_id").join(F.broadcast(te_vec), "t_id").select(
-        "vec_id", "t_id", "vec", "t_vec", "nrm", "t_nrm"
-    )
-
-    def batch_cosine(batches):
-        # self-contained closure (foreign-cwd driver): numpy/pandas only.
-        # One einsum per Arrow batch — the per-pair interpreted
-        # zip_with/aggregate fold was ~3x the whole operator's cost.
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["t_vec"].to_numpy()).astype(np.float64)
-            cos = np.round(
-                np.einsum("ij,ij->i", A, B)
-                / (pdf["nrm"].to_numpy() * pdf["t_nrm"].to_numpy()),
-                6,
-            )
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "t_id": pdf["t_id"], "cos_sim": cos}
-            )
-
-    scored = paired.mapInPandas(
-        batch_cosine, schema="vec_id long, t_id long, cos_sim double"
+    # scoring stays a Catalyst LEFT-FOLD dot product: numpy einsum's
+    # pairwise summation diverges from DuckDB's sequential
+    # list_dot_product at the ulp level in most 64-dim dots (measured
+    # ~83%), reintroducing the round(x,6) engine-flip class this
+    # round eliminates; the fold order matches list_dot_product
+    # term-for-term (the whole r6(cosine()) family's parity proof).
+    # No broadcast hint on the test side — it is 10% of the CORPUS,
+    # unbounded at scale (AQE upgrades small cases at runtime).
+    scored = (
+        cand.join(tr_vec, "vec_id")
+        .join(te_vec, "t_id")
+        .select(
+            "vec_id",
+            "t_id",
+            r6(
+                dot(F.col("vec"), F.col("t_vec")) / (F.col("nrm") * F.col("t_nrm"))
+            ).alias("cos_sim"),
+        )
     )
     return (
         scored.filter(F.col("cos_sim") >= threshold)

@@ -187,8 +187,10 @@ def test_lsh_recall_sample_is_deterministic_and_bounded(spark):
     b = lsh_recall_vs_exact(spark, SF_DIR).collect()[0]
     assert a == b, "md5 sampling must be deterministic"
     full = lsh_recall_vs_exact(spark, SF_DIR, sample_pct=100).collect()[0]
+    # exact-side pairs are a strict subset under sampling (no cap on
+    # that side); the LSH side is NOT monotone — shrinking a corpus
+    # can pull a hot band bucket back under bucket_cap and ADD pairs
     assert a.n_exact_pairs <= full.n_exact_pairs
-    assert a.n_lsh_pairs <= full.n_lsh_pairs
     if a.n_exact_pairs:
         assert 0 <= a.recall_ppm <= 1_000_000
 
