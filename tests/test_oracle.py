@@ -14,11 +14,13 @@ QUERIES = Q.queries()
 ORACLES = Q.oracle_sql()
 
 
-def canon(rows, cols):
+def canon(rows, cols, strict=False):
     # Strict typed rendering — keep in sync with tools/verify_local.py.
     # None gets a sentinel distinct from '' (an ''-vs-NULL divergence must
     # FAIL here, as it does at the driver), and floats never collapse to
     # ints (so a bigint-vs-HUGEINT/float engine asymmetry also fails).
+    # strict=True hashes full float repr with no 9dp rounding — the
+    # mode that exposes sub-1e-9 engine drift (VERDICT r3 task 4).
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -30,7 +32,7 @@ def canon(rows, cols):
             elif isinstance(v, bool):
                 vals.append(str(v))
             elif isinstance(v, float):
-                vals.append("nan" if v != v else repr(round(v, 9)))
+                vals.append("nan" if v != v else (repr(v) if strict else repr(round(v, 9))))
             elif isinstance(v, (bytes, bytearray)):
                 vals.append("0x" + bytes(v).hex())
             else:
@@ -49,7 +51,9 @@ def test_oracle_match(name, spark, duck):
     drows = [list(r) for r in res.fetchall()]
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
+    # both canon modes must agree (the driver's hash may be unrounded)
     assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert canon(srows, sdf.columns, strict=True) == canon(drows, dcols, strict=True)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
