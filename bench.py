@@ -19,7 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# The r1 driver-measured baseline set (BASELINE.md pins 28.493 s at
+# sf0.1 to EXACTLY these 22 queries). A named frozen list (ADVICE r4):
+# the stdout contract line's baseline22_total must never drift when
+# HEADLINE gains or reorders entries — append new queries to HEADLINE,
+# never to this list.
+BASELINE_22 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -42,6 +47,10 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "training_corpus_filter",
+]
+
+HEADLINE = [
+    *BASELINE_22,
     # added in r2 (see BASELINE.md): the mart's approx scale path and
     # two window-heavy time-series queries
     "gold_kpi_component_tier_approx",
@@ -223,7 +232,7 @@ def main() -> None:
     # "queries" stays in the contract line but holds ONLY the 22
     # r1-baseline queries (~600 bytes) so the line parses inside the
     # tail budget; the full 90+ map lives in the side file.
-    baseline22 = {k: timings[k] for k in HEADLINE[:22] if k in timings}
+    baseline22 = {k: timings[k] for k in BASELINE_22 if k in timings}
     print(
         json.dumps(
             {

@@ -28,6 +28,26 @@ def ppm_expr(part: str, total: str) -> str:
     return f"(({p} * 1000) DIV {t}) * 1000 + ((({p} * 1000) % {t}) * 1000) DIV {t}"
 
 
+def checked_mul_expr(a: str, b: str) -> str:
+    """Spark SQL BIGINT product with a runtime overflow guard
+    (ADVICE r4): ``a * b`` feeding :func:`ppm_expr` as the PART
+    operand must stay under ~9.2e15 (the helper multiplies it by
+    1000 twice), and Spark's non-ANSI BIGINT multiply WRAPS silently
+    on overflow — corrupting lift_e6 at extreme scale with no error.
+    This guard pre-checks the magnitude in doubles and raises via
+    ``assert_true`` instead of wrapping (DuckDB needs no twin: it
+    errors loudly on BIGINT overflow by itself). The check is one
+    double multiply per row of an already-aggregated pair table —
+    off the corpus-scale path.
+    """
+    A, B = f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)"
+    cond = f"CAST({A} AS DOUBLE) * CAST({B} AS DOUBLE) <= 9.0e15"
+    return (
+        f"IF(assert_true({cond}, 'exact-ppm overflow: product exceeds"
+        f" 9.0e15 exact bound') IS NULL, {A} * {B}, NULL)"
+    )
+
+
 def ppm_sql(part: str, total: str) -> str:
     """DuckDB spelling of :func:`ppm_expr` (``//`` integer division).
     Keep the two in lockstep — they are the oracle-parity contract.

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import checked_mul_expr as _cmul
 from ..functions.exact import ppm_expr as _ppm
 from ..sources.registry import load_table
 from .relational import r6
@@ -165,7 +166,9 @@ def part_copurchase_lift(
             # integer ppm/e6 association metrics (VERDICT r3 task 7)
             F.expr(_ppm("n_pair", "n_orders")).cast("long").alias("support_ppm"),
             F.expr(_ppm("n_pair", "n_a")).cast("long").alias("confidence_ppm"),
-            F.expr(_ppm("(n_pair * n_orders)", "(n_a * n_b)"))
+            # overflow-guarded product (ADVICE r4): raises instead of
+            # silently wrapping int64 at extreme scale
+            F.expr(_ppm(f"({_cmul('n_pair', 'n_orders')})", "(n_a * n_b)"))
             .cast("long")
             .alias("lift_e6"),
         )

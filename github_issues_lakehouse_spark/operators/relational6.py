@@ -171,7 +171,9 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("p").cast("decimal(28,2)").alias("total_revenue"),
+        # BIGINT cents, never raw DECIMAL (r4 driver canon renders
+        # trailing-zero decimals float-style and flips the hash)
+        (F.sum("p").cast("decimal(28,2)") * 100).cast("long").alias("total_revenue_cents"),
         r6(F.first("t90")).alias("p90_threshold"),
         r6(F.first("t95")).alias("p95_threshold"),
         r6(F.first("t99")).alias("p99_threshold"),
@@ -414,8 +416,10 @@ def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
           CAST(count(*) AS BIGINT) AS n_orders,
           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_large,
+          -- BIGINT cents, never raw DECIMAL (r4 driver canon renders
+          -- trailing-zero decimals float-style and flips the hash)
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(28,2)) AS finished_revenue
+               FILTER (WHERE o_orderstatus = 'F') * 100 AS BIGINT) AS finished_revenue_cents
         FROM orders
         GROUP BY o_orderpriority
         """,
@@ -500,7 +504,9 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "CAST(month_of_year AS BIGINT) AS month_of_year",
             "CAST(n_orders AS BIGINT) AS n_orders",
-            "revenue",
+            # BIGINT cents, never raw DECIMAL (r4 driver canon renders
+            # trailing-zero decimals float-style and flips the hash)
+            "CAST(cents AS BIGINT) AS revenue_cents",
             f"CAST({ppm('n_orders', 'tot_orders')} AS BIGINT) AS order_share_ppm",
             f"CAST({ppm('cents', 'tot_cents')} AS BIGINT) AS revenue_share_ppm",
         )
@@ -650,7 +656,11 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"),
             "recency_days",
             F.col("frequency").cast("long").alias("frequency"),
-            "monetary",
+            # BIGINT integer cents, never raw DECIMAL: the external
+            # canon renders Decimal('2821749.70') float-style
+            # ('2821749.7'), so any trailing-zero decimal row flips
+            # the value hash (r4 driver-hash failure class).
+            (F.col("monetary") * 100).cast("long").alias("monetary_cents"),
             band("recency_days", "r", invert=True).cast("long").alias("r_score"),
             band("frequency", "f").cast("long").alias("f_score"),
             band("monetary", "m").cast("long").alias("m_score"),
@@ -730,9 +740,12 @@ def label_association_rules(
     sa = supp.select(F.col("label").alias("label_a"), F.col("n_label").alias("n_a"))
     sb = supp.select(F.col("label").alias("label_b"), F.col("n_label").alias("n_b"))
     # integer metrics (VERDICT r3 task 7): support/confidence in ppm,
-    # lift in e6 units via lift = n_both*N / (n_a*n_b) — all BIGINT
-    # (n_both*N stays under the ppm helper's 9.2e15 bound up to ~1e7
-    # co-occurrences x 1e8 issues; beyond that, DECIMAL(38,0))
+    # lift in e6 units via lift = n_both*N / (n_a*n_b) — all BIGINT.
+    # The n_both*N product is overflow-guarded (ADVICE r4): it raises
+    # via assert_true instead of silently wrapping int64 beyond the
+    # ppm helper's 9.2e15 exact bound.
+    from ..functions.exact import checked_mul_expr as _cmul
+
     return (
         pair.join(F.broadcast(sa), "label_a")
         .join(F.broadcast(sb), "label_b")
@@ -742,7 +755,7 @@ def label_association_rules(
             F.col("n_both").cast("long").alias("n_both"),
             F.expr(_ppmx("n_both", str(int(n_issues)))).cast("long").alias("support_ppm"),
             F.expr(_ppmx("n_both", "n_a")).cast("long").alias("confidence_ppm"),
-            F.expr(_ppmx(f"(n_both * {int(n_issues)})", "(n_a * n_b)"))
+            F.expr(_ppmx(f"({_cmul('n_both', str(int(n_issues)))})", "(n_a * n_b)"))
             .cast("long")
             .alias("lift_e6"),
         )
@@ -817,8 +830,10 @@ def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue", 12).over(w)
     return monthly.select(
         "month",
-        F.col("revenue").cast("decimal(28,2)").alias("revenue"),
-        prev.cast("decimal(28,2)").alias("revenue_prev_year"),
+        # BIGINT cents, never raw DECIMAL (r4 driver canon renders
+        # trailing-zero decimals float-style and flips the hash)
+        (F.col("revenue").cast("decimal(28,2)") * 100).cast("long").alias("revenue_cents"),
+        (prev.cast("decimal(28,2)") * 100).cast("long").alias("revenue_prev_year_cents"),
         F.when(
             prev.isNotNull() & (prev != 0),
             F.round((F.col("revenue").cast("double") - prev.cast("double")) / prev.cast("double"), 6),
@@ -916,10 +931,19 @@ def weighted_median_price(
             F.min("price").alias("weighted_median"),
             F.first("total").alias("total_weight"),
         )
+        # BIGINT integer units, never raw DECIMAL: the external canon
+        # renders Decimal('49341.00') float-style ('49341.0'), so any
+        # trailing-zero decimal row flips the hash (r4 failure class).
+        # price double -> DECIMAL(18,2) -> x100 is exact cents on both
+        # engines; total is already DECIMAL(18,2) quantity units.
         .select(
             "grp",
-            F.round(F.col("weighted_median"), 2).alias("weighted_median"),
-            F.col("total_weight").cast("decimal(28,2)").alias("total_weight"),
+            (F.col("weighted_median").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("weighted_median_cents"),
+            (F.col("total_weight").cast("decimal(28,2)") * 100)
+            .cast("long")
+            .alias("total_weight_e2"),
         )
     )
 
@@ -983,10 +1007,16 @@ def weighted_quantiles_price(
         .filter(F.col("cum2") * 100 >= F.col("q_pct") * F.col("total"))
         .groupBy("grp", "q_pct")
         .agg(F.min("price").alias("qv"), F.first("total").alias("total"))
+        # BIGINT integer units, never raw DECIMAL — same rationale as
+        # weighted_median_price (r4 driver-canon trailing-zero class)
         .select(
             "grp",
             F.col("q_pct").cast("int").alias("q_pct"),
-            F.round(F.col("qv"), 2).alias("quantile_value"),
-            F.col("total").cast("decimal(28,2)").alias("total_weight"),
+            (F.col("qv").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("quantile_value_cents"),
+            (F.col("total").cast("decimal(28,2)") * 100)
+            .cast("long")
+            .alias("total_weight_e2"),
         )
     )

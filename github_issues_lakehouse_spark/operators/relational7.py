@@ -514,7 +514,9 @@ def price_quantity_heatmap(
             "price_band",
             "qty_band",
             F.col("n_rows").cast("long").alias("n_rows"),
-            F.col("revenue").cast("decimal(28,2)").alias("revenue"),
+            # BIGINT cents, never raw DECIMAL (r4 driver canon renders
+            # trailing-zero decimals float-style and flips the hash)
+            (F.col("revenue").cast("decimal(28,2)") * 100).cast("long").alias("revenue_cents"),
             r6(
                 F.col("revenue").cast("double") / F.col("total_rev").cast("double")
             ).alias("revenue_share"),

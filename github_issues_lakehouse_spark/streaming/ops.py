@@ -682,10 +682,16 @@ def stream_sla_maintenance(
     with ``gold.sla_finalize`` over the (months x components)-sized
     core, never over issue history.
 
-    Contract: each issue row arrives in exactly ONE batch (the
-    silver merge-dedup upstream guarantees this); then the drained
-    stream's finalized mart EQUALS the batch mart over the union of
-    all batches — additivity of the core is the whole proof. Read
+    Contract: each issue row arrives in exactly ONE batch and in
+    FINAL state (the silver merge-dedup upstream guarantees this);
+    then the drained stream's finalized mart EQUALS the batch mart
+    over the union of all batches — additivity of the core is the
+    whole proof. The additive core has no issue_id, so a violated
+    contract (an issue delivered open and REDELIVERED closed)
+    double-counts silently — feed this maintainer only from an
+    exactly-once, settled upstream. For at-least-once upstreams use
+    ``stream_sla_keyed_maintenance`` (D20), which keys state on
+    issue_id and tolerates arbitrary redelivery (ADVICE r4). Read
     with ``sla_finalize(read_mart(spark, path))``. Returns the
     started query.
     """
@@ -699,6 +705,66 @@ def stream_sla_maintenance(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        issues.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sla_issue_snapshot_merge(existing, batch_df):
+    """Merge rule for the keyed SLA maintainer (D20): state is the
+    LATEST-KNOWN silver snapshot per issue_id; union old state with
+    the batch and keep, per issue, the most SETTLED row — closed
+    beats open, later closed_at beats earlier, later created_at
+    breaks remaining ties. The rule is associative, commutative and
+    idempotent over redeliveries (a stale open row replayed after
+    the closed row always loses), so the drained state is
+    independent of batch boundaries and delivery order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = ["issue_id", "created_at", "closed_at", "priority_tier", "component"]
+    batch = batch_df.select(*cols)
+    merged = batch if existing is None else existing.select(*cols).unionByName(batch)
+    w = Window.partitionBy("issue_id").orderBy(
+        F.col("closed_at").isNotNull().desc(),
+        F.col("closed_at").desc_nulls_last(),
+        F.col("created_at").desc_nulls_last(),
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stream_sla_keyed_maintenance(
+    issues: DataFrame, path: str, checkpoint: str
+):
+    """D20: redelivery-tolerant SLA maintenance (ADVICE r4) — the
+    at-least-once twin of D18. D18 folds an ADDITIVE core with no
+    issue_id, so an issue delivered open and redelivered closed
+    double-counts and nothing can detect it. Here the stored state
+    is instead the latest-known PER-ISSUE silver snapshot (retract-
+    and-replace keyed on issue_id via
+    ``sla_issue_snapshot_merge``), under the same exactly-once
+    versioned-commit protocol; the serving mart is derived at read
+    time with ``sla_finalize(sla_core(read_mart(...)))``.
+
+    The trade against D18 is explicit: state and read-time
+    aggregation are O(issues) instead of O(months x components) —
+    the price of tolerating an upstream that redelivers. At scale,
+    compact by freezing settled months: fold rows older than the
+    redelivery horizon into a frozen additive core and keep only
+    the live tail keyed. Returns the started query.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=sla_issue_snapshot_merge)
 
     return (
         issues.writeStream.foreachBatch(fold)

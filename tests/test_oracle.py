@@ -2,6 +2,7 @@
 on row count, column names, and order-insensitive value hash — the
 same comparison the external driver runs (SURVEY.md §5.1)."""
 
+import decimal
 import hashlib
 
 import pytest
@@ -14,13 +15,15 @@ QUERIES = Q.queries()
 ORACLES = Q.oracle_sql()
 
 
-def canon(rows, cols, strict=False):
+def canon(rows, cols, strict=False, decfloat=False):
     # Strict typed rendering — keep in sync with tools/verify_local.py.
     # None gets a sentinel distinct from '' (an ''-vs-NULL divergence must
     # FAIL here, as it does at the driver), and floats never collapse to
     # ints (so a bigint-vs-HUGEINT/float engine asymmetry also fails).
     # strict=True hashes full float repr with no 9dp rounding — the
     # mode that exposes sub-1e-9 engine drift (VERDICT r3 task 4).
+    # decfloat=True renders Decimal via repr(float(v)) — the r4 driver
+    # canon class that strips trailing fractional zeros.
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -33,6 +36,8 @@ def canon(rows, cols, strict=False):
                 vals.append(str(v))
             elif isinstance(v, float):
                 vals.append("nan" if v != v else (repr(v) if strict else repr(round(v, 9))))
+            elif isinstance(v, decimal.Decimal) and decfloat:
+                vals.append(repr(float(v)))
             elif isinstance(v, (bytes, bytearray)):
                 vals.append("0x" + bytes(v).hex())
             else:
@@ -54,6 +59,16 @@ def test_oracle_match(name, spark, duck):
     # both canon modes must agree (the driver's hash may be unrounded)
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert canon(srows, sdf.columns, strict=True) == canon(drows, dcols, strict=True)
+    # decimal-render invariance (VERDICT r4 task 2): the driver's canon
+    # renders Decimal without trailing fractional zeros, so each side's
+    # hash must not change when Decimals are floated. A trailing-zero
+    # decimal value anywhere fails HERE before it fails at the driver.
+    assert canon(srows, sdf.columns, strict=True) == canon(
+        srows, sdf.columns, strict=True, decfloat=True
+    ), "Spark result has trailing-zero Decimal values (r4 driver-FAIL class)"
+    assert canon(drows, dcols, strict=True) == canon(
+        drows, dcols, strict=True, decfloat=True
+    ), "Oracle result has trailing-zero Decimal values (r4 driver-FAIL class)"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

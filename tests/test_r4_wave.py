@@ -196,13 +196,37 @@ def test_lsh_recall_sample_is_deterministic_and_bounded(spark):
 
 
 def test_lsh_recall_plan_filters_docs_before_shingles(spark):
-    """The sample predicate must land on the documents scan side (a
-    Filter over doc_id md5) — the plan-level proof that the exact
-    all-pairs stage is bounded by the sample, not merely post-hoc."""
+    """The sample predicate must land BELOW the shingle explode, on
+    the documents scan (a Filter over doc_id md5 feeding the
+    FileScan) — the plan-level proof that the exact all-pairs stage
+    is bounded by the sample, not merely post-hoc. Mere substring
+    presence of '#lshrecall' would also pass with the filter pushed
+    ABOVE the explode (ADVICE r4), so this asserts the ORDERING:
+    every shingle Generate in the physical plan is followed, deeper
+    in its input chain, by an #lshrecall Filter sitting directly on
+    a FileScan."""
+    import re
+
     from github_issues_lakehouse_spark.operators.dedup import lsh_recall_vs_exact
 
     plan = lsh_recall_vs_exact(spark, SF_DIR)._jdf.queryExecution().toString()
-    assert "#lshrecall" in plan
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "#lshrecall" in physical
+    # Generate explode(array_distinct(   <- shingle explode
+    #   ... (projection lines)
+    #   Filter (... #lshrecall ...)      <- sample predicate BELOW it
+    #     FileScan parquet               <- directly on the scan
+    shingle_gens = len(re.findall(r"Generate explode\(array_distinct", physical))
+    assert shingle_gens >= 1
+    below_scan = re.findall(
+        r"Generate explode\(array_distinct[^\n]*\n(?:[^\n]*\n){0,6}?"
+        r"[^\n]*Filter [^\n]*#lshrecall[^\n]*\n[^\n]*FileScan parquet",
+        physical,
+    )
+    assert len(below_scan) == shingle_gens, (
+        f"{shingle_gens} shingle explodes but only {len(below_scan)} have "
+        "the #lshrecall sample Filter below them on the scan"
+    )
 
 
 # ------------------------------------------- rewritten B-suite queries

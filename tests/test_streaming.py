@@ -578,6 +578,70 @@ def test_stream_sla_maintenance_equals_batch(spark, tmp_path):
         assert got[k] == expect[k], (k, got[k], expect[k])
 
 
+def test_stream_sla_keyed_tolerates_redelivery(spark, tmp_path):
+    """D20 (ADVICE r4): an issue delivered while OPEN and redelivered
+    after closing must not double-count. The keyed maintainer's
+    drained mart equals the batch mart over FINAL issue states even
+    when every closed issue was first delivered open — the exact feed
+    that silently corrupts the additive D18 core (asserted too, so
+    the difference stays documented by a test)."""
+    from github_issues_lakehouse_spark.operators.gold import (
+        sla_core,
+        sla_finalize,
+        sla_stability_mart,
+    )
+    from github_issues_lakehouse_spark.operators.silver import silver_issues
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_sla_keyed_maintenance,
+        stream_sla_maintenance,
+    )
+
+    issues = silver_issues(spark, SF_DIR).select(
+        "issue_id", "priority_tier", "component", "created_at", "closed_at"
+    )
+    src = str(tmp_path / "issues_src")
+    # delivery 1: every issue in its OPEN state (closed_at nulled);
+    # delivery 2: final states. One file each -> two micro-batches.
+    issues.withColumn("closed_at", F.lit(None).cast(issues.schema["closed_at"].dataType)) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    issues.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    keyed_path = str(tmp_path / "sla_keyed.parquet")
+    q = stream_sla_keyed_maintenance(stream, keyed_path, str(tmp_path / "ckpt_k"))
+    q.awaitTermination(180)
+
+    key = lambda r: (r.month, r.component)  # noqa: E731
+    got = {
+        key(r): r
+        for r in sla_finalize(sla_core(read_mart(spark, keyed_path))).collect()
+    }
+    expect = {key(r): r for r in sla_stability_mart(issues).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], (k, got[k], expect[k])
+
+    # the additive D18 maintainer double-counts the same feed —
+    # created_critical sums both deliveries (documented failure mode)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    add_path = str(tmp_path / "sla_additive.parquet")
+    q2 = stream_sla_maintenance(stream2, add_path, str(tmp_path / "ckpt_a"))
+    q2.awaitTermination(180)
+    add_created = sum(
+        r.created_critical for r in read_mart(spark, add_path).collect()
+    )
+    want_created = sum(r.created_critical for r in expect.values())
+    assert add_created == 2 * want_created
+
+
 def test_stream_block_index_equals_batch_any_order(spark, tmp_path):
     """D19: the drained streaming block-dedup index equals the batch
     index over all documents — including the first-occurrence

@@ -295,9 +295,9 @@ def test_yoy_revenue_window(spark):
     assert len(months) > 24
     # first 12 months have no prior-year reference
     for m in months[:12]:
-        assert rows[m].revenue_prev_year is None and rows[m].yoy_pct is None
+        assert rows[m].revenue_prev_year_cents is None and rows[m].yoy_pct is None
     # spot-check the lag: month 13's prev_year equals month 1's revenue
-    assert rows[months[12]].revenue_prev_year == rows[months[0]].revenue
+    assert rows[months[12]].revenue_prev_year_cents == rows[months[0]].revenue_cents
 
 
 def test_event_order_inversions_detects_disorder(spark, tmp_path):
@@ -345,9 +345,9 @@ def test_weighted_median_known_answer(spark, tmp_path):
 
     for width in (5, 1000):
         got = {r.grp: r for r in weighted_median_price(spark, d, bucket_width=width).collect()}
-        assert float(got["A"].weighted_median) == 20.0, width
-        assert float(got["B"].weighted_median) == 99.0
-        assert float(got["A"].total_weight) == 4.0
+        assert got["A"].weighted_median_cents == 2000, width
+        assert got["B"].weighted_median_cents == 9900
+        assert got["A"].total_weight_e2 == 400
 
 
 def test_weighted_median_matches_numpy(spark):
@@ -358,7 +358,7 @@ def test_weighted_median_matches_numpy(spark):
     )
     from github_issues_lakehouse_spark.sources.registry import load_table
 
-    got = {r.grp: float(r.weighted_median)
+    got = {r.grp: r.weighted_median_cents
            for r in weighted_median_price(spark, SF_DIR, bucket_width=500).collect()}
     li = load_table(spark, SF_DIR, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
@@ -374,7 +374,7 @@ def test_weighted_median_matches_numpy(spark):
         for price in sorted(wmap):
             cum += wmap[price]
             if cum * 2 >= total:
-                assert got[grp] == round(price, 2), grp
+                assert got[grp] == round(price * 100), grp
                 break
 
 
@@ -387,11 +387,11 @@ def test_weighted_quantiles_consistent_with_median(spark):
     )
 
     suite = weighted_quantiles_price(spark, SF_DIR).collect()
-    med = {r.grp: float(r.weighted_median)
+    med = {r.grp: r.weighted_median_cents
            for r in weighted_median_price(spark, SF_DIR).collect()}
     by_grp = {}
     for r in suite:
-        by_grp.setdefault(r.grp, {})[r.q_pct] = float(r.quantile_value)
+        by_grp.setdefault(r.grp, {})[r.q_pct] = r.quantile_value_cents
     for grp, qs in by_grp.items():
         assert set(qs) == {25, 50, 75, 90}
         assert qs[50] == med[grp]

@@ -5,18 +5,27 @@ order-insensitive value hash.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 
-Modes (env VERIFY_CANON, VERDICT r3 task 4):
+Modes (env VERIFY_CANON, VERDICT r3 task 4 + r4 task 2):
 - ``rounded`` (default): floats rounded to 9dp before hashing — the
   historical local gate.
 - ``strict``: full ``repr(float)``, no rounding. The driver's canon
   may hash raw values, so a query that passes only in rounded mode is
   carrying sub-1e-9 environment drift — exactly the r3 driver-FAIL
   signature — and must be rewritten with fixed-point arithmetic.
-- ``both``: require both hashes to agree (the new bar).
+- ``decfloat``: like strict, but Decimal values are rendered through
+  ``repr(float(v))`` — the r4 driver-FAIL class: the driver's canon
+  renders ``Decimal('49341.00')`` float-style (``49341.0``) while
+  Spark's str keeps scale, so any trailing-zero decimal flips the
+  hash whenever the two engines return decimals at different scales
+  or one engine floats them. A query passing rounded+strict but not
+  decfloat is exactly the r4 signature.
+- ``both``: rounded AND strict must agree.
+- ``all``: rounded AND strict AND decfloat must agree (the r5 bar).
 """
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -26,14 +35,16 @@ import traceback
 sys.path.insert(0, ".")
 
 
-def canon(rows, cols, strict=False):
+def canon(rows, cols, strict=False, decfloat=False):
     """Order-insensitive canonical form: sort columns by name, render
     every value to a stable TYPED string, sort rows.
 
     Strict typed rendering — keep in sync with tests/test_oracle.py.
     None gets a sentinel distinct from '' (an ''-vs-NULL divergence must
     FAIL here, as it does at the driver), and floats never collapse to
-    ints (so a bigint-vs-HUGEINT/float engine asymmetry also fails)."""
+    ints (so a bigint-vs-HUGEINT/float engine asymmetry also fails).
+    ``decfloat`` additionally renders Decimal via repr(float(v)) to
+    reproduce the driver's trailing-zero-stripping decimal canon."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -46,6 +57,8 @@ def canon(rows, cols, strict=False):
                 vals.append(str(v))
             elif isinstance(v, float):
                 vals.append("nan" if v != v else (repr(v) if strict else repr(round(v, 9))))
+            elif isinstance(v, decimal.Decimal) and decfloat:
+                vals.append(repr(float(v)))
             elif isinstance(v, (bytes, bytearray)):
                 vals.append("0x" + bytes(v).hex())
             else:
@@ -108,12 +121,29 @@ def main():
         if not problems:
             mode = os.environ.get("VERIFY_CANON", "rounded")
             mismatched = []
-            for m in ("rounded", "strict") if mode == "both" else (mode,):
-                strict = m == "strict"
-                h1 = canon([list(r) for r in srows], scols, strict=strict)
-                h2 = canon([list(r) for r in drows], dcols, strict=strict)
+            modes = {
+                "both": ("rounded", "strict"),
+                "all": ("rounded", "strict", "decfloat"),
+            }.get(mode, (mode,))
+            for m in modes:
+                strict = m in ("strict", "decfloat")
+                decfloat = m == "decfloat"
+                h1 = canon([list(r) for r in srows], scols, strict=strict, decfloat=decfloat)
+                h2 = canon([list(r) for r in drows], dcols, strict=strict, decfloat=decfloat)
                 if h1 != h2:
                     mismatched.append(m)
+                elif decfloat:
+                    # The r4 driver FAILs were invisible cross-engine
+                    # locally (both engines returned Decimal at the
+                    # same scale) — the driver's canon floats decimals
+                    # on one side. So also require each side's hash to
+                    # be INVARIANT to decimal rendering: a
+                    # trailing-zero decimal anywhere ('49341.00' vs
+                    # '49341.0') fails here before it fails there.
+                    h1s = canon([list(r) for r in srows], scols, strict=True)
+                    h2s = canon([list(r) for r in drows], dcols, strict=True)
+                    if h1 != h1s or h2 != h2s:
+                        mismatched.append("decfloat-invariance")
             if mismatched:
                 problems.append(f"value-hash mismatch ({'+'.join(mismatched)})")
                 # show a sample diff
