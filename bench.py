@@ -152,6 +152,9 @@ HEADLINE = [
     "embedding_decontaminate",
     "dedup_exact_substrings",
     "token_dedup_savings",
+    # r5: SLA MoM reporting mart (composes the A9 subtree — watch for
+    # a replanned double mart scan)
+    "gold_sla_mom",
 ]
 
 

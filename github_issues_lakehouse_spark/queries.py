@@ -435,6 +435,60 @@ def q_gold_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gold_sla_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (r5, VERDICT r4 task 5): month-over-month SLA deltas — the
+    A8 MoM reporting window composed over the A9 SLA/stability mart:
+    per (component, month), the breach-ppm / stability-ppm / backlog
+    deltas vs the component's previous ACTIVE month. The window input
+    is the (months x components)-sized mart, never issue history, and
+    every delta is BIGINT ppm-minus-ppm — no division, no floats, so
+    the output is engine-exact by construction. Breach delta is NULL
+    when either month has no closures (ppm undefined).
+    """
+    from pyspark.sql import Window
+
+    m = q_gold_sla(spark, sf_dir).select(
+        "month",
+        "component",
+        "sla_breach_ppm",
+        "stability_index_ppm",
+        "backlog_critical_end",
+    )
+    w = Window.partitionBy("component").orderBy("month")
+    return m.select(
+        "month",
+        "component",
+        "sla_breach_ppm",
+        (F.col("sla_breach_ppm") - F.lag("sla_breach_ppm").over(w))
+        .cast("long")
+        .alias("breach_mom_ppm_delta"),
+        "stability_index_ppm",
+        (F.col("stability_index_ppm") - F.lag("stability_index_ppm").over(w))
+        .cast("long")
+        .alias("stability_mom_ppm_delta"),
+        (F.col("backlog_critical_end") - F.lag("backlog_critical_end").over(w))
+        .cast("long")
+        .alias("backlog_mom_delta"),
+    )
+
+
+# nested WITH: the SLA oracle is itself a WITH query; DuckDB allows it
+# inside a CTE body, so the MoM twin wraps it verbatim — one source of
+# truth for the mart's semantics.
+ORACLE_GOLD_SLA_MOM = (
+    "WITH sla AS (\n"
+    + ORACLE_GOLD_SLA
+    + """)
+SELECT month, component, sla_breach_ppm,
+  CAST(sla_breach_ppm - lag(sla_breach_ppm) OVER w AS BIGINT) AS breach_mom_ppm_delta,
+  stability_index_ppm,
+  CAST(stability_index_ppm - lag(stability_index_ppm) OVER w AS BIGINT) AS stability_mom_ppm_delta,
+  CAST(backlog_critical_end - lag(backlog_critical_end) OVER w AS BIGINT) AS backlog_mom_delta
+FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
+"""
+)
+
+
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
@@ -462,6 +516,8 @@ _DRIVER_PRIORITY_R5 = [
     "price_quantity_heatmap",
     "filtered_agg_orders",
     "revenue_concentration",
+    # new this round: SLA month-over-month mart (VERDICT r4 task 5)
+    "gold_sla_mom",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -529,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_kpi_global": q_gold_global,
         "gold_kpi_mom": q_gold_mom,
         "gold_sla_stability": q_gold_sla,
+        "gold_sla_mom": q_gold_sla_mom,
         "snapshot_diff": scale.snapshot_diff,
         # C. LLM-data pipeline (no driver evidence in r1 — check first)
         "dedup_exact": dedup.dedup_exact,
@@ -771,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "gold_kpi_component_tier": ORACLE_GOLD_COMPONENT,
         "gold_kpi_global": ORACLE_GOLD_GLOBAL,
         "gold_sla_stability": ORACLE_GOLD_SLA,
+        "gold_sla_mom": ORACLE_GOLD_SLA_MOM,
         "gold_kpi_mom": f"""
 WITH g AS ({ORACLE_GOLD_GLOBAL})
 SELECT month, created_count,

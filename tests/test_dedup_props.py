@@ -247,3 +247,38 @@ def test_simhash_near_identical_docs_collide(spark):
     ham12 = bin(sigs[1] ^ sigs[2]).count("1")
     ham13 = bin(sigs[1] ^ sigs[3]).count("1")
     assert ham12 < ham13
+
+
+def test_exact_substrings_planted_boilerplate(spark, tmp_path):
+    """Planted giant-duplicate-block corpus (VERDICT r4 task 6): a
+    50-token boilerplate PREPENDED (phase-aligned with the k=10 grid)
+    to 30% of docs. Every planted doc except the globally-first one
+    must lose exactly the 5 boilerplate blocks; unplanted docs and
+    the first planted doc lose nothing (doc bodies are unique)."""
+    import uuid
+
+    k = 10
+    boiler = " ".join(f"bp{i}" for i in range(5 * k))
+    rows = []
+    for i in range(60):
+        body = " ".join(uuid.uuid4().hex for _ in range(37))
+        text = (boiler + " " + body) if i % 10 < 3 else body
+        rows.append((i, text, "en", "s0", len(text)))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r.doc_id: r for r in dedup.dedup_exact_substrings(spark, d, block_tokens=k).collect()}
+    planted = sorted(i for i in range(60) if i % 10 < 3)
+    first = planted[0]
+    for i in range(60):
+        if i in planted and i != first:
+            assert out[i].n_dup_blocks == 5, i
+            assert out[i].tokens_removed == 5 * k, i
+        else:
+            assert out[i].n_dup_blocks == 0, i
+
+    # savings mart agrees: removed = 5k tokens per non-first planted doc
+    sav = dedup.token_dedup_savings(spark, d, block_tokens=k).collect()
+    assert sum(r.tokens_removed for r in sav) == (len(planted) - 1) * 5 * k

