@@ -153,8 +153,9 @@ HEADLINE = [
     "dedup_exact_substrings",
     "token_dedup_savings",
     # r5: SLA MoM reporting mart (composes the A9 subtree — watch for
-    # a replanned double mart scan)
+    # a replanned double mart scan) + the sampled stride-1 phase audit
     "gold_sla_mom",
+    "substring_phase_audit",
 ]
 
 

@@ -822,6 +822,90 @@ def dedup_exact_substrings(
     )
 
 
+def substring_phase_audit(
+    spark: SparkSession, sf_dir: str, k: int = 10, sample_pct: int = 40
+) -> DataFrame:
+    """C95 (r5): PHASE-coverage audit for the fixed-grid substring
+    dedup. The C93 grid only collides SAME-PHASE duplicated runs (the
+    documented 1/k-cost approximation of a suffix-array pass): a
+    boilerplate run starting at token offset 0 in one doc and offset
+    3 in another never produces equal grid blocks — at ANY anchor.
+    This mart measures what that costs ON THE ACTUAL CORPUS: over a
+    deterministic md5 doc sample it hashes EVERY k-token window
+    (stride 1, the window-granular view a suffix-array pass would
+    see) and reports, per phase p = start_pos mod k:
+
+    - ``n_windows``: windows starting at that phase;
+    - ``n_dup_any``: windows whose text recurs ANYWHERE (any doc,
+      any offset) — the phase-free duplication mass;
+    - ``n_dup_same_phase``: windows whose text recurs at the SAME
+      phase — the only duplication a fixed grid can ever collide
+      (phase 0 is the grid C93 actually runs, at window granularity);
+    - ``grid_miss_ppm``: exact-ppm share of duplicated mass invisible
+      to same-phase matching — the measured price of the 1/k grid
+      approximation (near 0 => the grid's savings number is honest).
+
+    Scale contract: the stride-1 explode is k times the C93 block
+    count, so it runs on the ``sample_pct`` md5 sample by default
+    (the lsh_recall_vs_exact discipline — the audit is a bounded
+    diagnostic, never the corpus-scale dedup path; sample_pct=100 is
+    the explicit opt-in). Plan: one explode, a (hash, phase)
+    aggregate, a hash-level rollup joined back on the hash — all
+    map-side-combinable aggregates plus one equi-join between two
+    aggregates (the C93 flag-join class), no windows.
+    """
+    from ..functions.textfns import norm_tokens
+
+    base = load_table(spark, sf_dir, "documents")
+    if sample_pct < 100:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("#phaseaudit"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        base = base.filter(bucket < sample_pct)
+    toks = base.select(norm_tokens(F.col("text")).alias("t"))
+    n = F.array_size("t")
+    windows = (
+        toks.filter(n >= k)
+        .select(F.explode(F.sequence(F.lit(0), n - k)).alias("j"), "t")
+        .select(
+            (F.col("j") % k).cast("long").alias("phase"),
+            F.md5(
+                F.array_join(F.slice("t", (F.col("j") + 1).cast("int"), k), " ")
+            ).alias("h"),
+        )
+    )
+    per_hp = windows.groupBy("h", "phase").agg(F.count(F.lit(1)).alias("cp"))
+    per_h = per_hp.groupBy("h").agg(F.sum("cp").alias("c"))
+    return (
+        per_hp.join(per_h, "h")
+        .groupBy("phase")
+        .agg(
+            F.sum("cp").alias("nw"),
+            F.sum(F.when(F.col("c") > 1, F.col("cp")).otherwise(0)).alias("nda"),
+            F.sum(F.when(F.col("cp") > 1, F.col("cp")).otherwise(0)).alias("nds"),
+        )
+        .selectExpr(
+            "phase",
+            "CAST(nw AS BIGINT) AS n_windows",
+            "CAST(nda AS BIGINT) AS n_dup_any",
+            "CAST(nds AS BIGINT) AS n_dup_same_phase",
+            f"CAST(CASE WHEN nda > 0 THEN {_ppm('(nda - nds)', 'nda')} END AS BIGINT)"
+            " AS grid_miss_ppm",
+        )
+    )
+
+
 def token_dedup_savings(
     spark: SparkSession, sf_dir: str, block_tokens: int = 10
 ) -> DataFrame:

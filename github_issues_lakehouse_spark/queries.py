@@ -516,8 +516,10 @@ _DRIVER_PRIORITY_R5 = [
     "price_quantity_heatmap",
     "filtered_agg_orders",
     "revenue_concentration",
-    # new this round: SLA month-over-month mart (VERDICT r4 task 5)
+    # new this round: SLA month-over-month mart (VERDICT r4 task 5) +
+    # grid phase-coverage audit for the substring dedup (task 6)
     "gold_sla_mom",
+    "substring_phase_audit",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -625,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": similarity.embedding_decontaminate,
         "dedup_exact_substrings": dedup.dedup_exact_substrings,
         "token_dedup_savings": dedup.token_dedup_savings,
+        "substring_phase_audit": dedup.substring_phase_audit,
         "ann_ivf_recall_at_k": similarity.ann_ivf_recall_at_k,
         "hard_negative_mining": similarity.hard_negative_mining,
         "knn_label_purity": similarity.knn_label_purity,
@@ -1817,6 +1820,7 @@ WHERE round(list_dot_product(a.v, b.v) /
         "embedding_decontaminate": _emb_decontam_oracle(),
         "dedup_exact_substrings": _substring_dedup_oracle(),
         "token_dedup_savings": _token_savings_oracle(),
+        "substring_phase_audit": _phase_audit_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
         "ann_ivf_recall_at_k": _ann_ivf_recall_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
@@ -3348,6 +3352,44 @@ SELECT w.doc_id, w.source,
   md5(trim(concat(coalesce(p.kept_text, ''), ' ',
       array_to_string(w.t[w.nb*{k}+1 : w.n_toks], ' ')))) AS cleaned_fingerprint
 FROM withn w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _phase_audit_oracle(k: int = 10, sample_pct: int = 40) -> str:
+    """Stride-1 window twin of operators/dedup.py:substring_phase_audit
+    — same md5 doc sample, every k-token window hashed; per phase,
+    the phase-free vs same-phase duplicated-window mass and the
+    exact-ppm grid-miss share."""
+    src = (
+        "(SELECT * FROM documents WHERE"
+        " CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#phaseaudit')), 1, 15)) AS BIGINT)"
+        f" % 100 < {sample_pct})"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_norm_toks_sql()} AS t FROM {src} d),
+pos AS (
+  SELECT t, unnest(generate_series(0, len(t) - {k})) AS j
+  FROM base WHERE len(t) >= {k}
+),
+per_hp AS (
+  SELECT md5(array_to_string(t[j+1 : j+{k}], ' ')) AS h,
+    CAST(j % {k} AS BIGINT) AS phase,
+    count(*) AS cp
+  FROM pos GROUP BY 1, 2
+),
+per_h AS (SELECT h, sum(cp) AS c FROM per_hp GROUP BY 1),
+agg AS (
+  SELECT phase, sum(cp) AS nw,
+    sum(CASE WHEN c > 1 THEN cp ELSE 0 END) AS nda,
+    sum(CASE WHEN cp > 1 THEN cp ELSE 0 END) AS nds
+  FROM per_hp JOIN per_h USING (h) GROUP BY 1
+)
+SELECT phase, CAST(nw AS BIGINT) AS n_windows,
+  CAST(nda AS BIGINT) AS n_dup_any,
+  CAST(nds AS BIGINT) AS n_dup_same_phase,
+  CAST(CASE WHEN nda > 0 THEN {_ppm_sql('(nda - nds)', 'nda')} END AS BIGINT)
+    AS grid_miss_ppm
+FROM agg
 """
 
 

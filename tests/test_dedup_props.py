@@ -282,3 +282,65 @@ def test_exact_substrings_planted_boilerplate(spark, tmp_path):
     # savings mart agrees: removed = 5k tokens per non-first planted doc
     sav = dedup.token_dedup_savings(spark, d, block_tokens=k).collect()
     assert sum(r.tokens_removed for r in sav) == (len(planted) - 1) * 5 * k
+
+
+def test_phase_audit_sees_cross_phase_duplication_grid_misses(spark, tmp_path):
+    """C95 vs C93: the same 30-token boilerplate planted at token
+    offset 0 in one doc and offset 3 in another. The fixed grid sees
+    NO duplication — the runs are phase-misaligned, at any anchor —
+    while the stride-1 audit's phase-free column must count every
+    shared window: 2 docs x (30-k+1) = 42 duplicated-window
+    occurrences, all invisible to same-phase matching
+    (grid_miss_ppm = 1e6 wherever duplication exists)."""
+    import uuid
+
+    k = 10
+    boiler = " ".join(f"bp{i}" for i in range(30))
+    pad = " ".join(uuid.uuid4().hex for _ in range(20))
+    rows = [
+        (1, boiler + " " + pad, "en", "s0", 1),
+        # offset 3: three filler tokens shift every window's phase
+        (2, "x1 x2 x3 " + boiler + " " + pad[::-1], "en", "s0", 1),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    grid = dedup.dedup_exact_substrings(spark, d, block_tokens=k).collect()
+    assert sum(r.n_dup_blocks for r in grid) == 0  # grid is phase-blind here
+
+    audit = dedup.substring_phase_audit(spark, d, k=k, sample_pct=100).collect()
+    assert len(audit) == k
+    assert sum(r.n_dup_any for r in audit) == 42
+    assert sum(r.n_dup_same_phase for r in audit) == 0
+    for r in audit:
+        assert r.n_dup_same_phase <= r.n_dup_any <= r.n_windows
+        assert r.grid_miss_ppm is None or 0 <= r.grid_miss_ppm <= 1_000_000
+        if r.n_dup_any:
+            assert r.grid_miss_ppm == 1_000_000  # all misses here
+
+
+def test_phase_audit_same_offset_duplication_is_grid_visible(spark, tmp_path):
+    """Counter-case: the boilerplate at the SAME offset in both docs
+    — every shared window recurs at its own phase, so same-phase
+    mass equals phase-free mass and grid_miss_ppm is 0."""
+    import uuid
+
+    k = 10
+    boiler = " ".join(f"bp{i}" for i in range(30))
+    rows = [
+        (1, boiler + " " + " ".join(uuid.uuid4().hex for _ in range(15)), "en", "s0", 1),
+        (2, boiler + " " + " ".join(uuid.uuid4().hex for _ in range(15)), "en", "s0", 1),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    audit = dedup.substring_phase_audit(spark, d, k=k, sample_pct=100).collect()
+    assert sum(r.n_dup_any for r in audit) == 42
+    assert sum(r.n_dup_same_phase for r in audit) == 42
+    assert all((r.grid_miss_ppm or 0) == 0 for r in audit)
+    # and the fixed grid does remove the aligned boilerplate blocks
+    grid = dedup.dedup_exact_substrings(spark, d, block_tokens=k).collect()
+    assert sum(r.n_dup_blocks for r in grid) == 3  # 30 tokens / k per dup doc
