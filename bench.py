@@ -153,9 +153,13 @@ HEADLINE = [
     "dedup_exact_substrings",
     "token_dedup_savings",
     # r5: SLA MoM reporting mart (composes the A9 subtree — watch for
-    # a replanned double mart scan) + the sampled stride-1 phase audit
+    # a replanned double mart scan), the sampled stride-1 phase audit,
+    # and the packing/cluster/filter-bias accounting marts
     "gold_sla_mom",
     "substring_phase_audit",
+    "pack_efficiency",
+    "dedup_cluster_size_profile",
+    "quality_length_bias",
 ]
 
 

@@ -72,6 +72,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataF
     )
 
 
+def pack_efficiency(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """C96 (r5): packing-efficiency accounting over ``pack_sequences``
+    — per source: bin count, capacity fill in exact ppm, and the
+    overfull/underfull bin split plus the worst bin. The number a
+    training-loader owner reads before changing the token budget:
+    fill_ppm near 1e6 with few overfull bins means the contiguous
+    fill is tight; a heavy overfull tail means long documents
+    straddle bins and the budget (or a length-bucketed packer,
+    C79 length_bucketed_batches) needs revisiting. One extra
+    per-source aggregate over the bin manifest — the corpus-scale
+    work is pack_sequences' own single window pass.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    bins = pack_sequences(spark, sf_dir, budget=budget)
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum((F.col("total_tokens") > budget).cast("long")).alias("n_overfull_bins"),
+            F.sum((F.col("total_tokens") < budget).cast("long")).alias("n_underfull_bins"),
+            F.max("total_tokens").alias("max_bin_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_bins AS BIGINT) AS n_bins",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(total_tokens AS BIGINT) AS total_tokens",
+            "CAST(n_overfull_bins AS BIGINT) AS n_overfull_bins",
+            "CAST(n_underfull_bins AS BIGINT) AS n_underfull_bins",
+            "CAST(max_bin_tokens AS BIGINT) AS max_bin_tokens",
+            # fill vs nominal capacity; may exceed 1e6 (overfull bins
+            # hold the spill by design) — still exact BIGINT
+            f"CAST({_ppm('total_tokens', f'(n_bins * {budget})')} AS BIGINT) AS fill_ppm",
+        )
+    )
+
+
 def decontaminate_ngram(
     spark: SparkSession, sf_dir: str, n: int = 3, benchmark_mod: int = 100
 ) -> DataFrame:

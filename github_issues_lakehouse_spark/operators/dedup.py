@@ -341,6 +341,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97 (r5): near-dup cluster SIZE distribution over the
+    connected components (``dedup_clusters``): per cluster size s,
+    how many clusters and how many documents sit in size-s clusters,
+    with each size's share of all clustered docs in exact ppm. The
+    shape a dedup-policy owner reads first — a fat tail of giant
+    clusters means boilerplate families the keep-one policy will
+    collapse hard; all-pairs sizes means near-misses. Output is
+    bounded by the number of DISTINCT sizes (<= sqrt(2 * clustered
+    docs)); the corpus-scale work is the clustering itself, this
+    adds two map-side-combinable aggregates.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
+    tot = sizes.agg(F.sum("s").alias("n_clustered"))
+    return (
+        sizes.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .join(F.broadcast(tot))
+        .selectExpr(
+            "CAST(s AS BIGINT) AS cluster_size",
+            "CAST(n_clusters AS BIGINT) AS n_clusters",
+            "CAST(s * n_clusters AS BIGINT) AS n_docs",
+            f"CAST({_ppm('(s * n_clusters)', 'n_clustered')} AS BIGINT) AS docs_share_ppm",
+        )
+    )
+
+
 def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup decision: MinHash candidate pairs ->
     connected components -> keep the highest-quality document per

@@ -144,6 +144,54 @@ def training_corpus_filter(
     )
 
 
+def quality_length_bias(
+    spark: SparkSession, sf_dir: str, bucket_tokens: int = 8, min_quality: float = 0.8
+) -> DataFrame:
+    """C98 (r5): selection-bias audit for the training-corpus gate —
+    per token-length bucket: document count, how many survive
+    ``training_corpus_filter``, the keep rate in exact ppm, and the
+    bucket's mean quality score in e6 integer units. The standard
+    "is the filter quietly deleting all long documents" check run
+    before shipping a filtered corpus: keep_ppm collapsing past some
+    bucket is length bias, not quality signal.
+
+    Exactness: quality_score is 6dp-rounded on both engines, so
+    ``round(score * 1e6)`` is an exact integer per doc; bucket sums
+    and the DIV mean are then pure BIGINT — no float aggregation
+    order can flip the hash. One feature pass over documents + the
+    gate's own composition; the bucket rollup is map-side.
+    """
+    from ..functions import textfns as X
+
+    t = F.col("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.whitespace_token_count(t).cast("long").alias("n_tokens"),
+        F.round(r6(X.quality_score(t)) * 1_000_000).cast("long").alias("q_e6"),
+    )
+    kept = training_corpus_filter(spark, sf_dir, min_quality=min_quality).select(
+        "doc_id", F.lit(1).alias("kept")
+    )
+    from ..functions.exact import ppm_expr as _ppm
+
+    return (
+        d.join(kept, "doc_id", "left")
+        .groupBy(F.floor(F.col("n_tokens") / bucket_tokens).alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("kept"), F.lit(0)).alias("n_kept"),
+            F.sum("q_e6").alias("q_sum"),
+        )
+        .selectExpr(
+            "CAST(len_bucket AS BIGINT) AS len_bucket",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+            f"CAST({_ppm('n_kept', 'n_docs')} AS BIGINT) AS keep_ppm",
+            "CAST(q_sum DIV n_docs AS BIGINT) AS mean_quality_e6",
+        )
+    )
+
+
 def holdout_split(
     spark: SparkSession, sf_dir: str, val_permille: int = 10, test_permille: int = 10
 ) -> DataFrame:

@@ -517,9 +517,13 @@ _DRIVER_PRIORITY_R5 = [
     "filtered_agg_orders",
     "revenue_concentration",
     # new this round: SLA month-over-month mart (VERDICT r4 task 5) +
-    # grid phase-coverage audit for the substring dedup (task 6)
+    # grid phase-coverage audit for the substring dedup (task 6) +
+    # packing/cluster/filter-bias accounting marts
     "gold_sla_mom",
     "substring_phase_audit",
+    "pack_efficiency",
+    "dedup_cluster_size_profile",
+    "quality_length_bias",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -595,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_cluster_size_profile": dedup.dedup_cluster_size_profile,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
@@ -611,8 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": V2.quantize_embeddings,
         "sample_stratified": scale.sample_stratified,
         "training_corpus_filter": scale.training_corpus_filter,
+        "quality_length_bias": scale.quality_length_bias,
         "chunk_documents": chunking.chunk_documents,
         "pack_sequences": chunking.pack_sequences,
+        "pack_efficiency": chunking.pack_efficiency,
         "decontaminate_ngram": chunking.decontaminate_ngram,
         "decontaminate_bloom": chunking.decontaminate_bloom,
         "dsir_importance_weights": text2.dsir_importance_weights,
@@ -1679,21 +1686,10 @@ SELECT vec_id, round(scale, 6) AS scale,
 FROM q
 """,
         "chunk_documents": _chunk_oracle(),
-        "pack_sequences": """
-WITH d AS (
-  SELECT doc_id, source,
-         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
-  FROM documents
-), c AS (
-  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-  FROM d
-)
-SELECT source, CAST(floor(before / 256) AS BIGINT) AS bin,
-  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
-FROM c GROUP BY 1, 2
-""",
+        "pack_sequences": _pack_oracle(),
+        "pack_efficiency": _pack_efficiency_oracle(),
+        "dedup_cluster_size_profile": _cluster_size_profile_oracle(),
+        "quality_length_bias": _quality_length_bias_oracle(),
         "decontaminate_ngram": _decontaminate_oracle(),
         "decontaminate_bloom": _decontaminate_bloom_oracle(),
         "contamination_attribution": _contamination_attribution_oracle(),
@@ -3352,6 +3348,75 @@ SELECT w.doc_id, w.source,
   md5(trim(concat(coalesce(p.kept_text, ''), ' ',
       array_to_string(w.t[w.nb*{k}+1 : w.n_toks], ' ')))) AS cleaned_fingerprint
 FROM withn w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _pack_oracle(budget: int = 256) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+)
+SELECT source, CAST(floor(before / {budget}) AS BIGINT) AS bin,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM c GROUP BY 1, 2
+"""
+
+
+def _pack_efficiency_oracle(budget: int = 256) -> str:
+    return f"""
+WITH bins AS ({_pack_oracle(budget)})
+SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN total_tokens > {budget} THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull_bins,
+  CAST(sum(CASE WHEN total_tokens < {budget} THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull_bins,
+  CAST(max(total_tokens) AS BIGINT) AS max_bin_tokens,
+  CAST({_ppm_sql('sum(total_tokens)', f'(count(*) * {budget})')} AS BIGINT) AS fill_ppm
+FROM bins GROUP BY 1
+"""
+
+
+def _cluster_size_profile_oracle() -> str:
+    return f"""
+WITH sizes AS (
+  SELECT cluster_id, count(*) AS s
+  FROM ({_clusters_oracle()}) labels GROUP BY 1
+),
+tot AS (SELECT sum(s) AS n_clustered FROM sizes),
+prof AS (SELECT s, count(*) AS n_clusters FROM sizes GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+  CAST(n_clusters AS BIGINT) AS n_clusters,
+  CAST(s * n_clusters AS BIGINT) AS n_docs,
+  CAST({_ppm_sql('(s * n_clusters)', 'n_clustered')} AS BIGINT) AS docs_share_ppm
+FROM prof CROSS JOIN tot
+"""
+
+
+def _quality_length_bias_oracle(bucket_tokens: int = 8, min_quality: float = 0.8) -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id, n_tokens,
+    CAST(round(quality_score * 1000000) AS BIGINT) AS q_e6
+  FROM ({_quality_oracle()}) qq
+),
+kept AS (SELECT doc_id, 1 AS kept FROM ({_corpus_filter_oracle(min_quality)}) cf),
+agg AS (
+  SELECT CAST(floor(q.n_tokens / {bucket_tokens}) AS BIGINT) AS len_bucket,
+    count(*) AS n_docs, coalesce(sum(kept), 0) AS n_kept, sum(q_e6) AS q_sum
+  FROM q LEFT JOIN kept USING (doc_id) GROUP BY 1
+)
+SELECT len_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  CAST({_ppm_sql('n_kept', 'n_docs')} AS BIGINT) AS keep_ppm,
+  CAST(q_sum // n_docs AS BIGINT) AS mean_quality_e6
+FROM agg
 """
 
 

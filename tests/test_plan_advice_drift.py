@@ -45,6 +45,10 @@ def _kind(warning: str) -> str:
 
 
 def test_plan_advice_snapshot(spark):
+    # cached subtrees registered by earlier tests in the same session
+    # (persist() inside operators) change exchange counts — fingerprint
+    # the UNCACHED plans so the snapshot is order-independent
+    spark.catalog.clearCache()
     got = {}
     for name, fn in Q.queries().items():
         kinds = sorted({_kind(w) for w in advise(fn(spark, SF_DIR))})
