@@ -160,6 +160,7 @@ HEADLINE = [
     "pack_efficiency",
     "dedup_cluster_size_profile",
     "quality_length_bias",
+    "minhash_calibration",
 ]
 
 

@@ -116,41 +116,20 @@ def minhash_signature_from(sh: "F.Column", num_hashes: int):
     )
 
 
-def dedup_minhash_lsh(
+def minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
     num_hashes: int = 12,
     bands: int = 4,
-    threshold: float = 0.5,
     bucket_cap: int = 200,
     docs: DataFrame | None = None,
-) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs, verified by exact
-    shingle Jaccard >= threshold. ``docs`` overrides the documents
-    table (tests inject skewed corpora).
-
-    Pipeline (each stage linear, no O(n^2)):
-    1. one pass materializes shingles + signature per doc
-       (repartitioned first: a single small parquet file would
-       otherwise put the whole hash pass on one core — and at 100 TB
-       the same repartition spreads skewed file splits);
-    2. explode bands -> self-equi-join on (band_id, band_key)
-       carrying ONLY doc ids (narrow shuffle rows — shingle arrays
-       would multiply shuffle bytes by the band count);
-    3. distinct candidate pairs join the shingle sets back for exact
-       Jaccard verification on candidates only.
-
-    Skew guard: a band bucket holding more than ``bucket_cap`` docs
-    (degenerate boilerplate collapsing to one band key) would emit
-    O(bucket²) candidate pairs; those buckets are DROPPED before the
-    self-join. The bucket size is a window count partitioned by the
-    SAME key the self-join shuffles on, so the cap rides the exchange
-    the join needs anyway — one linear plan, no second aggregate
-    branch (a groupBy+anti-join guard re-ran the whole signature pass
-    per AQE query stage and doubled wall time, measured at sf0.1).
-    The cap only reduces candidate recall — verification stays exact
-    — and the oracle applies the identical cap, so results match at
-    any setting. bucket_cap <= 0 disables the guard.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage of the MinHash-LSH family (extracted
+    verbatim from ``dedup_minhash_lsh`` for reuse by the calibration
+    audit): returns ``(with_sig, cand)`` — the persisted per-doc
+    (doc_id, distinct shingles, signature) table and the distinct
+    banded candidate pairs after the ``bucket_cap`` skew guard. See
+    ``dedup_minhash_lsh`` for the stagewise scale argument.
     """
     from pyspark.sql import Window
 
@@ -202,6 +181,49 @@ def dedup_minhash_lsh(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    return with_sig, cand
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int = 200,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified by exact
+    shingle Jaccard >= threshold. ``docs`` overrides the documents
+    table (tests inject skewed corpora).
+
+    Pipeline (each stage linear, no O(n^2)):
+    1. one pass materializes shingles + signature per doc
+       (repartitioned first: a single small parquet file would
+       otherwise put the whole hash pass on one core — and at 100 TB
+       the same repartition spreads skewed file splits);
+    2. explode bands -> self-equi-join on (band_id, band_key)
+       carrying ONLY doc ids (narrow shuffle rows — shingle arrays
+       would multiply shuffle bytes by the band count);
+    3. distinct candidate pairs join the shingle sets back for exact
+       Jaccard verification on candidates only.
+
+    Skew guard: a band bucket holding more than ``bucket_cap`` docs
+    (degenerate boilerplate collapsing to one band key) would emit
+    O(bucket²) candidate pairs; those buckets are DROPPED before the
+    self-join. The bucket size is a window count partitioned by the
+    SAME key the self-join shuffles on, so the cap rides the exchange
+    the join needs anyway — one linear plan, no second aggregate
+    branch (a groupBy+anti-join guard re-ran the whole signature pass
+    per AQE query stage and doubled wall time, measured at sf0.1).
+    The cap only reduces candidate recall — verification stays exact
+    — and the oracle applies the identical cap, so results match at
+    any setting. bucket_cap <= 0 disables the guard.
+    """
+    with_sig, cand = minhash_candidates(
+        spark, sf_dir, num_hashes=num_hashes, bands=bands,
+        bucket_cap=bucket_cap, docs=docs,
     )
     sets = with_sig.select("doc_id", "shd")
     sa = sets.alias("sa")
@@ -339,6 +361,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def minhash_calibration(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """C99 (r5): MinHash estimator calibration over the LSH candidate
+    pairs — per exact-Jaccard decile, how far the signature-agreement
+    estimate (matches/num_hashes) sits from the exact shingle Jaccard.
+    The audit that justifies a signature budget: widening error bands
+    in the decile you band at means num_hashes is too small for the
+    threshold, BEFORE recall quietly sags (lsh_recall_vs_exact then
+    measures the sag itself — this mart explains it).
+
+    Cost rides the SAME candidate stage as dedup_minhash_lsh (shared
+    ``minhash_candidates``, bucket_cap guard included), so the audit
+    is exactly as scalable as the dedup it audits — the only
+    additions are a zip_with signature compare and the per-pair exact
+    Jaccard the verify stage computes anyway. All outputs are exact
+    BIGINT (ppm via the two-level split; DIV means), so no float
+    aggregation order can flip the hash.
+    """
+    with_sig, cand = minhash_candidates(
+        spark, sf_dir, num_hashes=num_hashes, bands=bands, bucket_cap=bucket_cap
+    )
+    sa = with_sig.alias("sa")
+    sb = with_sig.alias("sb")
+    inter = F.array_size(F.array_intersect(F.col("sa.shd"), F.col("sb.shd")))
+    uni = F.array_size(F.array_union(F.col("sa.shd"), F.col("sb.shd")))
+    matches = F.array_size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    pairs = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            inter.alias("i"),
+            uni.alias("u"),
+            matches.cast("long").alias("m"),
+        )
+        .selectExpr(
+            f"CAST({_ppm('i', 'u')} AS BIGINT) AS exact_ppm",
+            f"CAST({_ppm('m', str(num_hashes))} AS BIGINT) AS est_ppm",
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("exact_ppm") / 100_000), F.lit(9))
+            .cast("long")
+            .alias("exact_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.abs(F.col("est_ppm") - F.col("exact_ppm"))).alias("err_sum"),
+            F.sum("est_ppm").alias("est_sum"),
+            F.sum("exact_ppm").alias("exact_sum"),
+        )
+        .selectExpr(
+            "exact_decile",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(err_sum DIV n_pairs AS BIGINT) AS mean_abs_err_ppm",
+            "CAST(est_sum DIV n_pairs AS BIGINT) AS mean_est_ppm",
+            "CAST(exact_sum DIV n_pairs AS BIGINT) AS mean_exact_ppm",
+        )
+    )
 
 
 def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -524,6 +524,7 @@ _DRIVER_PRIORITY_R5 = [
     "pack_efficiency",
     "dedup_cluster_size_profile",
     "quality_length_bias",
+    "minhash_calibration",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -600,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_cluster_size_profile": dedup.dedup_cluster_size_profile,
+        "minhash_calibration": dedup.minhash_calibration,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
@@ -1690,6 +1692,7 @@ FROM q
         "pack_efficiency": _pack_efficiency_oracle(),
         "dedup_cluster_size_profile": _cluster_size_profile_oracle(),
         "quality_length_bias": _quality_length_bias_oracle(),
+        "minhash_calibration": _minhash_calibration_oracle(),
         "decontaminate_ngram": _decontaminate_oracle(),
         "decontaminate_bloom": _decontaminate_bloom_oracle(),
         "contamination_attribution": _contamination_attribution_oracle(),
@@ -2922,19 +2925,21 @@ shing AS (
 )"""
 
 
-def _minhash_oracle(
+def _minhash_cand_ctes(
     num_hashes: int = 12,
     bands: int = 4,
-    threshold: float = 0.5,
     bucket_cap: int = 200,
     source: str = "documents",
 ) -> str:
-    # bucket_cap mirrors the Spark operator's skew guard exactly: band
-    # buckets larger than the cap generate no candidates (same bucket
-    # => same count, so constraining side a suffices)
+    """Shared CTE prefix of the MinHash family oracles (shingles ->
+    signatures -> capped banding -> candidate pairs + shingle-set
+    sizes + intersections) — one source of truth for the candidate
+    stage, used by both the dedup oracle and the calibration audit.
+    bucket_cap mirrors the Spark operator's skew guard exactly: band
+    buckets larger than the cap generate no candidates (same bucket
+    => same count, so constraining side a suffices)."""
     rows = num_hashes // bands
-    return f"""
-WITH {_shingle_cte(3, source=source)},
+    return f"""{_shingle_cte(3, source=source)},
 sd AS (SELECT DISTINCT doc_id, s FROM shing),
 seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
 sig AS (
@@ -2967,7 +2972,18 @@ inter AS (
   JOIN sd sa ON sa.doc_id = c.doc_a
   JOIN sd sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_oracle(
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int = 200,
+    source: str = "documents",
+) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands, bucket_cap, source)}
 SELECT c.doc_a, c.doc_b,
   round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
 FROM cand c
@@ -2975,6 +2991,38 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) >= {threshold}
+"""
+
+
+def _minhash_calibration_oracle(
+    num_hashes: int = 12, bands: int = 4, bucket_cap: int = 200
+) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands, bucket_cap)},
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b AND y.j = x.j
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT
+    CAST({_ppm_sql('coalesce(i.n_inter, 0)', '(za.sz + zb.sz - coalesce(i.n_inter, 0))')} AS BIGINT) AS exact_ppm,
+    CAST({_ppm_sql('a.m', str(num_hashes))} AS BIGINT) AS est_ppm
+  FROM cand c
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  JOIN agree a ON a.doc_a = c.doc_a AND a.doc_b = c.doc_b
+)
+SELECT CAST(least(exact_ppm // 100000, 9) AS BIGINT) AS exact_decile,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(abs(est_ppm - exact_ppm)) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+  CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+  CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm
+FROM pairs GROUP BY 1
 """
 
 

@@ -94,3 +94,42 @@ def test_quality_length_bias_partitions_the_corpus(spark):
         assert 0 <= r.n_kept <= r.n_docs
         assert 0 <= r.keep_ppm <= 1_000_000
         assert 0 <= r.mean_quality_e6 <= 1_000_000
+
+
+def test_minhash_calibration_invariants(spark):
+    from github_issues_lakehouse_spark.operators.dedup import minhash_calibration
+
+    rows = minhash_calibration(spark, SF_DIR).collect()
+    assert rows and all(0 <= r.exact_decile <= 9 for r in rows)
+    for r in rows:
+        assert r.n_pairs > 0
+        assert 0 <= r.mean_est_ppm <= 1_000_000
+        assert 0 <= r.mean_exact_ppm <= 1_000_000
+        # floor-mean triangle inequality (±1 for the two independent floors)
+        assert abs(r.mean_est_ppm - r.mean_exact_ppm) <= r.mean_abs_err_ppm + 1
+        # decile consistency: the mean exact jaccard sits in its decile
+        lo = r.exact_decile * 100_000
+        hi = 1_000_000 if r.exact_decile == 9 else lo + 100_000
+        assert lo <= r.mean_exact_ppm <= hi
+
+
+def test_minhash_calibration_identical_docs_are_exact(spark, tmp_path):
+    """A pair of identical documents must land in decile 9 with both
+    estimator and exact at 1e6 and zero error — the estimator is
+    exact at Jaccard 1 by construction (identical shingle sets give
+    identical signatures)."""
+    d = str(tmp_path / "sf")
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, text, "en", "s0", 1), (2, text, "en", "s0", 1),
+         (3, "totally different content about query engines and shuffles", "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    from github_issues_lakehouse_spark.operators.dedup import minhash_calibration
+
+    rows = {r.exact_decile: r for r in minhash_calibration(spark, d).collect()}
+    assert set(rows) == {9}
+    assert rows[9].n_pairs == 1
+    assert rows[9].mean_est_ppm == 1_000_000
+    assert rows[9].mean_exact_ppm == 1_000_000
+    assert rows[9].mean_abs_err_ppm == 0
