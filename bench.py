@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_cluster_size_profile",
     "quality_length_bias",
     "minhash_calibration",
+    "media_dedup_stats",
 ]
 
 

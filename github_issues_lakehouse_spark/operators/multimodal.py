@@ -357,6 +357,49 @@ def audio_features(
     return pruned.mapInPandas(window_batches, schema=AUDIO_SCHEMA)
 
 
+def media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C100 (r5): exact payload-level media dedup accounting — per
+    kind, how many media rows share a byte-identical payload
+    (md5 over the opaque binary column) and the storage the dedup
+    would reclaim, in exact ppm. The first number a multimodal
+    corpus build reports: encoded media duplicates at the BYTE level
+    long before any decoder runs (mirrored uploads, re-crawls), and
+    hashing the payload column needs no decode at all — so this
+    pass runs at full corpus scale even where decode is gated.
+    Plan: one map-side md5 projection, two combinable aggregates;
+    payload bytes never leave the executor (only the 32-char hash
+    shuffles).
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    m = synth_media(spark, sf_dir)
+    per = m.groupBy("kind", F.md5("payload").alias("h")).agg(
+        F.count(F.lit(1)).alias("c"),
+        # byte-identical payloads have identical sizes; min() keeps
+        # the aggregate deterministic
+        F.min("n_bytes").alias("nb"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.sum("c").alias("n_media"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("c") - 1).alias("n_dup"),
+            F.sum(F.col("c") * F.col("nb")).alias("bytes_total"),
+            F.sum((F.col("c") - 1) * F.col("nb")).alias("bytes_dup"),
+        )
+        .selectExpr(
+            "kind",
+            "CAST(n_media AS BIGINT) AS n_media",
+            "CAST(n_unique AS BIGINT) AS n_unique",
+            "CAST(n_dup AS BIGINT) AS n_dup",
+            "CAST(bytes_total AS BIGINT) AS bytes_total",
+            "CAST(bytes_dup AS BIGINT) AS bytes_dup",
+            f"CAST({_ppm('bytes_dup', 'bytes_total')} AS BIGINT) AS savings_ppm",
+        )
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata + extracted-feature mart over the synthetic media
     table (rows-only correctness: stub decode is engine-specific)."""

@@ -525,6 +525,7 @@ _DRIVER_PRIORITY_R5 = [
     "dedup_cluster_size_profile",
     "quality_length_bias",
     "minhash_calibration",
+    "media_dedup_stats",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -627,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": text2.dsir_importance_weights,
         "unigram_perplexity": text2.unigram_perplexity,
         "multimodal_meta": multimodal.multimodal_meta,
+        "media_dedup_stats": multimodal.media_dedup_stats,
         "frame_sample": multimodal.frame_sample,
         # C-suite additions (r2): PII scrubbing, ANN quality, vocab /
         # mixture / dedup-rate marts
@@ -1766,6 +1768,7 @@ FROM orders GROUP BY 1
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "multimodal_meta": _multimodal_oracle(),
+        "media_dedup_stats": _media_dedup_oracle(),
         "frame_sample": """
 WITH m AS (
   SELECT doc_id AS media_id, text, md5(text) AS fh
@@ -3283,6 +3286,24 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+def _media_dedup_oracle() -> str:
+    return f"""
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    md5(text) AS h, strlen(text) AS nb
+  FROM documents
+),
+per AS (SELECT kind, h, count(*) AS c, min(nb) AS nb FROM m GROUP BY 1, 2)
+SELECT kind, CAST(sum(c) AS BIGINT) AS n_media,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(c - 1) AS BIGINT) AS n_dup,
+  CAST(sum(c * nb) AS BIGINT) AS bytes_total,
+  CAST(sum((c - 1) * nb) AS BIGINT) AS bytes_dup,
+  CAST({_ppm_sql('sum((c - 1) * nb)', 'sum(c * nb)')} AS BIGINT) AS savings_ppm
+FROM per GROUP BY 1
 """
 
 
