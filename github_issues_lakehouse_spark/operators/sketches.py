@@ -219,3 +219,96 @@ def cms_term_counts(
         F.col("n_cms").cast("long").alias("n_cms"),
         (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
     ).orderBy("rank")
+
+
+def source_term_counts(docs: DataFrame) -> DataFrame:
+    """Exact per-(source, term) token counts — the raw delta the
+    heavy-hitter summary folds (one explode + one map-side-combinable
+    aggregate; the vocabulary, not the corpus, crosses the shuffle)."""
+    return (
+        docs.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def heavy_hitters_merge(
+    existing: DataFrame | None, batch_df: DataFrame, m: int = 256
+) -> DataFrame:
+    """Mergeable SpaceSaving-style heavy-hitter summary (Agarwal et
+    al. 2012, "Mergeable Summaries", public paper): per source, at
+    most ``m`` (term, cnt) rows plus a per-source error ``floor_cnt``
+    (replicated on every row). Merge rule:
+
+    - a term absent from the stored summary inherits ``floor_cnt``
+      (the count it COULD have held before being evicted — the
+      SpaceSaving overestimate), then adds the batch's exact count;
+    - keep the top ``m`` per source by (cnt desc, term asc);
+    - the new floor is max(old floor, the largest dropped cnt).
+
+    Invariants (both tested): ``cnt >= true count`` (eviction never
+    loses mass — re-entry inherits at least what was dropped) and
+    ``cnt <= true count + floor_cnt``. With per-source vocabulary
+    <= m the floor stays 0 and counts are EXACT. The merge is one
+    full-outer join of two vocabulary-sized aggregates + one
+    bounded window — never a corpus rescan.
+    """
+    from pyspark.sql import Window
+
+    delta = source_term_counts(batch_df)
+    if existing is None:
+        merged = delta.withColumn("old_floor", F.lit(0).cast("long"))
+    else:
+        ex = existing.select(
+            F.col("source").alias("s_a"),
+            F.col("term").alias("t_a"),
+            F.col("cnt").alias("cnt_a"),
+            F.col("floor_cnt").alias("floor_a"),
+        )
+        floors = existing.groupBy(F.col("source").alias("s_f")).agg(
+            F.max("floor_cnt").alias("floor_src")
+        )
+        merged = (
+            delta.join(
+                ex,
+                (F.col("source") == F.col("s_a")) & (F.col("term") == F.col("t_a")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce("source", "s_a").alias("source"),
+                F.coalesce("term", "t_a").alias("term"),
+                F.coalesce("cnt", F.lit(0)).alias("cnt_b"),
+                F.col("cnt_a"),
+            )
+            .join(floors, F.col("source") == F.col("s_f"), "left")
+            .select(
+                "source",
+                "term",
+                (
+                    F.coalesce(
+                        "cnt_a", F.coalesce("floor_src", F.lit(0))
+                    )
+                    + F.col("cnt_b")
+                ).cast("long").alias("cnt"),
+                F.coalesce("floor_src", F.lit(0)).alias("old_floor"),
+            )
+        )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = merged.withColumn("rk", F.row_number().over(w))
+    dropped = (
+        ranked.filter(F.col("rk") > m)
+        .groupBy("source")
+        .agg(F.max("cnt").alias("max_dropped"))
+    )
+    return (
+        ranked.filter(F.col("rk") <= m)
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "term",
+            "cnt",
+            F.greatest(F.col("old_floor"), F.coalesce("max_dropped", F.lit(0)))
+            .cast("long")
+            .alias("floor_cnt"),
+        )
+    )

@@ -499,6 +499,38 @@ def stream_kmv_maintenance(docs: DataFrame, path: str, checkpoint: str, k: int =
     )
 
 
+def stream_topk_terms_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, m: int = 256
+):
+    """D21 (r5): streaming heavy-hitter (top-m terms per source)
+    maintenance — each micro-batch's exact vocabulary counts fold
+    into the stored SpaceSaving-style summary
+    (``sketches.heavy_hitters_merge``: absent stored terms inherit
+    the per-source error floor, top-m survive, the floor ratchets to
+    the largest dropped count), under the same exactly-once
+    versioned-commit protocol as the daily mart. The drained state
+    satisfies the mergeable-summaries guarantee
+    ``true <= cnt <= true + floor_cnt`` per retained term, and is
+    EXACT (floor 0) whenever the per-source vocabulary fits in m —
+    the bounded frequent-terms state a 100 TB ingest keeps per
+    stream without ever rescanning history. Read with read_mart.
+    Returns the started query."""
+    from ..operators.sketches import heavy_hitters_merge
+
+    def merge(existing, batch_df):
+        return heavy_hitters_merge(existing, batch_df, m=m)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EWMA_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -679,3 +679,72 @@ def test_stream_block_index_equals_batch_any_order(spark, tmp_path):
         for r in block_first_index(docs).collect()
     }
     assert got == expect
+
+
+def test_stream_topk_terms_exact_when_vocab_fits(spark, tmp_path):
+    """D21: with m larger than any per-source vocabulary the floor
+    stays 0 and the drained summary is EXACTLY the batch term
+    counts, regardless of batch boundaries."""
+    from github_issues_lakehouse_spark.operators.sketches import source_term_counts
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_topk_terms_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "hh.parquet")
+    q = stream_topk_terms_maintenance(stream, path, str(tmp_path / "ck"), m=100_000)
+    q.awaitTermination(180)
+
+    got = {(r.source, r.term): r for r in read_mart(spark, path).collect()}
+    want = {(r.source, r.term): r.cnt for r in source_term_counts(docs).collect()}
+    assert set(got) == set(want)
+    assert all(r.floor_cnt == 0 for r in got.values())
+    for k, cnt in want.items():
+        assert got[k].cnt == cnt, k
+
+
+def test_stream_topk_terms_spacesaving_bounds(spark, tmp_path):
+    """D21 under pressure: a tiny m forces evictions across batches;
+    the mergeable-summaries guarantee must hold for every retained
+    term — true <= cnt <= true + floor_cnt — and the floor must be
+    positive (something was dropped)."""
+    from github_issues_lakehouse_spark.operators.sketches import source_term_counts
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_topk_terms_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "hh.parquet")
+    q = stream_topk_terms_maintenance(stream, path, str(tmp_path / "ck"), m=20)
+    q.awaitTermination(180)
+
+    state = read_mart(spark, path).collect()
+    truth = {(r.source, r.term): r.cnt for r in source_term_counts(docs).collect()}
+    assert state
+    by_src = {}
+    for r in state:
+        by_src.setdefault(r.source, []).append(r)
+    assert any(r.floor_cnt > 0 for r in state)
+    for source, rows in by_src.items():
+        assert len(rows) <= 20
+        for r in rows:
+            true = truth.get((source, r.term), 0)
+            assert true <= r.cnt <= true + r.floor_cnt, (source, r.term)
