@@ -162,6 +162,7 @@ HEADLINE = [
     "quality_length_bias",
     "minhash_calibration",
     "media_dedup_stats",
+    "user_growth_accounting",
 ]
 
 

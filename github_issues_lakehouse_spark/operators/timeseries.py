@@ -245,3 +245,73 @@ def user_churn_flags(
             (idle_secs > churn_days * 86400).alias("is_churned"),
         )
     )
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B96 (r5): daily growth accounting — the canonical product
+    decomposition of the active-user curve: per day, how many active
+    users are NEW (first day ever), RETAINED (active the previous
+    day), or RESURRECTED (active before, but not yesterday), plus
+    how many CHURNED into the day (active yesterday, absent today).
+    By construction n_active = n_new + n_retained + n_resurrected,
+    and consecutive days obey n_active(d) = n_active(d-1)
+    - n_churned(d) + n_new(d) + n_resurrected(d) — the identities
+    the tests pin.
+
+    One distinct per (user, day), ONE user-partitioned lag/lead
+    window (pinned — both the status and the churn branch read it,
+    and unpinned each consumer replans the distinct+window subtree:
+    the customer_rfm lesson), then the status rows and the
+    day-shifted churn contributions UNION into a single day-grain
+    conditional aggregate — no day-to-day join at all. The corpus is
+    touched once; everything after the distinct is user- or
+    day-grain. Churn on the corpus' final active day is undefined
+    (no next day observed) and not emitted.
+    """
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    horizon = act.agg(F.max("d").alias("last_d"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = act.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    ).localCheckpoint(eager=False)
+    status = F.when(F.col("prev_d").isNull(), "new").when(
+        F.datediff("d", "prev_d") == 1, "retained"
+    ).otherwise("resurrected")
+    actives = flagged.select(
+        F.col("d"),
+        F.lit(1).alias("active"),
+        (status == "new").cast("long").alias("is_new"),
+        (status == "retained").cast("long").alias("is_ret"),
+        (status == "resurrected").cast("long").alias("is_res"),
+        F.lit(0).alias("is_churn"),
+    )
+    churns = (
+        flagged.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("d") < F.col("last_d"))
+            & (F.col("next_d").isNull() | (F.datediff("next_d", "d") > 1))
+        )
+        .select(
+            F.date_add("d", 1).alias("d"),
+            F.lit(0).alias("active"),
+            F.lit(0).cast("long").alias("is_new"),
+            F.lit(0).cast("long").alias("is_ret"),
+            F.lit(0).cast("long").alias("is_res"),
+            F.lit(1).alias("is_churn"),
+        )
+    )
+    return (
+        actives.unionByName(churns)
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("active").cast("long").alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("is_ret").cast("long").alias("n_retained"),
+            F.sum("is_res").cast("long").alias("n_resurrected"),
+            F.sum("is_churn").cast("long").alias("n_churned"),
+        )
+    )

@@ -526,6 +526,7 @@ _DRIVER_PRIORITY_R5 = [
     "quality_length_bias",
     "minhash_calibration",
     "media_dedup_stats",
+    "user_growth_accounting",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -756,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 ninth batch: detector eval, retention snapshot
         "lang_id_confusion": text6.lang_id_confusion,
         "user_churn_flags": timeseries.user_churn_flags,
+        "user_growth_accounting": timeseries.user_growth_accounting,
         "price_quantity_heatmap": R7.price_quantity_heatmap,
         "weekday_hour_heatmap": R7.weekday_hour_heatmap,
         # B entries fixed in r2 or lacking r1 driver evidence
@@ -1899,6 +1901,7 @@ FROM top
         "join_size_estimate": _join_estimate_oracle(),
         "lang_id_confusion": _lang_confusion_oracle(),
         "user_churn_flags": _churn_oracle(),
+        "user_growth_accounting": _growth_accounting_oracle(),
         "price_quantity_heatmap": _pq_heatmap_oracle(),
         "weekday_hour_heatmap": _wh_heatmap_oracle(),
         "length_outliers": _length_outliers_oracle(),
@@ -5054,6 +5057,38 @@ SELECT user_id, last_ts, CAST(n_events AS BIGINT) AS n_events, total_value,
   CAST(floor(epoch(h.h_ts)) - floor(epoch(last_ts)) AS BIGINT) AS idle_secs,
   (floor(epoch(h.h_ts)) - floor(epoch(last_ts)) > {churn_days} * 86400) AS is_churned
 FROM per_user CROSS JOIN h
+"""
+
+
+def _growth_accounting_oracle() -> str:
+    return """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+hz AS (SELECT max(d) AS last_d FROM act),
+flagged AS (
+  SELECT user_id, d,
+    lag(d) OVER w AS prev_d, lead(d) OVER w AS next_d
+  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY d)
+),
+per_day AS (
+  SELECT d, count(*) AS n_active,
+    sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS n_new,
+    sum(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END) AS n_retained,
+    sum(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1 THEN 1 ELSE 0 END) AS n_resurrected
+  FROM flagged GROUP BY 1
+),
+churn AS (
+  SELECT d + 1 AS d, count(*) AS n_churned
+  FROM flagged CROSS JOIN hz
+  WHERE d < last_d AND (next_d IS NULL OR next_d > d + 1)
+  GROUP BY 1
+)
+SELECT strftime(coalesce(p.d, c.d), '%Y-%m-%d') AS day,
+  CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+FROM per_day p FULL OUTER JOIN churn c ON p.d = c.d
 """
 
 

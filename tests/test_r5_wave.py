@@ -133,3 +133,34 @@ def test_minhash_calibration_identical_docs_are_exact(spark, tmp_path):
     assert rows[9].mean_est_ppm == 1_000_000
     assert rows[9].mean_exact_ppm == 1_000_000
     assert rows[9].mean_abs_err_ppm == 0
+
+
+def test_growth_accounting_identities(spark):
+    """n_active = new + retained + resurrected on every day; the
+    first day is all-new; and consecutive days conserve:
+    active(d) = active(d-1) - churned(d) + new(d) + resurrected(d)."""
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        user_growth_accounting,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    rows = sorted(
+        user_growth_accounting(spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    assert rows
+    by_day = {r.day: r for r in rows}
+    first = rows[0]
+    assert first.n_active == first.n_new and first.n_retained == 0
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == n_users
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    for prev, cur in zip(rows, rows[1:]):
+        d_prev = datetime.date.fromisoformat(prev.day)
+        d_cur = datetime.date.fromisoformat(cur.day)
+        if (d_cur - d_prev).days == 1:
+            assert cur.n_active == (
+                prev.n_active - cur.n_churned + cur.n_new + cur.n_resurrected
+            ), cur.day
