@@ -163,6 +163,15 @@ HEADLINE = [
     "minhash_calibration",
     "media_dedup_stats",
     "user_growth_accounting",
+    # r5 second wave: sketches + incremental/cluster-aware dedup marts
+    # (dedup_aware_holdout re-runs the LSH + components subtree — the
+    # heaviest new line by design; budget-watch it like neardup_keep_best)
+    "hll_distinct_terms",
+    "quantile_sketch_price",
+    "dedup_aware_holdout",
+    "dedup_against_index",
+    "neardup_against_index",
+    "token_budget_apportionment",
 ]
 
 

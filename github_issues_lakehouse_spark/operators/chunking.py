@@ -502,3 +502,60 @@ def source_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_rank").cast("long").alias("src_rank"),
         F.round((F.col("src_rank") - 0.5) / F.col("n_src"), 6).alias("interleave_key"),
     )
+
+
+def token_budget_apportionment(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = 500_000
+) -> DataFrame:
+    """C103 (r5): largest-remainder (Hamilton) apportionment of a
+    global training-token budget across sources, proportional to each
+    source's available tokens — the exact-integer answer to "we can
+    afford B tokens this run; how many come from each source?".
+    Proportional floats drift and never sum to B; the Hamilton rule
+    is pure BIGINT: base_i = floor(B * avail_i / total), then the
+    B - sum(base) leftover units go one each to the largest
+    remainders (ties broken by source name) — so sum(quota) == B is
+    a structural identity (tested), not a rounding hope.
+
+    Plan/scale: one map-side-combinable token-count aggregate over
+    documents (the only corpus-scale pass), then all apportionment
+    math happens on one row per SOURCE — window rank over dozens of
+    rows. ``checked_mul_expr`` guards the B * avail_i product against
+    silent BIGINT wraparound at extreme corpus sizes (ADVICE r4).
+    """
+    from ..functions.exact import checked_mul_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.array_size(norm_tokens(F.col("text")))).cast("long").alias("tokens_available")
+    )
+    tot = avail.agg(F.sum("tokens_available").cast("long").alias("total_tokens"))
+    prod = checked_mul_expr(str(budget_tokens), "tokens_available")
+    based = avail.join(F.broadcast(tot)).selectExpr(
+        "source",
+        "tokens_available",
+        "total_tokens",
+        f"CAST({prod} DIV total_tokens AS BIGINT) AS base_quota",
+        f"CAST({prod} % total_tokens AS BIGINT) AS remainder",
+    )
+    w_rem = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    w_all = Window.partitionBy()
+    from ..functions.exact import ppm_expr
+
+    return (
+        based.withColumn("leftover", F.lit(budget_tokens) - F.sum("base_quota").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rem))
+        .selectExpr(
+            "source",
+            "tokens_available",
+            "CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+            " AS quota_tokens",
+        )
+        .selectExpr(
+            "source",
+            "tokens_available",
+            "quota_tokens",
+            f"CAST({ppm_expr('quota_tokens', str(budget_tokens))} AS BIGINT) AS budget_share_ppm",
+        )
+        .orderBy("source")
+    )

@@ -116,6 +116,45 @@ def minhash_signature_from(sh: "F.Column", num_hashes: int):
     )
 
 
+def band_postings(sig_df: DataFrame, num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH postings from a (doc_id, sig)
+    table — the banding stage extracted so the batch candidate join
+    and the streaming postings index (D24) emit bit-identical rows.
+    The posting row is idempotent state: re-banding the same doc
+    yields the same rows, so a union+dedup merge absorbs replay."""
+    rows = num_hashes // bands
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_postings(docs_df: DataFrame, num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Banded LSH postings straight from raw documents (tokenize ->
+    shingle -> signature -> band) — the per-batch delta the streaming
+    index maintainer (D24) folds; pre-cap by design (the bucket_cap
+    skew guard is a QUERY-time policy applied by the prober, so one
+    maintained index serves any cap setting)."""
+    sigs = (
+        docs_df.withColumn("_toks", tokens())
+        .withColumn("sh", shingles_from(F.col("_toks"), 3))
+        .select("doc_id", minhash_signature_from(F.col("sh"), num_hashes).alias("sig"))
+    )
+    return band_postings(sigs, num_hashes=num_hashes, bands=bands)
+
+
 def minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -146,22 +185,7 @@ def minhash_candidates(
         minhash_signature_from(F.col("sh"), num_hashes).alias("sig"),
     ).persist()
 
-    banded = with_sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    banded = band_postings(with_sig, num_hashes=num_hashes, bands=bands)
     if bucket_cap > 0:
         wb = Window.partitionBy("band_id", "band_key")
         banded = (
@@ -327,6 +351,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     all distributed — the driver only checks the convergence count.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return components_from_pairs(pairs, max_iter=max_iter)
+
+
+def components_from_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair list — the
+    connected-components core shared by ``dedup_clusters`` and the
+    cluster-aware holdout. Returns (doc_id, cluster_id = min
+    reachable id). Each round is one shuffle join + one aggregate;
+    localCheckpoint keeps plan depth flat across iterations."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -1050,4 +1083,258 @@ def token_dedup_savings(
             F.col("tokens_removed").cast("long").alias("tokens_removed"),
             F.expr(_ppm("tokens_removed", "total_tokens")).cast("long").alias("savings_ppm"),
         )
+    )
+
+
+def _split_bucket(id_col, seed: str):
+    """Deterministic md5 permille bucket of an id — the holdout_split
+    construction with an operator-local seed stream."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(seed))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+
+def dedup_aware_holdout(
+    spark: SparkSession, sf_dir: str, test_permille: int = 200
+) -> DataFrame:
+    """C102 (r5): near-dup-aware train/test split audit. A doc-keyed
+    random split lets near-duplicate pairs straddle the boundary —
+    the classic silent eval leak (your test set contains paraphrases
+    of training docs). The cluster-keyed split buckets every document
+    by its near-dup CLUSTER root instead, so a whole duplicate family
+    lands on one side. One row per strategy: split sizes and the
+    number of verified near-dup pairs crossing the boundary —
+    structurally ZERO for the cluster strategy (tested invariant),
+    and whatever the corpus's duplication level makes it for the
+    naive one (the number this mart exists to surface).
+
+    Plan/scale: the pair list and components are the SAME capped-LSH
+    machinery as dedup_clusters (pairs computed once, pinned, reused
+    for components AND the straddle check); splits are map-side md5
+    buckets; the straddle count is two broadcast-joins of the pair
+    list against the per-doc split table. Nothing here adds a new
+    corpus-scale shuffle beyond what dedup_clusters already does.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = components_from_pairs(pairs)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rooted = (
+        d.join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("root"))
+    )
+    is_test_doc = (_split_bucket(F.col("doc_id"), "#casplit") < test_permille)
+    is_test_root = (_split_bucket(F.col("root"), "#casplit") < test_permille)
+    splits = rooted.select(
+        "doc_id",
+        is_test_doc.alias("t_doc"),
+        is_test_root.alias("t_cluster"),
+    ).localCheckpoint(eager=False)
+
+    def strategy(flag: str, name: str) -> DataFrame:
+        sizes = splits.agg(
+            F.sum(F.col(flag).cast("long")).alias("n_test"),
+            F.sum((~F.col(flag)).cast("long")).alias("n_train"),
+        )
+        a = splits.select(F.col("doc_id").alias("doc_a"), F.col(flag).alias("fa"))
+        b = splits.select(F.col("doc_id").alias("doc_b"), F.col(flag).alias("fb"))
+        cross = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("fa") != F.col("fb")).cast("long")), F.lit(0)
+                ).alias("cross_pairs")
+            )
+        )
+        return sizes.join(cross).select(
+            F.lit(name).alias("strategy"),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("cross_pairs").cast("long").alias("cross_pairs"),
+        )
+
+    return (
+        strategy("t_doc", "doc_key")
+        .unionByName(strategy("t_cluster", "cluster_key"))
+        .orderBy("strategy")
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    block_tokens: int = 10,
+    old_permille: int = 800,
+    dup_threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """C104 (r5): INCREMENTAL ingest dedup — screen a "new" batch of
+    documents against the block index built from the corpus already
+    ingested, without rescanning history. This is the batch twin of
+    the D19 streaming index maintenance: the historical state is
+    ``block_first_index`` (one bounded row per distinct k-token block
+    hash), and a new document is flagged when at least
+    ``dup_threshold_ppm`` of its grid blocks already exist in the
+    index. Corpus split old/new by a deterministic md5 permille
+    bucket so the oracle reproduces the exact same partition.
+
+    Output per new doc: grid block count, how many hit the index, the
+    hit share in exact ppm, and the admit/reject flag — the decision
+    record an ingest pipeline writes for every candidate document.
+
+    Plan/scale: the index is an equi-join target keyed on the block
+    hash (at 100 TB it lives bucketed on ``h``, maintained by D19 —
+    never rebuilt); the new batch explodes to O(tokens/k) rows and
+    semi-joins the index, so per-batch cost is proportional to the
+    BATCH, not the corpus. Sub-k-token docs have zero grid blocks and
+    are admitted (n_blocks = 0 -> hit_ppm = 0), matching the grid
+    contract documented on dedup_exact_substrings.
+    """
+    from ..functions.exact import ppm_expr
+
+    k = block_tokens
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"), "#ingest")
+    old_docs = d.filter(bucket < old_permille)
+    new_docs = d.filter(bucket >= old_permille)
+    index = block_first_index(old_docs, k).select("h")
+    new_blocks = block_hashes(new_docs, k).select("doc_id", "h")
+    hits = (
+        new_blocks.join(index.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit_blocks"),
+        )
+    )
+    return (
+        new_docs.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(coalesce(n_blocks, 0) AS BIGINT) AS n_blocks",
+            "CAST(coalesce(n_hit_blocks, 0) AS BIGINT) AS n_hit_blocks",
+            f"CAST(CASE WHEN coalesce(n_blocks, 0) = 0 THEN 0 ELSE "
+            f"{ppm_expr('coalesce(n_hit_blocks, 0)', 'coalesce(n_blocks, 1)')} END AS BIGINT)"
+            " AS hit_ppm",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_blocks",
+            "n_hit_blocks",
+            "hit_ppm",
+            f"CAST(hit_ppm >= {dup_threshold_ppm} AS BOOLEAN) AS is_dup",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def neardup_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int = 200,
+    old_permille: int = 800,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """C105 (r5): incremental NEAR-dup screening at ingest — the
+    MinHash companion of ``dedup_against_index`` (which only catches
+    byte/block-identical text). New documents (same md5 permille
+    split as C104, one coherent ingest story) probe the LSH band
+    postings of the already-ingested corpus; candidate pairs are
+    verified with EXACT shingle Jaccard, and each new doc reports its
+    best old-side match in exact ppm plus the admit/reject flag.
+
+    Output per new doc: the best-matching historical doc (ties to the
+    smallest doc_id), best exact Jaccard in ppm (NULL when no
+    candidate), and is_neardup = best >= threshold_ppm.
+
+    Plan/scale: signatures + banding ride the SAME capped candidate
+    stage as dedup_minhash_lsh (shared ``minhash_candidates``; the
+    cap bounds any hot bucket), restricted to cross-split pairs
+    BEFORE the verification join, so exact Jaccard runs only on
+    new x old candidates. At 100 TB the old side's postings are the
+    D24-maintained index (union+dedup fold — never recomputed); the
+    probe cost is proportional to the new batch, and verification
+    re-reads only the matched historical docs' shingle sets. The
+    small-SF form recomputes both sides from the table because the
+    oracle needs the whole computation in one SQL statement.
+    """
+    from ..functions.exact import ppm_expr
+
+    with_sig, cand = minhash_candidates(
+        spark, sf_dir, num_hashes=num_hashes, bands=bands, bucket_cap=bucket_cap
+    )
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id",
+        "source",
+        (_split_bucket(F.col("doc_id"), "#ingest") >= old_permille).alias("is_new"),
+    ).localCheckpoint(eager=False)
+    pairs = (
+        cand.join(
+            flags.select(F.col("doc_id").alias("doc_a"), F.col("is_new").alias("na")),
+            "doc_a",
+        )
+        .join(
+            flags.select(F.col("doc_id").alias("doc_b"), F.col("is_new").alias("nb")),
+            "doc_b",
+        )
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.when(F.col("na"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc"),
+            F.when(F.col("na"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_doc"),
+        )
+    )
+    sets = with_sig.select("doc_id", "shd")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.array_size(F.array_intersect(F.col("sa.shd"), F.col("sb.shd")))
+    uni = F.array_size(F.array_union(F.col("sa.shd"), F.col("sb.shd")))
+    scored = (
+        pairs.join(sa, F.col("new_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("old_doc") == F.col("sb.doc_id"))
+        .select(
+            "new_doc",
+            "old_doc",
+            inter.alias("n_inter"),
+            uni.alias("n_union"),
+        )
+        .selectExpr(
+            "new_doc",
+            "old_doc",
+            f"CAST({ppm_expr('n_inter', 'n_union')} AS BIGINT) AS j_ppm",
+        )
+    )
+    best = scored.groupBy("new_doc").agg(F.max("j_ppm").alias("best_jaccard_ppm"))
+    bestdoc = (
+        scored.join(best, "new_doc")
+        .filter(F.col("j_ppm") == F.col("best_jaccard_ppm"))
+        .groupBy("new_doc", "best_jaccard_ppm")
+        .agg(F.min("old_doc").alias("matched_doc_id"))
+    )
+    return (
+        flags.filter(F.col("is_new"))
+        .join(bestdoc, flags.doc_id == bestdoc.new_doc, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("matched_doc_id").cast("long").alias("matched_doc_id"),
+            F.col("best_jaccard_ppm").cast("long").alias("best_jaccard_ppm"),
+            F.coalesce(
+                F.col("best_jaccard_ppm") >= threshold_ppm, F.lit(False)
+            ).alias("is_neardup"),
+        )
+        .orderBy("doc_id")
     )

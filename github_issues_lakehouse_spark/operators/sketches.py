@@ -312,3 +312,272 @@ def heavy_hitters_merge(
             .alias("floor_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, public paper) — register-max sketch.
+# Pinned fixed-point alpha_64 = 0.7213 / (1 + 1.079/64) in e6 units: the
+# SAME literal feeds Spark and the DuckDB oracle, so the estimate is exact
+# integer arithmetic end-to-end (no transcendental evaluated at runtime).
+HLL_M = 64
+HLL_RMAX = 24
+HLL_ALPHA64_E6 = 709340
+
+# Linear-counting table for the small-range regime (V = zero registers
+# > 0 and raw estimate <= 2.5m): E_lc = m * ln(m / V), PRECOMPUTED as
+# pinned integer literals so no engine evaluates a transcendental at
+# runtime — the table is part of the operator contract, identical in
+# the Spark plan and the DuckDB oracle.
+import math as _math
+
+HLL_LC_TABLE = {v: int(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+
+
+def hll_lc_case_sql(col: str) -> str:
+    """Dialect-neutral CASE expression mapping a zero-register count
+    to its pinned linear-counting estimate (floor(m ln(m/V)))."""
+    whens = " ".join(f"WHEN {v} THEN {e}" for v, e in HLL_LC_TABLE.items())
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def hll_registers(docs: DataFrame, m: int = HLL_M, rmax: int = HLL_RMAX) -> DataFrame:
+    """(source, register, rho) — the HLL register table over the
+    distinct terms of each source. Register j = h % m; rho = 1 +
+    trailing zeros of the remaining hash bits (capped at ``rmax``),
+    computed on the binary-string rendering (``conv(w, 10, 2)`` ==
+    DuckDB ``bin(w)``, both unpadded) so the two engines share the
+    exact same bit arithmetic. The register value is max(rho) — an
+    associative, commutative, IDEMPOTENT merge, which is why HLL is
+    the one sketch that stays correct under at-least-once replay
+    (D22) with no dedup at all.
+    """
+    terms = (
+        docs.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit("#hll"))), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    hashed = terms.select("source", h.alias("h"))
+    w = F.expr(f"h DIV {m}")
+    b = F.conv(w.cast("string"), 10, 2)
+    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.least(F.lit(rmax), tz + 1))
+    return (
+        hashed.select(
+            "source",
+            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("source", "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M, rmax: int = HLL_RMAX) -> DataFrame:
+    """Fold a register table into one row per source: zero-register
+    count, the exact-integer harmonic sum S = sum_j 2^(rmax - rho_j)
+    (absent registers carry rho=0, i.e. 2^rmax each), and the raw HLL
+    estimate floor(alpha_e6 * m^2 * 2^rmax / (S * 1e6)) — all BIGINT,
+    bit-identical across engines. Numerator ~4.9e16 and denominator
+    <= m * 2^rmax * 1e6 ~ 1.1e15 both fit int64 by construction."""
+    num = HLL_ALPHA64_E6 * m * m * (1 << rmax)
+    per = registers.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")).alias("s_hit"),
+    )
+    return per.selectExpr(
+        "source",
+        f"CAST({m} - n_hit AS BIGINT) AS n_registers_zero",
+        f"CAST(s_hit + ({m} - n_hit) * CAST({1 << rmax} AS BIGINT) AS BIGINT) AS harmonic_sum",
+    ).selectExpr(
+        "source",
+        "n_registers_zero",
+        "harmonic_sum",
+        f"CAST({num} DIV (harmonic_sum * 1000000) AS BIGINT) AS n_hll",
+    ).selectExpr(
+        "source",
+        "n_registers_zero",
+        "harmonic_sum",
+        "n_hll",
+        # the standard small-range switch: raw estimate below 2.5m with
+        # empty registers present -> linear counting (pinned table)
+        f"CAST(CASE WHEN n_registers_zero > 0 AND n_hll <= {(5 * m) // 2} "
+        f"THEN {hll_lc_case_sql('n_registers_zero')} ELSE n_hll END AS BIGINT)"
+        " AS n_estimated",
+    )
+
+
+def hll_distinct_terms(
+    spark: SparkSession, sf_dir: str, m: int = HLL_M, rmax: int = HLL_RMAX
+) -> DataFrame:
+    """HLL distinct-term count per source with a same-pass exact
+    readout: one row per source — zero registers, harmonic sum, the
+    estimate, the exact distinct count, and |error| in exact ppm.
+
+    Plan: one explode -> distinct (source, term) shuffle feeds BOTH
+    the m-register max aggregate (bounded state: m rows per source)
+    and the exact count. At 100 TB the register table IS the point:
+    64 ints per source, mergeable by max — a map-side combine holds
+    the whole sketch per task, and the streaming twin (D22) folds
+    the same rows with no history rescan. The exact column is the
+    small-SF calibration readout, same contract as KMV/CMS above.
+    """
+    from ..functions.exact import ppm_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    regs = hll_registers(d, m=m, rmax=rmax)
+    est = hll_estimate(regs, m=m, rmax=rmax)
+    exact = (
+        d.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(F.broadcast(est), "source")
+        .selectExpr(
+            "source",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "n_registers_zero",
+            "harmonic_sum",
+            "n_hll",
+            "n_estimated",
+            f"CAST({ppm_expr('abs(n_estimated - n_exact)', 'n_exact')} AS BIGINT)"
+            " AS abs_err_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width quantile sketch (the "bin counts + drill-in" pattern:
+# the sketch is a bounded additive histogram a stream can fold; the exact
+# percentile_disc drill-in only ever touches the one bin the sketch selects).
+
+
+def price_bin_counts(li: DataFrame, bin_cents: int = 10_000) -> DataFrame:
+    """(bin, n) — equi-width histogram of l_extendedprice in exact
+    integer cents. Purely ADDITIVE (merge = cell-wise sum), the
+    mergeable state the streaming twin (D23) folds per micro-batch."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        li.select(cents.alias("cents"))
+        .select(F.expr(f"cents DIV {bin_cents}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def quantile_bins_finalize(
+    bins: DataFrame, qs: tuple = (50, 90, 99), bin_cents: int = 10_000
+) -> DataFrame:
+    """Read per-q bin bounds out of a bin-count state: for each q the
+    chosen bin is the SMALLEST bin whose cumulative count satisfies
+    ``cum * 100 >= q * N`` (percentile_disc's defining rule, in
+    BIGINT). Output: q, chosen bin, inclusive lo / exclusive hi in
+    cents, carry_in (count strictly below the bin) and N — everything
+    a drill-in or an SLA dashboard needs, computed from the bounded
+    state alone (never the corpus)."""
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", F.sum("n").over(w_cum).alias("cum")
+    )
+    total = bins.agg(F.sum("n").cast("long").alias("n_total"))
+    qdf = total.select(
+        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"), "n_total"
+    )
+    chosen = (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n_total"))
+        .groupBy("q", "n_total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        chosen.join(cum, "bin")
+        .selectExpr(
+            "CAST(q AS BIGINT) AS q",
+            "CAST(bin AS BIGINT) AS bin",
+            f"CAST(bin * {bin_cents} AS BIGINT) AS bin_lo_cents",
+            f"CAST((bin + 1) * {bin_cents} AS BIGINT) AS bin_hi_cents",
+            "CAST(cum - n AS BIGINT) AS carry_in",
+            "CAST(n_total AS BIGINT) AS n_total",
+        )
+    )
+
+
+def quantile_sketch_price(
+    spark: SparkSession,
+    sf_dir: str,
+    bin_cents: int = 10_000,
+    qs: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Equi-width quantile sketch over lineitem extended price with an
+    exact drill-in: the additive bin histogram selects each target
+    quantile's bin; the exact percentile_disc VALUE is then resolved
+    by a second pass restricted to the chosen bins (value-level
+    cumulative counts seeded with the sketch's carry_in). One row per
+    q: bin bounds from the sketch, the exact disc value, and the
+    in-bin rank evidence.
+
+    Plan/scale: pass 1 is a map-side-combinable histogram whose state
+    is ~price_range/bin_cents longs — the thing a 100 TB stream keeps
+    (D23 folds exactly these rows). Pass 2 re-scans the data but
+    broadcast-joins each row's bin against the <= len(qs) chosen bins
+    (dropping everything else before any shuffle) and aggregates
+    value-level counts only inside those bins, so the expensive exact
+    ordering never sees more than a bin's worth of distinct values —
+    the window sort is bounded by bin width, not data size. (The bin
+    predicate arrives via the join, not scan pushdown: a static range
+    filter can't be known before pass 1 finishes.) percentile_disc semantics (smallest value with
+    cum*100 >= q*N) are engine-invariant BIGINT comparisons — no
+    interpolated doubles (the r3 customer_rfm lesson); the DuckDB
+    oracle cross-checks with its NATIVE percentile_disc.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    base = li.select(cents.alias("cents")).select(
+        "cents", F.expr(f"cents DIV {bin_cents}").alias("bin")
+    )
+    # pinned: the bin histogram (bounded: price_range/bin_cents rows)
+    # feeds the finalize twice (cum + total) and the drill-in probe —
+    # unpinned, each consumer replans the corpus histogram scan
+    # (measured 14 scans vs 2; the customer_rfm lesson)
+    bins = (
+        base.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    sel = quantile_bins_finalize(bins, qs=qs, bin_cents=bin_cents).localCheckpoint(
+        eager=False
+    )
+    # drill-in: value-level counts inside the <= len(qs) chosen bins
+    vals = (
+        base.join(F.broadcast(sel.select("q", "bin", "carry_in", "n_total")), "bin")
+        .groupBy("q", "bin", "carry_in", "n_total", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_in = (
+        Window.partitionBy("q")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exact = (
+        vals.withColumn("cum", F.col("carry_in") + F.sum("c").over(w_in))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n_total"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("exact_disc_cents"))
+    )
+    return (
+        sel.join(exact, "q")
+        .selectExpr(
+            "q",
+            "bin_lo_cents",
+            "bin_hi_cents",
+            "CAST(exact_disc_cents AS BIGINT) AS exact_disc_cents",
+            "n_total",
+        )
+        .orderBy("q")
+    )

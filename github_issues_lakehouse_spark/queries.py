@@ -527,6 +527,13 @@ _DRIVER_PRIORITY_R5 = [
     "minhash_calibration",
     "media_dedup_stats",
     "user_growth_accounting",
+    # r5 second wave: sketches + incremental/cluster-aware dedup marts
+    "hll_distinct_terms",
+    "quantile_sketch_price",
+    "dedup_aware_holdout",
+    "dedup_against_index",
+    "neardup_against_index",
+    "token_budget_apportionment",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -707,6 +714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dedup_windowed": R6.event_dedup_windowed,
         "kmv_distinct_terms": sketches.kmv_distinct_terms,
         "cms_term_counts": sketches.cms_term_counts,
+        "hll_distinct_terms": sketches.hll_distinct_terms,
+        "quantile_sketch_price": sketches.quantile_sketch_price,
+        "dedup_aware_holdout": dedup.dedup_aware_holdout,
+        "dedup_against_index": dedup.dedup_against_index,
+        "neardup_against_index": dedup.neardup_against_index,
+        "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
         "daily_anomaly_events": R6.daily_anomaly_events,
@@ -1863,6 +1876,12 @@ FROM top
         "event_dedup_windowed": _event_dedup_oracle(),
         "kmv_distinct_terms": _kmv_oracle(),
         "cms_term_counts": _cms_oracle(),
+        "hll_distinct_terms": _hll_oracle(),
+        "quantile_sketch_price": _quantile_sketch_oracle(),
+        "dedup_aware_holdout": _dedup_aware_holdout_oracle(),
+        "dedup_against_index": _dedup_against_index_oracle(),
+        "neardup_against_index": _neardup_against_index_oracle(),
+        "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
         "daily_anomaly_events": _daily_anomaly_oracle(),
@@ -5121,4 +5140,268 @@ total AS (SELECT sum(n_events) AS n_total FROM cells)
 SELECT weekday, hour, CAST(n_events AS BIGINT) AS n_events,
   round(n_events / t.n_total, 6) AS share
 FROM cells CROSS JOIN total t
+"""
+
+
+def _hll_oracle(m: int = 64, rmax: int = 24) -> str:
+    """HyperLogLog twin: identical md5 hash stream, register/rho bit
+    arithmetic on the unpadded binary-string rendering (DuckDB
+    ``bin`` == Spark ``conv(_, 10, 2)``), the same pinned alpha_e6
+    and linear-counting literals from sketches.HLL_LC_TABLE — every
+    value BIGINT end-to-end."""
+    from .operators.sketches import HLL_ALPHA64_E6, hll_lc_case_sql
+
+    num = HLL_ALPHA64_E6 * m * m * (1 << rmax)
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS term FROM documents
+  )
+), hashed AS (
+  SELECT source,
+    CAST(concat('0x', substr(md5(term || '#hll'), 1, 15)) AS BIGINT) AS h
+  FROM terms
+), regs AS (
+  SELECT source, h % {m} AS register,
+    CASE WHEN h // {m} = 0 THEN {rmax}
+         ELSE least({rmax}, 1 + length(bin(h // {m}))
+                    - length(regexp_replace(bin(h // {m}), '0+$', ''))) END AS rho
+  FROM hashed
+), regmax AS (
+  SELECT source, register, max(rho) AS rho FROM regs GROUP BY 1, 2
+), per AS (
+  SELECT source, count(*) AS n_hit,
+    CAST(sum(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS s_hit
+  FROM regmax GROUP BY 1
+), est AS (
+  SELECT source, CAST({m} - n_hit AS BIGINT) AS n_registers_zero,
+    CAST(s_hit + ({m} - n_hit) * CAST({1 << rmax} AS BIGINT) AS BIGINT) AS harmonic_sum
+  FROM per
+), raw AS (
+  SELECT source, n_registers_zero, harmonic_sum,
+    CAST({num} // (harmonic_sum * 1000000) AS BIGINT) AS n_hll
+  FROM est
+), corr AS (
+  SELECT source, n_registers_zero, harmonic_sum, n_hll,
+    CAST(CASE WHEN n_registers_zero > 0 AND n_hll <= {(5 * m) // 2}
+         THEN {hll_lc_case_sql('n_registers_zero')} ELSE n_hll END AS BIGINT)
+      AS n_estimated
+  FROM raw
+), exact AS (
+  SELECT source, count(*) AS n_exact FROM terms GROUP BY 1
+)
+SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+  c.n_registers_zero, c.harmonic_sum, c.n_hll, c.n_estimated,
+  CAST({_ppm_sql('abs(c.n_estimated - e.n_exact)', 'e.n_exact')} AS BIGINT) AS abs_err_ppm
+FROM exact e JOIN corr c USING (source) ORDER BY source
+"""
+
+
+def _quantile_sketch_oracle(bin_cents: int = 10_000, qs: tuple = (50, 90, 99)) -> str:
+    """Quantile-sketch twin: the bin selection reproduces the exact
+    BIGINT cumulative rule; the exact value column cross-checks the
+    Spark drill-in against DuckDB's NATIVE quantile_disc (verified
+    tie-identical: both return the smallest value with
+    cum * 100 >= q * N)."""
+    exact_union = " UNION ALL ".join(
+        f"SELECT {q} AS q, CAST(quantile_disc(cents, {q / 100}) AS BIGINT)"
+        " AS exact_disc_cents FROM base"
+        for q in qs
+    )
+    q_values = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+), tot AS (SELECT count(*) AS n_total FROM base),
+bins AS (SELECT cents // {bin_cents} AS bin, count(*) AS n FROM base GROUP BY 1),
+cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM bins),
+qv(q) AS (VALUES {q_values}),
+chosen AS (
+  SELECT q, min(bin) AS bin
+  FROM cum CROSS JOIN tot JOIN qv ON cum.cum * 100 >= qv.q * tot.n_total
+  GROUP BY 1
+), exact AS ({exact_union})
+SELECT CAST(c.q AS BIGINT) AS q,
+  CAST(c.bin * {bin_cents} AS BIGINT) AS bin_lo_cents,
+  CAST((c.bin + 1) * {bin_cents} AS BIGINT) AS bin_hi_cents,
+  e.exact_disc_cents,
+  CAST(t.n_total AS BIGINT) AS n_total
+FROM chosen c JOIN exact e ON c.q = e.q CROSS JOIN tot t
+ORDER BY q
+"""
+
+
+def _dedup_aware_holdout_oracle(test_permille: int = 200) -> str:
+    """Cluster-aware holdout twin: the clusters come from the same
+    recursive-CTE components over the minhash pairs; the split is the
+    identical seeded md5 permille bucket on doc_id vs cluster root."""
+
+    def bucket(col: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR),"
+            f" '#casplit')), 1, 15)) AS BIGINT) % 1000 < {test_permille}"
+        )
+
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+comp AS (SELECT doc_id, cluster_id FROM ({_clusters_oracle()}) c),
+rooted AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+splits AS (
+  SELECT doc_id, {bucket('doc_id')} AS t_doc, {bucket('root')} AS t_cluster
+  FROM rooted
+),
+xp AS (
+  SELECT
+    sum(CASE WHEN a.t_doc <> b.t_doc THEN 1 ELSE 0 END) AS cross_doc,
+    sum(CASE WHEN a.t_cluster <> b.t_cluster THEN 1 ELSE 0 END) AS cross_cluster
+  FROM pairs p
+  JOIN splits a ON p.doc_a = a.doc_id
+  JOIN splits b ON p.doc_b = b.doc_id
+),
+sz AS (
+  SELECT
+    sum(CASE WHEN t_doc THEN 0 ELSE 1 END) AS train_doc,
+    sum(CASE WHEN t_doc THEN 1 ELSE 0 END) AS test_doc,
+    sum(CASE WHEN t_cluster THEN 0 ELSE 1 END) AS train_cluster,
+    sum(CASE WHEN t_cluster THEN 1 ELSE 0 END) AS test_cluster
+  FROM splits
+)
+SELECT 'cluster_key' AS strategy, CAST(train_cluster AS BIGINT) AS n_train,
+  CAST(test_cluster AS BIGINT) AS n_test,
+  CAST(coalesce(cross_cluster, 0) AS BIGINT) AS cross_pairs
+FROM sz CROSS JOIN xp
+UNION ALL
+SELECT 'doc_key', CAST(train_doc AS BIGINT), CAST(test_doc AS BIGINT),
+  CAST(coalesce(cross_doc, 0) AS BIGINT)
+FROM sz CROSS JOIN xp
+ORDER BY strategy
+"""
+
+
+def _dedup_against_index_oracle(
+    k: int = 10, old_permille: int = 800, dup_threshold_ppm: int = 500_000
+) -> str:
+    """Incremental-ingest dedup twin: same md5 permille old/new
+    split, same fixed k-token grid and block hashes as the substring
+    dedup oracle, index = distinct old-side hashes."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_norm_toks_sql()} AS t,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#ingest')), 1, 15))
+      AS BIGINT) % 1000 AS bucket
+  FROM documents
+),
+withn AS (
+  SELECT doc_id, source, t, bucket,
+    CAST(floor(len(t) / {k}) AS BIGINT) AS nb
+  FROM d
+),
+blocks AS (
+  SELECT doc_id, bucket, md5(array_to_string(t[pos*{k}+1 : pos*{k}+{k}], ' ')) AS h
+  FROM (
+    SELECT doc_id, bucket, t, unnest(generate_series(0, CAST(nb AS INT) - 1)) AS pos
+    FROM withn WHERE nb > 0
+  )
+),
+idx AS (SELECT DISTINCT h FROM blocks WHERE bucket < {old_permille}),
+hits AS (
+  SELECT nb.doc_id, count(*) AS n_blocks, count(i.h) AS n_hit_blocks
+  FROM (SELECT doc_id, h FROM blocks WHERE bucket >= {old_permille}) nb
+  LEFT JOIN idx i ON nb.h = i.h
+  GROUP BY 1
+)
+SELECT w.doc_id, w.source,
+  CAST(coalesce(h.n_blocks, 0) AS BIGINT) AS n_blocks,
+  CAST(coalesce(h.n_hit_blocks, 0) AS BIGINT) AS n_hit_blocks,
+  CAST(CASE WHEN coalesce(h.n_blocks, 0) = 0 THEN 0
+       ELSE {_ppm_sql('coalesce(h.n_hit_blocks, 0)', 'coalesce(h.n_blocks, 1)')}
+       END AS BIGINT) AS hit_ppm,
+  CAST(CASE WHEN coalesce(h.n_blocks, 0) = 0 THEN 0
+       ELSE {_ppm_sql('coalesce(h.n_hit_blocks, 0)', 'coalesce(h.n_blocks, 1)')}
+       END >= {dup_threshold_ppm} AS BOOLEAN) AS is_dup
+FROM withn w LEFT JOIN hits h USING (doc_id)
+WHERE w.bucket >= {old_permille}
+ORDER BY w.doc_id
+"""
+
+
+def _token_budget_oracle(budget_tokens: int = 500_000) -> str:
+    """Hamilton-apportionment twin: same BIGINT base/remainder split
+    and (remainder desc, source asc) largest-remainder rank."""
+    b = budget_tokens
+    return f"""
+WITH avail AS (
+  SELECT source, CAST(sum(len({_norm_toks_sql()})) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens_available) AS BIGINT) AS total_tokens FROM avail),
+based AS (
+  SELECT source, tokens_available,
+    CAST(({b} * tokens_available) // total_tokens AS BIGINT) AS base_quota,
+    CAST(({b} * tokens_available) % total_tokens AS BIGINT) AS remainder
+  FROM avail CROSS JOIN tot
+),
+lr AS (
+  SELECT source, tokens_available, base_quota,
+    row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+    {b} - sum(base_quota) OVER () AS leftover
+  FROM based
+)
+SELECT source, tokens_available,
+  CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens,
+  CAST({_ppm_sql('base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END', str(b))} AS BIGINT)
+    AS budget_share_ppm
+FROM lr ORDER BY source
+"""
+
+
+def _neardup_against_index_oracle(
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int = 200,
+    old_permille: int = 800,
+    threshold_ppm: int = 500_000,
+) -> str:
+    """Incremental near-dup screening twin: the shared MinHash
+    candidate CTEs restricted to cross-split pairs, exact-ppm shingle
+    Jaccard, best old-side match per new doc (ties to min doc_id)."""
+    j_ppm = _ppm_sql(
+        "coalesce(i.n_inter, 0)", "(za.sz + zb.sz - coalesce(i.n_inter, 0))"
+    )
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands, bucket_cap)},
+buck AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#ingest')), 1, 15))
+      AS BIGINT) % 1000 >= {old_permille} AS is_new
+  FROM documents
+),
+vp AS (
+  SELECT CASE WHEN ba.is_new THEN c.doc_a ELSE c.doc_b END AS new_doc,
+         CASE WHEN ba.is_new THEN c.doc_b ELSE c.doc_a END AS old_doc,
+         CAST({j_ppm} AS BIGINT) AS j_ppm
+  FROM cand c
+  JOIN buck ba ON ba.doc_id = c.doc_a
+  JOIN buck bb ON bb.doc_id = c.doc_b
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  WHERE ba.is_new <> bb.is_new
+),
+best AS (SELECT new_doc, max(j_ppm) AS best_jaccard_ppm FROM vp GROUP BY 1),
+bestdoc AS (
+  SELECT v.new_doc, b.best_jaccard_ppm, min(v.old_doc) AS matched_doc_id
+  FROM vp v JOIN best b ON v.new_doc = b.new_doc AND v.j_ppm = b.best_jaccard_ppm
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, d.source,
+  CAST(bd.matched_doc_id AS BIGINT) AS matched_doc_id,
+  CAST(bd.best_jaccard_ppm AS BIGINT) AS best_jaccard_ppm,
+  coalesce(bd.best_jaccard_ppm >= {threshold_ppm}, FALSE) AS is_neardup
+FROM buck d LEFT JOIN bestdoc bd ON bd.new_doc = d.doc_id
+WHERE d.is_new ORDER BY d.doc_id
 """

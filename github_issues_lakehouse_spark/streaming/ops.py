@@ -854,3 +854,123 @@ def stream_block_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_maintenance(docs: DataFrame, path: str, checkpoint: str):
+    """D22 (r5): streaming HyperLogLog register maintenance — each
+    micro-batch's per-source register table (``sketches.
+    hll_registers``) folds into the stored state by per-register MAX.
+    Max is associative, commutative, AND idempotent, which makes this
+    the one sketch in the family that stays exactly correct even
+    under at-least-once redelivery: refolding the same batch cannot
+    move a register (the property D18/D20 document for the SLA mart
+    is bought here for free). Exactly-once versioned-commit protocol
+    as elsewhere; after draining, the state equals the batch
+    ``hll_registers`` over every ingested document and the distinct
+    estimate reads out via ``sketches.hll_estimate`` with no history
+    rescan. Returns the started query."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import hll_registers
+
+    def merge(existing, batch_df):
+        delta = hll_registers(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("source", "register")
+            .agg(F.max("rho").cast("int").alias("rho"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_quantile_sketch_maintenance(
+    lineitem: DataFrame, path: str, checkpoint: str, bin_cents: int = 10_000
+):
+    """D23 (r5): streaming equi-width quantile-sketch maintenance —
+    each micro-batch's price bin counts (``sketches.
+    price_bin_counts``) fold into the stored histogram by cell-wise
+    SUM (purely additive, like the CMS), under the exactly-once
+    versioned-commit protocol. After draining, the state equals the
+    batch histogram over all rows, and any quantile's bin bounds read
+    out of the BOUNDED state via ``sketches.quantile_bins_finalize``
+    — the p50/p90/p99 a latency/price dashboard keeps per stream
+    without sorting history. The batch twin's exact drill-in is the
+    offline audit; the stream serves from the sketch alone. Returns
+    the started query."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import price_bin_counts
+
+    def merge(existing, batch_df):
+        delta = price_bin_counts(batch_df, bin_cents=bin_cents)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        lineitem.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_lsh_postings_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, num_hashes: int = 12, bands: int = 4
+):
+    """D24 (r5): streaming MinHash-LSH postings INDEX maintenance —
+    each micro-batch's banded postings (``dedup.lsh_postings``:
+    (doc_id, band_id, band_key), bit-identical to the batch candidate
+    stage's banding) fold into the stored index by union + distinct.
+    A posting row is pure idempotent state, so like D22 the fold
+    survives at-least-once redelivery with no dedup bookkeeping.
+    This is the historical side ``neardup_against_index`` probes: new
+    documents join the index on (band_id, band_key) and only
+    candidate pairs get exact-Jaccard verification — per-batch probe
+    cost, never a corpus re-signature. The ``bucket_cap`` skew guard
+    stays a QUERY-time policy (the prober derives bucket counts from
+    the index), so one maintained index serves any cap. Drained ==
+    batch ``lsh_postings`` over all documents (tested, redelivery
+    included). Returns the started query."""
+
+    def merge(existing, batch_df):
+        delta = lsh_postings_delta(batch_df, num_hashes=num_hashes, bands=bands)
+        if existing is None:
+            return delta.dropDuplicates(["doc_id", "band_id", "band_key"])
+        return existing.unionByName(delta).dropDuplicates(
+            ["doc_id", "band_id", "band_key"]
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lsh_postings_delta(batch_df: DataFrame, num_hashes: int = 12, bands: int = 4):
+    from ..operators.dedup import lsh_postings
+
+    return lsh_postings(batch_df, num_hashes=num_hashes, bands=bands)

@@ -748,3 +748,109 @@ def test_stream_topk_terms_spacesaving_bounds(spark, tmp_path):
         for r in rows:
             true = truth.get((source, r.term), 0)
             assert true <= r.cnt <= true + r.floor_cnt, (source, r.term)
+
+
+def test_stream_hll_registers_idempotent_under_redelivery(spark, tmp_path):
+    """D22: the drained streaming HLL state equals the batch register
+    table even when the SAME documents arrive twice (two identical
+    files -> two micro-batches folding identical deltas): register
+    max is idempotent, so redelivery cannot move the sketch."""
+    from github_issues_lakehouse_spark.operators.sketches import hll_registers
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_hll_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    # duplicate the corpus file: the stream delivers everything TWICE
+    import glob
+    import shutil
+
+    f = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(f, f.replace("part-", "copy-"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "hll.parquet")
+    q = stream_hll_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_mart(spark, path).collect()))
+    want = sorted(map(tuple, hll_registers(docs).collect()))
+    assert got == want
+
+
+def test_stream_quantile_sketch_equals_batch_and_finalizes(spark, tmp_path):
+    """D23: drained bin counts equal the batch histogram regardless
+    of batch boundaries, and the finalize over the DRAINED state
+    returns the same per-quantile bins as over the batch state."""
+    from github_issues_lakehouse_spark.operators.sketches import (
+        price_bin_counts,
+        quantile_bins_finalize,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_quantile_sketch_maintenance,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    src = str(tmp_path / "li_src")
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "qsk.parquet")
+    q = stream_quantile_sketch_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    drained = read_mart(spark, path)
+    got = sorted(map(tuple, drained.collect()))
+    want = sorted(map(tuple, price_bin_counts(li).collect()))
+    assert got == want
+    fin_stream = sorted(map(tuple, quantile_bins_finalize(drained).collect()))
+    fin_batch = sorted(map(tuple, quantile_bins_finalize(price_bin_counts(li)).collect()))
+    assert fin_stream == fin_batch
+
+
+def test_stream_lsh_postings_idempotent_and_order_free(spark, tmp_path):
+    """D24: the drained LSH postings index equals the batch banding
+    over all documents even with the corpus delivered twice across
+    out-of-order batches — a posting row is idempotent state under
+    union+dedup."""
+    from github_issues_lakehouse_spark.operators.dedup import lsh_postings
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_lsh_postings_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.withColumn("_b", F.pmod(-F.col("doc_id"), F.lit(3))).repartition(
+        3, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    import glob
+    import shutil
+
+    f = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    shutil.copy(f, f.replace("part-", "copy-"))  # redeliver one batch
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "lshidx.parquet")
+    q = stream_lsh_postings_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    got = sorted(map(tuple, read_mart(spark, path).collect()))
+    want = sorted(map(tuple, lsh_postings(docs).collect()))
+    assert got == want
