@@ -172,6 +172,9 @@ HEADLINE = [
     "dedup_against_index",
     "neardup_against_index",
     "token_budget_apportionment",
+    "curriculum_plan",
+    "span_corruption_plan",
+    "normalization_impact",
 ]
 
 

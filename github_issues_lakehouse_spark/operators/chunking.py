@@ -559,3 +559,145 @@ def token_budget_apportionment(
         )
         .orderBy("source")
     )
+
+
+def curriculum_plan(
+    spark: SparkSession, sf_dir: str, bucket_width_e6: int = 10_000
+) -> DataFrame:
+    """C106 (r5): quality-curriculum phase plan — the corpus banded
+    into 5 quality quintiles (phase 1 = lowest-quality fifth, phase 5
+    = highest), with per-phase doc/token mass and mean quality. The
+    schedule a curriculum-training loader consumes: stream phases in
+    the order the training recipe asks for, with exact counts known
+    up front.
+
+    Banding is the exact percentile_disc identity proven on
+    customer_rfm (r4): thresholds t_k = the smallest quality value
+    whose cumulative count satisfies 5*cum >= k*N, so phase =
+    1 + #{k: q >= t_k} — a data value, never an interpolated double,
+    identical in both engines. Thresholds come from the two-level
+    prefix-sum machinery (no whole-table sort; a 1-row broadcast),
+    scoring and the phase rollup are map-side.
+    """
+    from ..functions import textfns as X
+    from ..functions.exact import ppm_expr
+    from .relational import r6
+    from .relational6 import disc_quintile_thresholds
+
+    t = F.col("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_size(norm_tokens(t)).cast("long").alias("n_tokens"),
+        F.round(r6(X.quality_score(t)) * 1_000_000).cast("long").alias("q_e6"),
+    ).localCheckpoint(eager=False)
+    th = disc_quintile_thresholds(d, "q_e6", bucket_width_e6, "q")
+    q = F.col("q_e6").cast("decimal(28,2)")
+    phase = (
+        F.when(q >= F.col("q80"), 5)
+        .when(q >= F.col("q60"), 4)
+        .when(q >= F.col("q40"), 3)
+        .when(q >= F.col("q20"), 2)
+        .otherwise(1)
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_all"), F.sum("n_tokens").alias("tok_all"))
+    return (
+        d.join(F.broadcast(th))
+        .groupBy(phase.cast("long").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("q_e6").alias("q_sum"),
+        )
+        .join(F.broadcast(tot))
+        .selectExpr(
+            "phase",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(q_sum DIV n_docs AS BIGINT) AS mean_quality_e6",
+            f"CAST({ppm_expr('n_docs', 'n_all')} AS BIGINT) AS doc_share_ppm",
+            f"CAST({ppm_expr('n_tokens', 'tok_all')} AS BIGINT) AS token_share_ppm",
+        )
+        .orderBy("phase")
+    )
+
+
+def span_corruption_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = 8,
+    span_len: int = 3,
+    noise_permille: int = 150,
+) -> DataFrame:
+    """C107 (r5): T5-style span-corruption PLAN — for every document,
+    the deterministic set of masked spans a denoising-pretraining
+    pipeline will corrupt, summarized per doc. Spans anchor on a
+    fixed token grid (one candidate start every ``stride`` tokens); a
+    candidate is selected when md5(doc_id # cell) lands under
+    ``noise_permille``, and covers ``span_len`` tokens (complete
+    spans only — a tail cell whose span would overrun contributes
+    nothing). With span_len <= stride spans can never overlap, so
+    masked_tokens = n_spans * span_len exactly.
+
+    The point of a PLAN (vs corrupting in place): the selection is a
+    pure function of (doc_id, grid cell), so the loader, a later
+    engine, or a replay can re-derive the identical corruption
+    without shipping the mask — the same md5-seeded determinism the
+    split/fold family uses. One explode pass over grid cells
+    (O(tokens/stride) rows), map-side aggregate, no joins.
+    """
+    from ..functions.exact import ppm_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_size(norm_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    n_cells = (F.floor((F.col("n_tokens") - span_len) / stride) + 1).cast("long")
+    # Spark sequence(0, -1) DESCENDS rather than returning empty —
+    # short docs (no room for one complete span) must be filtered
+    # before the explode, and rejoin with n_spans = 0 via the left join
+    cells = (
+        d.withColumn("n_cells", n_cells)
+        .filter(F.col("n_cells") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), (F.col("n_cells") - 1).cast("int"))).alias("cell"),
+        )
+    )
+    picked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#span"), F.col("cell").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        < noise_permille
+    )
+    per_doc = cells.groupBy("doc_id", "n_tokens").agg(
+        F.sum(picked.cast("long")).alias("n_spans")
+    )
+    return (
+        d.join(per_doc.select("doc_id", "n_spans"), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans",
+            f"CAST(coalesce(n_spans, 0) * {span_len} AS BIGINT) AS masked_tokens",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "masked_tokens",
+            f"CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE {ppm_expr('masked_tokens', 'n_tokens')} END AS BIGINT)"
+            " AS mask_ratio_ppm",
+        )
+        .orderBy("doc_id")
+    )

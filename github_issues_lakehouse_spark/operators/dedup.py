@@ -1338,3 +1338,58 @@ def neardup_against_index(
         )
         .orderBy("doc_id")
     )
+
+
+def normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108 (r5): how much each text-normalization level matters for
+    exact dedup — per level (raw -> lowercase -> +whitespace-collapse
+    -> +alnum-only), the distinct-content count and the duplicate
+    share in exact ppm. The pre-flight read before choosing the
+    pipeline's canonical form: a big raw->lower jump means the corpus
+    differs mostly by casing; a big ws->alnum jump means punctuation
+    variants dominate, and an aggressive level risks merging
+    genuinely different docs.
+
+    Level transforms are CUMULATIVE by construction (each adds one
+    normalization), so n_distinct is monotonically non-increasing
+    down the level order — a tested invariant. One corpus scan: each
+    doc explodes into 4 (level, content-hash) rows; the aggregate
+    shuffles 32-char hashes, never text.
+    """
+    from ..functions.exact import ppm_expr
+
+    t = F.col("text")
+    lower = F.lower(t)
+    ws = F.trim(F.regexp_replace(lower, r"\s+", " "))
+    alnum = F.regexp_replace(ws, "[^a-z0-9 ]", "")
+    levels = [
+        ("1_raw", t),
+        ("2_lower", lower),
+        ("3_lower_ws", ws),
+        ("4_lower_ws_alnum", alnum),
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("level"), F.md5(c.cast("binary")).alias("h"))
+                    for name, c in levels
+                ]
+            )
+        ).alias("x")
+    ).select("x.level", "x.h")
+    return (
+        pairs.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("h")).alias("n_distinct"),
+        )
+        .selectExpr(
+            "level",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_distinct AS BIGINT) AS n_distinct",
+            f"CAST({_ppm('n_docs - n_distinct', 'n_docs')} AS BIGINT) AS dup_ppm",
+        )
+        .orderBy("level")
+    )

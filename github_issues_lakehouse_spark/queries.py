@@ -534,6 +534,9 @@ _DRIVER_PRIORITY_R5 = [
     "dedup_against_index",
     "neardup_against_index",
     "token_budget_apportionment",
+    "curriculum_plan",
+    "span_corruption_plan",
+    "normalization_impact",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -719,6 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_aware_holdout": dedup.dedup_aware_holdout,
         "dedup_against_index": dedup.dedup_against_index,
         "neardup_against_index": dedup.neardup_against_index,
+        "normalization_impact": dedup.normalization_impact,
+        "curriculum_plan": chunking.curriculum_plan,
+        "span_corruption_plan": chunking.span_corruption_plan,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1881,6 +1887,9 @@ FROM top
         "dedup_aware_holdout": _dedup_aware_holdout_oracle(),
         "dedup_against_index": _dedup_against_index_oracle(),
         "neardup_against_index": _neardup_against_index_oracle(),
+        "normalization_impact": _normalization_impact_oracle(),
+        "curriculum_plan": _curriculum_oracle(),
+        "span_corruption_plan": _span_corruption_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -5404,4 +5413,82 @@ SELECT d.doc_id, d.source,
   coalesce(bd.best_jaccard_ppm >= {threshold_ppm}, FALSE) AS is_neardup
 FROM buck d LEFT JOIN bestdoc bd ON bd.new_doc = d.doc_id
 WHERE d.is_new ORDER BY d.doc_id
+"""
+
+
+def _curriculum_oracle() -> str:
+    """Curriculum-phase twin: the RANGE-cumulative count identity
+    (1 + least(4, 5*cum // N)) — proven equal to the Spark threshold
+    banding on customer_rfm — applied to the shared quality oracle."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(round(quality_score * 1000000) AS BIGINT) AS q_e6
+  FROM ({_quality_oracle()}) qq
+),
+c AS (
+  SELECT *, count(*) OVER (ORDER BY q_e6 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    count(*) OVER () AS n
+  FROM q
+),
+ph AS (SELECT n_tokens, q_e6, 1 + least(4, (5 * cum) // n) AS phase FROM c),
+tot AS (SELECT count(*) AS n_all, sum(n_tokens) AS tok_all FROM q),
+agg AS (
+  SELECT phase, count(*) AS n_docs, sum(n_tokens) AS n_tokens, sum(q_e6) AS q_sum
+  FROM ph GROUP BY 1
+)
+SELECT CAST(phase AS BIGINT) AS phase, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(q_sum // n_docs AS BIGINT) AS mean_quality_e6,
+  CAST({_ppm_sql('n_docs', 'n_all')} AS BIGINT) AS doc_share_ppm,
+  CAST({_ppm_sql('n_tokens', 'tok_all')} AS BIGINT) AS token_share_ppm
+FROM agg CROSS JOIN tot ORDER BY phase
+"""
+
+
+def _span_corruption_oracle(
+    stride: int = 8, span_len: int = 3, noise_permille: int = 150
+) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, CAST(len({_norm_toks_sql()}) AS BIGINT) AS n_tokens FROM documents),
+wc AS (
+  SELECT doc_id, n_tokens,
+    CAST((n_tokens - {span_len}) // {stride} AS BIGINT) + 1 AS n_cells
+  FROM d
+),
+cells AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_cells AS INT) - 1)) AS cell
+  FROM wc WHERE n_cells > 0
+),
+picked AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#span',
+      CAST(cell AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < {noise_permille} AS sel
+  FROM cells
+),
+per AS (SELECT doc_id, sum(CASE WHEN sel THEN 1 ELSE 0 END) AS n_spans FROM picked GROUP BY 1)
+SELECT d.doc_id, d.n_tokens,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.n_spans, 0) * {span_len} AS BIGINT) AS masked_tokens,
+  CAST(CASE WHEN d.n_tokens = 0 THEN 0
+       ELSE {_ppm_sql(f'coalesce(p.n_spans, 0) * {span_len}', 'd.n_tokens')} END AS BIGINT)
+    AS mask_ratio_ppm
+FROM d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _normalization_impact_oracle() -> str:
+    ws = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH lv AS (
+  SELECT '1_raw' AS level, md5(text) AS h FROM documents
+  UNION ALL SELECT '2_lower', md5(lower(text)) FROM documents
+  UNION ALL SELECT '3_lower_ws', md5({ws}) FROM documents
+  UNION ALL SELECT '4_lower_ws_alnum',
+    md5(regexp_replace({ws}, '[^a-z0-9 ]', '', 'g')) FROM documents
+)
+SELECT level, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+  CAST({_ppm_sql('count(*) - count(DISTINCT h)', 'count(*)')} AS BIGINT) AS dup_ppm
+FROM lv GROUP BY 1 ORDER BY 1
 """

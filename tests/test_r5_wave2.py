@@ -204,3 +204,64 @@ def test_lsh_postings_match_candidate_stage_banding(spark):
     via_sig = sorted(map(tuple, band_postings(with_sig).collect()))
     via_docs = sorted(map(tuple, lsh_postings(docs).collect()))
     assert via_sig == via_docs
+
+
+def test_curriculum_plan_partitions_corpus_with_ordered_quality(spark):
+    """Phases partition the corpus, each phase holds ~a fifth (exact
+    quintile banding on a discrete score allows tie-driven imbalance,
+    never emptiness on this corpus), and mean quality is strictly
+    non-decreasing with phase — the property a curriculum consumer
+    relies on."""
+    rows = sorted(
+        chunking.curriculum_plan(spark, SF_DIR).collect(), key=lambda r: r.phase
+    )
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert [r.phase for r in rows] == list(range(1, len(rows) + 1))
+    means = [r.mean_quality_e6 for r in rows]
+    assert means == sorted(means)
+    assert sum(r.doc_share_ppm for r in rows) <= 1_000_000
+    assert all(r.n_docs > 0 for r in rows)
+
+
+def test_span_corruption_plan_is_deterministic_python_twin(spark):
+    """Span selection equals the md5 recomputation; spans never
+    overlap (span_len <= stride) so masked_tokens is exactly
+    n_spans * span_len and bounded by n_tokens."""
+    stride, span_len, noise = 8, 3, 150
+    rows = chunking.span_corruption_plan(spark, SF_DIR).collect()
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").collect()}
+    assert set(docs) == {r.doc_id for r in rows}
+    for r in rows:
+        toks = " ".join(docs[r.doc_id].lower().split()).split(" ")
+        assert r.n_tokens == len(toks)
+        n_cells = (len(toks) - span_len) // stride + 1 if len(toks) >= span_len else 0
+        want = sum(
+            1
+            for c in range(max(n_cells, 0))
+            if int(hashlib.md5(f"{r.doc_id}#span{c}".encode()).hexdigest()[:15], 16) % 1000
+            < noise
+        )
+        assert r.n_spans == want
+        assert r.masked_tokens == want * span_len
+        assert r.masked_tokens <= max(r.n_tokens, span_len)
+
+
+def test_normalization_impact_monotone_distinct(spark):
+    """Levels are cumulative normalizations, so n_distinct never
+    increases down the ladder and dup_ppm never decreases."""
+    rows = sorted(
+        dedup.normalization_impact(spark, SF_DIR).collect(), key=lambda r: r.level
+    )
+    assert [r.level for r in rows] == [
+        "1_raw",
+        "2_lower",
+        "3_lower_ws",
+        "4_lower_ws_alnum",
+    ]
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert all(r.n_docs == n_docs for r in rows)
+    distinct = [r.n_distinct for r in rows]
+    assert distinct == sorted(distinct, reverse=True)
+    dup = [r.dup_ppm for r in rows]
+    assert dup == sorted(dup)
