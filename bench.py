@@ -175,6 +175,8 @@ HEADLINE = [
     "curriculum_plan",
     "span_corruption_plan",
     "normalization_impact",
+    "holt_linear_daily",
+    "rendezvous_shard_plan",
 ]
 
 

@@ -322,3 +322,72 @@ def partial_topk(
             yield best
 
     return scored.mapInPandas(local_topk, schema=schema)
+
+
+def rendezvous_shard_plan(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """C109 (r5): rendezvous (highest-random-weight) shard assignment
+    with a reshard-stability audit. Mod-hashing doc_id % N reassigns
+    ~everything when N changes; HRW assigns each doc to the shard
+    with the highest md5(doc, shard) weight, so growing N -> N+1
+    moves ONLY the docs won by the new shard (expected share
+    1/(N+1)) and NEVER shuffles a doc between two old shards — the
+    invariant that makes incremental shard-fleet growth cheap, and a
+    tested structural property here.
+
+    Output per shard (0..N): doc count under N shards, under N+1,
+    docs moved out, and the moved share in exact ppm — the migration
+    bill for adding one shard, known before any data moves.
+
+    Plan/scale: one explode into (doc x shard) weight rows (N+1 per
+    doc, map-side), one argmax aggregate per doc, one shard rollup.
+    No joins, no skew (md5 weights are uniform by construction).
+    """
+    from ..functions.exact import ppm_expr
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    weights = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(s) for s in range(n_shards + 1)])).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#hrw"), F.col("shard").cast("string")
+            )
+        ).alias("h"),
+    )
+    # argmax by (weight, shard) struct max — deterministic ties
+    assigned = weights.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("shard") < n_shards, F.struct("h", "shard"))
+        )["shard"].alias("shard_n"),
+        F.max(F.struct("h", "shard"))["shard"].alias("shard_n1"),
+    )
+    per_shard_n = assigned.groupBy(F.col("shard_n").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_before")
+    )
+    per_shard_n1 = assigned.groupBy(F.col("shard_n1").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_after")
+    )
+    moved = assigned.filter(F.col("shard_n") != F.col("shard_n1")).groupBy(
+        F.col("shard_n").alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n_moved_out"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    shards = spark.range(n_shards + 1).select(F.col("id").cast("int").alias("shard"))
+    return (
+        shards.join(per_shard_n, "shard", "left")
+        .join(per_shard_n1, "shard", "left")
+        .join(moved, "shard", "left")
+        .join(F.broadcast(total))
+        .selectExpr(
+            "CAST(shard AS BIGINT) AS shard",
+            "CAST(coalesce(n_docs_before, 0) AS BIGINT) AS n_docs_before",
+            "CAST(coalesce(n_docs_after, 0) AS BIGINT) AS n_docs_after",
+            "CAST(coalesce(n_moved_out, 0) AS BIGINT) AS n_moved_out",
+            f"CAST({ppm_expr('coalesce(n_moved_out, 0)', 'n_total')} AS BIGINT) AS moved_share_ppm",
+        )
+        .orderBy("shard")
+    )

@@ -315,3 +315,81 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_churn").cast("long").alias("n_churned"),
         )
     )
+
+
+def holt_linear_daily(
+    spark: SparkSession, sf_dir: str, alpha10: int = 3, beta10: int = 2
+) -> DataFrame:
+    """B98 (r5): Holt's linear-trend double exponential smoothing of
+    daily event volume per type — the forecasting primitive one step
+    up from the EWMA (level only) family: a LEVEL and a TREND state,
+    so the one-step forecast follows sustained growth instead of
+    lagging it.
+
+    Recursion (adjust=False, seeded level = first day's count, trend
+    = 0), entirely in FIXED-POINT e2 integers with the tenths-
+    quantized gains a10/b10 — the ewma_user_value discipline: float
+    folds drift by 1 ulp between engines; integer folds are exactly
+    portable, and every +5 div 10 rounding sits >= 0.1 from a floor
+    boundary so the float-division spelling cannot flip:
+
+        nl = (a10 * x_e2 + (10 - a10) * (l + t) + 5) div 10
+        nt = (b10 * (nl - l) + (10 - b10) * t + 5) div 10
+
+    Output per (event_type, day): observed count, smoothed level and
+    trend (e2), and the one-step-ahead forecast made FROM that day.
+
+    Plan/scale: one corpus-scale daily aggregate; the recursion runs
+    on the calendar-bounded gap-filled grid (days x types) via a
+    prefix collect + integer fold per row — O(days^2) per type on
+    day-grain rows, microscopic next to the fact scan, and the same
+    fold is the DuckDB twin's list_reduce so parity is bit-exact.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x_e2 = (F.col("n") * 100).cast("long")
+    with_prefix = grid.select(
+        "event_type", "day", "n", F.collect_list(x_e2).over(w).alias("pfx")
+    )
+    a10, b10 = alpha10, beta10
+    # State PACKED into one BIGINT: acc = level * 2^24 + (trend + 2^23).
+    # A two-field struct accumulator is the natural spelling, but
+    # DuckDB 1.0's list_reduce evaluates struct-literal fields
+    # SEQUENTIALLY and a later field referencing acc sees the
+    # already-updated first field (verified: {'v': a.v*10+b.v,
+    # 'z': a.v} folds z to the NEW v) — the packed single value
+    # sidesteps the engine bug entirely. Bounds by construction:
+    # level < 2^38 e2-counts, |trend| < 2^23 e2 per step — far above
+    # any daily-grid magnitude; the rounding divide is SHIFTED
+    # (+2^24*10 before, -2^24 after) so both engines divide a
+    # non-negative number and floor == truncate (DuckDB's ``//``
+    # truncates toward zero on negatives, Spark's floor() floors).
+    S, OFF, K = 1 << 24, 1 << 23, 1 << 24
+
+    def d10(num):
+        return (F.floor((num + K * 10) / 10) - K).cast("long")
+
+    init = F.element_at(F.col("pfx"), 1) * S + OFF
+
+    def step(acc, x):
+        lvl = F.floor(acc / S).cast("long")
+        trd = (acc % S) - OFF
+        nl = d10(a10 * x + (10 - a10) * (lvl + trd) + 5)
+        nt = d10(b10 * (nl - lvl) + (10 - b10) * trd + 5)
+        return (nl * S + (nt + OFF)).cast("long")
+
+    state = F.aggregate(F.slice(F.col("pfx"), 2, 100000), init.cast("long"), step)
+    lvl = F.floor(state / S).cast("long")
+    trd = (state % S - OFF).cast("long")
+    return with_prefix.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        lvl.alias("level_e2"),
+        trd.alias("trend_e2"),
+        (lvl + trd).cast("long").alias("forecast_next_e2"),
+    ).orderBy("event_type", "day")

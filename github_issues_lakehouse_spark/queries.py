@@ -537,6 +537,8 @@ _DRIVER_PRIORITY_R5 = [
     "curriculum_plan",
     "span_corruption_plan",
     "normalization_impact",
+    "holt_linear_daily",
+    "rendezvous_shard_plan",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -725,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalization_impact": dedup.normalization_impact,
         "curriculum_plan": chunking.curriculum_plan,
         "span_corruption_plan": chunking.span_corruption_plan,
+        "holt_linear_daily": timeseries.holt_linear_daily,
+        "rendezvous_shard_plan": scale.rendezvous_shard_plan,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1890,6 +1894,8 @@ FROM top
         "normalization_impact": _normalization_impact_oracle(),
         "curriculum_plan": _curriculum_oracle(),
         "span_corruption_plan": _span_corruption_oracle(),
+        "holt_linear_daily": _holt_oracle(),
+        "rendezvous_shard_plan": _rendezvous_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -5491,4 +5497,83 @@ SELECT level, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
   CAST({_ppm_sql('count(*) - count(DISTINCT h)', 'count(*)')} AS BIGINT) AS dup_ppm
 FROM lv GROUP BY 1 ORDER BY 1
+"""
+
+
+def _holt_oracle(alpha10: int = 3, beta10: int = 2) -> str:
+    """Holt linear-trend twin: the identical fixed-point recursion
+    folded by list_reduce over per-row prefix lists, with the state
+    PACKED into one BIGINT (level * 2^24 + trend + 2^23) exactly like
+    the Spark fold — a two-field struct accumulator hits a DuckDB 1.0
+    bug where a later struct-literal field referencing the
+    accumulator sees the already-updated first field. The rounding
+    divide is shifted (+2^22*10, -2^22) so ``//`` always truncates a
+    non-negative number (== floor, matching Spark)."""
+    a, b = alpha10, beta10
+    S, OFF, K = 1 << 24, 1 << 23, 1 << 24
+
+    def d10(num: str) -> str:
+        return f"(({num} + {K * 10}) // 10 - {K})"
+
+    lvl, trd = f"(acc // {S})", f"(acc % {S} - {OFF})"
+    nl = d10(f"{a} * e + {10 - a} * ({lvl} + {trd}) + 5")
+    nt = d10(f"{b} * ({nl} - {lvl}) + {10 - b} * {trd} + 5")
+    return f"""
+WITH {_DAILY_GRID_SQL},
+pfx AS (
+  SELECT event_type, day, n,
+    list(CAST(n AS BIGINT) * 100) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+  FROM grid
+),
+st AS (
+  SELECT event_type, day, n,
+    list_reduce(
+      list_transform(pfx, (x, i) -> CASE WHEN i = 1 THEN x * {S} + {OFF} ELSE x END),
+      (acc, e) -> {nl} * {S} + ({nt} + {OFF})
+    ) AS s
+  FROM pfx
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(s // {S} AS BIGINT) AS level_e2,
+  CAST(s % {S} - {OFF} AS BIGINT) AS trend_e2,
+  CAST(s // {S} + s % {S} - {OFF} AS BIGINT) AS forecast_next_e2
+FROM st ORDER BY event_type, day
+"""
+
+
+def _rendezvous_oracle(n_shards: int = 8) -> str:
+    return f"""
+WITH d AS (SELECT doc_id FROM documents),
+w AS (
+  SELECT doc_id, s.shard,
+    md5(concat(CAST(doc_id AS VARCHAR), '#hrw', CAST(s.shard AS VARCHAR))) AS h
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, {n_shards})) AS shard) s
+),
+asg AS (
+  SELECT doc_id,
+    (max(CASE WHEN shard < {n_shards} THEN {{'h': h, 's': shard}} END)).s AS shard_n,
+    (max({{'h': h, 's': shard}})).s AS shard_n1
+  FROM w GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_total FROM d),
+before AS (SELECT shard_n AS shard, count(*) AS n_docs_before FROM asg GROUP BY 1),
+after AS (SELECT shard_n1 AS shard, count(*) AS n_docs_after FROM asg GROUP BY 1),
+moved AS (
+  SELECT shard_n AS shard, count(*) AS n_moved_out
+  FROM asg WHERE shard_n <> shard_n1 GROUP BY 1
+),
+shards AS (SELECT unnest(generate_series(0, {n_shards})) AS shard)
+SELECT CAST(s.shard AS BIGINT) AS shard,
+  CAST(coalesce(b.n_docs_before, 0) AS BIGINT) AS n_docs_before,
+  CAST(coalesce(a.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+  CAST(coalesce(m.n_moved_out, 0) AS BIGINT) AS n_moved_out,
+  CAST({_ppm_sql('coalesce(m.n_moved_out, 0)', '(SELECT n_total FROM tot)')} AS BIGINT)
+    AS moved_share_ppm
+FROM shards s
+LEFT JOIN before b ON s.shard = b.shard
+LEFT JOIN after a ON s.shard = a.shard
+LEFT JOIN moved m ON s.shard = m.shard
+ORDER BY s.shard
 """

@@ -265,3 +265,61 @@ def test_normalization_impact_monotone_distinct(spark):
     assert distinct == sorted(distinct, reverse=True)
     dup = [r.dup_ppm for r in rows]
     assert dup == sorted(dup)
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """The packed fixed-point fold equals a plain Python recursion
+    over the gap-filled daily grid — levels track counts, and the
+    forecast is exactly level + trend."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        _daily_grid,
+        holt_linear_daily,
+    )
+
+    grid = sorted(
+        _daily_grid(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
+    )
+    series = {}
+    for r in grid:
+        series.setdefault(r.event_type, []).append(r.n * 100)
+    a10, b10 = 3, 2
+    want = {}
+    for et, xs in series.items():
+        l, t = xs[0], 0
+        states = [(l, t)]
+        for x in xs[1:]:
+            nl = (a10 * x + (10 - a10) * (l + t) + 5) // 10
+            nt = (b10 * (nl - l) + (10 - b10) * t + 5) // 10
+            l, t = nl, nt
+            states.append((l, t))
+        want[et] = states
+    got = sorted(
+        holt_linear_daily(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
+    )
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rows in by_type.items():
+        assert [(r.level_e2, r.trend_e2) for r in rows] == want[et]
+        assert all(r.forecast_next_e2 == r.level_e2 + r.trend_e2 for r in rows)
+
+
+def test_rendezvous_only_moves_to_the_new_shard(spark):
+    """THE HRW property: growing N -> N+1 moves docs only INTO the
+    new shard — every old shard's loss equals its moved_out, the new
+    shard's gain equals total moved, and no old shard gains."""
+    from github_issues_lakehouse_spark.operators.scale import rendezvous_shard_plan
+
+    n = 8
+    rows = {r.shard: r for r in rendezvous_shard_plan(spark, SF_DIR, n_shards=n).collect()}
+    assert set(rows) == set(range(n + 1))
+    total_moved = sum(r.n_moved_out for r in rows.values())
+    new = rows[n]
+    assert new.n_docs_before == 0 and new.n_moved_out == 0
+    assert new.n_docs_after == total_moved
+    for s in range(n):
+        r = rows[s]
+        assert r.n_docs_after == r.n_docs_before - r.n_moved_out
+    n_docs = sum(r.n_docs_before for r in rows.values())
+    # expected moved share ~ 1/(N+1); allow generous slack on 500 docs
+    assert 0.03 * n_docs < total_moved < 0.25 * n_docs

@@ -84,6 +84,16 @@ HEAVY = [
     "unpivot_lineitem_metrics",
     "lsh_recall_vs_exact",
     "dedup_exact_substrings",
+    # r5 second/third waves: sketches (bounded state must stay
+    # bounded), incremental index screens (replicas are cross-split
+    # near-dups — the probe and verify stages densify), the
+    # normalization ladder, and the threshold-machinery curriculum
+    "hll_distinct_terms",
+    "quantile_sketch_price",
+    "dedup_against_index",
+    "neardup_against_index",
+    "normalization_impact",
+    "curriculum_plan",
 ]
 
 
