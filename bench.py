@@ -177,6 +177,12 @@ HEADLINE = [
     "normalization_impact",
     "holt_linear_daily",
     "rendezvous_shard_plan",
+    "benford_first_digit",
+    "gini_revenue",
+    "ks_promo_price",
+    "autocorr_daily",
+    "boilerplate_prefix_stats",
+    "bloom_fpr_audit",
 ]
 
 

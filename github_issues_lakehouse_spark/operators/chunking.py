@@ -701,3 +701,116 @@ def span_corruption_plan(
         )
         .orderBy("doc_id")
     )
+
+
+def bloom_fpr_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    benchmark_mod: int = 100,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """C111 (r5): measured vs theoretical false-positive rate of the
+    Bloom decontaminator — the calibration audit that tells you what
+    ``decontaminate_bloom``'s over-removal actually COSTS before you
+    size m_bits for a 100 TB run (too small a filter silently deletes
+    good training data; the sibling of minhash_calibration for the
+    membership sketch).
+
+    Ground truth: training n-grams that provably do NOT occur in the
+    benchmark set (exact anti-join). Measured FPR = share of those
+    clean grams the filter still flags, in exact ppm. Theoretical
+    FPR = (bits_set / m)^k — the standard approximation, assembled
+    as an identical double expression on both engines from the exact
+    bits_set integer and floored to ppm.
+
+    Plan/scale: the same distributed bitset build as
+    decontaminate_bloom (positions -> distinct -> packed words, one
+    ~34 KB collect re-shipped as a one-row broadcast); the probe side
+    streams map-side through the broadcast words — no join, no
+    shuffle beyond the distinct-gram aggregates. bits_set is the
+    popcount of the packed words (== the distinct position count).
+    """
+    from ..functions.exact import ppm_expr as _ppm
+    from .dedup import shingles_from
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", norm_tokens(F.col("text")))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh"))
+    )
+
+    def pos(gram_col, i: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(gram_col, F.lit(f"#{i}"))), 1, 8), 16, 10)
+            .cast("long")
+            % m_bits
+        )
+
+    bench = (
+        d.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    positions = bench.select(
+        F.explode(F.array(*[pos(F.col("gram"), i) for i in range(k_hashes)])).alias("p")
+    ).distinct()
+    words = (
+        positions.groupBy((F.col("p") / 62).cast("int").alias("w"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 62) AS INT))")).alias("bits"))
+        .collect()
+    )
+    n_words = (m_bits + 61) // 62
+    dense = [0] * n_words
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    bits_set = sum(bin(b).count("1") for b in dense)
+    bits_df = spark.createDataFrame(
+        [(dense, [1 << j for j in range(62)])], "_bloom array<long>, _pow2 array<long>"
+    )
+
+    def might_contain(gram_col):
+        checks = []
+        for i in range(k_hashes):
+            p = pos(gram_col, i)
+            word = F.element_at(F.col("_bloom"), (p / 62).cast("int") + 1)
+            mask = F.element_at(F.col("_pow2"), (p % 62).cast("int") + 1)
+            checks.append(word.bitwiseAND(mask) != 0)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    clean = (
+        d.filter(F.col("doc_id") % benchmark_mod != 0)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .join(bench, "gram", "left_anti")
+    )
+    n_bench = bench.agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    probe = clean.crossJoin(F.broadcast(bits_df)).select(
+        F.when(might_contain(F.col("gram")), 1).otherwise(0).alias("fp")
+    )
+    # fill ratio and its k-th power as ONE double expression from the
+    # exact bits_set integer — identical tree in the oracle
+    ratio = f"(CAST({bits_set} AS DOUBLE) / CAST({m_bits} AS DOUBLE))"
+    theo = " * ".join([ratio] * k_hashes)
+    return (
+        probe.agg(
+            F.count(F.lit(1)).alias("n_clean_probes"),
+            F.sum("fp").alias("n_false_pos"),
+        )
+        .join(F.broadcast(n_bench))
+        .selectExpr(
+            f"CAST({m_bits} AS BIGINT) AS m_bits",
+            f"CAST({k_hashes} AS BIGINT) AS k_hashes",
+            "CAST(n_bench_grams AS BIGINT) AS n_bench_grams",
+            f"CAST({bits_set} AS BIGINT) AS n_bits_set",
+            "CAST(n_clean_probes AS BIGINT) AS n_clean_probes",
+            "CAST(n_false_pos AS BIGINT) AS n_false_pos",
+            f"CAST({_ppm('n_false_pos', 'n_clean_probes')} AS BIGINT) AS measured_fpr_ppm",
+            f"CAST(floor({theo} * 1000000) AS BIGINT) AS theoretical_fpr_ppm",
+        )
+    )

@@ -545,11 +545,7 @@ def quantile_sketch_price(
     # feeds the finalize twice (cum + total) and the drill-in probe —
     # unpinned, each consumer replans the corpus histogram scan
     # (measured 14 scans vs 2; the customer_rfm lesson)
-    bins = (
-        base.groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    bins = price_bin_counts(li, bin_cents=bin_cents).localCheckpoint(eager=False)
     sel = quantile_bins_finalize(bins, qs=qs, bin_cents=bin_cents).localCheckpoint(
         eager=False
     )

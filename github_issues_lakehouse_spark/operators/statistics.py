@@ -1,0 +1,241 @@
+"""Distribution-level statistical audits over the fact tables —
+Benford digit conformance, the Gini inequality coefficient, and the
+exact two-sample Kolmogorov-Smirnov statistic.
+
+Reference parity: the reference (pandas lakehouse, src/gold.py) ships
+mart-level aggregates only; these generalize its "one pass, exact
+arithmetic" mart discipline to the distribution-shape audits a data
+platform runs on its own revenue/price columns (fraud screening,
+cohort drift, inequality tracking).
+
+All three follow the repo's engine-parity rules:
+- integer/fixed-point arithmetic end-to-end (ppm shares via
+  ``ppm_expr``); doubles appear only as a FINAL assembly step from
+  exact integer sums, with identical expression trees on both
+  engines (the corr_matrix_lineitem discipline);
+- no whole-table sort: rank/ECDF machinery uses the value-band
+  two-level prefix-sum decomposition (the equi_depth_histogram
+  discipline) — windows run at value grain inside bounded bands,
+  plus one carry window over one-row-per-band.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import ppm_expr as _ppm
+from ..sources.registry import load_table
+from .relational import r6
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+# first-digit shares in exact ppm. Baked as literals so BOTH engines
+# compare against the identical integers (no log10 at query time).
+BENFORD_PPM = {d: math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B99 (r5): Benford's-law conformance audit of order totals —
+    the classic large-scale fraud/data-quality screen: naturally
+    occurring multi-magnitude amounts follow P(d) = log10(1 + 1/d);
+    fabricated or truncated feeds don't.
+
+    Per first significant digit 1-9: order count, observed share in
+    exact ppm, the Benford expectation in ppm (frozen literals), and
+    the chi-square contribution ((obs-exp)^2 / exp, e6 fixed-point) —
+    all BIGINT, no floats anywhere.
+
+    The digit comes from the CENTS integer rendered as a string
+    (totalprice >= 1.00 always, so the first cents digit IS the first
+    significant digit) — never from decimal formatting, which differs
+    between engines.
+
+    Plan/scale: one map-side digit extraction + one 9-group
+    aggregate; a broadcast 1-row total. Nothing shuffles but 9 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    per_digit = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(BENFORD_PPM[d]) for d in range(1, 10)]), F.col("digit")
+    ).cast("long")
+    return (
+        grid.join(per_digit, "digit", "left")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr(_ppm("coalesce(n, 0)", "n_total")).cast("long").alias("obs_ppm"),
+            exp_ppm.alias("benford_ppm"),
+        )
+        .withColumn(
+            "chi2_contrib_e6",
+            # integer DIV (not /, which is double division in Spark):
+            # (obs-exp)^2 <= 1e12 so the product is BIGINT-safe
+            F.expr(
+                "(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) DIV benford_ppm"
+            ).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _banded_cum(df: DataFrame, value: str, measures: list[str], band_div: int) -> DataFrame:
+    """Two-level prefix sums at VALUE grain: within-band running sums
+    over ``value`` order plus a carry window over one-row-per-band —
+    the equi_depth_histogram decomposition, generalized to multiple
+    measures. Adds ``cum_<m>`` (inclusive cumulative) per measure.
+    No window ever sees more rows than one band's distinct values."""
+    banded = df.withColumn("_band", F.expr(f"{value} DIV {band_div}"))
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for m in measures:
+        banded = banded.withColumn(f"_in_{m}", F.sum(m).over(w_in))
+    band_tot = banded.groupBy("_band").agg(
+        *[F.sum(m).alias(f"_bt_{m}") for m in measures]
+    )
+    w_carry = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = band_tot.select(
+        "_band",
+        *[
+            F.coalesce(F.sum(f"_bt_{m}").over(w_carry), F.lit(0)).alias(f"_carry_{m}")
+            for m in measures
+        ],
+    )
+    out = banded.join(carry, "_band")
+    for m in measures:
+        out = out.withColumn(f"cum_{m}", (F.col(f"_carry_{m}") + F.col(f"_in_{m}")).cast("long"))
+    return out.drop("_band", *[f"_in_{m}" for m in measures], *[f"_carry_{m}" for m in measures])
+
+
+def gini_revenue(spark: SparkSession, sf_dir: str, band_cents: int = 10_000_000) -> DataFrame:
+    """B100 (r5): exact Gini coefficient of per-customer revenue —
+    the standard inequality summary (0 = all customers spend equally,
+    ->1 = one whale). Uses the sorted-rank identity
+
+        G = (2 * sum_i i*x_i) / (n * sum_i x_i) - (n + 1) / n
+
+    but NEVER materializes per-row ranks: grouping to distinct
+    revenue VALUES v (count c, cumulative count-before cb via the
+    two-level band/carry prefix sum) turns the rank sum into
+
+        2 * sum_i i*x_i = sum_v v * (2*cb*c + c*(c+1))
+
+    — tie-exact, and every window runs at value grain inside bounded
+    price bands. Sums are exact DECIMAL(38,0); the final ratio is
+    assembled in doubles from those exact integers with an identical
+    expression tree on both engines (corr_matrix discipline), rounded
+    to 6dp.
+
+    Output one row: n_customers, total revenue in BIGINT cents, gini.
+
+    Scale: the per-customer aggregate is the only fact-scale shuffle;
+    the value-grain layer is bounded by distinct revenue amounts per
+    band. Intermediates stay exact at any scale via DECIMAL(38,0).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    vals = per_cust.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = _banded_cum(vals, "v", ["c"], band_cents)
+    D38 = "decimal(38,0)"
+    terms = cum.select(
+        "v",
+        "c",
+        (F.col("cum_c") - F.col("c")).alias("cb"),
+    ).select(
+        F.col("c").cast("long").alias("c"),
+        (F.col("v").cast(D38) * F.col("c").cast(D38)).alias("t"),
+        (
+            F.col("v").cast(D38)
+            * (
+                F.lit(2).cast(D38) * F.col("cb").cast(D38) * F.col("c").cast(D38)
+                + F.col("c").cast(D38) * (F.col("c").cast(D38) + F.lit(1).cast(D38))
+            )
+        ).alias("s2"),
+    )
+    agg = terms.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("t").cast(D38).alias("t_sum"),
+        F.sum("s2").cast(D38).alias("s2_sum"),
+    )
+    n_d = F.col("n").cast("double")
+    t_d = F.col("t_sum").cast("double")
+    s2_d = F.col("s2_sum").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t_sum").cast("long").alias("total_cents"),
+        r6((s2_d - (n_d + F.lit(1.0)) * t_d) / (n_d * t_d)).alias("gini"),
+    )
+
+
+def ks_promo_price(spark: SparkSession, sf_dir: str, band_cents: int = 100_000) -> DataFrame:
+    """B101 (r5): exact two-sample Kolmogorov-Smirnov statistic
+    between the retail-price distributions of PROMO parts and all
+    other parts — the distribution-drift test a pipeline runs when a
+    segment (new source, new period, A/B arm) must be shown to match
+    or differ from the base population.
+
+    KS = max over values of |ECDF_a - ECDF_b|, computed EXACTLY at
+    value grain: per distinct price, cumulative counts for both
+    groups via ONE shared two-level band/carry prefix pass (both
+    measures ride the same windows), ECDFs in exact integer ppm
+    (``ppm_expr``), and the max gap + the smallest price attaining it
+    (deterministic argmax via struct max). Integer end-to-end.
+
+    Output one row: group sizes, ks_ppm, and the attaining price.
+
+    Scale: one scan of part, value-grain windows bounded per band —
+    the same shape as equi_depth_histogram; no global sort.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    is_promo = F.col("p_type").startswith("PROMO")
+    vals = (
+        p.select(cents.alias("v"), is_promo.alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("cb"),
+        )
+    )
+    cum = _banded_cum(vals, "v", ["ca", "cb"], band_cents)
+    totals = vals.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    gaps = cum.join(F.broadcast(totals)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.expr(_ppm("cum_ca", "na")) - F.expr(_ppm("cum_cb", "nb"))
+        ).alias("gap_ppm"),
+    )
+    # deterministic argmax: max (gap, -v) struct -> largest gap, then
+    # smallest attaining value
+    best = gaps.agg(
+        F.max(F.struct(F.col("gap_ppm"), (-F.col("v")).alias("nv"))).alias("m"),
+        F.first("na").alias("n_promo"),
+        F.first("nb").alias("n_other"),
+    )
+    return best.select(
+        F.col("n_promo").cast("long").alias("n_promo"),
+        F.col("n_other").cast("long").alias("n_other"),
+        F.col("m.gap_ppm").cast("long").alias("ks_ppm"),
+        (-F.col("m.nv")).cast("long").alias("at_price_cents"),
+    )

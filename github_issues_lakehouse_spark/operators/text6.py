@@ -306,3 +306,53 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
         )
     )
+
+
+def boilerplate_prefix_stats(
+    spark: SparkSession, sf_dir: str, prefix_chars: int = 40, top_n: int = 10
+) -> DataFrame:
+    """C110 (r5): shared-prefix boilerplate detector — web-scale
+    corpora are full of documents that START identically (scraper
+    banners, license headers, template greetings) without being
+    full-document duplicates, which is why suffix/prefix screens run
+    alongside MinHash in production dedup stacks. Groups documents by
+    the first ``prefix_chars`` characters of the whitespace-collapsed
+    lowercased text (the normalization ladder's level-2 form) and
+    reports the ``top_n`` largest prefix families.
+
+    Per family: the prefix, documents sharing it, distinct sources it
+    spans (cross-source boilerplate is the strongest template
+    signal), and the family's corpus share in exact ppm.
+
+    Plan/scale: one map-side substring + one aggregate at prefix
+    grain; orderBy+limit plans as TakeOrderedAndProject (per-partition
+    partial top-n) so the full prefix table is never sorted. The
+    1-row corpus total is broadcast.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fams = (
+        d.select(F.substring(norm, 1, prefix_chars).alias("prefix"), "source")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    top = fams.orderBy(F.desc("n_docs"), F.asc("prefix")).limit(top_n)
+    w = Window.orderBy(F.desc("n_docs"), F.asc("prefix"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "prefix",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.expr(_ppm("n_docs", "n_total")).cast("long").alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )

@@ -393,3 +393,71 @@ def holt_linear_daily(
         trd.alias("trend_e2"),
         (lvl + trd).cast("long").alias("forecast_next_e2"),
     ).orderBy("event_type", "day")
+
+
+def autocorr_daily(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
+    """B102 (r5): lag-1..``max_lag`` autocorrelation of daily event
+    volume per type over the gap-filled grid — the seasonality
+    detector that tells a monitoring pipeline WHICH period its volume
+    repeats on (a weekly-cadence series spikes at lag 7) before
+    fitting anything heavier; the diagnostics companion of
+    seasonal_decompose_daily's fixed weekly assumption.
+
+    Pearson correlation of (x_t, x_{t-k}) pairs, but every moment
+    (n, sum x, sum y, sum xy, sum x^2, sum y^2) is an exact BIGINT
+    aggregate of the integer daily counts; the correlation is
+    assembled from those exact integers in ONE final double
+    expression with an identical tree on both engines (the
+    corr_matrix_lineitem discipline), rounded to 6dp. Zero-variance
+    sides yield NULL (sd==0 guard, ADVICE r4).
+
+    Plan/scale: the corpus-scale stage is the daily aggregate the
+    grid shares with every operator in this module; lags are
+    max_lag LAG windows over day-grain rows per type, exploded to
+    (lag, x, y) pairs, one group-aggregate. Counts are day-grain
+    BIGINTs, so moments stay exact far past any real daily volume
+    (sum x^2 overflows only past ~3e7 days at 1e9 events/day).
+    """
+    grid = _daily_grid(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = grid.select(
+        "event_type",
+        F.col("n").alias("x"),
+        *[F.lag("n", k).over(w).alias(f"y{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.col("x").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        r6(num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double"))),
+    )
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        corr.alias("autocorr"),
+    ).orderBy("event_type", "lag")

@@ -34,6 +34,7 @@ from .operators import (
     silver,
     similarity,
     sketches,
+    statistics as ST,
     text,
     text2,
     text3,
@@ -539,6 +540,13 @@ _DRIVER_PRIORITY_R5 = [
     "normalization_impact",
     "holt_linear_daily",
     "rendezvous_shard_plan",
+    # r5 third wave: distribution audits + sketch calibration
+    "benford_first_digit",
+    "gini_revenue",
+    "ks_promo_price",
+    "autocorr_daily",
+    "boilerplate_prefix_stats",
+    "bloom_fpr_audit",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -729,6 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_plan": chunking.span_corruption_plan,
         "holt_linear_daily": timeseries.holt_linear_daily,
         "rendezvous_shard_plan": scale.rendezvous_shard_plan,
+        "benford_first_digit": ST.benford_first_digit,
+        "gini_revenue": ST.gini_revenue,
+        "ks_promo_price": ST.ks_promo_price,
+        "autocorr_daily": timeseries.autocorr_daily,
+        "boilerplate_prefix_stats": text6.boilerplate_prefix_stats,
+        "bloom_fpr_audit": chunking.bloom_fpr_audit,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1896,6 +1910,12 @@ FROM top
         "span_corruption_plan": _span_corruption_oracle(),
         "holt_linear_daily": _holt_oracle(),
         "rendezvous_shard_plan": _rendezvous_oracle(),
+        "benford_first_digit": _benford_oracle(),
+        "gini_revenue": _gini_oracle(),
+        "ks_promo_price": _ks_oracle(),
+        "autocorr_daily": _autocorr_oracle(),
+        "boilerplate_prefix_stats": _boilerplate_oracle(),
+        "bloom_fpr_audit": _bloom_fpr_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -5576,4 +5596,185 @@ LEFT JOIN before b ON s.shard = b.shard
 LEFT JOIN after a ON s.shard = a.shard
 LEFT JOIN moved m ON s.shard = m.shard
 ORDER BY s.shard
+"""
+
+
+def _benford_oracle() -> str:
+    """Benford twin: identical frozen expected-ppm literals (imported
+    from the operator so the two tables cannot drift), digit from the
+    cents-integer string, chi-square in integer e6 via ``//``."""
+    from .operators.statistics import BENFORD_PPM
+
+    exp_cases = " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+per AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM d),
+grid AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT CAST(g.digit AS INT) AS digit,
+  CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders,
+  CAST({_ppm_sql('coalesce(p.n, 0)', '(SELECT n_total FROM tot)')} AS BIGINT) AS obs_ppm,
+  CAST(CASE g.digit {exp_cases} END AS BIGINT) AS benford_ppm,
+  CAST(
+    ({_ppm_sql('coalesce(p.n, 0)', '(SELECT n_total FROM tot)')} - CASE g.digit {exp_cases} END)
+    * ({_ppm_sql('coalesce(p.n, 0)', '(SELECT n_total FROM tot)')} - CASE g.digit {exp_cases} END)
+    // (CASE g.digit {exp_cases} END) AS BIGINT) AS chi2_contrib_e6
+FROM grid g LEFT JOIN per p ON g.digit = p.digit
+ORDER BY g.digit
+"""
+
+
+def _gini_oracle() -> str:
+    """Gini twin: identical value-grain rank-sum identity; exact
+    HUGEINT sums mirror Spark's DECIMAL(38,0), and the final ratio is
+    the IDENTICAL double expression tree (int->double conversions are
+    correctly rounded on both engines, so equal integers give equal
+    doubles)."""
+    return """
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+vals AS (SELECT v, count(*) AS c FROM pc GROUP BY 1),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum_c FROM vals),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS t_sum,
+    sum(CAST(v AS HUGEINT) * (2 * CAST(cum_c - c AS HUGEINT) * CAST(c AS HUGEINT)
+        + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1))) AS s2_sum
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST(t_sum AS BIGINT) AS total_cents,
+  round((CAST(s2_sum AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(t_sum AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(t_sum AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+def _ks_oracle() -> str:
+    """KS twin: identical value-grain integer-ppm ECDFs, max gap +
+    deterministic smallest attaining price."""
+    ppm_a = _ppm_sql("cum_ca", "(SELECT na FROM tot)")
+    ppm_b = _ppm_sql("cum_cb", "(SELECT nb FROM tot)")
+    return f"""
+WITH p0 AS (
+  SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+    (p_type LIKE 'PROMO%') AS g
+  FROM part
+),
+vals AS (
+  SELECT v, sum(CASE WHEN g THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN g THEN 0 ELSE 1 END) AS cb
+  FROM p0 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM vals),
+cum AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) AS cum_ca, sum(cb) OVER (ORDER BY v) AS cum_cb
+  FROM vals
+),
+gaps AS (SELECT v, abs(({ppm_a}) - ({ppm_b})) AS gap FROM cum)
+SELECT
+  CAST((SELECT na FROM tot) AS BIGINT) AS n_promo,
+  CAST((SELECT nb FROM tot) AS BIGINT) AS n_other,
+  CAST(max(gap) AS BIGINT) AS ks_ppm,
+  CAST((SELECT min(v) FROM gaps WHERE gap = (SELECT max(gap) FROM gaps)) AS BIGINT)
+    AS at_price_cents
+FROM gaps
+"""
+
+
+def _autocorr_oracle(max_lag: int = 7) -> str:
+    """Autocorrelation twin: the complete grid makes a day-arithmetic
+    self-join equivalent to LAG; moments as exact BIGINTs, the final
+    correlation the IDENTICAL double expression tree, NULL on zero
+    variance."""
+    return f"""
+WITH {_DAILY_GRID_SQL},
+ks AS (SELECT unnest(generate_series(1, {max_lag})) AS lag),
+pairs AS (
+  SELECT a.event_type, ks.lag, CAST(a.n AS BIGINT) AS x, CAST(b.n AS BIGINT) AS y
+  FROM grid a CROSS JOIN ks
+  JOIN grid b ON b.event_type = a.event_type AND b.day = a.day - CAST(ks.lag AS INT)
+),
+mom AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+  END AS autocorr
+FROM mom ORDER BY event_type, lag
+"""
+
+
+def _boilerplate_oracle(prefix_chars: int = 40, top_n: int = 10) -> str:
+    return f"""
+WITH fam AS (
+  SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, {prefix_chars}) AS prefix,
+    count(*) AS n_docs, count(DISTINCT source) AS n_sources
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_total FROM documents),
+top AS (
+  SELECT prefix, n_docs, n_sources,
+    row_number() OVER (ORDER BY n_docs DESC, prefix ASC) AS rank
+  FROM fam
+)
+SELECT CAST(rank AS INT) AS rank, prefix,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  CAST({_ppm_sql('n_docs', '(SELECT n_total FROM tot)')} AS BIGINT) AS share_ppm
+FROM top WHERE rank <= {top_n} ORDER BY rank
+"""
+
+
+def _bloom_fpr_oracle(
+    n: int = 3, benchmark_mod: int = 100, m_bits: int = 1 << 18, k_hashes: int = 4
+) -> str:
+    """Bloom FPR twin: identical md5 positions; bits_set is the
+    distinct position count (== the packed-word popcount); the
+    theoretical FPR is the identical fill-ratio power expression."""
+
+    def pos(col: str, i: int) -> str:
+        return f"CAST(concat('0x', substr(md5({col} || '#{i}'), 1, 8)) AS BIGINT) % {m_bits}"
+
+    poslist = ", ".join(pos("s", i) for i in range(k_hashes))
+    checks = " AND ".join(
+        f"({pos('t.s', i)}) IN (SELECT p FROM bloom)" for i in range(k_hashes)
+    )
+    ratio = f"(CAST((SELECT bits_set FROM bs) AS DOUBLE) / CAST({m_bits} AS DOUBLE))"
+    theo = " * ".join([ratio] * k_hashes)
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+bench AS (SELECT DISTINCT s FROM sd WHERE doc_id % {benchmark_mod} = 0),
+bloom AS (SELECT DISTINCT unnest([{poslist}]) AS p FROM bench),
+bs AS (SELECT count(*) AS bits_set FROM bloom),
+nb AS (SELECT count(*) AS n_bench FROM bench),
+clean AS (
+  SELECT DISTINCT s FROM sd
+  WHERE doc_id % {benchmark_mod} <> 0 AND s NOT IN (SELECT s FROM bench)
+),
+probe AS (SELECT CASE WHEN {checks} THEN 1 ELSE 0 END AS fp FROM clean t)
+SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+  CAST({k_hashes} AS BIGINT) AS k_hashes,
+  CAST((SELECT n_bench FROM nb) AS BIGINT) AS n_bench_grams,
+  CAST((SELECT bits_set FROM bs) AS BIGINT) AS n_bits_set,
+  CAST(count(*) AS BIGINT) AS n_clean_probes,
+  CAST(sum(fp) AS BIGINT) AS n_false_pos,
+  CAST({_ppm_sql('sum(fp)', 'count(*)')} AS BIGINT) AS measured_fpr_ppm,
+  CAST(floor({theo} * 1000000) AS BIGINT) AS theoretical_fpr_ppm
+FROM probe
 """

@@ -1,0 +1,155 @@
+"""Round-5 third-wave invariants: distribution audits (Benford, Gini,
+KS, autocorrelation), boilerplate prefix families, and the Bloom FPR
+calibration. Value parity vs DuckDB is pinned by test_oracle.py; these
+tests pin the statistical identities a hash can't explain —
+independent Python recomputation, structural bounds, and the
+never-undercount/never-miss contracts."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from github_issues_lakehouse_spark.operators import statistics as ST
+from github_issues_lakehouse_spark.operators.chunking import bloom_fpr_audit
+from github_issues_lakehouse_spark.operators.text6 import boilerplate_prefix_stats
+from github_issues_lakehouse_spark.operators.timeseries import autocorr_daily, _daily_grid
+from github_issues_lakehouse_spark.sources.registry import load_table
+
+from .conftest import SF_DIR
+
+
+def test_benford_shares_sum_to_one(spark):
+    """Observed shares cover the whole table (sum within integer-div
+    slack of 1e6 ppm), expected shares are the frozen Benford table,
+    and every digit row is present."""
+    rows = {r.digit: r for r in ST.benford_first_digit(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 10))
+    obs_total = sum(r.obs_ppm for r in rows.values())
+    assert 1_000_000 - 9 <= obs_total <= 1_000_000
+    for d, r in rows.items():
+        assert r.benford_ppm == math.floor(math.log10(1 + 1 / d) * 1e6)
+        # chi2 contribution recomputed independently
+        assert r.chi2_contrib_e6 == (r.obs_ppm - r.benford_ppm) ** 2 // r.benford_ppm
+    n_total = sum(r.n_orders for r in rows.values())
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert n_total == n_orders
+
+
+def test_gini_matches_python_sorted_rank_formula(spark):
+    """The band/carry value-grain identity equals the textbook sorted
+    per-row rank formula computed in Python."""
+    o = load_table(spark, SF_DIR, "orders")
+    per = sorted(
+        r.v
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "v"
+            )
+        )
+        .collect()
+    )
+    n, t = len(per), sum(per)
+    want = (2 * sum((i + 1) * x for i, x in enumerate(per))) / (n * t) - (n + 1) / n
+    got = ST.gini_revenue(spark, SF_DIR).collect()[0]
+    assert got.n_customers == n and got.total_cents == t
+    assert abs(got.gini - want) < 1e-6
+    assert 0.0 <= got.gini < 1.0
+
+
+def test_ks_matches_python_ecdf_scan(spark):
+    """ks_ppm equals the max integer-ppm ECDF gap recomputed in
+    Python, and the attaining price is the smallest maximizer."""
+    p = load_table(spark, SF_DIR, "part").select(
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+        F.col("p_type").startswith("PROMO").alias("g"),
+    )
+    rows = p.collect()
+    a = sorted(r.v for r in rows if r.g)
+    b = sorted(r.v for r in rows if not r.g)
+    vals = sorted(set(a) | set(b))
+
+    def ppm(part, total):
+        return (part * 1000 // total) * 1000 + (part * 1000 % total) * 1000 // total
+
+    import bisect
+
+    best, at = -1, None
+    for v in vals:
+        ca, cb = bisect.bisect_right(a, v), bisect.bisect_right(b, v)
+        gap = abs(ppm(ca, len(a)) - ppm(cb, len(b)))
+        if gap > best:
+            best, at = gap, v
+    got = ST.ks_promo_price(spark, SF_DIR).collect()[0]
+    assert (got.n_promo, got.n_other) == (len(a), len(b))
+    assert got.ks_ppm == best and got.at_price_cents == at
+
+
+def test_autocorr_matches_python_pearson(spark):
+    """Every (type, lag) autocorrelation equals numpy-free Python
+    Pearson on the lagged grid series; lag-0 would be 1 by identity
+    (not emitted), and n_pairs shrinks by one per lag step."""
+    grid = sorted(
+        _daily_grid(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
+    )
+    series = {}
+    for r in grid:
+        series.setdefault(r.event_type, []).append(r.n)
+    got = {
+        (r.event_type, r.lag): r
+        for r in autocorr_daily(spark, SF_DIR).collect()
+    }
+    for et, xs in series.items():
+        for k in range(1, 8):
+            pairs = [(xs[i], xs[i - k]) for i in range(k, len(xs))]
+            r = got[(et, k)]
+            assert r.n_pairs == len(pairs)
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+            if d1 > 0 and d2 > 0:
+                want = (n * sxy - sx * sy) / math.sqrt(d1 * d2)
+                assert abs(r.autocorr - want) < 1e-6
+            else:
+                assert r.autocorr is None
+
+
+def test_boilerplate_prefix_counts_cover_corpus(spark):
+    """Top families are ranked by size, counts never exceed the
+    corpus, and every family's share is consistent with its count."""
+    rows = boilerplate_prefix_stats(spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    sizes = [r.n_docs for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 1 <= r.n_docs <= n_total
+        assert 1 <= r.n_sources
+        assert len(r.prefix) <= 40
+        want_ppm = (r.n_docs * 1000 // n_total) * 1000 + (
+            r.n_docs * 1000 % n_total
+        ) * 1000 // n_total
+        assert r.share_ppm == want_ppm
+
+
+def test_bloom_fpr_audit_invariants(spark):
+    """Bloom contracts: no false negatives by construction (so the
+    probe set is all TRUE negatives), measured FPR consistent with
+    counts, theoretical FPR is the fill-ratio power, and the filter
+    is non-trivially loaded."""
+    r = bloom_fpr_audit(spark, SF_DIR).collect()[0]
+    assert r.n_bench_grams > 0 and r.n_clean_probes > 0
+    assert 0 < r.n_bits_set <= min(r.m_bits, r.n_bench_grams * r.k_hashes)
+    assert 0 <= r.n_false_pos <= r.n_clean_probes
+    ratio = r.n_bits_set / r.m_bits
+    # chained multiplication, matching the engine expression exactly
+    # (pow() could differ by an ulp at a floor boundary)
+    assert r.theoretical_fpr_ppm == math.floor(ratio * ratio * ratio * ratio * 1e6)
+    want_ppm = (r.n_false_pos * 1000 // r.n_clean_probes) * 1000 + (
+        r.n_false_pos * 1000 % r.n_clean_probes
+    ) * 1000 // r.n_clean_probes
+    assert r.measured_fpr_ppm == want_ppm
