@@ -183,6 +183,10 @@ HEADLINE = [
     "autocorr_daily",
     "boilerplate_prefix_stats",
     "bloom_fpr_audit",
+    "event_entropy_rate",
+    "markov_stationary_events",
+    "vocab_growth_curve",
+    "simpson_diversity_by_source",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Markov-chain analytics over per-user event sequences — the
+behavioral-model layer above ``event_transitions`` (B42): how
+predictable is the next event (entropy rate), and where does user
+activity concentrate in the long run (stationary distribution).
+
+Reference parity: generalizes the reference's event-sequence marts
+(snapshots/events semantics, src/silver.py ordering rules) to chain
+statistics; transition semantics are identical to B42
+(LAG over user_id, ordered by ts then event_id).
+
+Engine-parity rules: transition probabilities live in exact integer
+ppm (``ppm_expr``); logs are frozen to integer micro-nats per
+DISTINCT transition with one round() (the dsir/perplexity
+discipline) so per-row float summation order cannot diverge; the
+power iteration is a pure BIGINT fixed-point fold, bit-identical on
+both engines at every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import ppm_expr as _ppm
+from ..sources.registry import load_table
+
+
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n) with B42's exact transition semantics."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B103 (r5): conditional entropy H(next | current) per event type
+    — the predictability readout of the user behavior chain: a state
+    whose next event is near-deterministic scores ~0 micro-nats; a
+    state that fans out uniformly over k successors scores ~ln(k)e6.
+    The quantity sequence models (and sessionization heuristics) care
+    about, computed from the same transition counts as B42.
+
+    Per from-state: outgoing transition count, distinct successor
+    count, and the entropy in integer MICRO-NATS — each distinct
+    transition's -ln(c_xy/c_x) is frozen to one rounded integer
+    micro-nat weight, the per-state sum c_xy*w is an exact BIGINT,
+    and the final division is integer DIV by c_x. No float ever
+    crosses an aggregation boundary.
+
+    Plan/scale: one LAG window over the fact (the only corpus-scale
+    stage, shared with B42), then everything at transition-matrix
+    grain (|types|^2 rows).
+    """
+    counts = _transition_counts(spark, sf_dir)
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("c_x"))
+    joined = counts.join(totals, "from_type")
+    w_micro = F.round(
+        -F.lit(1_000_000.0) * F.log(F.col("n").cast("double") / F.col("c_x").cast("double"))
+    ).cast("long")
+    return (
+        joined.withColumn("w", w_micro)
+        .groupBy("from_type", "c_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_succ"),
+            F.sum(F.col("n") * F.col("w")).alias("sw"),
+        )
+        .select(
+            "from_type",
+            F.col("c_x").cast("long").alias("n_transitions"),
+            F.col("n_succ").cast("long").alias("n_successors"),
+            F.expr("sw DIV c_x").cast("long").alias("entropy_micro_nats"),
+        )
+        .orderBy("from_type")
+    )
+
+
+def markov_stationary_events(
+    spark: SparkSession, sf_dir: str, n_iter: int = 20
+) -> DataFrame:
+    """B104 (r5): stationary distribution of the event-type Markov
+    chain by fixed-point power iteration — the long-run share of user
+    activity each event type absorbs, the chain-level counterpart of
+    pagerank_trade_graph (C76) on the behavioral graph.
+
+    Everything is BIGINT fixed point: transition probabilities in
+    exact ppm, the distribution in e6 units seeded uniform
+    (1e6 DIV k), each iteration
+
+        r'[to] = (sum_from r[from] * p_ppm[from, to]) DIV 1e6
+
+    — bit-identical on both engines at every step (the holt/ewma
+    fold discipline), so n_iter=20 needs no tolerance. From-states
+    with no observed outgoing transitions get a synthetic self-loop
+    (p = 1e6) so no probability mass silently exits the chain;
+    integer flooring leaks at most k e6-units per iteration
+    (documented, visible in the output sum).
+
+    Plan/scale: the LAG pass is corpus-scale ONCE and fully
+    distributed; the k x k ppm matrix (k = |event types|, bounded by
+    the type vocabulary — dozens, never data-sized) is then collected
+    in ONE bounded collect and folded on the driver, exactly like the
+    bloom bitset's justified collect: 20 distributed join jobs on a
+    ~25-row table cost ~3 s each in fixed scheduling overhead
+    (measured 58 s total) while the driver fold is microseconds and
+    arithmetically identical. Output per type: stationary share in
+    e6 units and the iteration count.
+    """
+    counts = _transition_counts(spark, sf_dir)
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("c_x"))
+    types = sorted(
+        r.t
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("t"))
+        .distinct()
+        .collect()
+    )
+    trans_rows = (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(_ppm("n", "c_x")).cast("long").alias("p_ppm"),
+        )
+        .collect()
+    )
+    p = {(r.from_type, r.to_type): r.p_ppm for r in trans_rows}
+    # synthetic self-loop for types never seen as a from-state
+    froms = {f for f, _ in p}
+    for t in types:
+        if t not in froms:
+            p[(t, t)] = 1_000_000
+    k = len(types)
+    rank = {t: 1_000_000 // k for t in types}
+    for _ in range(n_iter):
+        new = {t: 0 for t in types}
+        for (f, t), ppm in p.items():
+            new[t] += rank[f] * ppm
+        rank = {t: v // 1_000_000 for t, v in new.items()}
+    return spark.createDataFrame(
+        [(t, rank[t], n_iter) for t in types],
+        "event_type string, stationary_e6 long, n_iter int",
+    ).orderBy("event_type")

@@ -356,3 +356,106 @@ def boilerplate_prefix_stats(
         )
         .orderBy("rank")
     )
+
+
+def vocab_growth_curve(
+    spark: SparkSession, sf_dir: str, bucket_width: int = 50
+) -> DataFrame:
+    """C112 (r5): vocabulary growth (Heaps'-law) curve over ingest
+    order — how fast the corpus stops contributing NEW vocabulary,
+    the saturation readout that tells a data-acquisition pipeline
+    when more of the same source stops buying coverage (and the
+    curriculum planner how novelty decays).
+
+    Documents are banded into ingest buckets (doc_id DIV width — the
+    repo's standing ingest-order proxy); each distinct term is
+    attributed to the bucket where it FIRST occurs (min bucket per
+    term — one map-side-combinable aggregate, the
+    dedup_exact_substrings first-occurrence discipline). Per bucket:
+    docs, token occurrences, distinct terms present, terms first seen
+    there, the cumulative vocabulary, and the new-term share of the
+    bucket's distinct terms in exact ppm.
+
+    Plan/scale: two aggregates at term grain (min-bucket, per-bucket
+    distinct) off one explode scan; the cumulative sum runs at BUCKET
+    grain (bounded by corpus/bucket_width). Nothing quadratic,
+    nothing collected.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id DIV {bucket_width}").alias("bucket"),
+        F.explode(norm_tokens(F.col("text"))).alias("term"),
+    )
+    per_bucket = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("n_bucket_terms"),
+    )
+    first_seen = (
+        d.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    docs_per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.expr(f"doc_id DIV {bucket_width}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .join(docs_per, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bucket_terms").cast("long").alias("n_bucket_terms"),
+            F.coalesce("n_new_terms", F.lit(0)).cast("long").alias("n_new_terms"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(w).cast("long"))
+        .withColumn(
+            "new_share_ppm",
+            F.expr(_ppm("n_new_terms", "n_bucket_terms")).cast("long"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113 (r5): Simpson diversity of the term distribution per
+    source — the collision probability lambda = sum c(c-1) / N(N-1)
+    (the chance two random tokens are the same type): near 0 = rich
+    diverse text, near 1 = degenerate repetition. The corpus-level
+    twin of the per-document repetition_filter, and the diversity
+    number source-mixing decisions quote.
+
+    Both sums are exact BIGINTs (c(c-1) per term, then one map-side-
+    combinable per-source sum — safe to ~3e9 tokens per source, the
+    documented BIGINT bound; beyond that the same shape runs on
+    DECIMAL(38,0)); lambda is assembled as ONE identical-tree double
+    ratio from the exact integers, rounded to 6dp (corr_matrix
+    discipline).
+
+    Plan/scale: one explode scan, term-grain then source-grain
+    aggregates. The vocabulary, never the corpus, crosses the second
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(norm_tokens(F.col("text"))).alias("term")
+    )
+    per_term = d.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_term.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    lam = F.col("coll").cast("double") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens").cast("double") - 1.0)
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        r6(lam).alias("simpson_lambda"),
+    ).orderBy("source")

@@ -20,6 +20,7 @@ from .operators import (
     gold,
     graph,
     graph2,
+    markov,
     multimodal,
     relational as R,
     relational2 as R2,
@@ -547,6 +548,10 @@ _DRIVER_PRIORITY_R5 = [
     "autocorr_daily",
     "boilerplate_prefix_stats",
     "bloom_fpr_audit",
+    "event_entropy_rate",
+    "markov_stationary_events",
+    "vocab_growth_curve",
+    "simpson_diversity_by_source",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -743,6 +748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_daily": timeseries.autocorr_daily,
         "boilerplate_prefix_stats": text6.boilerplate_prefix_stats,
         "bloom_fpr_audit": chunking.bloom_fpr_audit,
+        "event_entropy_rate": markov.event_entropy_rate,
+        "markov_stationary_events": markov.markov_stationary_events,
+        "vocab_growth_curve": text6.vocab_growth_curve,
+        "simpson_diversity_by_source": text6.simpson_diversity_by_source,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1916,6 +1925,10 @@ FROM top
         "autocorr_daily": _autocorr_oracle(),
         "boilerplate_prefix_stats": _boilerplate_oracle(),
         "bloom_fpr_audit": _bloom_fpr_oracle(),
+        "event_entropy_rate": _entropy_rate_oracle(),
+        "markov_stationary_events": _markov_stationary_oracle(),
+        "vocab_growth_curve": _vocab_growth_oracle(),
+        "simpson_diversity_by_source": _simpson_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -5777,4 +5790,134 @@ SELECT CAST({m_bits} AS BIGINT) AS m_bits,
   CAST({_ppm_sql('sum(fp)', 'count(*)')} AS BIGINT) AS measured_fpr_ppm,
   CAST(floor({theo} * 1000000) AS BIGINT) AS theoretical_fpr_ppm
 FROM probe
+"""
+
+
+_TRANSITION_CTES = """
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+    event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS c_x FROM counts GROUP BY 1)"""
+
+
+def _entropy_rate_oracle() -> str:
+    """Entropy-rate twin: identical micro-nat freezing per distinct
+    transition (one round of an identical double expression), exact
+    BIGINT weighted sums, integer `//` == Spark DIV on non-negative."""
+    return f"""
+WITH {_TRANSITION_CTES},
+wm AS (
+  SELECT c.from_type, t.c_x, c.n,
+    CAST(round(-1000000.0 * ln(CAST(c.n AS DOUBLE) / CAST(t.c_x AS DOUBLE))) AS BIGINT) AS w
+  FROM counts c JOIN tot t ON c.from_type = t.from_type
+)
+SELECT from_type,
+  CAST(c_x AS BIGINT) AS n_transitions,
+  CAST(count(*) AS BIGINT) AS n_successors,
+  CAST(sum(n * w) // c_x AS BIGINT) AS entropy_micro_nats
+FROM wm GROUP BY from_type, c_x ORDER BY from_type
+"""
+
+
+def _markov_stationary_oracle(n_iter: int = 20) -> str:
+    """Stationary twin: the identical BIGINT fixed-point power
+    iteration unrolled as chained CTEs (the pagerank oracle shape) —
+    every step is integer arithmetic, so 20 iterations match without
+    tolerance."""
+    sql = f"""
+WITH {_TRANSITION_CTES},
+types AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+kk AS (SELECT count(*) AS k FROM types),
+tr0 AS (
+  SELECT c.from_type, c.to_type,
+    CAST({_ppm_sql('c.n', 't.c_x')} AS BIGINT) AS p_ppm
+  FROM counts c JOIN tot t ON c.from_type = t.from_type
+),
+dang AS (
+  SELECT t AS from_type, t AS to_type, CAST(1000000 AS BIGINT) AS p_ppm
+  FROM types WHERE t NOT IN (SELECT DISTINCT from_type FROM tr0)
+),
+-- MATERIALIZED: 20 unrolled iterations reference tr; inlined, DuckDB
+-- re-runs the corpus-scale LAG per iteration (measured 49 s -> <1 s)
+tr AS MATERIALIZED (SELECT * FROM tr0 UNION ALL SELECT * FROM dang),
+r0 AS (
+  SELECT t AS event_type,
+    CAST(1000000 // (SELECT k FROM kk) AS BIGINT) AS r_e6
+  FROM types
+)"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+c{i} AS (
+  SELECT tr.to_type AS t, CAST(sum(p.r_e6 * tr.p_ppm) // 1000000 AS BIGINT) AS r_e6
+  FROM tr JOIN {prev} p ON tr.from_type = p.event_type GROUP BY 1
+),
+r{i} AS MATERIALIZED (
+  SELECT ty.t AS event_type, CAST(coalesce(c.r_e6, 0) AS BIGINT) AS r_e6
+  FROM types ty LEFT JOIN c{i} c ON ty.t = c.t
+)"""
+        prev = f"r{i}"
+    return sql + f"""
+SELECT event_type, CAST(r_e6 AS BIGINT) AS stationary_e6,
+  CAST({n_iter} AS INT) AS n_iter
+FROM {prev} ORDER BY event_type
+"""
+
+
+def _vocab_growth_oracle(bucket_width: int = 50) -> str:
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id // {bucket_width} AS bucket, unnest({_norm_toks_sql()}) AS term
+  FROM documents
+),
+per_bucket AS (
+  SELECT bucket, count(*) AS n_tokens, count(DISTINCT term) AS n_bucket_terms
+  FROM toksrc GROUP BY 1
+),
+first_seen AS (
+  SELECT min_bucket AS bucket, count(*) AS n_new
+  FROM (SELECT term, min(bucket) AS min_bucket FROM toksrc GROUP BY 1)
+  GROUP BY 1
+),
+docs_per AS (
+  SELECT doc_id // {bucket_width} AS bucket, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT CAST(b.bucket AS BIGINT) AS bucket,
+  CAST(d.n_docs AS BIGINT) AS n_docs,
+  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(b.n_bucket_terms AS BIGINT) AS n_bucket_terms,
+  CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new_terms,
+  CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS cum_vocab,
+  CAST({_ppm_sql('coalesce(f.n_new, 0)', 'b.n_bucket_terms')} AS BIGINT) AS new_share_ppm
+FROM per_bucket b
+JOIN docs_per d ON b.bucket = d.bucket
+LEFT JOIN first_seen f ON b.bucket = f.bucket
+ORDER BY b.bucket
+"""
+
+
+def _simpson_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+per AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+  FROM per GROUP BY 1
+)
+SELECT source, n_tokens, n_terms,
+  round(CAST(coll AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6)
+    AS simpson_lambda
+FROM agg ORDER BY source
 """

@@ -153,3 +153,101 @@ def test_bloom_fpr_audit_invariants(spark):
         r.n_false_pos * 1000 % r.n_clean_probes
     ) * 1000 // r.n_clean_probes
     assert r.measured_fpr_ppm == want_ppm
+
+
+def test_entropy_rate_bounds_and_python_recompute(spark):
+    """0 <= H(next|x) <= ln(n_successors), and the micro-nat fold
+    equals an independent Python recomputation from transition
+    counts."""
+    from github_issues_lakehouse_spark.operators.markov import (
+        _transition_counts,
+        event_entropy_rate,
+    )
+
+    counts = {}
+    for r in _transition_counts(spark, SF_DIR).collect():
+        counts.setdefault(r.from_type, {})[r.to_type] = r.n
+    got = {r.from_type: r for r in event_entropy_rate(spark, SF_DIR).collect()}
+    assert set(got) == set(counts)
+    for f, succ in counts.items():
+        c_x = sum(succ.values())
+        want = (
+            sum(
+                n * round(-1_000_000.0 * math.log(n / c_x))
+                for n in succ.values()
+            )
+            // c_x
+        )
+        r = got[f]
+        assert r.n_transitions == c_x and r.n_successors == len(succ)
+        assert r.entropy_micro_nats == want
+        assert 0 <= r.entropy_micro_nats <= math.log(len(succ)) * 1e6 + 1
+
+
+def test_markov_stationary_is_fixed_point_and_conserves_mass(spark):
+    """After 20 integer iterations the distribution is (a) close to a
+    fixed point of one more iteration, (b) sums to ~1e6 minus bounded
+    flooring leak, (c) strictly positive for every recurrent type."""
+    from github_issues_lakehouse_spark.operators.markov import (
+        markov_stationary_events,
+    )
+
+    r20 = {r.event_type: r.stationary_e6 for r in markov_stationary_events(spark, SF_DIR).collect()}
+    r21 = {
+        r.event_type: r.stationary_e6
+        for r in markov_stationary_events(spark, SF_DIR, n_iter=21).collect()
+    }
+    k = len(r20)
+    total = sum(r20.values())
+    # each iteration floors away < k e6-units; 20 iterations from 1e6
+    assert 1_000_000 - 21 * k <= total <= 1_000_000
+    for t in r20:
+        assert abs(r20[t] - r21[t]) <= 100  # converged to ~1e-4
+        assert r20[t] > 0
+
+
+def test_vocab_growth_monotone_and_conserves_vocab(spark):
+    """cum_vocab is nondecreasing and ends at the corpus vocabulary;
+    bucket 0's terms are all new by construction."""
+    from github_issues_lakehouse_spark.operators.text6 import vocab_growth_curve
+    from github_issues_lakehouse_spark.functions.textfns import norm_tokens
+
+    rows = vocab_growth_curve(spark, SF_DIR).collect()
+    assert rows[0].n_new_terms == rows[0].n_bucket_terms
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r.n_new_terms for r in rows) == cums[-1]
+    vocab = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(norm_tokens(F.col("text"))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    assert cums[-1] == vocab
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_simpson_matches_python_collision_probability(spark):
+    """simpson_lambda equals the Python collision probability per
+    source, and sits in [0, 1]."""
+    from collections import Counter
+
+    from github_issues_lakehouse_spark.operators.text6 import (
+        simpson_diversity_by_source,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    by_src = {}
+    for r in docs:
+        toks = " ".join(r.text.lower().split()).split(" ")
+        by_src.setdefault(r.source, Counter()).update(toks)
+    got = {r.source: r for r in simpson_diversity_by_source(spark, SF_DIR).collect()}
+    assert set(got) == set(by_src)
+    for s, cnt in by_src.items():
+        n = sum(cnt.values())
+        coll = sum(c * (c - 1) for c in cnt.values())
+        r = got[s]
+        assert r.n_tokens == n and r.n_terms == len(cnt)
+        assert abs(r.simpson_lambda - coll / (n * (n - 1))) < 1e-6
+        assert 0.0 <= r.simpson_lambda <= 1.0
