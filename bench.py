@@ -187,6 +187,10 @@ HEADLINE = [
     "markov_stationary_events",
     "vocab_growth_curve",
     "simpson_diversity_by_source",
+    "contingency_dependence",
+    "lorenz_deciles",
+    "fano_daily_dispersion",
+    "stopword_mass_by_source",
 ]
 
 

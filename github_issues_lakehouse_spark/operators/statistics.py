@@ -239,3 +239,151 @@ def ks_promo_price(spark: SparkSession, sf_dir: str, band_cents: int = 100_000) 
         F.col("m.gap_ppm").cast("long").alias("ks_ppm"),
         (-F.col("m.nv")).cast("long").alias("at_price_cents"),
     )
+
+
+def contingency_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B105 (r5): dependence summary of the priority x status
+    contingency table — the one-row verdict on top of
+    contingency_orders' per-cell view: total chi-square, degrees of
+    freedom, Cramer's V (effect size), and mutual information.
+
+    Parity discipline: chi-square and MI are SUMS of per-cell doubles
+    — float summation order would diverge between engines — so each
+    cell's contribution is FROZEN to one rounded integer (chi2 in e6
+    units, MI in micro-nats: round(1e6 * n_xy/N * ln(n_xy*N /
+    (n_x*n_y)))) and the sums are exact BIGINTs (the dsir/perplexity
+    freeze). Cramer's V is then ONE identical-tree double from the
+    frozen chi2 integer.
+
+    Plan/scale: one fact aggregate to the cell grid; windows run over
+    the dozens of cells. Nothing else touches the corpus.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_xy",
+        F.sum("n_xy").over(w_row).alias("n_x"),
+        F.sum("n_xy").over(w_col).alias("n_y"),
+        F.sum("n_xy").over(w_all).alias("n"),
+    )
+    e = F.col("n_x").cast("double") * F.col("n_y").cast("double") / F.col("n").cast("double")
+    o_d = F.col("n_xy").cast("double")
+    chi_e6 = F.round(F.lit(1_000_000.0) * (o_d - e) * (o_d - e) / e).cast("long")
+    mi_micro = F.round(
+        F.lit(1_000_000.0)
+        * (o_d / F.col("n").cast("double"))
+        * F.log(
+            o_d
+            * F.col("n").cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        )
+    ).cast("long")
+    frozen = t.select(
+        "n_xy",
+        "n",
+        chi_e6.alias("chi_e6"),
+        mi_micro.alias("mi_micro"),
+        F.col("o_orderpriority").alias("rx"),
+        F.col("o_orderstatus").alias("ry"),
+    )
+    agg = frozen.groupBy("n").agg(
+        F.sum("chi_e6").alias("chi2_e6"),
+        F.sum("mi_micro").alias("mi_micro_nats"),
+        F.count_distinct("rx").alias("r"),
+        F.count_distinct("ry").alias("c"),
+    )
+    v = F.sqrt(
+        F.col("chi2_e6").cast("double")
+        / F.lit(1_000_000.0)
+        / (F.col("n").cast("double") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        r6(v).alias("cramer_v"),
+        F.col("mi_micro_nats").cast("long").alias("mi_micro_nats"),
+    )
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str, band_cents: int = 10_000_000) -> DataFrame:
+    """B106 (r5): the Lorenz curve behind ``gini_revenue`` at decile
+    grain — per revenue decile (poorest 10% of customers first), the
+    customer count, exact revenue, revenue share, and cumulative
+    share in exact ppm. The inequality readout dashboards plot.
+
+    NO per-customer rank and NO tie-breaking: each distinct revenue
+    VALUE group occupies a contiguous rank interval [cb+1, cb+c]
+    (value-grain band/carry prefix sums, the gini machinery), decile
+    d owns ranks (d-1)*n DIV 10 + 1 .. d*n DIV 10, and the group's
+    contribution to d is the INTERVAL OVERLAP — exact integer
+    arithmetic, well-defined under ties because equal-revenue
+    customers are interchangeable. Groups explode into <= 10 decile
+    rows (almost always 1).
+
+    Plan/scale: the per-customer aggregate is the only fact-scale
+    shuffle; everything after runs at value grain inside bounded
+    bands. Revenue sums ride DECIMAL(38,0), output BIGINT cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    vals = per_cust.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = _banded_cum(vals, "v", ["c"], band_cents)
+    totals = vals.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("t_rev"),
+    )
+    D = F.explode(F.array(*[F.lit(d) for d in range(1, 11)])).alias("decile")
+    spans = (
+        cum.join(F.broadcast(totals))
+        .select(
+            "v",
+            "c",
+            (F.col("cum_c") - F.col("c")).alias("cb"),
+            "cum_c",
+            "n",
+            "t_rev",
+            D,
+        )
+        .withColumn("lo", F.expr("(decile - 1) * n DIV 10"))
+        .withColumn("hi", F.expr("decile * n DIV 10"))
+        .withColumn(
+            "overlap",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("hi"), F.col("cum_c")) - F.greatest(F.col("lo"), F.col("cb")),
+            ),
+        )
+        .filter(F.col("overlap") > 0)
+    )
+    per_decile = spans.groupBy("decile", "n", "t_rev").agg(
+        F.sum("overlap").cast("long").alias("n_customers"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("overlap").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("rev"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.withColumn("cum_rev", F.sum("rev").over(w_cum).cast("decimal(38,0)"))
+        .selectExpr(
+            "CAST(decile AS INT) AS decile",
+            "CAST(n_customers AS BIGINT) AS n_customers",
+            "CAST(rev AS BIGINT) AS revenue_cents",
+            f"CAST({_ppm('rev', 't_rev')} AS BIGINT) AS revenue_share_ppm",
+            f"CAST({_ppm('cum_rev', 't_rev')} AS BIGINT) AS cum_share_ppm",
+        )
+        .orderBy("decile")
+    )

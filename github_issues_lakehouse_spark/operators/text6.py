@@ -459,3 +459,52 @@ def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("long").alias("n_terms"),
         r6(lam).alias("simpson_lambda"),
     ).orderBy("source")
+
+
+def stopword_mass_by_source(
+    spark: SparkSession, sf_dir: str, top_k: int = 20
+) -> DataFrame:
+    """C114 (r5): share of each source's token mass spent on the
+    corpus-global top-``top_k`` terms (the data-driven stopword set)
+    — the quality signal that separates natural prose (high stopword
+    mass) from keyword-stuffed/templated/code-like text (low), used
+    exactly this way in Gopher-style quality rules but computed from
+    the corpus itself instead of a frozen English list.
+
+    Per source: token count, tokens hitting the stopword set, the
+    mass in exact ppm, and how many of the top-k terms occur in the
+    source at all.
+
+    Plan/scale: one explode scan feeds the global term counts (top-k
+    via TakeOrdered — no full vocabulary sort) and the per-source
+    counts; the k-row set broadcasts into a map-side membership join.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(norm_tokens(F.col("text"))).alias("term")
+    )
+    top = (
+        d.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_k)
+        .select("term")
+    )
+    per_source = d.join(F.broadcast(top).withColumn("is_stop", F.lit(1)), "term", "left")
+    return (
+        per_source.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("is_stop", F.lit(0))).alias("n_stop_tokens"),
+            F.count_distinct(F.when(F.col("is_stop") == 1, F.col("term"))).alias(
+                "n_stop_terms_present"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_stop_tokens AS BIGINT) AS n_stop_tokens",
+            f"CAST({_ppm('n_stop_tokens', 'n_tokens')} AS BIGINT) AS stopword_mass_ppm",
+            "CAST(n_stop_terms_present AS BIGINT) AS n_stop_terms_present",
+        )
+        .orderBy("source")
+    )

@@ -461,3 +461,41 @@ def autocorr_daily(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFr
         F.col("n").cast("long").alias("n_pairs"),
         corr.alias("autocorr"),
     ).orderBy("event_type", "lag")
+
+
+def fano_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B107 (r5): Fano factor (index of dispersion, variance/mean) of
+    daily event volume per type on the gap-filled grid — the
+    burstiness classifier monitoring uses before picking an alarm
+    model: ~1 = Poisson-like arrivals (count thresholds work), >>1 =
+    bursty/overdispersed (use the anomaly z-score path), <1 =
+    regular/underdispersed.
+
+    Moments are exact BIGINT sums of the integer daily counts; the
+    factor is ONE identical-tree double, population variance over
+    mean: (n*sxx - sx*sx) / (n*sx), rounded 6dp; NULL when the type
+    never fires (sx == 0).
+
+    Plan/scale: the shared daily aggregate, then type-grain math.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    mom = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    fano = F.when(
+        F.col("sx") > 0,
+        r6(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ),
+    )
+    mean = r6(F.col("sx").cast("double") / F.col("n").cast("double"))
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("n_events"),
+        mean.alias("mean_daily"),
+        fano.alias("fano_factor"),
+    ).orderBy("event_type")

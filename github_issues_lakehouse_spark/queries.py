@@ -552,6 +552,10 @@ _DRIVER_PRIORITY_R5 = [
     "markov_stationary_events",
     "vocab_growth_curve",
     "simpson_diversity_by_source",
+    "contingency_dependence",
+    "lorenz_deciles",
+    "fano_daily_dispersion",
+    "stopword_mass_by_source",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -752,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary_events": markov.markov_stationary_events,
         "vocab_growth_curve": text6.vocab_growth_curve,
         "simpson_diversity_by_source": text6.simpson_diversity_by_source,
+        "contingency_dependence": ST.contingency_dependence,
+        "lorenz_deciles": ST.lorenz_deciles,
+        "fano_daily_dispersion": timeseries.fano_daily_dispersion,
+        "stopword_mass_by_source": text6.stopword_mass_by_source,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1929,6 +1937,10 @@ FROM top
         "markov_stationary_events": _markov_stationary_oracle(),
         "vocab_growth_curve": _vocab_growth_oracle(),
         "simpson_diversity_by_source": _simpson_oracle(),
+        "contingency_dependence": _contingency_dependence_oracle(),
+        "lorenz_deciles": _lorenz_oracle(),
+        "fano_daily_dispersion": _fano_oracle(),
+        "stopword_mass_by_source": _stopword_mass_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -5920,4 +5932,141 @@ SELECT source, n_tokens, n_terms,
         / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6)
     AS simpson_lambda
 FROM agg ORDER BY source
+"""
+
+
+def _contingency_dependence_oracle() -> str:
+    """Dependence twin: per-cell chi2/MI frozen to rounded integers
+    from identical double trees, exact BIGINT sums, Cramer's V as one
+    identical double expression from the frozen chi2."""
+    return """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_xy FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, o_orderstatus, n_xy,
+    sum(n_xy) OVER (PARTITION BY o_orderpriority) AS n_x,
+    sum(n_xy) OVER (PARTITION BY o_orderstatus) AS n_y,
+    sum(n_xy) OVER () AS n
+  FROM cells
+),
+frozen AS (
+  SELECT o_orderpriority AS rx, o_orderstatus AS ry, n,
+    CAST(round(1000000.0
+      * (CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS chi_e6,
+    CAST(round(1000000.0
+      * (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+           / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))) AS BIGINT) AS mi_micro
+  FROM t
+),
+agg AS (
+  SELECT n, CAST(sum(chi_e6) AS BIGINT) AS chi2_e6,
+    CAST(sum(mi_micro) AS BIGINT) AS mi_micro_nats,
+    count(DISTINCT rx) AS r, count(DISTINCT ry) AS c
+  FROM frozen GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  chi2_e6,
+  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+  round(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0
+             / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramer_v,
+  mi_micro_nats
+FROM agg
+"""
+
+
+def _lorenz_oracle() -> str:
+    """Lorenz twin: identical value-grain rank-interval overlap —
+    integer arithmetic end to end, HUGEINT mirrors DECIMAL(38,0)."""
+    ppm_rev = _ppm_sql("rev", "(SELECT t_rev FROM tot)")
+    ppm_cum = _ppm_sql("cum_rev", "(SELECT t_rev FROM tot)")
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+vals AS (SELECT v, count(*) AS c FROM pc GROUP BY 1),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum_c FROM vals),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(CAST(v AS HUGEINT) * c) AS BIGINT) AS t_rev
+  FROM vals
+),
+spans AS (
+  SELECT v, c, cum_c - c AS cb, cum_c, d.decile,
+    (d.decile - 1) * (SELECT n FROM tot) // 10 AS lo,
+    d.decile * (SELECT n FROM tot) // 10 AS hi
+  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS decile) d
+),
+ov AS (
+  SELECT decile, v,
+    greatest(0, least(hi, cum_c) - greatest(lo, cb)) AS overlap
+  FROM spans
+),
+per AS (
+  SELECT decile, CAST(sum(overlap) AS BIGINT) AS n_customers,
+    CAST(sum(CAST(v AS HUGEINT) * overlap) AS BIGINT) AS rev
+  FROM ov WHERE overlap > 0 GROUP BY 1
+),
+wc AS (
+  SELECT decile, n_customers, rev,
+    CAST(sum(rev) OVER (ORDER BY decile) AS BIGINT) AS cum_rev
+  FROM per
+)
+SELECT CAST(decile AS INT) AS decile,
+  n_customers,
+  rev AS revenue_cents,
+  CAST({ppm_rev} AS BIGINT) AS revenue_share_ppm,
+  CAST({ppm_cum} AS BIGINT) AS cum_share_ppm
+FROM wc ORDER BY decile
+"""
+
+
+def _fano_oracle() -> str:
+    return f"""
+WITH {_DAILY_GRID_SQL},
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM grid GROUP BY 1
+)
+SELECT event_type,
+  nd AS n_days,
+  sx AS n_events,
+  round(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS mean_daily,
+  CASE WHEN sx > 0 THEN
+    round(CAST(nd * sxx - sx * sx AS DOUBLE) / CAST(nd * sx AS DOUBLE), 6)
+  END AS fano_factor
+FROM mom ORDER BY event_type
+"""
+
+
+def _stopword_mass_oracle(top_k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_norm_toks_sql()}) AS term FROM documents
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM toks GROUP BY 1
+    ORDER BY n DESC, term ASC LIMIT {top_k}
+  )
+),
+per AS (
+  SELECT source, count(*) AS n_tokens,
+    sum(CASE WHEN term IN (SELECT term FROM top) THEN 1 ELSE 0 END) AS n_stop_tokens,
+    count(DISTINCT CASE WHEN term IN (SELECT term FROM top) THEN term END)
+      AS n_stop_terms_present
+  FROM toks GROUP BY 1
+)
+SELECT source,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_stop_tokens AS BIGINT) AS n_stop_tokens,
+  CAST({_ppm_sql('n_stop_tokens', 'n_tokens')} AS BIGINT) AS stopword_mass_ppm,
+  CAST(n_stop_terms_present AS BIGINT) AS n_stop_terms_present
+FROM per ORDER BY source
 """

@@ -251,3 +251,107 @@ def test_simpson_matches_python_collision_probability(spark):
         assert r.n_tokens == n and r.n_terms == len(cnt)
         assert abs(r.simpson_lambda - coll / (n * (n - 1))) < 1e-6
         assert 0.0 <= r.simpson_lambda <= 1.0
+
+
+def test_contingency_dependence_python_recompute(spark):
+    """chi2/MI equal an independent Python recomputation from the raw
+    contingency cells; Cramer's V in [0,1]; MI >= 0 within freeze
+    slack."""
+    from github_issues_lakehouse_spark.operators.statistics import (
+        contingency_dependence,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_orderstatus")
+    cells = {}
+    for r in o.collect():
+        cells[(r.o_orderpriority, r.o_orderstatus)] = (
+            cells.get((r.o_orderpriority, r.o_orderstatus), 0) + 1
+        )
+    n = sum(cells.values())
+    rows = {x for x, _ in cells}
+    colz = {y for _, y in cells}
+    n_x = {x: sum(v for (a, _), v in cells.items() if a == x) for x in rows}
+    n_y = {y: sum(v for (_, b), v in cells.items() if b == y) for y in colz}
+    chi = mi = 0
+    for (x, y), o_ in cells.items():
+        e = n_x[x] * n_y[y] / n
+        chi += round(1_000_000.0 * (o_ - e) * (o_ - e) / e)
+        mi += round(1_000_000.0 * (o_ / n) * math.log(o_ * n / (n_x[x] * n_y[y])))
+    got = contingency_dependence(spark, SF_DIR).collect()[0]
+    assert got.n_orders == n
+    assert got.chi2_e6 == chi and got.mi_micro_nats == mi
+    assert got.dof == (len(rows) - 1) * (len(colz) - 1)
+    assert 0.0 <= got.cramer_v <= 1.0
+    assert got.mi_micro_nats >= -len(cells)  # freeze slack only
+
+
+def test_lorenz_deciles_consistency_with_gini(spark):
+    """Deciles partition customers and revenue exactly; shares are
+    monotone nondecreasing (poorest decile first); the curve is
+    consistent with gini_revenue's inequality verdict (below the
+    diagonal whenever gini > 0)."""
+    from github_issues_lakehouse_spark.operators.statistics import (
+        gini_revenue,
+        lorenz_deciles,
+    )
+
+    rows = lorenz_deciles(spark, SF_DIR).collect()
+    g = gini_revenue(spark, SF_DIR).collect()[0]
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_customers for r in rows) == g.n_customers
+    assert sum(r.revenue_cents for r in rows) == g.total_cents
+    shares = [r.revenue_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1].cum_share_ppm >= 999_990  # integer-div slack
+    if g.gini > 0.001:
+        # poorest 10% hold less than 10% of revenue
+        assert rows[0].cum_share_ppm < 100_000
+    # decile sizes differ by at most 1 from n/10
+    for r in rows:
+        assert abs(r.n_customers - g.n_customers / 10) <= 1
+
+
+def test_fano_matches_python_and_flags_overdispersion(spark):
+    """Fano factor equals Python variance/mean on the grid series."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        fano_daily_dispersion,
+    )
+
+    grid = sorted(
+        _daily_grid(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
+    )
+    series = {}
+    for r in grid:
+        series.setdefault(r.event_type, []).append(r.n)
+    got = {r.event_type: r for r in fano_daily_dispersion(spark, SF_DIR).collect()}
+    for et, xs in series.items():
+        n, sx = len(xs), sum(xs)
+        var = sum(x * x for x in xs) / n - (sx / n) ** 2
+        r = got[et]
+        assert r.n_days == n and r.n_events == sx
+        if sx:
+            assert abs(r.fano_factor - var / (sx / n)) < 1e-5
+
+
+def test_stopword_mass_python_recompute(spark):
+    """Stopword masses equal a Python recomputation with the same
+    data-driven top-20 set."""
+    from collections import Counter
+
+    from github_issues_lakehouse_spark.operators.text6 import stopword_mass_by_source
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    global_cnt = Counter()
+    per_src = {}
+    for r in docs:
+        toks = " ".join(r.text.lower().split()).split(" ")
+        global_cnt.update(toks)
+        per_src.setdefault(r.source, []).extend(toks)
+    top = {t for t, _ in sorted(global_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    got = {r.source: r for r in stopword_mass_by_source(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for s, toks in per_src.items():
+        n_stop = sum(1 for t in toks if t in top)
+        r = got[s]
+        assert r.n_tokens == len(toks) and r.n_stop_tokens == n_stop
+        assert r.n_stop_terms_present == len(top & set(toks))
