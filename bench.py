@@ -191,6 +191,7 @@ HEADLINE = [
     "lorenz_deciles",
     "fano_daily_dispersion",
     "stopword_mass_by_source",
+    "theil_hoover_indices",
 ]
 
 

@@ -387,3 +387,78 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str, band_cents: int = 10_000_00
         )
         .orderBy("decile")
     )
+
+
+def theil_hoover_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B108 (r5): Theil index and Hoover (Robin Hood) index of
+    per-customer revenue — the two inequality measures that complete
+    the gini/Lorenz family: Theil is additively DECOMPOSABLE across
+    subgroups (the property economists pick it for), Hoover is the
+    share of total revenue that would have to move to equalize
+    everyone ("how much to redistribute").
+
+        Theil  = sum_i (x_i/T) * ln(n * x_i / T)
+        Hoover = sum_i |x_i*n - T| / (2*T*n)
+
+    Value-grain like gini (distinct revenue v, count c — ties exact,
+    no per-row pass): the ln term is FROZEN per distinct value to one
+    rounded integer micro-nat (dsir freeze; the per-value double tree
+    is identical on both engines), weighted sums ride DECIMAL(38,0)
+    exactly, and each index is ONE final identical-tree double,
+    rounded 6dp. Zero-revenue customers cannot occur (every customer
+    row aggregated from >= 1 order with positive total), so ln is
+    total.
+
+    Plan/scale: the per-customer aggregate is the only fact-scale
+    shuffle; the value layer is a 1-row broadcast join + map-side
+    math + one aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    vals = per_cust.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    totals = vals.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    D38 = "decimal(38,0)"
+    j = vals.join(F.broadcast(totals))
+    w_micro = F.round(
+        F.lit(1_000_000.0)
+        * F.log(
+            F.col("v").cast("double") * F.col("n").cast("double") / F.col("t").cast("double")
+        )
+    ).cast("long")
+    terms = j.select(
+        "n",
+        "t",
+        (
+            F.col("c").cast(D38) * F.col("v").cast(D38) * w_micro.cast(D38)
+        ).alias("theil_term"),
+        (
+            F.col("c").cast(D38)
+            * F.abs(F.col("v").cast(D38) * F.col("n").cast(D38) - F.col("t"))
+        ).alias("hoover_term"),
+    )
+    agg = terms.groupBy("n", "t").agg(
+        F.sum("theil_term").cast(D38).alias("s_theil"),
+        F.sum("hoover_term").cast(D38).alias("s_hoover"),
+    )
+    theil = r6(
+        F.col("s_theil").cast("double") / F.col("t").cast("double") / F.lit(1_000_000.0)
+    )
+    hoover = r6(
+        F.col("s_hoover").cast("double")
+        / (F.lit(2.0) * F.col("t").cast("double") * F.col("n").cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_cents"),
+        theil.alias("theil"),
+        hoover.alias("hoover"),
+    )

@@ -556,6 +556,7 @@ _DRIVER_PRIORITY_R5 = [
     "lorenz_deciles",
     "fano_daily_dispersion",
     "stopword_mass_by_source",
+    "theil_hoover_indices",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -760,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_deciles": ST.lorenz_deciles,
         "fano_daily_dispersion": timeseries.fano_daily_dispersion,
         "stopword_mass_by_source": text6.stopword_mass_by_source,
+        "theil_hoover_indices": ST.theil_hoover_indices,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1941,6 +1943,7 @@ FROM top
         "lorenz_deciles": _lorenz_oracle(),
         "fano_daily_dispersion": _fano_oracle(),
         "stopword_mass_by_source": _stopword_mass_oracle(),
+        "theil_hoover_indices": _theil_hoover_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6069,4 +6072,43 @@ SELECT source,
   CAST({_ppm_sql('n_stop_tokens', 'n_tokens')} AS BIGINT) AS stopword_mass_ppm,
   CAST(n_stop_terms_present AS BIGINT) AS n_stop_terms_present
 FROM per ORDER BY source
+"""
+
+
+def _theil_hoover_oracle() -> str:
+    """Theil/Hoover twin: identical per-value micro-nat freeze,
+    HUGEINT exact weighted sums, identical final double trees."""
+    return """
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+vals AS (SELECT v, count(*) AS c FROM pc GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS t
+  FROM vals
+),
+terms AS (
+  SELECT (SELECT n FROM tot) AS n, (SELECT t FROM tot) AS t,
+    CAST(c AS HUGEINT) * CAST(v AS HUGEINT)
+      * CAST(round(1000000.0 * ln(CAST(v AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+                                   / CAST((SELECT t FROM tot) AS DOUBLE))) AS BIGINT)
+      AS theil_term,
+    CAST(c AS HUGEINT)
+      * abs(CAST(v AS HUGEINT) * CAST((SELECT n FROM tot) AS HUGEINT) - (SELECT t FROM tot))
+      AS hoover_term
+  FROM vals
+),
+agg AS (
+  SELECT n, t, sum(theil_term) AS s_theil, sum(hoover_term) AS s_hoover
+  FROM terms GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST(t AS BIGINT) AS total_cents,
+  round(CAST(s_theil AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0, 6) AS theil,
+  round(CAST(s_hoover AS DOUBLE)
+        / (2.0 * CAST(t AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS hoover
+FROM agg
 """

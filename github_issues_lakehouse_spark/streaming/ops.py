@@ -974,3 +974,97 @@ def lsh_postings_delta(batch_df: DataFrame, num_hashes: int = 12, bands: int = 4
     from ..operators.dedup import lsh_postings
 
     return lsh_postings(batch_df, num_hashes=num_hashes, bands=bands)
+
+
+def stream_benford_maintenance(orders: DataFrame, path: str, checkpoint: str):
+    """D25 (r5): streaming Benford digit-count maintenance — each
+    micro-batch's first-significant-digit counts over order totals
+    fold into the stored 9-row table by ADDITIVE SUM, under the
+    exactly-once versioned-commit protocol. The drained state equals
+    the batch digit histogram over every order ingested, and the
+    Benford conformance verdict (``operators.statistics.
+    benford_first_digit``'s obs-vs-expected chi-square) reads out of
+    the 9-row state at any time — the fraud/data-quality screen a
+    100 TB feed keeps per stream without rescanning history. Digits
+    come from the cents-integer string exactly like the batch twin.
+    Returns the started query."""
+    from pyspark.sql import functions as F
+
+    def digit_counts(batch_df: DataFrame) -> DataFrame:
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        return (
+            batch_df.select(
+                F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+            )
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def merge(existing, batch_df):
+        delta = digit_counts(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("digit")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        orders.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_vocab_first_seen_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, bucket_width: int = 50
+):
+    """D26 (r5): streaming vocabulary first-occurrence maintenance —
+    each micro-batch's (term, min ingest bucket) pairs fold into the
+    stored table by per-term MIN. Min is associative, commutative,
+    AND idempotent (like the HLL registers), so the state is exactly
+    correct even under at-least-once redelivery. The drained state
+    equals the batch first-occurrence map, and the Heaps'-law growth
+    curve (``operators.text6.vocab_growth_curve``'s new-term counts
+    and cumulative vocabulary) reads out of the vocabulary-sized
+    state at any time — the saturation readout a live acquisition
+    pipeline watches to decide when a source stops paying for itself.
+    Returns the started query."""
+    from pyspark.sql import functions as F
+
+    from ..functions.textfns import norm_tokens
+
+    def first_seen(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                F.expr(f"doc_id DIV {bucket_width}").alias("bucket"),
+                F.explode(norm_tokens(F.col("text"))).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.min("bucket").cast("long").alias("bucket"))
+        )
+
+    def merge(existing, batch_df):
+        delta = first_seen(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("term")
+            .agg(F.min("bucket").cast("long").alias("bucket"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -355,3 +355,38 @@ def test_stopword_mass_python_recompute(spark):
         r = got[s]
         assert r.n_tokens == len(toks) and r.n_stop_tokens == n_stop
         assert r.n_stop_terms_present == len(top & set(toks))
+
+
+def test_theil_hoover_python_recompute(spark):
+    """Theil and Hoover equal independent Python recomputation with
+    the identical micro-nat freeze; both nonnegative; Hoover <= Gini
+    (standard inequality-ordering fact)."""
+    from github_issues_lakehouse_spark.operators.statistics import (
+        gini_revenue,
+        theil_hoover_indices,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    per = [
+        r.v
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias("v")
+        )
+        .collect()
+    ]
+    n, t = len(per), sum(per)
+    from collections import Counter
+
+    vals = Counter(per)
+    s_theil = sum(
+        c * v * round(1_000_000.0 * math.log(v * n / t)) for v, c in vals.items()
+    )
+    s_hoover = sum(c * abs(v * n - t) for v, c in vals.items())
+    got = theil_hoover_indices(spark, SF_DIR).collect()[0]
+    assert got.n_customers == n and got.total_cents == t
+    assert abs(got.theil - s_theil / t / 1e6) < 1e-6
+    assert abs(got.hoover - s_hoover / (2 * t * n)) < 1e-6
+    assert got.theil >= 0 and got.hoover >= 0
+    g = gini_revenue(spark, SF_DIR).collect()[0]
+    assert got.hoover <= g.gini + 1e-6

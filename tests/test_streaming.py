@@ -854,3 +854,61 @@ def test_stream_lsh_postings_idempotent_and_order_free(spark, tmp_path):
     got = sorted(map(tuple, read_mart(spark, path).collect()))
     want = sorted(map(tuple, lsh_postings(docs).collect()))
     assert got == want
+
+
+def test_stream_benford_and_vocab_first_seen_equal_batch(spark, tmp_path):
+    """D25/D26: after draining, the committed Benford digit counts
+    equal the batch digit histogram, and the first-seen vocabulary
+    state reproduces vocab_growth_curve's new-term counts — the
+    additive and min-fold mergeable-mart properties."""
+    from github_issues_lakehouse_spark.operators.statistics import benford_first_digit
+    from github_issues_lakehouse_spark.operators.text6 import vocab_growth_curve
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_benford_maintenance,
+        stream_vocab_first_seen_maintenance,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    src_o = str(tmp_path / "orders_stream")
+    orders.repartition(4).write.parquet(src_o)
+    q1 = stream_benford_maintenance(
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_o),
+        str(tmp_path / "benford_state"),
+        str(tmp_path / "ck_b"),
+    )
+    q1.awaitTermination(180)
+    got = {
+        r.digit: r.n for r in read_mart(spark, str(tmp_path / "benford_state")).collect()
+    }
+    want = {
+        r.digit: r.n_orders
+        for r in benford_first_digit(spark, SF_DIR).collect()
+        if r.n_orders > 0
+    }
+    assert got == want
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src_d = str(tmp_path / "docs_stream2")
+    docs.repartition(4).write.parquet(src_d)
+    q2 = stream_vocab_first_seen_maintenance(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_d),
+        str(tmp_path / "vocab_state"),
+        str(tmp_path / "ck_v"),
+    )
+    q2.awaitTermination(180)
+    state = read_mart(spark, str(tmp_path / "vocab_state"))
+    per_bucket = {
+        r.bucket: r.n
+        for r in state.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want_curve = {
+        r.bucket: r.n_new_terms
+        for r in vocab_growth_curve(spark, SF_DIR).collect()
+        if r.n_new_terms > 0
+    }
+    assert per_bucket == want_curve
