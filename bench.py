@@ -192,6 +192,9 @@ HEADLINE = [
     "fano_daily_dispersion",
     "stopword_mass_by_source",
     "theil_hoover_indices",
+    "referential_integrity_audit",
+    "k_anonymity_audit",
+    "forecast_backtest_holt",
 ]
 
 

@@ -189,3 +189,113 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.cast("long").alias("recall_ppm"),
         f1.cast("long").alias("f1_ppm"),
     )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B109 (r5): referential-integrity audit of every foreign-key
+    relationship in the star schema — the DQ gate a warehouse runs
+    after each load, one row per FK edge: child rows, distinct child
+    keys, orphaned rows (no parent), orphan share in exact ppm.
+
+    Orphans via LEFT ANTI join per edge — semi-join shaped, so at
+    100 TB each check is one broadcast (dim parents) or shuffle
+    hash anti-join with NO row expansion; counts are map-side
+    combinable. All edges computed in one pass per child table scan
+    (conditional aggregates over a parent-existence flag would need
+    the join anyway, so the anti-join IS the minimal plan).
+
+    Reference parity: generalizes the reference's implicit
+    silver-layer FK trust (issues -> labels/components never checked
+    there) into an explicit mart.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.count_distinct("k").alias("n_child_keys"),
+        )
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.count_distinct("k").alias("n_orphan_keys"),
+        )
+        row = (
+            stats.join(F.broadcast(orphans))
+            .selectExpr(
+                f"'{child}.{ck} -> {parent}.{pk}' AS fk_edge",
+                "CAST(n_child_rows AS BIGINT) AS n_child_rows",
+                "CAST(n_child_keys AS BIGINT) AS n_child_keys",
+                "CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows",
+                "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys",
+                f"CAST({_ppm('n_orphan_rows', 'n_child_rows')} AS BIGINT) AS orphan_ppm",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+def k_anonymity_audit(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """B111 (r5): k-anonymity + l-diversity audit of the customer
+    table under the quasi-identifier (nation, market segment) — the
+    privacy pre-flight before sharing or training on user-adjacent
+    data: a row is re-identifiable when its QI equivalence class has
+    fewer than k members, and a class is attribute-disclosing when
+    the sensitive value (here: account-balance sign band, the
+    proxy for a sensitive categorical) shows no diversity.
+
+    One row per QI class: size, below-k flag, distinct sensitive
+    values (l), plus class share in exact ppm — the table a privacy
+    reviewer reads top-to-bottom (smallest classes first: rank by
+    (size, class) is deterministic).
+
+    Plan/scale: one groupBy on the QI columns with a count-distinct
+    on the sensitive band; class grain is |nations| x |segments| —
+    bounded. The fact scan happens exactly once.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    c = load_table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            sens.alias("sens"),
+        )
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("sens").alias("l_diversity"),
+        )
+    )
+    total = classes.agg(F.sum("class_size").alias("n_total"))
+    return (
+        classes.join(F.broadcast(total))
+        .selectExpr(
+            "CAST(nationkey AS BIGINT) AS nationkey",
+            "mktsegment",
+            "CAST(class_size AS BIGINT) AS class_size",
+            f"CAST(CASE WHEN class_size < {k} THEN 1 ELSE 0 END AS BIGINT) AS below_k",
+            "CAST(l_diversity AS BIGINT) AS l_diversity",
+            f"CAST({_ppm('class_size', 'n_total')} AS BIGINT) AS class_share_ppm",
+        )
+        .orderBy("class_size", "nationkey", "mktsegment")
+    )

@@ -499,3 +499,39 @@ def fano_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_daily"),
         fano.alias("fano_factor"),
     ).orderBy("event_type")
+
+
+def forecast_backtest_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B110 (r5): walk-forward backtest of the Holt one-step-ahead
+    forecast (B98) against the next day's actual volume — the
+    evaluation mart that turns "we have a forecaster" into "we know
+    its error": per event type, forecast count, MAE in e2 count
+    units, and WAPE (weighted absolute percentage error,
+    sum|err|/sum actual) in exact ppm. WAPE over MAPE because
+    gap-filled days can be zero (MAPE divides by zero; WAPE is the
+    production norm for intermittent series).
+
+    Pure composition over the B98 output: one LEAD window at
+    day-grain pairs each day's forecast with the next actual; exact
+    BIGINT error sums; integer DIV/ppm readout. Every arithmetic
+    step is the fixed-point discipline — no floats anywhere.
+    """
+    h = holt_linear_daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    paired = h.select(
+        "event_type",
+        "forecast_next_e2",
+        (F.lead("n_events").over(w) * 100).cast("long").alias("next_e2"),
+    ).filter(F.col("next_e2").isNotNull())
+    err = F.abs(F.col("forecast_next_e2") - F.col("next_e2"))
+    agg = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum(err).alias("abs_err_e2"),
+        F.sum("next_e2").alias("actual_e2"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(n_forecasts AS BIGINT) AS n_forecasts",
+        "CAST(abs_err_e2 DIV n_forecasts AS BIGINT) AS mae_e2",
+        f"CAST({_ppm('abs_err_e2', 'actual_e2')} AS BIGINT) AS wape_ppm",
+    ).orderBy("event_type")

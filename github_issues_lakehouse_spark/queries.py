@@ -557,6 +557,9 @@ _DRIVER_PRIORITY_R5 = [
     "fano_daily_dispersion",
     "stopword_mass_by_source",
     "theil_hoover_indices",
+    "referential_integrity_audit",
+    "k_anonymity_audit",
+    "forecast_backtest_holt",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -762,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_daily_dispersion": timeseries.fano_daily_dispersion,
         "stopword_mass_by_source": text6.stopword_mass_by_source,
         "theil_hoover_indices": ST.theil_hoover_indices,
+        "referential_integrity_audit": QC.referential_integrity_audit,
+        "k_anonymity_audit": QC.k_anonymity_audit,
+        "forecast_backtest_holt": timeseries.forecast_backtest_holt,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1944,6 +1950,9 @@ FROM top
         "fano_daily_dispersion": _fano_oracle(),
         "stopword_mass_by_source": _stopword_mass_oracle(),
         "theil_hoover_indices": _theil_hoover_oracle(),
+        "referential_integrity_audit": _referential_integrity_oracle(),
+        "k_anonymity_audit": _k_anonymity_oracle(),
+        "forecast_backtest_holt": _forecast_backtest_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6111,4 +6120,71 @@ SELECT CAST(n AS BIGINT) AS n_customers,
   round(CAST(s_hoover AS DOUBLE)
         / (2.0 * CAST(t AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS hoover
 FROM agg
+"""
+
+
+def _referential_integrity_oracle() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, ck, parent, pk in edges:
+        parts.append(f"""
+SELECT '{child}.{ck} -> {parent}.{pk}' AS fk_edge,
+  CAST(count(*) AS BIGINT) AS n_child_rows,
+  CAST(count(DISTINCT {ck}) AS BIGINT) AS n_child_keys,
+  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+  CAST(count(DISTINCT CASE WHEN p.k IS NULL THEN {ck} END) AS BIGINT) AS n_orphan_keys,
+  CAST({_ppm_sql('sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)', 'count(*)')} AS BIGINT)
+    AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p ON c.{ck} = p.k""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+def _k_anonymity_oracle(k: int = 5) -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+    count(*) AS class_size,
+    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END) AS l_diversity
+  FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT sum(class_size) AS n_total FROM classes)
+SELECT CAST(nationkey AS BIGINT) AS nationkey, mktsegment,
+  CAST(class_size AS BIGINT) AS class_size,
+  CAST(CASE WHEN class_size < {k} THEN 1 ELSE 0 END AS BIGINT) AS below_k,
+  CAST(l_diversity AS BIGINT) AS l_diversity,
+  CAST({_ppm_sql('class_size', '(SELECT n_total FROM tot)')} AS BIGINT) AS class_share_ppm
+FROM classes ORDER BY class_size, nationkey, mktsegment
+"""
+
+
+def _forecast_backtest_oracle() -> str:
+    """Backtest twin: LEAD over the holt twin's output (a derived
+    table, so the fold runs once), exact BIGINT error sums."""
+    return f"""
+WITH h AS ({_holt_oracle()}),
+paired AS (
+  SELECT event_type, forecast_next_e2,
+    lead(n_events) OVER (PARTITION BY event_type ORDER BY day) * 100 AS next_e2
+  FROM h
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_forecasts,
+    CAST(sum(abs(forecast_next_e2 - next_e2)) AS BIGINT) AS abs_err_e2,
+    CAST(sum(next_e2) AS BIGINT) AS actual_e2
+  FROM paired WHERE next_e2 IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_forecasts,
+  CAST(abs_err_e2 // n_forecasts AS BIGINT) AS mae_e2,
+  CAST({_ppm_sql('abs_err_e2', 'actual_e2')} AS BIGINT) AS wape_ppm
+FROM agg ORDER BY event_type
 """

@@ -390,3 +390,84 @@ def test_theil_hoover_python_recompute(spark):
     assert got.theil >= 0 and got.hoover >= 0
     g = gini_revenue(spark, SF_DIR).collect()[0]
     assert got.hoover <= g.gini + 1e-6
+
+
+def test_referential_integrity_clean_on_generated_data(spark):
+    """The generated star schema is referentially clean (0 orphans on
+    every edge) and the audit's counts match the raw tables."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        referential_integrity_audit,
+    )
+
+    rows = {r.fk_edge: r for r in referential_integrity_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0 and r.orphan_ppm == 0
+    li = load_table(spark, SF_DIR, "lineitem").count()
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"].n_child_rows == li
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """Planting orphan rows flips exactly the right edge — the audit
+    is not vacuously green."""
+    import os
+    import shutil
+
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        referential_integrity_audit,
+    )
+
+    dst = str(tmp_path / "sf_orphan")
+    shutil.copytree(SF_DIR, dst)
+    li = spark.read.parquet(f"{dst}/lineitem.parquet")
+    bad = li.limit(3).withColumn("l_orderkey", F.lit(999_999_999))
+    li.unionByName(bad).write.mode("overwrite").parquet(f"{dst}/lineitem2.parquet")
+    os.remove(f"{dst}/lineitem.parquet")  # driver testdata is a single file
+    shutil.move(f"{dst}/lineitem2.parquet", f"{dst}/lineitem.parquet")
+    rows = {r.fk_edge: r for r in referential_integrity_audit(spark, dst).collect()}
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"].n_orphan_rows == 3
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"].n_orphan_keys == 1
+    assert rows["lineitem.l_partkey -> part.p_partkey"].n_orphan_rows == 0
+
+
+def test_k_anonymity_partitions_customers(spark):
+    """Classes partition the customer table; below_k is consistent
+    with class_size; l_diversity within [1, 3]."""
+    from github_issues_lakehouse_spark.operators.quality_checks import k_anonymity_audit
+
+    rows = k_anonymity_audit(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.class_size for r in rows) == n
+    for r in rows:
+        assert r.below_k == (1 if r.class_size < 5 else 0)
+        assert 1 <= r.l_diversity <= 3
+    sizes = [r.class_size for r in rows]
+    assert sizes == sorted(sizes)
+
+
+def test_forecast_backtest_matches_manual_pairing(spark):
+    """MAE/WAPE equal a manual pairing of holt forecasts with next
+    actuals."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        forecast_backtest_holt,
+        holt_linear_daily,
+    )
+
+    h = sorted(
+        holt_linear_daily(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
+    )
+    series = {}
+    for r in h:
+        series.setdefault(r.event_type, []).append(r)
+    got = {r.event_type: r for r in forecast_backtest_holt(spark, SF_DIR).collect()}
+    for et, rows in series.items():
+        errs = [
+            abs(rows[i].forecast_next_e2 - rows[i + 1].n_events * 100)
+            for i in range(len(rows) - 1)
+        ]
+        actual = sum(rows[i + 1].n_events * 100 for i in range(len(rows) - 1))
+        r = got[et]
+        assert r.n_forecasts == len(errs)
+        assert r.mae_e2 == sum(errs) // len(errs)
+        ppm = (sum(errs) * 1000 // actual) * 1000 + (sum(errs) * 1000 % actual) * 1000 // actual
+        assert r.wape_ppm == ppm

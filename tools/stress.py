@@ -94,6 +94,26 @@ HEAVY = [
     "neardup_against_index",
     "normalization_impact",
     "curriculum_plan",
+    # r5 fourth-sixth waves: distribution audits (value-grain
+    # band/carry machinery must stay value-bounded under 10x rows),
+    # the Bloom probe side (grams densify 10x), Markov transitions,
+    # vocabulary growth (first-occurrence aggregate), term-grain
+    # diversity, and HRW shard planning (pure explode+argmax)
+    "benford_first_digit",
+    "gini_revenue",
+    "lorenz_deciles",
+    "theil_hoover_indices",
+    # (ks_promo_price runs on part, a FIXED dim here — no signal)
+    "bloom_fpr_audit",
+    "event_entropy_rate",
+    "autocorr_daily",
+    "fano_daily_dispersion",
+    "vocab_growth_curve",
+    "simpson_diversity_by_source",
+    "stopword_mass_by_source",
+    "boilerplate_prefix_stats",
+    "rendezvous_shard_plan",
+    "holt_linear_daily",
 ]
 
 
