@@ -195,6 +195,9 @@ HEADLINE = [
     "referential_integrity_audit",
     "k_anonymity_audit",
     "forecast_backtest_holt",
+    "source_vocab_overlap",
+    "anova_price_by_returnflag",
+    "embedding_sim_histogram",
 ]
 
 

@@ -583,3 +583,105 @@ def embedding_decontaminate(
         )
         .select(F.col("vec_id").alias("train_vec_id"), "n_test_matches", "max_cos")
     )
+
+
+def embedding_sim_histogram(
+    spark: SparkSession, sf_dir: str, sample_pct: int = 20, n_blocks: int = 4
+) -> DataFrame:
+    """C116 (r5): histogram of pairwise cosine similarities over an
+    md5-deterministic sample of the embedding store — the THRESHOLD-
+    PICKING readout the semdedup / neardup / decontamination family
+    needs before anyone chooses 0.4 vs 0.8: where does the corpus's
+    similarity mass actually sit? One row per 0.1-wide band.
+
+    Parity design — the reason this histogram can be hash-checked at
+    all: vectors are first FROZEN to integer e6 components (round(x *
+    1e6)), so every dot product and norm is a sum of integer-valued
+    float64 terms <= 6.4e13 << 2^53 — EXACT in both engines
+    regardless of summation order (the ulp-drift class that forces
+    neardup's 6dp rounding cannot occur). The band index is then one
+    identical floor((dot/(sqrt(na)*sqrt(nb)))*10) tree, clipped to
+    [-10, 9].
+
+    Scale: sample is the cost contract (pairs = (pct*n/100)^2 / 2 —
+    the lsh_recall_vs_exact discipline); the triangle block-pair
+    applyInPandas from neardup_embedding_cosine distributes the
+    matmul with O(1) driver memory, and each task RETURNS only band
+    counts, never pairs.
+    """
+    corpus = _corpus(spark, sf_dir).select("vec_id", "vec")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#simhist"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < sample_pct
+    )
+    q = F.transform(F.col("vec"), lambda x: F.round(x * 1_000_000.0))
+    sampled = corpus.filter(keep).select("vec_id", q.alias("vec"))
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(j)).alias("bi"), F.greatest(blk, F.lit(j)).alias("bj")
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = (
+        sampled.withColumn("blk", blk)
+        .withColumn("pk", F.explode(pair_keys))
+        .select(F.col("pk.bi").alias("bi"), F.col("pk.bj").alias("bj"), "blk", "vec_id", "vec")
+    )
+
+    def block_pair_bands(key, pdf):
+        # self-contained closure (foreign-cwd driver safe)
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        a_side = pdf[pdf["blk"] == bi]
+        b_side = pdf[pdf["blk"] == bj]
+        empty = pd.DataFrame(
+            {"band": pd.Series(dtype="int32"), "n": pd.Series(dtype="int64")}
+        )
+        if len(a_side) == 0 or len(b_side) == 0:
+            return empty
+        ids_a = a_side["vec_id"].to_numpy()
+        ids_b = b_side["vec_id"].to_numpy()
+        Ma = np.stack(a_side["vec"].to_numpy()).astype(np.float64)
+        Mb = np.stack(b_side["vec"].to_numpy()).astype(np.float64)
+        # integer-valued float64 everywhere: sums are exact, order-free
+        na = np.sqrt((Ma * Ma).sum(axis=1))
+        nb = np.sqrt((Mb * Mb).sum(axis=1))
+        S = (Ma @ Mb.T) / (na[:, None] * nb[None, :])
+        B = np.clip(np.floor(S * 10.0), -10, 9).astype(np.int32)
+        if bi == bj:
+            mask = ids_a[:, None] < ids_b[None, :]
+        else:
+            mask = np.ones_like(B, dtype=bool)
+        bands, counts = np.unique(B[mask], return_counts=True)
+        return pd.DataFrame({"band": bands, "n": counts.astype("int64")})
+
+    counts = (
+        exploded.groupBy("bi", "bj")
+        .applyInPandas(block_pair_bands, schema="band int, n long")
+        .groupBy("band")
+        .agg(F.sum("n").alias("n_pairs"))
+    )
+    total = counts.agg(F.sum("n_pairs").alias("n_total"))
+    from ..functions.exact import ppm_expr as _ppm
+
+    return (
+        counts.join(F.broadcast(total))
+        .selectExpr(
+            "CAST(band AS INT) AS band",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            f"CAST({_ppm('n_pairs', 'n_total')} AS BIGINT) AS share_ppm",
+        )
+        .orderBy("band")
+    )

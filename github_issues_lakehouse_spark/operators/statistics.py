@@ -462,3 +462,87 @@ def theil_hoover_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         theil.alias("theil"),
         hoover.alias("hoover"),
     )
+
+
+def anova_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B112 (r5): one-way ANOVA of lineitem extended price across
+    return flags — does the grouping explain price variance? Per group:
+    n and mean; one summary row folded in: eta-squared (variance
+    explained, SS_between/SS_total) and the F statistic.
+
+    Everything derives from THREE exact integer aggregates per group
+    (n, sum cents, sum cents^2 — the corr_matrix moment discipline;
+    squares ride DECIMAL(38,0)); eta2 and F are identical-tree final
+    doubles at 6dp. Emitted per group so the output is a mart, the
+    summary columns repeat (constant over groups) — the standard
+    denormalized readout.
+
+    Plan/scale: ONE map-side-combinable aggregate over the fact;
+    group grain (3 return flags) after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    D38 = "decimal(38,0)"
+    g = li.select(F.col("l_returnflag").alias("returnflag"), cents.alias("x")).groupBy(
+        "returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(D38).alias("s"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).cast(D38).alias("ss"),
+    )
+    w = Window.partitionBy()
+    # grand totals get distinct names: Spark resolution is
+    # case-insensitive, so N/S/SS would collide with n/s/ss
+    tot = g.select(
+        "returnflag",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("n_all"),
+        F.sum("s").over(w).alias("s_all"),
+        F.sum("ss").over(w).alias("ss_all"),
+        F.count(F.lit(1)).over(w).alias("n_groups"),
+        # per-group between-term s^2/n FROZEN to a rounded integer in
+        # 1e12-cent^2 units (the micro-nat freeze, scaled: s^2/n can
+        # reach ~1e25, far past BIGINT, and Spark's DIV on decimals
+        # silently overflows LONG — verified; the 1e12 quantum is
+        # ~1e-13 relative, invisible at 6dp). NEVER a double sum
+        # across groups — float summation order diverges.
+        F.round(
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1.0e12)
+        )
+        .cast("long")
+        .alias("bt_t"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean_d"),
+    )
+    agg = tot.groupBy("n_all", "s_all", "ss_all", "n_groups").agg(
+        F.sum("bt_t").cast("long").alias("sum_bt_t")
+    )
+    # grand-mean term S^2/N, same frozen-units treatment
+    st2 = F.round(
+        F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_all").cast("double")
+        / F.lit(1.0e12)
+    ).cast("long")
+    ss_total = F.col("ss_all").cast("double") / F.lit(1.0e12) - st2.cast("double")
+    ss_between = F.col("sum_bt_t").cast("double") - st2.cast("double")
+    eta2 = ss_between / ss_total
+    f_stat = (ss_between / (F.col("n_groups").cast("double") - 1.0)) / (
+        (ss_total - ss_between)
+        / (F.col("n_all").cast("double") - F.col("n_groups").cast("double"))
+    )
+    summary = agg.select(
+        r6(eta2).alias("eta_squared"), r6(f_stat).alias("f_stat")
+    )
+    return (
+        tot.select(
+            "returnflag",
+            F.col("n").cast("long").alias("n_items"),
+            r6(F.col("mean_d") / F.lit(100.0)).alias("mean_price"),
+        )
+        .join(F.broadcast(summary))
+        .orderBy("returnflag")
+    )

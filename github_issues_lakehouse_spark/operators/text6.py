@@ -508,3 +508,49 @@ def stopword_mass_by_source(
         )
         .orderBy("source")
     )
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115 (r5): vocabulary overlap between every source pair —
+    Jaccard and overlap coefficient of the distinct-term sets, the
+    redundancy map that tells a mixing planner which sources are
+    rewordings of the same material (high overlap) vs genuinely
+    complementary. The vocabulary-level companion of the document-
+    level cross_source_overlap.
+
+    Inverted-index shaped: one distinct (source, term) pass, then a
+    term-keyed self-join whose per-term fanout is C(sources_with_
+    term, 2) — bounded by the SOURCE count (dozens), never by data
+    size, the same reason the supplier wedge join scales. Integer
+    ppm end to end.
+    """
+    from pyspark.sql import functions as _F
+
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_terms", "n_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_terms", "n_b")), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "CAST(n_a AS BIGINT) AS n_terms_a",
+            "CAST(n_b AS BIGINT) AS n_terms_b",
+            "CAST(n_common AS BIGINT) AS n_common",
+            f"CAST({_ppm('n_common', '(n_a + n_b - n_common)')} AS BIGINT) AS jaccard_ppm",
+            f"CAST({_ppm('n_common', 'least(n_a, n_b)')} AS BIGINT) AS overlap_ppm",
+        )
+        .orderBy("src_a", "src_b")
+    )

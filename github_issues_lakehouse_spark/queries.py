@@ -560,6 +560,9 @@ _DRIVER_PRIORITY_R5 = [
     "referential_integrity_audit",
     "k_anonymity_audit",
     "forecast_backtest_holt",
+    "source_vocab_overlap",
+    "anova_price_by_returnflag",
+    "embedding_sim_histogram",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -768,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity_audit": QC.referential_integrity_audit,
         "k_anonymity_audit": QC.k_anonymity_audit,
         "forecast_backtest_holt": timeseries.forecast_backtest_holt,
+        "source_vocab_overlap": text6.source_vocab_overlap,
+        "anova_price_by_returnflag": ST.anova_price_by_returnflag,
+        "embedding_sim_histogram": similarity.embedding_sim_histogram,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1953,6 +1959,9 @@ FROM top
         "referential_integrity_audit": _referential_integrity_oracle(),
         "k_anonymity_audit": _k_anonymity_oracle(),
         "forecast_backtest_holt": _forecast_backtest_oracle(),
+        "source_vocab_overlap": _source_vocab_overlap_oracle(),
+        "anova_price_by_returnflag": _anova_oracle(),
+        "embedding_sim_histogram": _sim_histogram_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6187,4 +6196,106 @@ SELECT event_type, n_forecasts,
   CAST(abs_err_e2 // n_forecasts AS BIGINT) AS mae_e2,
   CAST({_ppm_sql('abs_err_e2', 'actual_e2')} AS BIGINT) AS wape_ppm
 FROM agg ORDER BY event_type
+"""
+
+
+def _source_vocab_overlap_oracle() -> str:
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest({_norm_toks_sql()}) AS term FROM documents
+),
+sizes AS (SELECT source, count(*) AS n_terms FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+  CAST(sa.n_terms AS BIGINT) AS n_terms_a,
+  CAST(sb.n_terms AS BIGINT) AS n_terms_b,
+  CAST(i.n_common AS BIGINT) AS n_common,
+  CAST({_ppm_sql('i.n_common', '(sa.n_terms + sb.n_terms - i.n_common)')} AS BIGINT)
+    AS jaccard_ppm,
+  CAST({_ppm_sql('i.n_common', 'least(sa.n_terms, sb.n_terms)')} AS BIGINT)
+    AS overlap_ppm
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+ORDER BY i.src_a, i.src_b
+"""
+
+
+def _anova_oracle() -> str:
+    """ANOVA twin: per-group between-terms frozen to rounded integers
+    in 1e12-cent^2 units (identical double trees), exact sums, final
+    eta2/F as identical double expressions. Grand totals use distinct
+    names (n_all/s_all/ss_all) — both engines resolve identifiers
+    case-insensitively, so N/S/SS would collide with n/s/ss."""
+    st2 = ("CAST(round(CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)"
+           " / CAST(n_all AS DOUBLE) / 1.0e12) AS BIGINT)")
+    ss_total = f"(CAST(ss_all AS DOUBLE) / 1.0e12 - CAST({st2} AS DOUBLE))"
+    ss_between = f"(CAST(sum_bt_t AS DOUBLE) - CAST({st2} AS DOUBLE))"
+    return f"""
+WITH g AS (
+  SELECT l_returnflag AS returnflag, count(*) AS n,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS s,
+    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS ss
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT returnflag, n, s,
+    sum(n) OVER () AS n_all, sum(s) OVER () AS s_all, sum(ss) OVER () AS ss_all,
+    count(*) OVER () AS n_groups,
+    CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e12)
+         AS BIGINT) AS bt_t,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d
+  FROM g
+),
+agg AS (
+  SELECT n_all, s_all, ss_all, n_groups, CAST(sum(bt_t) AS BIGINT) AS sum_bt_t
+  FROM tot GROUP BY 1, 2, 3, 4
+),
+summary AS (
+  SELECT
+    round({ss_between} / {ss_total}, 6) AS eta_squared,
+    round(({ss_between} / (CAST(n_groups AS DOUBLE) - 1.0))
+          / (({ss_total} - {ss_between})
+             / (CAST(n_all AS DOUBLE) - CAST(n_groups AS DOUBLE))), 6) AS f_stat
+  FROM agg
+)
+SELECT t.returnflag,
+  CAST(t.n AS BIGINT) AS n_items,
+  round(t.mean_d / 100.0, 6) AS mean_price,
+  s.eta_squared, s.f_stat
+FROM tot t CROSS JOIN summary s
+ORDER BY t.returnflag
+"""
+
+
+def _sim_histogram_oracle(sample_pct: int = 20) -> str:
+    """Histogram twin: identical e6 component freeze makes every dot
+    product a sum of integer-valued float64 terms << 2^53 — exact on
+    both engines regardless of summation order — then one identical
+    floor((dot/(sqrt*sqrt))*10) band tree."""
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS q
+  FROM embeddings
+  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '#simhist'), 1, 8))
+             AS BIGINT) % 100 < {sample_pct}
+),
+pairs AS (
+  SELECT greatest(least(CAST(floor(list_dot_product(a.q, b.q)
+             / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+             * 10.0) AS INT), 9), -10) AS band
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+),
+counts AS (SELECT band, count(*) AS n_pairs FROM pairs GROUP BY 1),
+tot AS (SELECT sum(n_pairs) AS n_total FROM counts)
+SELECT CAST(band AS INT) AS band,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST({_ppm_sql('n_pairs', '(SELECT n_total FROM tot)')} AS BIGINT) AS share_ppm
+FROM counts ORDER BY band
 """

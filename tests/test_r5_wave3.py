@@ -471,3 +471,90 @@ def test_forecast_backtest_matches_manual_pairing(spark):
         assert r.mae_e2 == sum(errs) // len(errs)
         ppm = (sum(errs) * 1000 // actual) * 1000 + (sum(errs) * 1000 % actual) * 1000 // actual
         assert r.wape_ppm == ppm
+
+
+def test_source_vocab_overlap_python_recompute(spark):
+    """Jaccard/overlap ppm equal a Python set recomputation for every
+    source pair; all 190 pairs present; symmetric-by-construction
+    (src_a < src_b)."""
+    from github_issues_lakehouse_spark.operators.text6 import source_vocab_overlap
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    vocab = {}
+    for r in docs:
+        toks = " ".join(r.text.lower().split()).split(" ")
+        vocab.setdefault(r.source, set()).update(toks)
+    got = {(r.src_a, r.src_b): r for r in source_vocab_overlap(spark, SF_DIR).collect()}
+    srcs = sorted(vocab)
+    expected_pairs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+    # pairs with zero overlap are absent by inner-join construction
+    for a, b in expected_pairs:
+        inter = len(vocab[a] & vocab[b])
+        if inter == 0:
+            assert (a, b) not in got
+            continue
+        r = got[(a, b)]
+        assert r.n_terms_a == len(vocab[a]) and r.n_terms_b == len(vocab[b])
+        assert r.n_common == inter
+
+        def ppm(p, t):
+            return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+        assert r.jaccard_ppm == ppm(inter, len(vocab[a]) + len(vocab[b]) - inter)
+        assert r.overlap_ppm == ppm(inter, min(len(vocab[a]), len(vocab[b])))
+
+
+def test_anova_python_recompute(spark):
+    """eta2/F equal a Python recomputation with the identical frozen
+    1e12-unit between-terms; group means and sizes exact."""
+    from collections import defaultdict
+
+    from github_issues_lakehouse_spark.operators.statistics import (
+        anova_price_by_returnflag,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_extendedprice")
+    groups = defaultdict(list)
+    for r in li.collect():
+        groups[r.l_returnflag].append(int(round(float(r.l_extendedprice) * 100)))
+    N = sum(len(v) for v in groups.values())
+    S = sum(sum(v) for v in groups.values())
+    SS = sum(x * x for v in groups.values() for x in v)
+    k = len(groups)
+    sum_bt_t = sum(round(sum(v) * sum(v) / len(v) / 1.0e12) for v in groups.values())
+    st2 = round(S * S / N / 1.0e12)
+    ss_total = SS / 1.0e12 - st2
+    ss_between = sum_bt_t - st2
+    eta2 = ss_between / ss_total
+    f = (ss_between / (k - 1)) / ((ss_total - ss_between) / (N - k))
+    rows = anova_price_by_returnflag(spark, SF_DIR).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert abs(r.eta_squared - eta2) < 1e-6
+        assert abs(r.f_stat - f) < 1e-3
+        assert r.n_items == len(groups[r.returnflag])
+        assert abs(r.mean_price - sum(groups[r.returnflag]) / r.n_items / 100) < 1e-4
+    assert 0.0 <= rows[0].eta_squared <= 1.0
+
+
+def test_sim_histogram_covers_all_sample_pairs(spark):
+    """Band counts sum to exactly C(sample, 2) (triangle block cover
+    is complete and non-overlapping), bands are within [-10, 9], and
+    shares sum to ~1e6 ppm."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        embedding_sim_histogram,
+    )
+
+    rows = embedding_sim_histogram(spark, SF_DIR).collect()
+    import hashlib
+
+    n_sample = 0
+    for r in load_table(spark, SF_DIR, "embeddings").select("vec_id").collect():
+        h = int(hashlib.md5(f"{r.vec_id}#simhist".encode()).hexdigest()[:8], 16)
+        if h % 100 < 20:
+            n_sample += 1
+    total = sum(r.n_pairs for r in rows)
+    assert total == n_sample * (n_sample - 1) // 2
+    for r in rows:
+        assert -10 <= r.band <= 9
+    assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
