@@ -198,6 +198,8 @@ HEADLINE = [
     "source_vocab_overlap",
     "anova_price_by_returnflag",
     "embedding_sim_histogram",
+    "minhash_band_tuning",
+    "fulfillment_latency_percentiles",
 ]
 
 

@@ -1393,3 +1393,86 @@ def normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+BAND_CONFIGS = (1, 2, 3, 4, 6, 12)
+
+
+def lsh_scurve_thresh_e6(bands: int, rows: int) -> int:
+    """floor(1e6 * (1/bands)^(1/rows)) — the classic LSH S-curve
+    midpoint (the Jaccard similarity at which a pair's candidate
+    probability crosses ~1/2). Frozen to an integer in ONE place so
+    the Spark operator and the DuckDB oracle bake identical
+    literals."""
+    import math
+
+    return math.floor(1_000_000 * (1.0 / bands) ** (1.0 / rows))
+
+
+def minhash_band_tuning(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 12, bucket_cap: int = 200
+) -> DataFrame:
+    """C117 (r5): LSH banding TUNING mart — for every (bands, rows)
+    factorization of the signature (1x12 .. 12x1), the theoretical
+    S-curve threshold (1/b)^(1/r) beside the MEASURED consequences on
+    this corpus: bucket count, buckets dropped by the skew cap, and
+    distinct candidate pairs. This is the table an operator reads
+    before picking the band count for a 100 TB dedup run: more bands
+    = lower threshold = more candidates (cost) and more recall —
+    measured, not guessed. Completes the calibration family
+    (minhash_calibration C103 audits the estimator, lsh_recall C90
+    audits recall for ONE config; this one maps the config space).
+
+    The expensive stage — tokenize -> shingle -> 12-hash signatures —
+    runs ONCE (localCheckpoint pin) and every configuration re-bands
+    the same signature table (banding is a cheap projection: that's
+    the whole point of the banded-signature design). Candidate pairs
+    per config are counted under the SAME bucket_cap skew guard as
+    the production candidate stage, so the numbers predict the real
+    pipeline's cost.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", tokens())
+        .withColumn("sh", shingles_from(F.col("_toks"), 3))
+        .select("doc_id", minhash_signature_from(F.col("sh"), num_hashes).alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for b in BAND_CONFIGS:
+        r = num_hashes // b
+        posts = band_postings(d, num_hashes=num_hashes, bands=b)
+        buckets = posts.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        bstats = buckets.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("cnt") > bucket_cap, 1).otherwise(0)).alias(
+                "n_buckets_capped"
+            ),
+        )
+        ok = buckets.filter(F.col("cnt") <= bucket_cap).select("band_id", "band_key")
+        kept = posts.join(ok, ["band_id", "band_key"])
+        pairs = (
+            kept.alias("a")
+            .join(
+                kept.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        )
+        row = bstats.join(F.broadcast(pairs)).selectExpr(
+            f"CAST({b} AS INT) AS bands",
+            f"CAST({r} AS INT) AS rows_per_band",
+            f"CAST({lsh_scurve_thresh_e6(b, r)} AS BIGINT) AS thresh_e6",
+            "CAST(n_buckets AS BIGINT) AS n_buckets",
+            "CAST(n_buckets_capped AS BIGINT) AS n_buckets_capped",
+            "CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")

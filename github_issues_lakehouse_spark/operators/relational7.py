@@ -545,3 +545,60 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("n_events") / F.col("n_total")).alias("share"),
         )
     )
+
+
+def fulfillment_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B113 (r5): order-to-ship latency distribution per order
+    priority — the operational SLA readout (are urgent orders
+    actually shipped faster?): per priority, item count, mean latency
+    in exact e2 days, and EXACT discrete p50/p90 day values.
+
+    percentile_disc at DAY grain: latencies are small integers, so
+    the per-priority cumulative runs over (priority, days) value
+    rows — bounded by the latency range (dozens of distinct values),
+    never by fact size; the threshold rule is the engine-invariant
+    BIGINT identity (smallest v with 100*cum >= q*N), the
+    customer_rfm discipline, never an interpolated double.
+
+    Plan/scale: one fact join (orders side dim-like per orderkey —
+    shuffle hash join, AQE decides), one (priority, days) aggregate;
+    everything after is value-grain.
+    """
+    from ..functions.exact import ppm_expr as _ppm  # noqa: F401
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("days"),
+    )
+    vals = j.groupBy("priority", "days").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = vals.groupBy("priority").agg(
+        F.sum("c").alias("n"), F.sum(F.col("days") * F.col("c")).alias("sum_days")
+    )
+    cum = vals.withColumn("cum", F.sum("c").over(w)).join(tot, "priority")
+
+    def disc(q: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("days"))
+        )
+
+    return (
+        cum.groupBy("priority", "n", "sum_days")
+        .agg(disc(50).alias("p50_days"), disc(90).alias("p90_days"))
+        .selectExpr(
+            "priority",
+            "CAST(n AS BIGINT) AS n_items",
+            "CAST(sum_days * 100 DIV n AS BIGINT) AS mean_days_e2",
+            "CAST(p50_days AS BIGINT) AS p50_days",
+            "CAST(p90_days AS BIGINT) AS p90_days",
+        )
+        .orderBy("priority")
+    )

@@ -563,6 +563,8 @@ _DRIVER_PRIORITY_R5 = [
     "source_vocab_overlap",
     "anova_price_by_returnflag",
     "embedding_sim_histogram",
+    "minhash_band_tuning",
+    "fulfillment_latency_percentiles",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -774,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": text6.source_vocab_overlap,
         "anova_price_by_returnflag": ST.anova_price_by_returnflag,
         "embedding_sim_histogram": similarity.embedding_sim_histogram,
+        "minhash_band_tuning": dedup.minhash_band_tuning,
+        "fulfillment_latency_percentiles": R7.fulfillment_latency_percentiles,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1962,6 +1966,8 @@ FROM top
         "source_vocab_overlap": _source_vocab_overlap_oracle(),
         "anova_price_by_returnflag": _anova_oracle(),
         "embedding_sim_histogram": _sim_histogram_oracle(),
+        "minhash_band_tuning": _band_tuning_oracle(),
+        "fulfillment_latency_percentiles": _fulfillment_latency_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6298,4 +6304,75 @@ SELECT CAST(band AS INT) AS band,
   CAST(n_pairs AS BIGINT) AS n_pairs,
   CAST({_ppm_sql('n_pairs', '(SELECT n_total FROM tot)')} AS BIGINT) AS share_ppm
 FROM counts ORDER BY band
+"""
+
+
+def _band_tuning_oracle(num_hashes: int = 12, bucket_cap: int = 200) -> str:
+    """Band-tuning twin: ONE materialized signature CTE re-banded per
+    configuration (mirroring the Spark localCheckpoint pin), frozen
+    S-curve literals from the shared helper."""
+    from .operators.dedup import BAND_CONFIGS, lsh_scurve_thresh_e6
+
+    head = f"""
+WITH {_shingle_cte(3)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
+sig AS MATERIALIZED (
+  SELECT doc_id, j, min(md5(s || '#' || CAST(j AS VARCHAR))) AS mh
+  FROM sd, seeds GROUP BY doc_id, j
+)"""
+    parts = []
+    for b in BAND_CONFIGS:
+        r = num_hashes // b
+        head += f""",
+bands_{b} AS MATERIALIZED (
+  SELECT doc_id, j // {r} AS band_id, string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {r}
+),
+buckets_{b} AS MATERIALIZED (
+  SELECT band_id, band_key, count(*) AS cnt FROM bands_{b} GROUP BY 1, 2
+),
+pairs_{b} AS (
+  SELECT count(*) AS n_candidate_pairs FROM (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands_{b} a
+    JOIN buckets_{b} ka ON ka.band_id = a.band_id AND ka.band_key = a.band_key
+      AND ka.cnt <= {bucket_cap}
+    JOIN bands_{b} b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      AND a.doc_id < b.doc_id
+  )
+)"""
+        parts.append(f"""
+SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+  CAST({lsh_scurve_thresh_e6(b, r)} AS BIGINT) AS thresh_e6,
+  CAST((SELECT count(*) FROM buckets_{b}) AS BIGINT) AS n_buckets,
+  CAST((SELECT count(*) FROM buckets_{b} WHERE cnt > {bucket_cap}) AS BIGINT)
+    AS n_buckets_capped,
+  CAST((SELECT n_candidate_pairs FROM pairs_{b}) AS BIGINT) AS n_candidate_pairs""")
+    return head + " UNION ALL ".join(parts) + " ORDER BY bands"
+
+
+def _fulfillment_latency_oracle() -> str:
+    return """
+WITH j AS (
+  SELECT o_orderpriority AS priority,
+    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+vals AS (SELECT priority, days, count(*) AS c FROM j GROUP BY 1, 2),
+tot AS (
+  SELECT priority, sum(c) AS n, sum(days * c) AS sum_days FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT v.priority, v.days, t.n, t.sum_days,
+    sum(v.c) OVER (PARTITION BY v.priority ORDER BY v.days) AS cum
+  FROM vals v JOIN tot t ON v.priority = t.priority
+)
+SELECT priority,
+  CAST(n AS BIGINT) AS n_items,
+  CAST(sum_days * 100 // n AS BIGINT) AS mean_days_e2,
+  CAST(min(CASE WHEN cum * 100 >= 50 * n THEN days END) AS BIGINT) AS p50_days,
+  CAST(min(CASE WHEN cum * 100 >= 90 * n THEN days END) AS BIGINT) AS p90_days
+FROM cum GROUP BY priority, n, sum_days
+ORDER BY priority
 """

@@ -558,3 +558,60 @@ def test_sim_histogram_covers_all_sample_pairs(spark):
     for r in rows:
         assert -10 <= r.band <= 9
     assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+def test_band_tuning_monotone_in_bands(spark):
+    """More bands => lower S-curve threshold and (weakly) more
+    candidate pairs; the 1-band config is the strictest (candidates
+    need ALL 12 hashes equal) and must be a subset count of every
+    other config's pairs."""
+    from github_issues_lakehouse_spark.operators.dedup import (
+        lsh_scurve_thresh_e6,
+        minhash_band_tuning,
+    )
+
+    rows = minhash_band_tuning(spark, SF_DIR).collect()
+    assert [r.bands for r in rows] == [1, 2, 3, 4, 6, 12]
+    for r in rows:
+        assert r.bands * r.rows_per_band == 12
+        assert r.thresh_e6 == lsh_scurve_thresh_e6(r.bands, r.rows_per_band)
+    th = [r.thresh_e6 for r in rows]
+    assert th == sorted(th, reverse=True)
+    pairs = [r.n_candidate_pairs for r in rows]
+    assert pairs == sorted(pairs)  # monotone nondecreasing with bands
+    assert rows[0].thresh_e6 == 1_000_000  # (1/1)^(1/12) = 1
+
+
+def test_fulfillment_latency_percentile_identity(spark):
+    """p50/p90 equal the Python percentile_disc rule on the raw
+    latency lists; p50 <= p90; counts partition the fact join."""
+    from github_issues_lakehouse_spark.operators.relational7 import (
+        fulfillment_latency_percentiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.datediff("l_shipdate", "o_orderdate").alias("d")
+    )
+    per = {}
+    for r in j.collect():
+        per.setdefault(r.o_orderpriority, []).append(r.d)
+    got = {r.priority: r for r in fulfillment_latency_percentiles(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for p, ds in per.items():
+        ds.sort()
+        n = len(ds)
+
+        def disc(q):
+            import math
+
+            return ds[math.ceil(q * n / 100) - 1]
+
+        r = got[p]
+        assert r.n_items == n
+        assert r.p50_days == disc(50) and r.p90_days == disc(90)
+        assert r.p50_days <= r.p90_days
+        assert r.mean_days_e2 == sum(ds) * 100 // n
