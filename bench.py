@@ -200,6 +200,8 @@ HEADLINE = [
     "embedding_sim_histogram",
     "minhash_band_tuning",
     "fulfillment_latency_percentiles",
+    "user_survival_curve",
+    "quality_temporal_drift",
 ]
 
 

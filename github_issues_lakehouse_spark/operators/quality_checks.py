@@ -299,3 +299,72 @@ def k_anonymity_audit(
         )
         .orderBy("class_size", "nationkey", "mktsegment")
     )
+
+
+def quality_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118 (r5): per-source quality drift over ingest order — the
+    exact two-sample KS statistic between the quality-score
+    distributions of each source's EARLY half and LATE half (split at
+    the source's doc_id midpoint, the standing ingest-order proxy).
+    The monitoring question behind it: did this feed's quality shift
+    since we started pulling it? A large KS on a source is the
+    earliest actionable crawl-rot / template-change signal.
+
+    Quality scores are FROZEN to integer e6 units (one round of the
+    shared quality_score expression — the same determinism class the
+    C11 oracle already proves), then the ECDFs are exact integer ppm
+    at (source, value) grain; KS is the max gap per source. Value
+    grain is bounded by the score formula's resolution.
+
+    Plan/scale: one scan computes scores + the per-source id midpoint
+    (broadcast back), one value-grain aggregate, per-source windows
+    over value rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import ppm_expr as _ppm
+    from ..functions.textfns import quality_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.round(quality_score(F.col("text")) * 1_000_000).cast("long").alias("q_e6")
+    )
+    mid = d.groupBy("source").agg(
+        F.expr("CAST((min(doc_id) + max(doc_id)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    halves = d.join(F.broadcast(mid), "source").select(
+        "source", "q_e6", (F.col("doc_id") <= F.col("mid")).alias("is_early")
+    )
+    vals = halves.groupBy("source", "q_e6").agg(
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_early"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = vals.groupBy("source").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q_e6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        vals.withColumn("cum_ca", F.sum("ca").over(w))
+        .withColumn("cum_cb", F.sum("cb").over(w))
+        .join(tot, "source")
+    )
+    gaps = cum.select(
+        "source",
+        "na",
+        "nb",
+        F.abs(F.expr(_ppm("cum_ca", "na")) - F.expr(_ppm("cum_cb", "nb"))).alias("gap"),
+    )
+    return (
+        gaps.groupBy("source", "na", "nb")
+        .agg(F.max("gap").alias("ks_ppm"))
+        .selectExpr(
+            "source",
+            "CAST(na AS BIGINT) AS n_early",
+            "CAST(nb AS BIGINT) AS n_late",
+            "CAST(ks_ppm AS BIGINT) AS ks_ppm",
+        )
+        .orderBy("source")
+    )

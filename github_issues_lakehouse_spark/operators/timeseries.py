@@ -535,3 +535,51 @@ def forecast_backtest_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(abs_err_e2 DIV n_forecasts AS BIGINT) AS mae_e2",
         f"CAST({_ppm('abs_err_e2', 'actual_e2')} AS BIGINT) AS wape_ppm",
     ).orderBy("event_type")
+
+
+def user_survival_curve(spark: SparkSession, sf_dir: str, max_weeks: int = 12) -> DataFrame:
+    """B114 (r5): user survival curve — for each tenure week k, the
+    share of users still active at least k weeks after their first
+    event (observed lifetime = last activity - first activity). The
+    retention summary one level up from cohort_retention's per-cohort
+    matrix: one curve for the whole population, the number a
+    subscription/engagement model quotes ("survival at week 4").
+
+    Censoring note (documented contract): lifetimes are OBSERVED
+    spans; users whose first event is near the corpus end have
+    truncated lifetimes, so the tail underestimates true survival —
+    the Kaplan-Meier correction needs per-user censoring windows and
+    is out of scope for this mart (the standard first-look curve).
+
+    Integer exact: lifetimes in whole weeks (days DIV 7), survival as
+    exact ppm of the user base. Plan: one per-user min/max aggregate
+    (the only fact-scale stage), one week-grain rollup, cumulative
+    sums at curve grain (max_weeks rows).
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    lifetimes = per_user.select(
+        F.expr("datediff(d1, d0) DIV 7").cast("long").alias("weeks")
+    )
+    per_week = lifetimes.groupBy("weeks").agg(F.count(F.lit(1)).alias("c"))
+    total = lifetimes.agg(F.count(F.lit(1)).alias("n_users"))
+    grid = spark.range(0, max_weeks + 1).select(F.col("id").cast("long").alias("week"))
+    # survivors at week k = users with lifetime >= k
+    surv = (
+        grid.join(per_week, grid["week"] <= per_week["weeks"], "left")
+        .groupBy("week")
+        .agg(F.sum(F.coalesce("c", F.lit(0))).alias("n_survivors"))
+    )
+    return (
+        surv.join(F.broadcast(total))
+        .selectExpr(
+            "CAST(week AS BIGINT) AS week",
+            "CAST(n_survivors AS BIGINT) AS n_survivors",
+            f"CAST({_ppm('n_survivors', 'n_users')} AS BIGINT) AS survival_ppm",
+        )
+        .orderBy("week")
+    )

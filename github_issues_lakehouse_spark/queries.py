@@ -565,6 +565,8 @@ _DRIVER_PRIORITY_R5 = [
     "embedding_sim_histogram",
     "minhash_band_tuning",
     "fulfillment_latency_percentiles",
+    "user_survival_curve",
+    "quality_temporal_drift",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -778,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim_histogram": similarity.embedding_sim_histogram,
         "minhash_band_tuning": dedup.minhash_band_tuning,
         "fulfillment_latency_percentiles": R7.fulfillment_latency_percentiles,
+        "user_survival_curve": timeseries.user_survival_curve,
+        "quality_temporal_drift": QC.quality_temporal_drift,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1968,6 +1972,8 @@ FROM top
         "embedding_sim_histogram": _sim_histogram_oracle(),
         "minhash_band_tuning": _band_tuning_oracle(),
         "fulfillment_latency_percentiles": _fulfillment_latency_oracle(),
+        "user_survival_curve": _survival_oracle(),
+        "quality_temporal_drift": _quality_drift_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6375,4 +6381,91 @@ SELECT priority,
   CAST(min(CASE WHEN cum * 100 >= 90 * n THEN days END) AS BIGINT) AS p90_days
 FROM cum GROUP BY priority, n, sum_days
 ORDER BY priority
+"""
+
+
+def _quality_drift_oracle() -> str:
+    """Drift twin: identical unrounded quality expression frozen to
+    e6 integers, per-source midpoint split, exact integer-ppm ECDF
+    KS per source."""
+    from .functions.textfns import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, text, {_norm_toks_sql()} AS toks FROM documents
+), feat AS (
+  SELECT source, doc_id,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    len(list_filter(toks, t -> list_contains([{stop}], t)))
+      / greatest(len(toks), 1) AS stopword_ratio,
+    1.0 - len(list_distinct(toks)) / greatest(len(toks), 1) AS repetition_ratio
+  FROM d
+), q AS (
+  SELECT source, doc_id,
+    CAST(round((
+      (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - repetition_ratio) * 0.3
+      + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
+    ) * 1000000) AS BIGINT) AS q_e6
+  FROM feat
+),
+mid AS (
+  SELECT source, CAST((min(doc_id) + max(doc_id)) // 2 AS BIGINT) AS mid
+  FROM q GROUP BY 1
+),
+halves AS (
+  SELECT q.source, q.q_e6, q.doc_id <= m.mid AS is_early
+  FROM q JOIN mid m ON q.source = m.source
+),
+vals AS (
+  SELECT source, q_e6,
+    sum(CASE WHEN is_early THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN is_early THEN 0 ELSE 1 END) AS cb
+  FROM halves GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT v.source, t.na, t.nb,
+    sum(v.ca) OVER (PARTITION BY v.source ORDER BY v.q_e6) AS cum_ca,
+    sum(v.cb) OVER (PARTITION BY v.source ORDER BY v.q_e6) AS cum_cb
+  FROM vals v JOIN tot t ON v.source = t.source
+),
+gaps AS (
+  SELECT source, na, nb,
+    abs(({_ppm_sql('cum_ca', 'na')}) - ({_ppm_sql('cum_cb', 'nb')})) AS gap
+  FROM cum
+)
+SELECT source, na AS n_early, nb AS n_late,
+  CAST(max(gap) AS BIGINT) AS ks_ppm
+FROM gaps GROUP BY source, na, nb ORDER BY source
+"""
+
+
+def _survival_oracle(max_weeks: int = 12) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+),
+lt AS (
+  SELECT CAST(date_diff('day', d0, d1) // 7 AS BIGINT) AS weeks FROM per_user
+),
+per_week AS (SELECT weeks, count(*) AS c FROM lt GROUP BY 1),
+tot AS (SELECT count(*) AS n_users FROM lt),
+grid AS (SELECT CAST(unnest(generate_series(0, {max_weeks})) AS BIGINT) AS week),
+surv AS (
+  SELECT g.week, CAST(coalesce(sum(p.c), 0) AS BIGINT) AS n_survivors
+  FROM grid g LEFT JOIN per_week p ON g.week <= p.weeks
+  GROUP BY 1
+)
+SELECT week, n_survivors,
+  CAST({_ppm_sql('n_survivors', '(SELECT n_users FROM tot)')} AS BIGINT) AS survival_ppm
+FROM surv ORDER BY week
 """

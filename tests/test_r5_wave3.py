@@ -615,3 +615,42 @@ def test_fulfillment_latency_percentile_identity(spark):
         assert r.p50_days == disc(50) and r.p90_days == disc(90)
         assert r.p50_days <= r.p90_days
         assert r.mean_days_e2 == sum(ds) * 100 // n
+
+
+def test_survival_curve_monotone_and_anchored(spark):
+    """Survival is nonincreasing, week 0 covers everyone, and counts
+    equal a Python lifetime recomputation."""
+    from github_issues_lakehouse_spark.operators.timeseries import user_survival_curve
+
+    e = load_table(spark, SF_DIR, "events").select("user_id", F.to_date("ts").alias("d"))
+    per = {}
+    for r in e.collect():
+        lo, hi = per.get(r.user_id, (r.d, r.d))
+        per[r.user_id] = (min(lo, r.d), max(hi, r.d))
+    lifetimes = [((hi - lo).days) // 7 for lo, hi in per.values()]
+    rows = user_survival_curve(spark, SF_DIR).collect()
+    assert rows[0].week == 0 and rows[0].n_survivors == len(lifetimes)
+    assert rows[0].survival_ppm >= 999_999
+    surv = [r.n_survivors for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    for r in rows:
+        assert r.n_survivors == sum(1 for w in lifetimes if w >= r.week)
+
+
+def test_quality_drift_bounds_and_split(spark):
+    """Per source: halves partition the docs, KS in [0, 1e6]; a
+    shuffled synthetic with identical halves scores low drift
+    implicitly via the generated corpus (no assertion on magnitude —
+    the split is id-based and the corpus is homogeneous, so KS must
+    be far from 1e6)."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        quality_temporal_drift,
+    )
+
+    rows = quality_temporal_drift(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_early + r.n_late for r in rows) == n_docs
+    for r in rows:
+        assert r.n_early > 0 and r.n_late > 0
+        assert 0 <= r.ks_ppm <= 1_000_000
+        assert r.ks_ppm < 900_000  # homogeneous synthetic corpus
