@@ -202,6 +202,7 @@ HEADLINE = [
     "fulfillment_latency_percentiles",
     "user_survival_curve",
     "quality_temporal_drift",
+    "pareto_frontier_parts",
 ]
 
 

@@ -602,3 +602,45 @@ def fulfillment_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("priority")
     )
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B115 (r5): skyline / Pareto frontier of parts on (cheap price,
+    large size) — the classic multi-criteria "best tradeoffs" query
+    (no other part is both at-least-as-large and at-least-as-cheap
+    with one strict). One row per frontier (size, price) point with
+    the count of parts sitting on it.
+
+    Scale shape: the naive skyline is an O(n^2) self-anti-join; here
+    the 2D structure collapses it to VALUE grain — one aggregate to
+    distinct (size, min-price-at-size), then a running min over
+    sizes DESCENDING (exclusive) gives the cheapest strictly-larger
+    competitor, and a (size, price) point is on the frontier iff its
+    price beats that. The window runs over |distinct sizes| rows
+    (~50), never over parts. Dominance ties handled exactly: equal
+    (size, price) points share the frontier.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    pts = p.select(F.col("p_size").cast("long").alias("size"), cents.alias("price"))
+    by_pair = pts.groupBy("size", "price").agg(F.count(F.lit(1)).alias("n_parts"))
+    at_size = by_pair.groupBy("size").agg(
+        F.min("price").alias("min_price"),
+    )
+    w = (
+        Window.orderBy(F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_gt = at_size.withColumn("mp_gt", F.min("min_price").over(w))
+    frontier = with_gt.filter(
+        F.col("mp_gt").isNull() | (F.col("min_price") < F.col("mp_gt"))
+    ).select("size", F.col("min_price").alias("price"))
+    return (
+        frontier.join(by_pair, ["size", "price"])
+        .selectExpr(
+            "CAST(size AS BIGINT) AS size",
+            "CAST(price AS BIGINT) AS price_cents",
+            "CAST(n_parts AS BIGINT) AS n_parts",
+        )
+        .orderBy(F.col("size").desc())
+    )

@@ -567,6 +567,7 @@ _DRIVER_PRIORITY_R5 = [
     "fulfillment_latency_percentiles",
     "user_survival_curve",
     "quality_temporal_drift",
+    "pareto_frontier_parts",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -782,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulfillment_latency_percentiles": R7.fulfillment_latency_percentiles,
         "user_survival_curve": timeseries.user_survival_curve,
         "quality_temporal_drift": QC.quality_temporal_drift,
+        "pareto_frontier_parts": R7.pareto_frontier_parts,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1974,6 +1976,7 @@ FROM top
         "fulfillment_latency_percentiles": _fulfillment_latency_oracle(),
         "user_survival_curve": _survival_oracle(),
         "quality_temporal_drift": _quality_drift_oracle(),
+        "pareto_frontier_parts": _pareto_frontier_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6468,4 +6471,29 @@ surv AS (
 SELECT week, n_survivors,
   CAST({_ppm_sql('n_survivors', '(SELECT n_users FROM tot)')} AS BIGINT) AS survival_ppm
 FROM surv ORDER BY week
+"""
+
+
+def _pareto_frontier_oracle() -> str:
+    """Skyline twin via explicit NOT-EXISTS dominance — semantically
+    identical to the running-min formulation (cross-checked by the
+    dominance test), kept independent so the two spellings verify
+    each other."""
+    return """
+WITH pts AS (
+  SELECT CAST(p_size AS BIGINT) AS size,
+    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
+  FROM part
+),
+pairs AS (SELECT size, price, count(*) AS n_parts FROM pts GROUP BY 1, 2),
+frontier AS (
+  SELECT size, price, n_parts FROM pairs a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs b
+    WHERE b.size >= a.size AND b.price <= a.price
+      AND (b.size > a.size OR b.price < a.price)
+  )
+)
+SELECT size, CAST(price AS BIGINT) AS price_cents, CAST(n_parts AS BIGINT) AS n_parts
+FROM frontier ORDER BY size DESC
 """

@@ -1068,3 +1068,42 @@ def stream_vocab_first_seen_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_user_span_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D27 (r5): streaming per-user activity-span maintenance — each
+    micro-batch folds (user_id, first day, last day) into the stored
+    state by per-user MIN/MAX. Both folds are associative,
+    commutative AND idempotent, so the state survives at-least-once
+    redelivery exactly (the HLL-register property). The drained state
+    is the per-user lifetime table the survival curve (B114
+    ``user_survival_curve``) and growth accounting read — a 100 TB
+    event stream keeps O(users) rows and answers "survival at week
+    k" at any time with zero event rescans. Read with read_mart.
+    Returns the started query."""
+    from pyspark.sql import functions as F
+
+    def spans(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+
+    def merge(existing, batch_df):
+        delta = spans(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.min("d0").alias("d0"), F.max("d1").alias("d1"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -654,3 +654,28 @@ def test_quality_drift_bounds_and_split(spark):
         assert r.n_early > 0 and r.n_late > 0
         assert 0 <= r.ks_ppm <= 1_000_000
         assert r.ks_ppm < 900_000  # homogeneous synthetic corpus
+
+
+def test_pareto_frontier_dominance(spark):
+    """No frontier point dominates another, and every non-frontier
+    (size, price) pair is dominated by some frontier point — the two
+    defining skyline properties, checked against the raw pairs."""
+    from github_issues_lakehouse_spark.operators.relational7 import (
+        pareto_frontier_parts,
+    )
+
+    p = load_table(spark, SF_DIR, "part").select(
+        F.col("p_size").alias("s"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").alias("p"),
+    )
+    pairs = {(r.s, r.p) for r in p.distinct().collect()}
+    frontier = {(r.size, r.price_cents) for r in pareto_frontier_parts(spark, SF_DIR).collect()}
+    assert frontier <= pairs
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] <= b[1] and a != b
+
+    for f in frontier:
+        assert not any(dominates(o, f) for o in pairs)
+    for o in pairs - frontier:
+        assert any(dominates(f, o) for f in frontier)

@@ -912,3 +912,51 @@ def test_stream_benford_and_vocab_first_seen_equal_batch(spark, tmp_path):
         if r.n_new_terms > 0
     }
     assert per_bucket == want_curve
+
+
+def test_stream_user_span_equals_batch_and_survives_redelivery(spark, tmp_path):
+    """D27: drained per-user spans equal the batch min/max aggregate,
+    and refolding the ENTIRE corpus a second time (worst-case
+    redelivery) leaves the state bit-identical — min/max idempotence."""
+    from github_issues_lakehouse_spark.streaming import (
+        mart_fold_batch,
+        read_mart,
+        stream_user_span_maintenance,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_stream_span")
+    events.repartition(3).write.parquet(src)
+    path = str(tmp_path / "span_state")
+    q = stream_user_span_maintenance(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        path,
+        str(tmp_path / "ck_span"),
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.d0, r.d1) for r in read_mart(spark, path).collect()}
+    want = {
+        (r.user_id, r.d0, r.d1)
+        for r in events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1"))
+        .collect()
+    }
+    assert got == want
+    # full redelivery: fold the whole corpus again as a later batch id
+    def merge(existing, batch_df):
+        delta = batch_df.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.min("d0").alias("d0"), F.max("d1").alias("d1"))
+        )
+
+    mart_fold_batch(events, 10_000, path, merge=merge)
+    again = {(r.user_id, r.d0, r.d1) for r in read_mart(spark, path).collect()}
+    assert again == want
