@@ -203,6 +203,7 @@ HEADLINE = [
     "user_survival_curve",
     "quality_temporal_drift",
     "pareto_frontier_parts",
+    "market_concentration_hhi",
 ]
 
 

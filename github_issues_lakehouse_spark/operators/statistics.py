@@ -546,3 +546,60 @@ def anova_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(summary))
         .orderBy("returnflag")
     )
+
+
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B116 (r5): Herfindahl-Hirschman concentration of revenue
+    across customer nations, per market segment — the regulator's
+    concentration number (HHI < 0.15 unconcentrated, > 0.25 highly
+    concentrated) and the group-level complement of the gini family:
+    gini ranks customers, HHI measures how few MARKETS the money
+    flows through.
+
+    Exact integers end to end: nation shares of segment revenue in
+    ppm (``ppm_expr`` over exact cent sums), HHI = sum(share_ppm^2)
+    DIV 1e6 — e6 fixed point (1e6 = monopoly), plus the top nation's
+    share and the e2 effective-competitor count 1e8 DIV hhi_e6
+    (= 1/HHI, the numbers-equivalent).
+
+    Plan/scale: one fact join (orders x customer on custkey), one
+    (segment, nation) aggregate; everything after runs at the
+    bounded segment x nation grain.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    cells = j.groupBy("segment", "nation").agg(F.sum("cents").alias("rev"))
+    seg = cells.groupBy("segment").agg(
+        F.sum("rev").alias("seg_rev"), F.count(F.lit(1)).alias("n_nations")
+    )
+    shares = cells.join(seg, "segment").select(
+        "segment",
+        "n_nations",
+        "seg_rev",
+        F.expr(_ppm("rev", "seg_rev")).cast("long").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("segment", "n_nations", "seg_rev")
+        .agg(
+            F.expr("CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)").alias(
+                "hhi_e6"
+            ),
+            F.max("share_ppm").alias("top_share_ppm"),
+        )
+        .selectExpr(
+            "segment",
+            "CAST(n_nations AS BIGINT) AS n_nations",
+            "CAST(seg_rev AS BIGINT) AS revenue_cents",
+            "hhi_e6",
+            "CAST(top_share_ppm AS BIGINT) AS top_share_ppm",
+            "CAST(100000000 DIV hhi_e6 AS BIGINT) AS n_effective_e2",
+        )
+        .orderBy("segment")
+    )

@@ -568,6 +568,7 @@ _DRIVER_PRIORITY_R5 = [
     "user_survival_curve",
     "quality_temporal_drift",
     "pareto_frontier_parts",
+    "market_concentration_hhi",
     # never driver-checked (r4 budget overflow)
     "event_trigram_patterns",
     "mixture_resample",
@@ -784,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_survival_curve": timeseries.user_survival_curve,
         "quality_temporal_drift": QC.quality_temporal_drift,
         "pareto_frontier_parts": R7.pareto_frontier_parts,
+        "market_concentration_hhi": ST.market_concentration_hhi,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1977,6 +1979,7 @@ FROM top
         "user_survival_curve": _survival_oracle(),
         "quality_temporal_drift": _quality_drift_oracle(),
         "pareto_frontier_parts": _pareto_frontier_oracle(),
+        "market_concentration_hhi": _hhi_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6496,4 +6499,31 @@ frontier AS (
 )
 SELECT size, CAST(price AS BIGINT) AS price_cents, CAST(n_parts AS BIGINT) AS n_parts
 FROM frontier ORDER BY size DESC
+"""
+
+
+def _hhi_oracle() -> str:
+    return f"""
+WITH j AS (
+  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cells AS (SELECT segment, nation, CAST(sum(cents) AS BIGINT) AS rev FROM j GROUP BY 1, 2),
+seg AS (
+  SELECT segment, CAST(sum(rev) AS BIGINT) AS seg_rev, count(*) AS n_nations
+  FROM cells GROUP BY 1
+),
+shares AS (
+  SELECT c.segment, s.n_nations, s.seg_rev,
+    CAST({_ppm_sql('c.rev', 's.seg_rev')} AS BIGINT) AS share_ppm
+  FROM cells c JOIN seg s ON c.segment = s.segment
+)
+SELECT segment,
+  CAST(n_nations AS BIGINT) AS n_nations,
+  CAST(seg_rev AS BIGINT) AS revenue_cents,
+  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_e6,
+  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+  CAST(100000000 // (sum(share_ppm * share_ppm) // 1000000) AS BIGINT) AS n_effective_e2
+FROM shares GROUP BY segment, n_nations, seg_rev ORDER BY segment
 """

@@ -679,3 +679,41 @@ def test_pareto_frontier_dominance(spark):
         assert not any(dominates(o, f) for o in pairs)
     for o in pairs - frontier:
         assert any(dominates(f, o) for f in frontier)
+
+
+def test_hhi_python_recompute_and_bounds(spark):
+    """HHI equals Python recomputation from exact integer shares;
+    bounds: max(share)^2 <= HHI <= 1e6; effective competitors
+    consistent."""
+    from collections import defaultdict
+
+    from github_issues_lakehouse_spark.operators.statistics import (
+        market_concentration_hhi,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).collect()
+    cells = defaultdict(int)
+    for r in j:
+        cells[(r.c_mktsegment, r.c_nationkey)] += int(
+            round(float(r.o_totalprice) * 100)
+        )
+    seg_rev = defaultdict(int)
+    for (s, n), v in cells.items():
+        seg_rev[s] += v
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    got = {r.segment: r for r in market_concentration_hhi(spark, SF_DIR).collect()}
+    for s, total in seg_rev.items():
+        shares = [ppm(v, total) for (s2, _), v in cells.items() if s2 == s]
+        hhi = sum(x * x for x in shares) // 1_000_000
+        r = got[s]
+        assert r.hhi_e6 == hhi and r.revenue_cents == total
+        assert r.top_share_ppm == max(shares)
+        assert max(shares) ** 2 // 1_000_000 <= r.hhi_e6 <= 1_000_000
+        assert r.n_effective_e2 == 100_000_000 // hhi
