@@ -529,6 +529,19 @@ _DRIVER_PRIORITY_R5 = [
     "minhash_calibration",
     "media_dedup_stats",
     "user_growth_accounting",
+    # never driver-checked (r4 budget overflow) — VERDICT r4 task 3:
+    # these 11 must land inside the ~50-row driver budget this round
+    "event_trigram_patterns",
+    "mixture_resample",
+    "event_order_inversions",
+    "dau_wau_stickiness",
+    "user_churn_flags",
+    "weekday_hour_heatmap",
+    "char_class_stats",
+    "kfold_assignment",
+    "join_size_estimate",
+    "ab_test_conversion",
+    "lang_id_confusion",
     # r5 second wave: sketches + incremental/cluster-aware dedup marts
     "hll_distinct_terms",
     "quantile_sketch_price",
@@ -569,18 +582,6 @@ _DRIVER_PRIORITY_R5 = [
     "quality_temporal_drift",
     "pareto_frontier_parts",
     "market_concentration_hhi",
-    # never driver-checked (r4 budget overflow)
-    "event_trigram_patterns",
-    "mixture_resample",
-    "event_order_inversions",
-    "dau_wau_stickiness",
-    "user_churn_flags",
-    "weekday_hour_heatmap",
-    "char_class_stats",
-    "kfold_assignment",
-    "join_size_estimate",
-    "ab_test_conversion",
-    "lang_id_confusion",
     # oldest evidence (r1-only), complex shapes first
     "asof_join_orders_events",
     "range_join_events",
