@@ -204,6 +204,7 @@ HEADLINE = [
     "quality_temporal_drift",
     "pareto_frontier_parts",
     "market_concentration_hhi",
+    "aov_mix_shift_bridge",
 ]
 
 

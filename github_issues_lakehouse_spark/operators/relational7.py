@@ -644,3 +644,101 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("size").desc())
     )
+
+
+def aov_mix_shift_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B117 (r5): month-over-month average-order-value BRIDGE — the
+    classic metric decomposition every analytics team eventually
+    builds: did AOV move because segments changed their behavior
+    (WITHIN effect) or because the customer MIX shifted toward
+    cheaper/richer segments (MIX effect)?
+
+        delta = sum_s w_prev[s]*(aov_cur[s]-aov_prev[s])   (within)
+              + sum_s (w_cur[s]-w_prev[s])*aov_cur[s]      (mix)
+
+    Everything is exact integer fixed point: per-(month, segment)
+    AOV in e2 cents (rev*100 DIV n), order-count shares in exact
+    ppm, per-segment bridge terms as exact BIGINT products summed
+    BEFORE one final DIV 1e6 (both engines truncate toward zero —
+    verified). The floor slack between the decomposition and the
+    month-grain delta is emitted as an explicit residual_e2 column
+    (bounded by segment count + ppm rounding), never hidden.
+
+    Plan/scale: one fact join (orders x customer), one month x
+    segment aggregate; the bridge runs at month-pair x segment grain
+    (bounded). Months pair via add_months self-join, so a calendar
+    gap simply produces no bridge row (documented).
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "MM").alias("month"),
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("month", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+    )
+    months = cells.groupBy("month").agg(
+        F.sum("n").alias("n_m"), F.sum("rev").alias("rev_m")
+    )
+    enriched = cells.join(months, "month").select(
+        "month",
+        "segment",
+        F.expr("rev * 100 DIV n").cast("long").alias("aov_e2"),
+        F.expr(_ppm("n", "n_m")).cast("long").alias("share_ppm"),
+    )
+    pairs = months.alias("cur").join(
+        months.alias("prv"),
+        F.col("prv.month") == F.add_months(F.col("cur.month"), -1),
+    ).select(
+        F.col("cur.month").alias("month"),
+        F.col("cur.n_m").alias("n_cur"),
+        F.expr("cur.rev_m * 100 DIV cur.n_m").cast("long").alias("aov_cur_e2"),
+        F.expr("prv.rev_m * 100 DIV prv.n_m").cast("long").alias("aov_prev_e2"),
+        F.col("prv.month").alias("prev_month"),
+    )
+    cur_cells = enriched.select(
+        F.col("month"), "segment",
+        F.col("aov_e2").alias("aov_cur_s"), F.col("share_ppm").alias("w_cur"),
+    )
+    prv_cells = enriched.select(
+        F.col("month").alias("prev_month"), "segment",
+        F.col("aov_e2").alias("aov_prev_s"), F.col("share_ppm").alias("w_prev"),
+    )
+    terms = (
+        pairs.join(cur_cells, "month", "left")
+        .join(prv_cells, ["prev_month", "segment"], "full")
+        .filter(F.col("month").isNotNull() | F.col("prev_month").isNotNull())
+    )
+    # full-outer may leave month null for segments present only in the
+    # previous month: recover it from prev_month + 1
+    terms = terms.withColumn(
+        "month", F.coalesce(F.col("month"), F.add_months(F.col("prev_month"), 1))
+    ).select(
+        "month",
+        F.coalesce("aov_cur_s", F.lit(0)).alias("ac"),
+        F.coalesce("w_cur", F.lit(0)).alias("wc"),
+        F.coalesce("aov_prev_s", F.lit(0)).alias("ap"),
+        F.coalesce("w_prev", F.lit(0)).alias("wp"),
+    )
+    bridge = terms.groupBy("month").agg(
+        F.expr("CAST(sum(wp * (ac - ap)) DIV 1000000 AS BIGINT)").alias("within_e2"),
+        F.expr("CAST(sum((wc - wp) * ac) DIV 1000000 AS BIGINT)").alias("mix_e2"),
+    )
+    return (
+        pairs.join(bridge, "month")
+        .selectExpr(
+            "date_format(month, 'yyyy-MM') AS month",
+            "CAST(n_cur AS BIGINT) AS n_orders",
+            "CAST(aov_cur_e2 AS BIGINT) AS aov_e2",
+            "CAST(aov_cur_e2 - aov_prev_e2 AS BIGINT) AS delta_aov_e2",
+            "within_e2",
+            "mix_e2",
+            "CAST(aov_cur_e2 - aov_prev_e2 - within_e2 - mix_e2 AS BIGINT) AS residual_e2",
+        )
+        .orderBy("month")
+    )

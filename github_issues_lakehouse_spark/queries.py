@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_temporal_drift": QC.quality_temporal_drift,
         "pareto_frontier_parts": R7.pareto_frontier_parts,
         "market_concentration_hhi": ST.market_concentration_hhi,
+        "aov_mix_shift_bridge": R7.aov_mix_shift_bridge,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1981,6 +1982,7 @@ FROM top
         "quality_temporal_drift": _quality_drift_oracle(),
         "pareto_frontier_parts": _pareto_frontier_oracle(),
         "market_concentration_hhi": _hhi_oracle(),
+        "aov_mix_shift_bridge": _aov_bridge_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6527,4 +6529,68 @@ SELECT segment,
   CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
   CAST(100000000 // (sum(share_ppm * share_ppm) // 1000000) AS BIGINT) AS n_effective_e2
 FROM shares GROUP BY segment, n_nations, seg_rev ORDER BY segment
+"""
+
+
+def _aov_bridge_oracle() -> str:
+    """Bridge twin: identical integer fixed-point decomposition; both
+    engines' integer division truncates toward zero (verified), so
+    the single post-sum DIV is exact parity."""
+    return f"""
+WITH o AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_custkey,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cells AS (
+  SELECT o.month, c.c_mktsegment AS segment, count(*) AS n,
+    CAST(sum(o.cents) AS BIGINT) AS rev
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+months AS (
+  SELECT month, CAST(sum(n) AS BIGINT) AS n_m, CAST(sum(rev) AS BIGINT) AS rev_m
+  FROM cells GROUP BY 1
+),
+enriched AS (
+  SELECT c.month, c.segment,
+    CAST(c.rev * 100 // c.n AS BIGINT) AS aov_e2,
+    CAST({_ppm_sql('c.n', 'm.n_m')} AS BIGINT) AS share_ppm
+  FROM cells c JOIN months m ON c.month = m.month
+),
+pairs AS (
+  SELECT cur.month AS month, cur.n_m AS n_cur,
+    CAST(cur.rev_m * 100 // cur.n_m AS BIGINT) AS aov_cur_e2,
+    CAST(prv.rev_m * 100 // prv.n_m AS BIGINT) AS aov_prev_e2,
+    prv.month AS prev_month
+  FROM months cur JOIN months prv ON prv.month = cur.month - INTERVAL 1 MONTH
+),
+terms AS (
+  SELECT coalesce(l.month, r.prev_month + INTERVAL 1 MONTH) AS month,
+    coalesce(l.aov_cur_s, 0) AS ac, coalesce(l.w_cur, 0) AS wc,
+    coalesce(r.aov_prev_s, 0) AS ap, coalesce(r.w_prev, 0) AS wp
+  FROM (
+    SELECT p.month, p.prev_month, e.segment,
+      e.aov_e2 AS aov_cur_s, e.share_ppm AS w_cur
+    FROM pairs p LEFT JOIN enriched e ON e.month = p.month
+  ) l
+  FULL JOIN (
+    SELECT month AS prev_month, segment, aov_e2 AS aov_prev_s, share_ppm AS w_prev
+    FROM enriched
+  ) r ON l.prev_month = r.prev_month AND l.segment = r.segment
+),
+bridge AS (
+  SELECT month,
+    CAST(sum(wp * (ac - ap)) // 1000000 AS BIGINT) AS within_e2,
+    CAST(sum((wc - wp) * ac) // 1000000 AS BIGINT) AS mix_e2
+  FROM terms GROUP BY 1
+)
+SELECT strftime(p.month, '%Y-%m') AS month,
+  CAST(p.n_cur AS BIGINT) AS n_orders,
+  p.aov_cur_e2 AS aov_e2,
+  CAST(p.aov_cur_e2 - p.aov_prev_e2 AS BIGINT) AS delta_aov_e2,
+  b.within_e2, b.mix_e2,
+  CAST(p.aov_cur_e2 - p.aov_prev_e2 - b.within_e2 - b.mix_e2 AS BIGINT) AS residual_e2
+FROM pairs p JOIN bridge b ON p.month = b.month
+ORDER BY month
 """

@@ -717,3 +717,33 @@ def test_hhi_python_recompute_and_bounds(spark):
         assert r.top_share_ppm == max(shares)
         assert max(shares) ** 2 // 1_000_000 <= r.hhi_e6 <= 1_000_000
         assert r.n_effective_e2 == 100_000_000 // hhi
+
+
+def test_aov_bridge_decomposition_identity(spark):
+    """within + mix + residual == delta exactly (residual is the
+    emitted floor slack and must be small: bounded by segment count
+    + ppm rounding, here < 50 e2-cents), and month AOVs match the
+    month-grain recomputation."""
+    from github_issues_lakehouse_spark.operators.relational7 import (
+        aov_mix_shift_bridge,
+    )
+
+    rows = aov_mix_shift_bridge(spark, SF_DIR).collect()
+    assert len(rows) > 10
+    for r in rows:
+        assert r.within_e2 + r.mix_e2 + r.residual_e2 == r.delta_aov_e2
+        # slack source: each segment's share carries <= 1 ppm rounding
+        # on BOTH bridge terms, worth ~aov_e2/1e6 each, plus the two
+        # term floors — proportional to AOV, tiny relative to delta
+        assert abs(r.residual_e2) <= 20 * r.aov_e2 // 1_000_000 + 10
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.date_format(F.trunc("o_orderdate", "MM"), "yyyy-MM").alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    per_m = {
+        r.m: (r.n, r.s)
+        for r in o.groupBy("m").agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")).collect()
+    }
+    for r in rows:
+        n, s_ = per_m[r.month]
+        assert r.n_orders == n and r.aov_e2 == s_ * 100 // n
