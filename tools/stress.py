@@ -114,6 +114,17 @@ HEAVY = [
     "boilerplate_prefix_stats",
     "rendezvous_shard_plan",
     "holt_linear_daily",
+    # r5 closing waves (joins/term-grain shapes worth watching at 10x;
+    # not yet in the BASELINE tables — first numbers land in r6)
+    "source_vocab_overlap",
+    "anova_price_by_returnflag",
+    "embedding_sim_histogram",
+    "minhash_band_tuning",
+    "fulfillment_latency_percentiles",
+    "user_survival_curve",
+    "quality_temporal_drift",
+    "market_concentration_hhi",
+    "aov_mix_shift_bridge",
 ]
 
 
