@@ -205,6 +205,8 @@ HEADLINE = [
     "pareto_frontier_parts",
     "market_concentration_hhi",
     "aov_mix_shift_bridge",
+    "ivf_nprobe_recall_curve",
+    "jaccard_threshold_sweep",
 ]
 
 

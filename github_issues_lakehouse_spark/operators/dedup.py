@@ -1476,3 +1476,77 @@ def minhash_band_tuning(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bands")
+
+
+def jaccard_threshold_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    thresholds_ppm: tuple = (300_000, 500_000, 700_000, 900_000),
+) -> DataFrame:
+    """C120 (r5): dedup-policy cost curve — for each Jaccard
+    threshold, the pairs retained, documents flagged for removal, and
+    TOKENS saved, from ONE candidate+verify pass. This is the table
+    that turns "pick a dedup threshold" from folklore into a costed
+    decision: lower thresholds delete more training tokens (cost)
+    for more aggressive dedup (benefit), and the knee of this curve
+    is the policy.
+
+    Removal policy is the greedy keep-oldest pair rule (flag the
+    HIGHER doc_id of each verified pair — deterministic, the
+    dedup_exact keep-min convention); full transitive clustering per
+    threshold is the dedup_clusters path, priced separately.
+
+    Exact integers: verified Jaccard in ppm from distinct-shingle
+    intersection counts; token savings from the shared whitespace
+    tokenizer. The expensive stages (signatures, capped-LSH
+    candidates, exact intersections) run ONCE; each threshold row is
+    a filter + two bounded aggregates over the same verified pairs.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+    from ..functions.textfns import whitespace_token_count
+
+    with_sig, cand = minhash_candidates(spark, sf_dir)
+    sa = with_sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")
+    )
+    sb = with_sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.array_size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.array_size("sh_a") + F.array_size("sh_b")).alias("szsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(_ppm("inter", "(szsum - inter)")).cast("long").alias("jacc_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", whitespace_token_count(F.col("text")).alias("n_tok"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for t in thresholds_ppm:
+        kept = pairs.filter(F.col("jacc_ppm") >= t)
+        n_pairs = kept.agg(F.count(F.lit(1)).alias("n_pairs"))
+        flagged = kept.select(F.col("doc_b").alias("doc_id")).distinct()
+        saved = flagged.join(toks, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_docs_flagged"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tokens_saved"),
+        )
+        row = n_pairs.join(F.broadcast(saved)).selectExpr(
+            f"CAST({t} AS BIGINT) AS threshold_ppm",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged",
+            "CAST(tokens_saved AS BIGINT) AS tokens_saved",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold_ppm")

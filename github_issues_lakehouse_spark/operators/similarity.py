@@ -685,3 +685,86 @@ def embedding_sim_histogram(
         )
         .orderBy("band")
     )
+
+
+def ivf_nprobe_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: tuple = (1, 2, 4, 8),
+) -> DataFrame:
+    """C119 (r5): the IVF recall-vs-cost CURVE — recall@k and
+    candidates-scored for each n_probe setting, the table that picks
+    the probe count for a 100 TB ANN serving tier (more probes = more
+    lists scanned = higher recall at linear extra cost). Completes
+    the index-tuning family: minhash_band_tuning maps the LSH config
+    space, this maps the IVF one.
+
+    One brute-force ground truth (the expensive side, computed ONCE),
+    one corpus cell assignment (once); each probe setting re-probes
+    the same cells and counts exact hits. The cost column is the
+    exact candidate count: sum of probed-cell sizes minus the query
+    itself (a query's rank-1 probe is always its own cell). Recall
+    in exact ppm of n_queries*k.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k).localCheckpoint(
+        eager=False
+    )
+    corpus = _corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def assign(df, id_col, vec_col, keep_rank):
+        from pyspark.sql import Window
+
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "c_id",
+            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_sim").desc(), F.col("c_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep_rank)
+            .select(id_col, F.col("c_id").alias("cell"), "crank")
+        )
+
+    cell_sizes = (
+        assign(corpus, "vec_id", "vec", 1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    q_probes = assign(queries, "q_id", "q_vec", max(probes)).localCheckpoint(
+        eager=False
+    )
+    out = None
+    for np_ in probes:
+        approx = ann_ivf_topk(spark, sf_dir, n_queries, k, n_centroids, n_probe=np_)
+        hits = (
+            truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        cand = (
+            q_probes.filter(F.col("crank") <= np_)
+            .join(cell_sizes, "cell")
+            .agg((F.sum("sz") - F.lit(n_queries)).alias("n_candidates"))
+        )
+        row = hits.join(F.broadcast(cand)).selectExpr(
+            f"CAST({np_} AS INT) AS n_probe",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "CAST(n_hits AS BIGINT) AS n_hits",
+            f"CAST({_ppm('n_hits', str(n_queries * k))} AS BIGINT) AS recall_ppm",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")

@@ -788,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier_parts": R7.pareto_frontier_parts,
         "market_concentration_hhi": ST.market_concentration_hhi,
         "aov_mix_shift_bridge": R7.aov_mix_shift_bridge,
+        "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
+        "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1983,6 +1985,8 @@ FROM top
         "pareto_frontier_parts": _pareto_frontier_oracle(),
         "market_concentration_hhi": _hhi_oracle(),
         "aov_mix_shift_bridge": _aov_bridge_oracle(),
+        "ivf_nprobe_recall_curve": _ivf_curve_oracle(),
+        "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6594,3 +6598,87 @@ SELECT strftime(p.month, '%Y-%m') AS month,
 FROM pairs p JOIN bridge b ON p.month = b.month
 ORDER BY month
 """
+
+
+def _ivf_curve_oracle(
+    n_queries: int = 8, k: int = 5, n_centroids: int = 16, probes: tuple = (1, 2, 4, 8)
+) -> str:
+    """IVF curve twin: one IVF subquery per probe setting (the
+    per-config recall), plus the identical probed-cell-size candidate
+    accounting."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    qc = cos.format(a="q.v", b="ct.v")
+    head = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v FROM c WHERE vec_id < {n_centroids}),
+asg AS (
+  SELECT q.vec_id, ct.c_id,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {qc.replace('q.v', 'q.v').replace('ct.v', 'ct.v')} DESC, ct.c_id ASC) AS rn
+  FROM c q CROSS JOIN cents ct
+),
+cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1),
+cell_sizes AS (SELECT cell, count(*) AS sz FROM cells GROUP BY 1),
+qasg AS (
+  SELECT vec_id AS q_id, c_id AS cell, rn FROM asg WHERE vec_id < {n_queries}
+),
+bf AS ({_ann_bf_oracle(n_queries, k)})"""
+    parts = []
+    for i, np_ in enumerate(probes):
+        head += f""",
+ivf_{np_} AS ({_ann_ivf_oracle(n_queries, k, n_centroids, np_)}),
+hits_{np_} AS (
+  SELECT count(*) AS n_hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM ivf_{np_} i
+                WHERE i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id)
+),
+cand_{np_} AS (
+  SELECT CAST(sum(s.sz) - {n_queries} AS BIGINT) AS n_candidates
+  FROM qasg p JOIN cell_sizes s ON p.cell = s.cell WHERE p.rn <= {np_}
+)"""
+        parts.append(f"""
+SELECT CAST({np_} AS INT) AS n_probe,
+  (SELECT n_candidates FROM cand_{np_}) AS n_candidates,
+  CAST((SELECT n_hits FROM hits_{np_}) AS BIGINT) AS n_hits,
+  CAST({_ppm_sql(f'(SELECT n_hits FROM hits_{np_})', str(n_queries * k))} AS BIGINT)
+    AS recall_ppm""")
+    return head + " UNION ALL ".join(parts) + " ORDER BY n_probe"
+
+
+def _jaccard_sweep_oracle(
+    thresholds_ppm: tuple = (300_000, 500_000, 700_000, 900_000),
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int = 200,
+) -> str:
+    """Sweep twin: the shared capped-candidate CTEs verified by exact
+    integer-ppm Jaccard, then one summary row per threshold."""
+    head = f"""
+WITH {_minhash_cand_ctes(num_hashes, bands, bucket_cap)},
+jacc AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b,
+    CAST({_ppm_sql('coalesce(i.n_inter, 0)', '(za.sz + zb.sz - coalesce(i.n_inter, 0))')}
+      AS BIGINT) AS jacc_ppm
+  FROM cand c
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, len({_norm_toks_sql()}) AS n_tok FROM documents
+)"""
+    parts = []
+    for t in thresholds_ppm:
+        parts.append(f"""
+SELECT CAST({t} AS BIGINT) AS threshold_ppm,
+  CAST((SELECT count(*) FROM jacc WHERE jacc_ppm >= {t}) AS BIGINT) AS n_pairs,
+  CAST((SELECT count(*) FROM
+        (SELECT DISTINCT doc_b FROM jacc WHERE jacc_ppm >= {t})) AS BIGINT)
+    AS n_docs_flagged,
+  CAST((SELECT coalesce(sum(n_tok), 0) FROM toks
+        WHERE doc_id IN (SELECT DISTINCT doc_b FROM jacc WHERE jacc_ppm >= {t}))
+    AS BIGINT) AS tokens_saved""")
+    return head + " UNION ALL ".join(parts) + " ORDER BY threshold_ppm"

@@ -747,3 +747,40 @@ def test_aov_bridge_decomposition_identity(spark):
     for r in rows:
         n, s_ = per_m[r.month]
         assert r.n_orders == n and r.aov_e2 == s_ * 100 // n
+
+
+def test_ivf_curve_monotone_recall_and_cost(spark):
+    """More probes never lower recall or candidate count, the max
+    probe setting dominates, and every recall is consistent with its
+    hit count."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        ivf_nprobe_recall_curve,
+    )
+
+    rows = ivf_nprobe_recall_curve(spark, SF_DIR).collect()
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall_ppm for r in rows]
+    cands = [r.n_candidates for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    for r in rows:
+        assert 0 <= r.n_hits <= 40  # n_queries * k
+        want = (r.n_hits * 1000 // 40) * 1000 + (r.n_hits * 1000 % 40) * 1000 // 40
+        assert r.recall_ppm == want
+        assert r.n_candidates > 0
+
+
+def test_jaccard_sweep_monotone_costs(spark):
+    """Raising the threshold never keeps more pairs, flags more docs,
+    or saves more tokens — the policy curve is monotone by
+    construction; flagged docs never exceed kept pairs."""
+    from github_issues_lakehouse_spark.operators.dedup import jaccard_threshold_sweep
+
+    rows = jaccard_threshold_sweep(spark, SF_DIR).collect()
+    assert [r.threshold_ppm for r in rows] == [300_000, 500_000, 700_000, 900_000]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+        assert a.tokens_saved >= b.tokens_saved
+    for r in rows:
+        assert r.n_docs_flagged <= r.n_pairs or r.n_pairs == 0
