@@ -207,6 +207,7 @@ HEADLINE = [
     "aov_mix_shift_bridge",
     "ivf_nprobe_recall_curve",
     "jaccard_threshold_sweep",
+    "time_to_conversion",
 ]
 
 

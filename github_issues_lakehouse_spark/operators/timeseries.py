@@ -583,3 +583,63 @@ def user_survival_curve(spark: SparkSession, sf_dir: str, max_weeks: int = 12) -
         )
         .orderBy("week")
     )
+
+
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B118 (r5): time-to-conversion distribution — per user, the lag
+    from FIRST 'view' to FIRST SUBSEQUENT 'purchase'; reported as a
+    day-grain histogram row per latency day with exact ppm share of
+    converting users, plus never-converted accounting on the day=-1
+    row. The activation readout growth teams watch (how long does the
+    funnel actually take?), complementing funnel_events' step counts
+    with the TIME dimension.
+
+    Exact semantics: first view per user (min ts), first purchase AT
+    OR AFTER that view (min ts among qualifying purchases — purchases
+    before any view don't count as view-driven conversions); latency
+    in whole days (datediff). Integer end to end.
+
+    Plan/scale: two conditional min aggregates in ONE per-user pass
+    (min ts over views; then one more pass for the conditional
+    purchase min via a broadcast-free self aggregate — spelled as a
+    join of two per-user aggregates, each map-side combinable),
+    day-grain rollup after.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_conv = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        first_view.join(first_conv, "user_id", "left")
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.to_date("p_ts"), F.to_date("v_ts")),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("days")
+        )
+    )
+    per_day = lat.groupBy("days").agg(F.count(F.lit(1)).alias("n_users"))
+    total = lat.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        per_day.join(F.broadcast(total))
+        .selectExpr(
+            "CAST(days AS BIGINT) AS days_to_convert",
+            "CAST(n_users AS BIGINT) AS n_users",
+            f"CAST({_ppm('n_users', 'n_viewers')} AS BIGINT) AS share_ppm",
+        )
+        .orderBy("days_to_convert")
+    )

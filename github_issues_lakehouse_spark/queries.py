@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aov_mix_shift_bridge": R7.aov_mix_shift_bridge,
         "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
+        "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
         "pagerank_trade_graph": graph.pagerank_trade_graph,
         "label_association_rules": R6.label_association_rules,
@@ -1987,6 +1988,7 @@ FROM top
         "aov_mix_shift_bridge": _aov_bridge_oracle(),
         "ivf_nprobe_recall_curve": _ivf_curve_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
+        "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "label_association_rules": _label_assoc_oracle(),
@@ -6682,3 +6684,29 @@ SELECT CAST({t} AS BIGINT) AS threshold_ppm,
         WHERE doc_id IN (SELECT DISTINCT doc_b FROM jacc WHERE jacc_ppm >= {t}))
     AS BIGINT) AS tokens_saved""")
     return head + " UNION ALL ".join(parts) + " ORDER BY threshold_ppm"
+
+
+def _time_to_conversion_oracle() -> str:
+    return f"""
+WITH fv AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+  GROUP BY 1
+),
+lat AS (
+  SELECT CASE WHEN fc.p_ts IS NOT NULL
+              THEN CAST(date_diff('day', CAST(fv.v_ts AS DATE), CAST(fc.p_ts AS DATE)) AS BIGINT)
+              ELSE -1 END AS days
+  FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id
+),
+per_day AS (SELECT days, count(*) AS n_users FROM lat GROUP BY 1),
+tot AS (SELECT count(*) AS n_viewers FROM lat)
+SELECT CAST(days AS BIGINT) AS days_to_convert,
+  CAST(n_users AS BIGINT) AS n_users,
+  CAST({_ppm_sql('n_users', '(SELECT n_viewers FROM tot)')} AS BIGINT) AS share_ppm
+FROM per_day ORDER BY days_to_convert
+"""

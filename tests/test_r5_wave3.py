@@ -784,3 +784,31 @@ def test_jaccard_sweep_monotone_costs(spark):
         assert a.tokens_saved >= b.tokens_saved
     for r in rows:
         assert r.n_docs_flagged <= r.n_pairs or r.n_pairs == 0
+
+
+def test_time_to_conversion_python_recompute(spark):
+    """Latency histogram equals a Python recomputation of first-view
+    -> first-subsequent-purchase; shares cover all viewers."""
+    from github_issues_lakehouse_spark.operators.timeseries import time_to_conversion
+
+    e = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts").collect()
+    fv, fp = {}, {}
+    for r in e:
+        if r.event_type == "view":
+            if r.user_id not in fv or r.ts < fv[r.user_id]:
+                fv[r.user_id] = r.ts
+    for r in e:
+        if r.event_type == "purchase" and r.user_id in fv and r.ts >= fv[r.user_id]:
+            if r.user_id not in fp or r.ts < fp[r.user_id]:
+                fp[r.user_id] = r.ts
+    from collections import Counter
+
+    want = Counter()
+    for u, v in fv.items():
+        if u in fp:
+            want[(fp[u].date() - v.date()).days] += 1
+        else:
+            want[-1] += 1
+    got = {r.days_to_convert: r.n_users for r in time_to_conversion(spark, SF_DIR).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) == len(fv)
