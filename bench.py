@@ -208,6 +208,10 @@ HEADLINE = [
     "ivf_nprobe_recall_curve",
     "jaccard_threshold_sweep",
     "time_to_conversion",
+    # added in r5, fourth wave: diversified retrieval + the quality
+    # detector agreement mart
+    "mmr_diverse_topk",
+    "detector_kappa",
 ]
 
 

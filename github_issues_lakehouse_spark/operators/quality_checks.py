@@ -368,3 +368,64 @@ def quality_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def detector_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C122 (r5): Cohen's kappa between the two independent quality
+    detectors (the Gopher rule conjunction and the linear
+    classifier), per source — the CHANCE-CORRECTED agreement number
+    that says whether the cheap gate can stand in for the expensive
+    one. `detector_agreement` answers this for the near-dup pair
+    finders by raw overlap; raw agreement is misleading for quality
+    gates because both pass most documents — kappa subtracts the
+    agreement two independent coins with the same marginals would
+    get.
+
+    Exact integers end to end: with the 2x2 contingency counts
+    (n11/n10/n01/n00, n = their sum) kappa = (n*agree - A) /
+    (n^2 - A) where agree = n11 + n00 and A = (n11+n10)(n11+n01) +
+    (n01+n00)(n10+n00) — all BIGINT; kappa_e6 renders as
+    sign(num) * ppm(|num|, den) so both engines truncate toward zero
+    identically. Exactness contract: |num| <= n^2 must stay under
+    ppm's ~9.2e12 part bound, i.e. n <= ~3e6 docs per source — add a
+    source-hash split above that.
+
+    Plan/scale: both detectors are single-scan Column pipelines; the
+    join is doc_id-keyed on their narrow (doc_id, keep) outputs, and
+    everything after the (source, flags) aggregate runs at the
+    source grain.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+    from .text3 import quality_classifier
+    from .text5 import gopher_quality_rules
+
+    g = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("keep_g")
+    )
+    q = quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_q")
+    )
+    cells = (
+        g.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep_g") & F.col("keep_q"), 1).otherwise(0)).alias("n11"),
+            F.sum(F.when(F.col("keep_g") & ~F.col("keep_q"), 1).otherwise(0)).alias("n10"),
+            F.sum(F.when(~F.col("keep_g") & F.col("keep_q"), 1).otherwise(0)).alias("n01"),
+            F.sum(F.when(~F.col("keep_g") & ~F.col("keep_q"), 1).otherwise(0)).alias("n00"),
+        )
+    )
+    num = "(CAST(n_docs AS BIGINT) * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+    den = "(CAST(n_docs AS BIGINT) * n_docs - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+    return cells.selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n11 AS BIGINT) AS n_both_keep",
+        "CAST(n10 AS BIGINT) AS n_gopher_only",
+        "CAST(n01 AS BIGINT) AS n_classifier_only",
+        "CAST(n00 AS BIGINT) AS n_both_drop",
+        f"CAST({_ppm('(n11 + n00)', 'n_docs')} AS BIGINT) AS agree_ppm",
+        f"CAST(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END"
+        f" * CAST({_ppm(f'abs({num})', den)} AS BIGINT) AS BIGINT) AS kappa_e6",
+    ).orderBy("source")

@@ -768,3 +768,111 @@ def ivf_nprobe_recall_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_probe")
+
+
+def mmr_diverse_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    pool: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """C121 (r5): Maximal-Marginal-Relevance diversified top-k
+    (Carbonell & Goldstein 1998, public) — the retrieval re-ranker a
+    training-data pipeline uses to pick DIVERSE exemplars (eval-set
+    seeding, dedup-aware few-shot selection) instead of k near-copies
+    of the best hit: greedily select k candidates maximizing
+    ``0.7 * rel(q, c) - 0.3 * max_sim(c, selected)``.
+
+    Parity design: vectors are FROZEN to integer e6 components first
+    (the `embedding_sim_histogram` discipline), so every dot product
+    and squared norm is an exact integer-valued float64 on both
+    engines; cosine and the MMR score then go through one identical
+    operation tree (`(7.0*rel - 3.0*max_sim) / 10.0` — correctly
+    rounded IEEE ops on identical inputs are bit-identical), and every
+    argmax tie-breaks on candidate id. That makes a greedy SELECTION
+    hash-checkable — rounding output floats could never fix a flipped
+    pick.
+
+    Plan/scale: the candidate pool is the brute-force scorer with the
+    map-side `_partial_topk` bound (per-task survivors <= pool x
+    n_partitions per query, never the corpus); the greedy stage is k-1
+    unrolled join+aggregate+window steps over the bounded pool
+    (pool^2 pairwise sims per query, a constant), all per-query
+    parallel — no driver loop over data, no UDF. At 100 TB swap the
+    pool stage for the LSH/IVF candidate path; the greedy tail is
+    grain-bounded either way.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+
+    corpus = _corpus(spark, sf_dir).select(
+        "vec_id",
+        F.transform("vec", lambda x: F.round(x * 1_000_000.0)).alias("v"),
+    )
+    nrm = dot(F.col("v"), F.col("v"))
+    frozen = corpus.select("vec_id", "v", nrm.alias("n2"))
+    queries = frozen.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("n2").alias("q_n2"),
+    )
+    rel = dot(F.col("q_vec"), F.col("v")) / (F.sqrt("q_n2") * F.sqrt("n2"))
+    scored = frozen.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("c_id"), rel.alias("rel"), "v", "n2"
+    )
+    pooled = _partial_topk(scored, ["q_id"], "rel", "c_id", pool)
+    w_pool = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("c_id").asc())
+    pooled = (
+        pooled.withColumn("prank", F.row_number().over(w_pool))
+        .filter(F.col("prank") <= pool)
+        .drop("prank")
+        .localCheckpoint(eager=False)  # pin: reused by k-1 greedy steps + sims
+    )
+    a, b = pooled.alias("a"), pooled.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.sqrt("a.n2") * F.sqrt("b.n2"))
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id")) & (F.col("a.c_id") != F.col("b.c_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.c_id").alias("a_id"),
+            F.col("b.c_id").alias("b_id"),
+            sim.alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cands = pooled.select("q_id", "c_id", "rel")
+    w_pick = Window.partitionBy("q_id").orderBy(F.col("mmr").desc(), F.col("c_id").asc())
+    picked = (
+        cands.withColumn("mmr", F.expr("(7.0 * rel - 3.0 * 0.0) / 10.0"))
+        .withColumn("prk", F.row_number().over(w_pick))
+        .filter(F.col("prk") == 1)
+        .select("q_id", "c_id", "rel", "mmr", F.lit(1).alias("rank"))
+    )
+    for step in range(2, k + 1):
+        sel = picked.select("q_id", F.col("c_id").alias("b_id"))
+        max_sim = (
+            sims.join(sel, ["q_id", "b_id"])
+            .groupBy("q_id", F.col("a_id").alias("c_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        nxt = (
+            cands.join(picked.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+            .join(max_sim, ["q_id", "c_id"])
+            .withColumn("mmr", F.expr("(7.0 * rel - 3.0 * max_sim) / 10.0"))
+            .withColumn("prk", F.row_number().over(w_pick))
+            .filter(F.col("prk") == 1)
+            .select("q_id", "c_id", "rel", "mmr", F.lit(step).alias("rank"))
+        )
+        picked = picked.unionByName(nxt)
+    return picked.select(
+        "q_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("c_id").alias("selected_id"),
+        r6(F.col("rel")).alias("rel"),
+        r6(F.col("mmr")).alias("mmr"),
+    ).orderBy("q_id", "rank")

@@ -789,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_concentration_hhi": ST.market_concentration_hhi,
         "aov_mix_shift_bridge": R7.aov_mix_shift_bridge,
         "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
+        "mmr_diverse_topk": similarity.mmr_diverse_topk,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -833,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier audits
         "pca_projection_outliers": V2.pca_projection_outliers,
         "classifier_pr_curve": QC.classifier_pr_curve,
+        "detector_kappa": QC.detector_kappa,
         "lsh_recall_vs_exact": dedup.lsh_recall_vs_exact,
         # r3 eighth batch: product analytics, CBO validation, sequence
         # mining
@@ -1987,6 +1989,7 @@ FROM top
         "market_concentration_hhi": _hhi_oracle(),
         "aov_mix_shift_bridge": _aov_bridge_oracle(),
         "ivf_nprobe_recall_curve": _ivf_curve_oracle(),
+        "mmr_diverse_topk": _mmr_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -2022,6 +2025,7 @@ FROM top
         "supplier_neighbor_jaccard": _neighbor_jaccard_oracle(),
         "pca_projection_outliers": _pca_projection_oracle(),
         "classifier_pr_curve": _pr_curve_oracle(),
+        "detector_kappa": _kappa_oracle(),
         "lsh_recall_vs_exact": _lsh_recall_oracle(),
         "dau_wau_stickiness": _dau_wau_oracle(),
         "event_trigram_patterns": _trigram_oracle(),
@@ -6709,4 +6713,120 @@ SELECT CAST(days AS BIGINT) AS days_to_convert,
   CAST(n_users AS BIGINT) AS n_users,
   CAST({_ppm_sql('n_users', '(SELECT n_viewers FROM tot)')} AS BIGINT) AS share_ppm
 FROM per_day ORDER BY days_to_convert
+"""
+
+
+def _mmr_oracle(n_queries: int = 8, pool: int = 16, k: int = 3) -> str:
+    """MMR twin: identical e6 component freeze (the sim-histogram
+    discipline) makes rel/sim exact-input cosines; the greedy argmax
+    unrolls into k explicit stages (no recursion — portable), each
+    `(7.0*rel - 3.0*max_sim)/10.0` with the same literal spelling and
+    op tree as the Spark side so the SELECTION (not just the emitted
+    rounded score) is bit-identical. NOT EXISTS anti-joins keep the
+    already-picked rows out of each stage."""
+    stages = []
+    picked_union = "SELECT q_id, c_id FROM s1"
+    stages.append(
+        """s1 AS (
+  SELECT q_id, c_id, rel, (7.0 * rel - 3.0 * 0.0) / 10.0 AS mmr FROM (
+    SELECT q_id, c_id, rel,
+      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS prk
+    FROM pool
+  ) WHERE prk = 1
+)"""
+    )
+    for step in range(2, k + 1):
+        stages.append(
+            f"""p{step - 1} AS ({picked_union}),
+m{step} AS (
+  SELECT s.q_id, s.a_id AS c_id, max(s.sim) AS max_sim
+  FROM sims s JOIN p{step - 1} p ON s.q_id = p.q_id AND s.b_id = p.c_id
+  GROUP BY 1, 2
+),
+s{step} AS (
+  SELECT q_id, c_id, rel, mmr FROM (
+    SELECT c.q_id, c.c_id, c.rel,
+      (7.0 * c.rel - 3.0 * m.max_sim) / 10.0 AS mmr,
+      row_number() OVER (
+        PARTITION BY c.q_id
+        ORDER BY (7.0 * c.rel - 3.0 * m.max_sim) / 10.0 DESC, c.c_id ASC
+      ) AS prk
+    FROM pool c
+    JOIN m{step} m ON c.q_id = m.q_id AND c.c_id = m.c_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p{step - 1} p WHERE p.q_id = c.q_id AND p.c_id = c.c_id
+    )
+  ) WHERE prk = 1
+)"""
+        )
+        picked_union += f" UNION ALL SELECT q_id, c_id FROM s{step}"
+    finals = " UNION ALL ".join(
+        f"SELECT q_id, {s} AS rank, c_id, rel, mmr FROM s{s}" for s in range(1, k + 1)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM c),
+q AS (SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2 FROM n WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id AS c_id,
+    list_dot_product(q_vec, v) / (sqrt(q_n2) * sqrt(n2)) AS rel, v, n2
+  FROM q, n WHERE vec_id <> q_id
+),
+pool AS (
+  SELECT q_id, c_id, rel, v, n2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS prk
+    FROM scored
+  ) WHERE prk <= {pool}
+),
+sims AS (
+  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+    list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+),
+{", ".join(stages)}
+SELECT q_id, CAST(rank AS INT) AS rank, c_id AS selected_id,
+  round(rel, 6) AS rel, round(mmr, 6) AS mmr
+FROM ({finals}) ORDER BY q_id, rank
+"""
+
+
+def _kappa_oracle() -> str:
+    """Kappa twin: composes the two detector oracles verbatim, then
+    the same all-BIGINT contingency algebra; kappa_e6 spelled
+    sign(num) * ppm(|num|, den) so truncation direction matches."""
+    num = (
+        "(CAST(n_docs AS BIGINT) * (n11 + n00) - "
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+    )
+    den = (
+        "(CAST(n_docs AS BIGINT) * n_docs - "
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+    )
+    return f"""
+WITH g AS (SELECT doc_id, source, keep AS keep_g FROM ({_gopher_oracle()})),
+q AS (SELECT doc_id, keep AS keep_q FROM ({_quality_classifier_oracle()})),
+cells AS (
+  SELECT g.source,
+    count(*) AS n_docs,
+    CAST(sum(CASE WHEN keep_g AND keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(sum(CASE WHEN keep_g AND NOT keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN NOT keep_g AND keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(sum(CASE WHEN NOT keep_g AND NOT keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM g JOIN q ON g.doc_id = q.doc_id
+  GROUP BY 1
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  n11 AS n_both_keep,
+  n10 AS n_gopher_only,
+  n01 AS n_classifier_only,
+  n00 AS n_both_drop,
+  CAST({_ppm_sql('(n11 + n00)', 'n_docs')} AS BIGINT) AS agree_ppm,
+  CAST(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END
+       * CAST({_ppm_sql(f'abs({num})', den)} AS BIGINT) AS BIGINT) AS kappa_e6
+FROM cells ORDER BY source
 """
