@@ -212,6 +212,8 @@ HEADLINE = [
     # detector agreement mart
     "mmr_diverse_topk",
     "detector_kappa",
+    "hll_union_overlap",
+    "theil_sen_trend",
 ]
 
 

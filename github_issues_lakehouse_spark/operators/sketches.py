@@ -376,29 +376,37 @@ def hll_registers(docs: DataFrame, m: int = HLL_M, rmax: int = HLL_RMAX) -> Data
     )
 
 
-def hll_estimate(registers: DataFrame, m: int = HLL_M, rmax: int = HLL_RMAX) -> DataFrame:
-    """Fold a register table into one row per source: zero-register
+def hll_estimate(
+    registers: DataFrame,
+    m: int = HLL_M,
+    rmax: int = HLL_RMAX,
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Fold a register table into one row per key: zero-register
     count, the exact-integer harmonic sum S = sum_j 2^(rmax - rho_j)
     (absent registers carry rho=0, i.e. 2^rmax each), and the raw HLL
     estimate floor(alpha_e6 * m^2 * 2^rmax / (S * 1e6)) — all BIGINT,
     bit-identical across engines. Numerator ~4.9e16 and denominator
-    <= m * 2^rmax * 1e6 ~ 1.1e15 both fit int64 by construction."""
+    <= m * 2^rmax * 1e6 ~ 1.1e15 both fit int64 by construction.
+    ``key_cols`` generalizes the fold beyond the per-source sketch
+    (the pair-union overlap keys on (source_a, source_b))."""
     num = HLL_ALPHA64_E6 * m * m * (1 << rmax)
-    per = registers.groupBy("source").agg(
+    keys = list(key_cols)
+    per = registers.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")).alias("s_hit"),
     )
     return per.selectExpr(
-        "source",
+        *keys,
         f"CAST({m} - n_hit AS BIGINT) AS n_registers_zero",
         f"CAST(s_hit + ({m} - n_hit) * CAST({1 << rmax} AS BIGINT) AS BIGINT) AS harmonic_sum",
     ).selectExpr(
-        "source",
+        *keys,
         "n_registers_zero",
         "harmonic_sum",
         f"CAST({num} DIV (harmonic_sum * 1000000) AS BIGINT) AS n_hll",
     ).selectExpr(
-        "source",
+        *keys,
         "n_registers_zero",
         "harmonic_sum",
         "n_hll",
@@ -576,4 +584,95 @@ def quantile_sketch_price(
             "n_total",
         )
         .orderBy("q")
+    )
+
+
+def hll_union_overlap(
+    spark: SparkSession, sf_dir: str, m: int = HLL_M, rmax: int = HLL_RMAX
+) -> DataFrame:
+    """C123 (r5): HLL SET ALGEBRA between every source pair — union
+    estimate from the register-wise MAX of the two sketches,
+    intersection by inclusion-exclusion (n_a + n_b - n_union, clamped
+    at 0), beside the exact overlap and its error in ppm. This is the
+    100 TB path for `source_vocab_overlap`: the exact pair table costs
+    a term-keyed self-join over the full vocabulary; the sketch path
+    answers the same planner question from 64 ints per source — and
+    this mart is the calibration readout that says when the cheap
+    answer is good enough (the kmv/cms/hll same-pass-exact contract).
+
+    All BIGINT end to end: register maxes, harmonic sums, the pinned
+    alpha/linear-counting literals from the per-source sketch, and
+    inclusion-exclusion on the corrected estimates.
+
+    Plan/scale: sketches are built ONCE ((source, register, rho),
+    m rows per source); pairs form at the SOURCE grain (dozens), each
+    pair's union fold touches 2m rows — the whole pair stage is
+    register-grain work, never vocabulary-grain. The exact column is
+    the small-SF calibration; at production scale drop it and keep
+    the sketch algebra (same contract as hll_distinct_terms).
+    """
+    from ..functions.exact import ppm_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    regs = hll_registers(d, m=m, rmax=rmax).localCheckpoint(eager=False)
+    est = hll_estimate(regs, m=m, rmax=rmax).select(
+        "source", F.col("n_estimated").alias("n_est")
+    )
+    srcs = regs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    ra = pairs.join(regs, pairs.source_a == regs.source).select(
+        "source_a", "source_b", "register", "rho"
+    )
+    rb = pairs.join(regs, pairs.source_b == regs.source).select(
+        "source_a", "source_b", "register", "rho"
+    )
+    union_regs = (
+        ra.unionByName(rb)
+        .groupBy("source_a", "source_b", "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    union_est = hll_estimate(
+        union_regs, m=m, rmax=rmax, key_cols=("source_a", "source_b")
+    ).select("source_a", "source_b", F.col("n_estimated").alias("n_union_est"))
+    ea = est.select(F.col("source").alias("source_a"), F.col("n_est").alias("n_a_est"))
+    eb = est.select(F.col("source").alias("source_b"), F.col("n_est").alias("n_b_est"))
+    st = (
+        d.select("source", F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sa, sb = st.alias("sa"), st.alias("sb")
+    exact = (
+        sa.join(sb, F.col("sa.term") == F.col("sb.term"))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .groupBy(
+            F.col("sa.source").alias("source_a"), F.col("sb.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    return (
+        union_est.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .join(F.broadcast(exact), ["source_a", "source_b"], "left")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "CAST(n_a_est AS BIGINT) AS n_a_est",
+            "CAST(n_b_est AS BIGINT) AS n_b_est",
+            "CAST(n_union_est AS BIGINT) AS n_union_est",
+            "CAST(greatest(n_a_est + n_b_est - n_union_est, 0) AS BIGINT)"
+            " AS n_overlap_est",
+            "CAST(coalesce(n_overlap_exact, 0) AS BIGINT) AS n_overlap_exact",
+            "CAST("
+            + ppm_expr(
+                "abs(greatest(n_a_est + n_b_est - n_union_est, 0)"
+                " - coalesce(n_overlap_exact, 0))",
+                "greatest(coalesce(n_overlap_exact, 0), 1)",
+            )
+            + " AS BIGINT) AS abs_err_ppm",
+        )
+        .orderBy("source_a", "source_b")
     )

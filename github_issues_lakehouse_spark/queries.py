@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_terms": sketches.kmv_distinct_terms,
         "cms_term_counts": sketches.cms_term_counts,
         "hll_distinct_terms": sketches.hll_distinct_terms,
+        "hll_union_overlap": sketches.hll_union_overlap,
         "quantile_sketch_price": sketches.quantile_sketch_price,
         "dedup_aware_holdout": dedup.dedup_aware_holdout,
         "dedup_against_index": dedup.dedup_against_index,
@@ -759,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_plan": chunking.curriculum_plan,
         "span_corruption_plan": chunking.span_corruption_plan,
         "holt_linear_daily": timeseries.holt_linear_daily,
+        "theil_sen_trend": timeseries.theil_sen_trend,
         "rendezvous_shard_plan": scale.rendezvous_shard_plan,
         "benford_first_digit": ST.benford_first_digit,
         "gini_revenue": ST.gini_revenue,
@@ -1951,6 +1953,7 @@ FROM top
         "kmv_distinct_terms": _kmv_oracle(),
         "cms_term_counts": _cms_oracle(),
         "hll_distinct_terms": _hll_oracle(),
+        "hll_union_overlap": _hll_union_oracle(),
         "quantile_sketch_price": _quantile_sketch_oracle(),
         "dedup_aware_holdout": _dedup_aware_holdout_oracle(),
         "dedup_against_index": _dedup_against_index_oracle(),
@@ -1959,6 +1962,7 @@ FROM top
         "curriculum_plan": _curriculum_oracle(),
         "span_corruption_plan": _span_corruption_oracle(),
         "holt_linear_daily": _holt_oracle(),
+        "theil_sen_trend": _theil_sen_oracle(),
         "rendezvous_shard_plan": _rendezvous_oracle(),
         "benford_first_digit": _benford_oracle(),
         "gini_revenue": _gini_oracle(),
@@ -6829,4 +6833,137 @@ SELECT source,
   CAST(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END
        * CAST({_ppm_sql(f'abs({num})', den)} AS BIGINT) AS BIGINT) AS kappa_e6
 FROM cells ORDER BY source
+"""
+
+
+def _hll_union_oracle(m: int = 64, rmax: int = 24) -> str:
+    """Pair-union HLL twin: same hash stream / register algebra as
+    `_hll_oracle`, register-wise MAX across each source pair, the
+    same pinned alpha / linear-counting literals keyed on the pair,
+    inclusion-exclusion on the corrected estimates, exact overlap by
+    a term self-join."""
+    from .operators.sketches import HLL_ALPHA64_E6, hll_lc_case_sql
+
+    num = HLL_ALPHA64_E6 * m * m * (1 << rmax)
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({_norm_toks_sql()}) AS term FROM documents
+  )
+), hashed AS (
+  SELECT source,
+    CAST(concat('0x', substr(md5(term || '#hll'), 1, 15)) AS BIGINT) AS h
+  FROM terms
+), regs AS (
+  SELECT source, h % {m} AS register,
+    CASE WHEN h // {m} = 0 THEN {rmax}
+         ELSE least({rmax}, 1 + length(bin(h // {m}))
+                    - length(regexp_replace(bin(h // {m}), '0+$', ''))) END AS rho
+  FROM hashed
+), regmax AS (
+  SELECT source, register, max(rho) AS rho FROM regs GROUP BY 1, 2
+), per AS (
+  SELECT source, count(*) AS n_hit,
+    CAST(sum(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS s_hit
+  FROM regmax GROUP BY 1
+), est1 AS (
+  SELECT source, CAST({m} - n_hit AS BIGINT) AS nz,
+    CAST({num} // ((s_hit + ({m} - n_hit) * CAST({1 << rmax} AS BIGINT)) * 1000000)
+         AS BIGINT) AS n_hll
+  FROM per
+), srcest AS (
+  SELECT source,
+    CAST(CASE WHEN nz > 0 AND n_hll <= {(5 * m) // 2}
+         THEN {hll_lc_case_sql('nz')} ELSE n_hll END AS BIGINT) AS n_est
+  FROM est1
+), srcs AS (SELECT DISTINCT source FROM regmax),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), uregs AS (
+  SELECT p.source_a, p.source_b, r.register, max(r.rho) AS rho
+  FROM pairs p JOIN regmax r ON r.source = p.source_a OR r.source = p.source_b
+  GROUP BY 1, 2, 3
+), uper AS (
+  SELECT source_a, source_b, count(*) AS n_hit,
+    CAST(sum(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS s_hit
+  FROM uregs GROUP BY 1, 2
+), uest1 AS (
+  SELECT source_a, source_b, CAST({m} - n_hit AS BIGINT) AS nz,
+    CAST({num} // ((s_hit + ({m} - n_hit) * CAST({1 << rmax} AS BIGINT)) * 1000000)
+         AS BIGINT) AS n_hll
+  FROM uper
+), unionest AS (
+  SELECT source_a, source_b,
+    CAST(CASE WHEN nz > 0 AND n_hll <= {(5 * m) // 2}
+         THEN {hll_lc_case_sql('nz')} ELSE n_hll END AS BIGINT) AS n_union_est
+  FROM uest1
+), exact AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_overlap_exact
+  FROM terms a JOIN terms b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT u.source_a, u.source_b,
+  CAST(ea.n_est AS BIGINT) AS n_a_est,
+  CAST(eb.n_est AS BIGINT) AS n_b_est,
+  CAST(u.n_union_est AS BIGINT) AS n_union_est,
+  CAST(greatest(ea.n_est + eb.n_est - u.n_union_est, 0) AS BIGINT) AS n_overlap_est,
+  CAST(coalesce(x.n_overlap_exact, 0) AS BIGINT) AS n_overlap_exact,
+  CAST({_ppm_sql("abs(greatest(ea.n_est + eb.n_est - u.n_union_est, 0) - coalesce(x.n_overlap_exact, 0))", "greatest(coalesce(x.n_overlap_exact, 0), 1)")} AS BIGINT) AS abs_err_ppm
+FROM unionest u
+JOIN srcest ea ON ea.source = u.source_a
+JOIN srcest eb ON eb.source = u.source_b
+LEFT JOIN exact x ON x.source_a = u.source_a AND x.source_b = u.source_b
+ORDER BY u.source_a, u.source_b
+"""
+
+
+def _theil_sen_oracle() -> str:
+    """Theil-Sen twin: identical signed e6 slope spelling, DISC
+    median rn == (n+1) // 2 over integer slopes, residual-median
+    intercept."""
+    dc = "(CAST(b.cents AS BIGINT) - CAST(a.cents AS BIGINT))"
+    dd = "(b.x - a.x)"
+    slope = (
+        f"CAST(CASE WHEN {dc} >= 0 THEN 1 ELSE -1 END"
+        f" * CAST({_ppm_sql(f'abs({dc})', dd)} AS BIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), dx AS (
+  SELECT priority, cents,
+    date_diff('day', DATE '1992-01-01', day) AS x
+  FROM daily
+), slopes AS (
+  SELECT a.priority, {slope} AS slope_e6
+  FROM dx a JOIN dx b ON a.priority = b.priority AND a.x < b.x
+), med AS (
+  SELECT priority, n_pairs, slope_e6 FROM (
+    SELECT priority, slope_e6,
+      row_number() OVER (PARTITION BY priority ORDER BY slope_e6) AS rn,
+      count(*) OVER (PARTITION BY priority) AS n_pairs
+    FROM slopes
+  ) WHERE rn = (n_pairs + 1) // 2
+), resid AS (
+  SELECT d.priority,
+    CAST(d.cents AS BIGINT) * 1000000 - m.slope_e6 * CAST(d.x AS BIGINT) AS r_e6
+  FROM dx d JOIN med m ON d.priority = m.priority
+), icept AS (
+  SELECT priority, n_days, r_e6 AS intercept_cents_e6 FROM (
+    SELECT priority, r_e6,
+      row_number() OVER (PARTITION BY priority ORDER BY r_e6) AS rn,
+      count(*) OVER (PARTITION BY priority) AS n_days
+    FROM resid
+  ) WHERE rn = (n_days + 1) // 2
+)
+SELECT m.priority,
+  CAST(i.n_days AS BIGINT) AS n_days,
+  CAST(m.n_pairs AS BIGINT) AS n_pairs,
+  m.slope_e6 AS slope_cents_per_day_e6,
+  i.intercept_cents_e6
+FROM med m JOIN icept i ON m.priority = i.priority
+ORDER BY m.priority
 """

@@ -116,3 +116,112 @@ def test_detector_kappa_contingency_algebra(spark):
         assert r.agree_ppm == (
             ((n11 + n00) * 1000 // n) * 1000 + ((n11 + n00) * 1000 % n) * 1000 // n
         )
+
+
+def _py_norm_tokens(text):
+    import re
+
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def test_hll_union_algebra_matches_python_for_one_pair(spark):
+    """Recompute the full pair-union HLL algebra (register maxes,
+    harmonic sum, alpha/linear-counting correction, inclusion-
+    exclusion) in pure Python hashlib for the first source pair and
+    compare every emitted column — the end-to-end proof the register
+    MAX really is the union sketch."""
+    import hashlib
+
+    from github_issues_lakehouse_spark.operators.sketches import (
+        HLL_ALPHA64_E6,
+        HLL_LC_TABLE,
+        HLL_M,
+        HLL_RMAX,
+        hll_union_overlap,
+    )
+
+    rows = hll_union_overlap(spark, SF_DIR).collect()
+    first = rows[0]
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    terms = {}
+    for src, text in zip(t["source"], t["text"]):
+        if src in (first.source_a, first.source_b):
+            terms.setdefault(src, set()).update(_py_norm_tokens(text))
+
+    def regs(vocab):
+        r = {}
+        for term in vocab:
+            h = int(hashlib.md5((term + "#hll").encode()).hexdigest()[:15], 16)
+            j, w = h % HLL_M, h // HLL_M
+            if w == 0:
+                rho = HLL_RMAX
+            else:
+                b = bin(w)[2:]
+                rho = min(HLL_RMAX, 1 + len(b) - len(b.rstrip("0")))
+            r[j] = max(r.get(j, 0), rho)
+        return r
+
+    def est(r):
+        s = sum(1 << (HLL_RMAX - rho) for rho in r.values())
+        s += (HLL_M - len(r)) * (1 << HLL_RMAX)
+        nz = HLL_M - len(r)
+        raw = (HLL_ALPHA64_E6 * HLL_M * HLL_M * (1 << HLL_RMAX)) // (s * 1_000_000)
+        if nz > 0 and raw <= (5 * HLL_M) // 2:
+            return HLL_LC_TABLE[nz]
+        return raw
+
+    ra, rb = regs(terms[first.source_a]), regs(terms[first.source_b])
+    ru = {j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)}
+    na, nb, nu = est(ra), est(rb), est(ru)
+    assert first.n_a_est == na
+    assert first.n_b_est == nb
+    assert first.n_union_est == nu
+    assert first.n_overlap_est == max(na + nb - nu, 0)
+    assert first.n_overlap_exact == len(
+        terms[first.source_a] & terms[first.source_b]
+    )
+
+
+def test_theil_sen_matches_numpy_for_one_priority(spark):
+    """Slope median, pair count, and residual-median intercept all
+    equal a direct numpy recomputation (disc rule, exact integers)
+    for one priority at sf0.001."""
+    from github_issues_lakehouse_spark.operators.timeseries import theil_sen_trend
+
+    rows = {r.priority: r for r in theil_sen_trend(spark, SF_DIR).collect()}
+    t = pq.read_table(f"{SF_DIR}/orders.parquet").to_pydict()
+    import collections
+    import datetime
+
+    daily = collections.defaultdict(int)
+    for prio, ts, price in zip(
+        t["o_orderpriority"], t["o_orderdate"], t["o_totalprice"]
+    ):
+        if prio != "1-URGENT":
+            continue
+        day = ts.date() if hasattr(ts, "date") else ts
+        cents = int(round(float(price) * 100))
+        daily[day] += cents
+    days = sorted(daily)
+    epoch = datetime.date(1992, 1, 1)
+    pts = [((d - epoch).days, daily[d]) for d in days]
+
+    def ppm(p, tot):
+        return (p * 1000 // tot) * 1000 + (p * 1000 % tot) * 1000 // tot
+
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dc = pts[j][1] - pts[i][1]
+            dd = pts[j][0] - pts[i][0]
+            s = (1 if dc >= 0 else -1) * ppm(abs(dc), dd)
+            slopes.append(s)
+    slopes.sort()
+    n = len(slopes)
+    med = slopes[(n + 1) // 2 - 1]
+    r = rows["1-URGENT"]
+    assert r.n_pairs == n
+    assert r.n_days == len(pts)
+    assert r.slope_cents_per_day_e6 == med
+    resid = sorted(c * 1_000_000 - med * x for x, c in pts)
+    assert r.intercept_cents_e6 == resid[(len(resid) + 1) // 2 - 1]
