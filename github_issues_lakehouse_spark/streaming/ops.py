@@ -1107,3 +1107,158 @@ def stream_user_span_maintenance(events: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def transition_merge(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """D28 (r5) merge: fold one micro-batch of events into the
+    combined Markov-transition state — transition counts PLUS the
+    per-user cursor that makes counting exact ACROSS batches.
+
+    State encoding (one mart, one atomic commit — the cursor and the
+    counts must never diverge): rows with ``kind = 'u'`` carry the
+    per-user cursor (last event's ts, event_id, type under the batch
+    twin's (ts, event_id) order); rows with ``kind = 't'`` carry
+    (from_type, to_type, n).
+
+    Fold: intra-batch transitions come from the same LAG window as
+    the batch op (`relational3.event_transitions`); each user's FIRST
+    batch event pairs with the stored cursor for the cross-batch
+    boundary transition; the new cursor is the later of (stored,
+    batch-last) by (ts, event_id). Counts fold additively.
+
+    Contract: exact equality with the batch op requires per-user
+    EVENT-TIME-ORDERED arrival (a batch may not contain events older
+    than a user's cursor) — the same in-order contract as D18's
+    additive core, documented rather than enforced; with out-of-order
+    feeds, counts follow ARRIVAL order. Replay safety comes from the
+    exactly-once commit protocol, not the fold (additive counts are
+    not idempotent), exactly like D25.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = batch_df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn_asc"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_desc"),
+    )
+    intra = (
+        lagged.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    batch_last = lagged.filter(F.col("rn_desc") == 1).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+    def as_state(users: DataFrame, trans: DataFrame) -> DataFrame:
+        u = users.select(
+            F.lit("u").alias("kind"),
+            "user_id",
+            "last_ts",
+            "last_event_id",
+            "last_type",
+            F.lit(None).cast("string").alias("from_type"),
+            F.lit(None).cast("string").alias("to_type"),
+            F.lit(None).cast("long").alias("n"),
+        )
+        t = trans.select(
+            F.lit("t").alias("kind"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+            F.lit(None).cast("long").alias("last_event_id"),
+            F.lit(None).cast("string").alias("last_type"),
+            "from_type",
+            "to_type",
+            "n",
+        )
+        return u.unionByName(t)
+
+    if existing is None:
+        return as_state(batch_last, intra)
+
+    ex_users = existing.filter(F.col("kind") == "u").select(
+        "user_id", "last_ts", "last_event_id", "last_type"
+    )
+    ex_trans = existing.filter(F.col("kind") == "t").select(
+        "from_type", "to_type", "n"
+    )
+    boundary = (
+        lagged.filter(F.col("rn_asc") == 1)
+        .join(ex_users, "user_id")
+        .groupBy(
+            F.col("last_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    new_trans = (
+        ex_trans.unionByName(intra)
+        .unionByName(boundary)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    # cursor: later of stored vs batch-last by (ts, event_id)
+    merged_users = (
+        ex_users.unionByName(batch_last)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("last_ts"), F.desc("last_event_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return as_state(merged_users, new_trans)
+
+
+def transition_finalize(state: DataFrame) -> DataFrame:
+    """Serve the Markov transition mart from D28 state: counts plus
+    the per-from-state outgoing share — the batch
+    `event_transitions` output, read from bounded state with no
+    event rescan."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import r6
+
+    counts = state.filter(F.col("kind") == "t").select("from_type", "to_type", "n")
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        r6(F.col("n") / F.sum("n").over(tot)).alias("share"),
+    )
+
+
+def stream_transition_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D28 (r5): streaming Markov transition-count maintenance — the
+    live feed for the event-sequence analytics family
+    (`event_transitions`, `event_entropy_rate`,
+    `markov_stationary_events`): per micro-batch, fold intra-batch
+    transitions, the cross-batch boundary transition via the per-user
+    cursor, and the updated cursors, in ONE atomic exactly-once
+    commit (`transition_merge`). State is O(users + event_types^2) —
+    never a history rescan. Returns the started query."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=transition_merge)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -960,3 +960,60 @@ def test_stream_user_span_equals_batch_and_survives_redelivery(spark, tmp_path):
     mart_fold_batch(events, 10_000, path, merge=merge)
     again = {(r.user_id, r.d0, r.d1) for r in read_mart(spark, path).collect()}
     assert again == want
+
+
+def test_stream_transitions_equal_batch_and_replay_safe(spark, tmp_path):
+    """D28: folding three TIME-ORDERED event slices through
+    transition_merge reproduces the batch event_transitions mart
+    exactly (boundary transitions included — proven by comparing
+    against the intra-slice-only sum, which must undercount), and a
+    replayed batch_id is skipped by the commit protocol."""
+    from github_issues_lakehouse_spark.operators.relational3 import event_transitions
+    from github_issues_lakehouse_spark.streaming import (
+        mart_fold_batch,
+        read_mart,
+        transition_finalize,
+        transition_merge,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    # three contiguous time slices (per-user in-order arrival contract)
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    us = F.unix_micros("ts")
+    slices = [
+        events.filter(us <= t1),
+        events.filter((us > t1) & (us <= t2)),
+        events.filter(us > t2),
+    ]
+    path = str(tmp_path / "trans_state")
+    for i, sl in enumerate(slices):
+        assert mart_fold_batch(sl, i, path, merge=transition_merge)
+    # replay of the last batch_id must be skipped
+    assert not mart_fold_batch(slices[-1], 2, path, merge=transition_merge)
+
+    got = {
+        (r.from_type, r.to_type): (r.n, r.share)
+        for r in transition_finalize(read_mart(spark, path)).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): (r.n, r.share)
+        for r in event_transitions(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # the cross-batch boundary really contributes: summing the three
+    # slices' INTRA transition counts alone must undercount
+    intra_total = 0
+    for sl in slices:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        intra_total += (
+            sl.select(F.lag("event_type").over(w).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .count()
+        )
+    assert intra_total < sum(n for n, _ in want.values())
