@@ -214,6 +214,8 @@ HEADLINE = [
     "detector_kappa",
     "hll_union_overlap",
     "theil_sen_trend",
+    # r5 fifth wave: ANN ranking-quality audit
+    "ann_ndcg_at_k",
 ]
 
 

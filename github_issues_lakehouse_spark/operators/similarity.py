@@ -876,3 +876,74 @@ def mmr_diverse_topk(
         r6(F.col("rel")).alias("rel"),
         r6(F.col("mmr")).alias("mmr"),
     ).orderBy("q_id", "rank")
+
+
+def ndcg_discounts_e6(k: int) -> list[int]:
+    """Pinned e6 DCG discount literals floor(1e6 / log2(i + 1)) for
+    ranks 1..k — precomputed once in Python (the HLL_LC_TABLE
+    discipline) so neither engine evaluates a transcendental at
+    runtime; the table is part of the operator contract."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ann_ndcg_at_k(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """C124 (r5): nDCG@k of BOTH approximate ANN tiers (LSH, IVF)
+    against the brute-force ground truth — the position-weighted
+    complement of the recall family: recall@k says how many true
+    neighbors an index returns; nDCG says whether it returns the
+    BEST ones FIRST (graded gain k+1-truth_rank, rank-discounted),
+    which is what an ANN serving tier is actually judged on.
+
+    Exact integers end to end: gains are integers, discounts are the
+    pinned `ndcg_discounts_e6` literals, DCG_e6 = sum(gain * disc)
+    BIGINT, the ideal DCG is a compile-time constant, ndcg in exact
+    ppm. No runtime log2 on either engine.
+
+    Plan/scale: all three result sets are the existing top-k
+    operators (each already map-side-bounded); the scoring joins are
+    on k-row-per-query sets — grain-bounded regardless of corpus
+    size.
+    """
+    from ..functions.exact import ppm_expr
+
+    disc = ndcg_discounts_e6(k)
+    idcg_e6 = sum((k - i) * disc[i] for i in range(k))
+    disc_case = "CASE rank " + " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(disc)
+    ) + " ELSE 0 END"
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k).select(
+        "q_id", "neighbor_id", F.col("rank").alias("truth_rank")
+    ).localCheckpoint(eager=False)  # pin: scored against both tiers
+    base = truth.select("q_id").distinct()
+    out = None
+    for method, approx in (
+        ("ivf", ann_ivf_topk(spark, sf_dir, n_queries, k)),
+        ("lsh", ann_lsh_topk(spark, sf_dir, n_queries, k)),
+    ):
+        scored = (
+            approx.join(truth, ["q_id", "neighbor_id"], "left")
+            .selectExpr(
+                "q_id",
+                f"coalesce({k} + 1 - truth_rank, 0) AS gain",
+                f"{disc_case} AS disc_e6",
+            )
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).alias("n_hits"),
+                F.sum(F.expr("CAST(gain AS BIGINT) * disc_e6")).alias("dcg_e6"),
+            )
+        )
+        row = base.join(scored, "q_id", "left").selectExpr(
+            f"'{method}' AS method",
+            "q_id",
+            "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
+            "CAST(coalesce(dcg_e6, 0) AS BIGINT) AS dcg_e6",
+            f"CAST({ppm_expr('coalesce(dcg_e6, 0)', str(idcg_e6))} AS BIGINT)"
+            " AS ndcg_ppm",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method", "q_id")

@@ -603,3 +603,74 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def mann_whitney_price(spark: SparkSession, sf_dir: str, band_cents: int = 100_000) -> DataFrame:
+    """B120 (r5): exact tie-aware Mann-Whitney U between PROMO and
+    non-PROMO retail prices — the LOCATION-shift complement of
+    `ks_promo_price` (KS detects any distribution difference; U asks
+    specifically "does one group stochastically dominate?", the
+    question behind every is-the-new-source-more-expensive /
+    is-arm-B-slower readout).
+
+    Tie-exact at VALUE grain: per distinct price, group counts ride
+    the shared band/carry prefix pass; each promo item at value v
+    beats the cb_before(v) cheaper others and half-ties the cb(v)
+    equal ones, so
+
+        2*U_promo = sum_v ca_v * (2*cb_before_v + cb_v)
+
+    stays in integers (no halves). Effect size is the rank-biserial
+    correlation r = (2U - na*nb)/(na*nb), emitted as signed exact ppm
+    (sign * ppm(|num|, den) so truncation direction matches across
+    engines). The na*nb denominator goes through ``checked_mul_expr``
+    — loud failure, never silent wraparound, if a 100 TB run exceeds
+    the exact-ppm bound (na*nb <= ~9.2e15, i.e. ~1e8 rows per side).
+
+    Output one row: n_promo, n_other, u2_promo (= 2*U_promo, BIGINT),
+    rank_biserial_ppm (signed; >0 means promo prices run higher).
+
+    Scale: one scan of part, value-grain windows bounded per band —
+    the ks_promo_price shape exactly; the U sum accumulates in
+    DECIMAL(38,0) so intermediates are exact at any scale.
+    """
+    from ..functions.exact import checked_mul_expr
+
+    p = load_table(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    is_promo = F.col("p_type").startswith("PROMO")
+    vals = (
+        p.select(cents.alias("v"), is_promo.alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("cb"),
+        )
+    )
+    cum = _banded_cum(vals, "v", ["cb"], band_cents)
+    D38 = "decimal(38,0)"
+    terms = cum.select(
+        F.col("ca").cast("long").alias("ca"),
+        F.col("cb").cast("long").alias("cb"),
+        (
+            F.col("ca").cast(D38)
+            * (
+                F.lit(2).cast(D38) * (F.col("cum_cb") - F.col("cb")).cast(D38)
+                + F.col("cb").cast(D38)
+            )
+        ).alias("u2_term"),
+    )
+    agg = terms.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum("u2_term").cast(D38).cast("long").alias("u2"),
+    )
+    prod = checked_mul_expr("na", "nb")
+    num = f"(u2 - ({prod}))"
+    return agg.selectExpr(
+        "CAST(na AS BIGINT) AS n_promo",
+        "CAST(nb AS BIGINT) AS n_other",
+        "CAST(u2 AS BIGINT) AS u2_promo",
+        f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+        f" * ({_ppm(f'abs({num})', prod)}) AS BIGINT) AS rank_biserial_ppm",
+    )

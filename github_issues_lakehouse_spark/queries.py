@@ -792,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aov_mix_shift_bridge": R7.aov_mix_shift_bridge,
         "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
+        "ann_ndcg_at_k": similarity.ann_ndcg_at_k,
+        "mann_whitney_price": ST.mann_whitney_price,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -1994,6 +1996,8 @@ FROM top
         "aov_mix_shift_bridge": _aov_bridge_oracle(),
         "ivf_nprobe_recall_curve": _ivf_curve_oracle(),
         "mmr_diverse_topk": _mmr_oracle(),
+        "ann_ndcg_at_k": _ann_ndcg_oracle(),
+        "mann_whitney_price": _mann_whitney_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -6966,4 +6970,78 @@ SELECT m.priority,
   i.intercept_cents_e6
 FROM med m JOIN icept i ON m.priority = i.priority
 ORDER BY m.priority
+"""
+
+
+def _ann_ndcg_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """nDCG twin: the three top-k oracles as subqueries, the same
+    pinned discount literals (`ndcg_discounts_e6`) and integer
+    gain/DCG algebra, union over the two approximate tiers."""
+    from .operators.similarity import ndcg_discounts_e6
+
+    disc = ndcg_discounts_e6(k)
+    idcg_e6 = sum((k - i) * disc[i] for i in range(k))
+    disc_case = "CASE a.rank " + " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(disc)
+    ) + " ELSE 0 END"
+
+    def tier(method: str, sub: str) -> str:
+        return f"""
+SELECT '{method}' AS method, b.q_id,
+  CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(coalesce(s.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+  CAST({_ppm_sql('coalesce(s.dcg_e6, 0)', str(idcg_e6))} AS BIGINT) AS ndcg_ppm
+FROM (SELECT DISTINCT q_id FROM bf) b
+LEFT JOIN (
+  SELECT a.q_id,
+    sum(CASE WHEN t.truth_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+    CAST(sum(CAST(coalesce({k} + 1 - t.truth_rank, 0) AS BIGINT)
+             * ({disc_case})) AS BIGINT) AS dcg_e6
+  FROM {sub} a
+  LEFT JOIN (SELECT q_id, neighbor_id, rank AS truth_rank FROM bf) t
+    ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+) s ON b.q_id = s.q_id"""
+
+    return f"""
+WITH bf AS ({_ann_bf_oracle(n_queries, k)}),
+ivf AS ({_ann_ivf_oracle(n_queries, k)}),
+lsh AS ({_ann_lsh_oracle(n_queries, k)})
+{tier("ivf", "ivf")}
+UNION ALL
+{tier("lsh", "lsh")}
+ORDER BY method, q_id
+"""
+
+
+def _mann_whitney_oracle() -> str:
+    """Mann-Whitney twin: identical value-grain tie-aware 2*U sum
+    (HUGEINT-exact then BIGINT), identical sign * ppm(|num|, na*nb)
+    rank-biserial assembly. DuckDB needs no overflow guard twin for
+    checked_mul_expr: it errors loudly on BIGINT overflow itself."""
+    num = "(u2 - na * nb)"
+    rb = _ppm_sql(f"abs({num})", "na * nb")
+    return f"""
+WITH p0 AS (
+  SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+    (p_type LIKE 'PROMO%') AS g
+  FROM part
+),
+vals AS (
+  SELECT v, sum(CASE WHEN g THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN g THEN 0 ELSE 1 END) AS cb
+  FROM p0 GROUP BY 1
+),
+cum AS (
+  SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cum_cb FROM vals
+),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+    CAST(sum(CAST(ca AS HUGEINT) * (2 * (cum_cb - cb) + cb)) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT na AS n_promo, nb AS n_other, u2 AS u2_promo,
+  CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END * ({rb}) AS BIGINT)
+    AS rank_biserial_ppm
+FROM agg
 """

@@ -1,0 +1,119 @@
+"""Round-5 fifth-wave invariants: ANN ranking quality (nDCG@k).
+Value parity vs DuckDB is pinned by test_oracle.py; these tests pin
+what a hash can't explain — the DCG algebra recomputed independently
+in Python from the three top-k operators' own outputs, plus the
+bound/identity structure of nDCG."""
+
+from github_issues_lakehouse_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_ndcg_at_k,
+    ndcg_discounts_e6,
+)
+
+from .conftest import SF_DIR
+
+K = 5
+N_Q = 8
+
+
+def test_ndcg_discount_table_pinned():
+    # floor(1e6/log2(i+1)); rank 1 has discount exactly 1e6 and the
+    # table is strictly decreasing (it is the operator contract).
+    disc = ndcg_discounts_e6(K)
+    assert disc[0] == 1_000_000
+    assert all(a > b for a, b in zip(disc, disc[1:]))
+    assert disc == [1000000, 630929, 500000, 430676, 386852]
+
+
+def test_ndcg_bounds_and_schema(spark):
+    rows = ann_ndcg_at_k(spark, SF_DIR, N_Q, K).collect()
+    assert len(rows) == 2 * N_Q  # every query present per method
+    disc = ndcg_discounts_e6(K)
+    idcg = sum((K - i) * disc[i] for i in range(K))
+    for r in rows:
+        assert r.method in ("ivf", "lsh")
+        assert 0 <= r.n_hits <= K
+        assert 0 <= r.dcg_e6 <= idcg
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        # perfect ranking iff full DCG
+        assert (r.ndcg_ppm == 1_000_000) == (r.dcg_e6 == idcg)
+
+
+def test_ndcg_recomputed_from_topk_outputs(spark):
+    """Independent recompute: join each approximate tier's own top-k
+    rows against brute-force truth ranks in plain Python and rebuild
+    DCG/nDCG with the pinned discount table."""
+    truth = {
+        (r.q_id, r.neighbor_id): r.rank
+        for r in ann_bruteforce_topk(spark, SF_DIR, N_Q, K).collect()
+    }
+    disc = ndcg_discounts_e6(K)
+    idcg = sum((K - i) * disc[i] for i in range(K))
+    got = {
+        (r.method, r.q_id): r
+        for r in ann_ndcg_at_k(spark, SF_DIR, N_Q, K).collect()
+    }
+    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+        per_q = {}
+        for r in fn(spark, SF_DIR, N_Q, K).collect():
+            tr = truth.get((r.q_id, r.neighbor_id))
+            gain = (K + 1 - tr) if tr is not None else 0
+            hits, dcg = per_q.get(r.q_id, (0, 0))
+            per_q[r.q_id] = (
+                hits + (1 if gain > 0 else 0),
+                dcg + gain * disc[r.rank - 1],
+            )
+        for q in {q for q, _ in truth}:
+            hits, dcg = per_q.get(q, (0, 0))
+            row = got[(method, q)]
+            assert row.n_hits == hits
+            assert row.dcg_e6 == dcg
+            ppm = (dcg * 1000 // idcg) * 1000 + (dcg * 1000 % idcg) * 1000 // idcg
+            assert row.ndcg_ppm == ppm
+
+
+def test_ndcg_truth_pinned_once(spark):
+    # The brute-force subtree is localCheckpoint-pinned so both tiers
+    # score against the same materialized truth (not two recomputes).
+    plan = (
+        ann_ndcg_at_k(spark, SF_DIR, N_Q, K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_mann_whitney_recompute(spark):
+    """Independent O(n log n) recompute of the tie-aware 2*U and the
+    rank-biserial ppm from the raw parquet."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.statistics import mann_whitney_price
+
+    t = pq.read_table(f"{SF_DIR}/part.parquet").to_pydict()
+    promo, other = [], []
+    for price, typ in zip(t["p_retailprice"], t["p_type"]):
+        cents = int(round(float(price) * 100))
+        (promo if typ.startswith("PROMO") else other).append(cents)
+    other.sort()
+    u2 = 0
+    for v in promo:
+        lo = bisect.bisect_left(other, v)
+        hi = bisect.bisect_right(other, v)
+        u2 += 2 * lo + (hi - lo)
+    na, nb = len(promo), len(other)
+
+    def ppm(p, tot):
+        return (p * 1000 // tot) * 1000 + (p * 1000 % tot) * 1000 // tot
+
+    num = u2 - na * nb
+    expect_rb = (1 if num >= 0 else -1) * ppm(abs(num), na * nb)
+    row = mann_whitney_price(spark, SF_DIR).collect()[0]
+    assert (row.n_promo, row.n_other, row.u2_promo) == (na, nb, u2)
+    assert row.rank_biserial_ppm == expect_rb
+    assert -1_000_000 <= row.rank_biserial_ppm <= 1_000_000
