@@ -214,8 +214,10 @@ HEADLINE = [
     "detector_kappa",
     "hll_union_overlap",
     "theil_sen_trend",
-    # r5 fifth wave: ANN ranking-quality audit
+    # r5 fifth wave: ANN ranking-quality audit + rank statistics
     "ann_ndcg_at_k",
+    "mann_whitney_price",
+    "spearman_daily_trend",
 ]
 
 

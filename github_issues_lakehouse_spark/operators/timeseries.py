@@ -777,3 +777,76 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+def spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B121 (r5): tie-aware Spearman rank correlation between
+    calendar day and daily revenue per order priority — the
+    NONPARAMETRIC monotone-trend test that pairs with
+    `theil_sen_trend` (Sen's slope says how steep; Spearman's rho
+    says how consistently monotone, outlier-robust where
+    `corr_matrix_lineitem`'s Pearson is not).
+
+    Tie-exact via Pearson-on-midranks (the classic 1 - 6*sum(d^2)
+    shortcut is wrong under ties): day ranks are 1..n doubled to e1
+    integers (2,4,..), revenue midranks come from the VALUE-grain
+    identity 2*midrank = 2*count_before + count + 1 (one window over
+    the per-priority daily aggregate — calendar-bounded rows). All
+    five moments (n, sums, squares, cross) are exact BIGINTs —
+    bounded by ~4*n_days^3 so they stay exact at ANY corpus scale
+    (days, not rows, drive the magnitude) — and rho is assembled
+    from them in ONE identical double expression tree on both
+    engines (the corr_matrix discipline), rounded to 6dp.
+
+    Output per priority: n_days, sxy_e2 (the exact rank-covariance
+    numerator n*Sxy - Sx*Sy in e1*e1 units), rho.
+
+    Plan/scale: ONE corpus-scale aggregate (priority x day); every
+    window after that runs on ~2.4k-row-per-priority day-grain data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+    # e1 day ranks: days are distinct within a priority -> 2*rank
+    wx = Window.partitionBy("priority").orderBy("day")
+    # e1 revenue midranks at value grain: 2*mid = 2*cb + c + 1
+    vals = daily.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("priority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = vals.select(
+        "priority",
+        "cents",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(wv), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).cast("long").alias("y2"),
+    )
+    ranked = (
+        daily.withColumn("x2", (F.rank().over(wx) * 2).cast("long"))
+        .join(mid, ["priority", "cents"])
+    )
+    mom = ranked.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x2").cast("long").alias("sx"),
+        F.sum("y2").cast("long").alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("long").alias("sxy"),
+    )
+    return mom.selectExpr(
+        "priority",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(n * sxy - sx * sy AS BIGINT) AS sxy_e2",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho",
+    ).orderBy("priority")

@@ -794,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
         "ann_ndcg_at_k": similarity.ann_ndcg_at_k,
         "mann_whitney_price": ST.mann_whitney_price,
+        "spearman_daily_trend": timeseries.spearman_daily_trend,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -1998,6 +1999,7 @@ FROM top
         "mmr_diverse_topk": _mmr_oracle(),
         "ann_ndcg_at_k": _ann_ndcg_oracle(),
         "mann_whitney_price": _mann_whitney_oracle(),
+        "spearman_daily_trend": _spearman_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7044,4 +7046,48 @@ SELECT na AS n_promo, nb AS n_other, u2 AS u2_promo,
   CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END * ({rb}) AS BIGINT)
     AS rank_biserial_ppm
 FROM agg
+"""
+
+
+def _spearman_oracle() -> str:
+    """Spearman twin: identical e1 midrank construction (window at
+    day/value grain), exact BIGINT moments, identical double rho
+    expression tree."""
+    return """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+xr AS (
+  SELECT priority, day, cents,
+    CAST(2 * rank() OVER (PARTITION BY priority ORDER BY day) AS BIGINT) AS x2
+  FROM daily
+),
+vals AS (
+  SELECT priority, cents, count(*) AS c FROM daily GROUP BY 1, 2
+),
+mid AS (
+  SELECT priority, cents,
+    CAST(2 * coalesce(sum(c) OVER (PARTITION BY priority ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS y2
+  FROM vals
+),
+ranked AS (
+  SELECT xr.priority, xr.x2, mid.y2
+  FROM xr JOIN mid ON xr.priority = mid.priority AND xr.cents = mid.cents
+),
+mom AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x2) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+    CAST(sum(x2 * x2) AS BIGINT) AS sxx, CAST(sum(y2 * y2) AS BIGINT) AS syy,
+    CAST(sum(x2 * y2) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT priority, n AS n_days,
+  CAST(n * sxy - sx * sy AS BIGINT) AS sxy_e2,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+FROM mom ORDER BY priority
 """

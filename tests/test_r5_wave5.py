@@ -117,3 +117,52 @@ def test_mann_whitney_recompute(spark):
     assert (row.n_promo, row.n_other, row.u2_promo) == (na, nb, u2)
     assert row.rank_biserial_ppm == expect_rb
     assert -1_000_000 <= row.rank_biserial_ppm <= 1_000_000
+
+
+def test_spearman_recompute(spark):
+    """Independent recompute: scipy-free tie-aware Spearman (Pearson
+    on midranks) from the raw parquet, for one priority."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        spearman_daily_trend,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/orders.parquet").to_pydict()
+    daily = collections.defaultdict(int)
+    for prio, ts, price in zip(
+        t["o_orderpriority"], t["o_orderdate"], t["o_totalprice"]
+    ):
+        if prio != "3-MEDIUM":
+            continue
+        day = ts.date() if hasattr(ts, "date") else ts
+        daily[day] += int(round(float(price) * 100))
+    days = sorted(daily)
+    cents = [daily[d] for d in days]
+    n = len(days)
+    x2 = [2 * (i + 1) for i in range(n)]
+    # midranks of cents (e1): 2*mid = 2*count_before + count + 1
+    sorted_c = sorted(cents)
+    first = {}
+    cnt = collections.Counter(sorted_c)
+    run = 0
+    for v in sorted_c:
+        if v not in first:
+            first[v] = run
+        run += 1
+    y2 = [2 * first[v] + cnt[v] + 1 for v in cents]
+    sx, sy = sum(x2), sum(y2)
+    sxx = sum(a * a for a in x2)
+    syy = sum(b * b for b in y2)
+    sxy = sum(a * b for a, b in zip(x2, y2))
+    num = n * sxy - sx * sy
+    rho = num / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    rows = {r.priority: r for r in spearman_daily_trend(spark, SF_DIR).collect()}
+    r = rows["3-MEDIUM"]
+    assert r.n_days == n
+    assert r.sxy_e2 == num
+    assert abs(r.rho - rho) < 1e-6
+    for row in rows.values():
+        assert -1.0 <= row.rho <= 1.0
