@@ -218,6 +218,7 @@ HEADLINE = [
     "ann_ndcg_at_k",
     "mann_whitney_price",
     "spearman_daily_trend",
+    "classifier_calibration",
 ]
 
 

@@ -429,3 +429,57 @@ def detector_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END"
         f" * CAST({_ppm(f'abs({num})', den)} AS BIGINT) AS BIGINT) AS kappa_e6",
     ).orderBy("source")
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C125 (r5): reliability diagram + Expected-Calibration-Error
+    terms for the quality classifier against the end-to-end corpus
+    gate — the calibration mart that tells you whether quality_prob
+    MEANS anything as a probability (a classifier can have a great
+    PR curve and still be badly calibrated; threshold transfer and
+    mixture weighting both assume calibrated scores).
+
+    Scores are FROZEN to e6 integers (the quality_temporal_drift
+    discipline), binned into 10 equal-width probability bins
+    (p_e6 DIV 1e5, clamped so p == 1.0 lands in bin 9). Per bin:
+    n docs, mean CONFIDENCE (sum_p_e6 DIV n — exact floor), actual
+    gold-keep rate in exact ppm, the |confidence − accuracy| gap, and
+    the ECE numerator term n * gap (BIGINT) so ECE = sum(terms) /
+    (N * 1e6) is reader-assembled from exact integers.
+
+    Plan/scale: both inputs are single-scan Column pipelines over
+    documents; one hash aggregate on the 10-value bin key — bounded
+    output, partial-agg friendly, no window.
+    """
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    from .scale import training_corpus_filter
+    from .text3 import quality_classifier
+
+    scored = quality_classifier(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_prob") * 1_000_000).cast("long").alias("p_e6"),
+    )
+    gold = training_corpus_filter(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("gold")
+    )
+    base = scored.join(gold, "doc_id", "left").select(
+        "p_e6", F.coalesce("gold", F.lit(0)).alias("gold")
+    )
+    bins = base.groupBy(
+        F.least(F.expr("p_e6 DIV 100000"), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p_e6").cast("long").alias("sum_p_e6"),
+        F.sum("gold").cast("long").alias("n_gold"),
+    )
+    return bins.selectExpr(
+        "bin",
+        "n_docs",
+        "CAST(sum_p_e6 DIV n_docs AS BIGINT) AS conf_e6",
+        f"CAST({_ppm_e('n_gold', 'n_docs')} AS BIGINT) AS acc_ppm",
+        f"CAST(abs(sum_p_e6 DIV n_docs - ({_ppm_e('n_gold', 'n_docs')})) AS BIGINT)"
+        " AS gap_e6",
+        f"CAST(n_docs * abs(sum_p_e6 DIV n_docs - ({_ppm_e('n_gold', 'n_docs')}))"
+        " AS BIGINT) AS ece_term",
+    ).orderBy("bin")

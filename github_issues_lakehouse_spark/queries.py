@@ -795,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg_at_k": similarity.ann_ndcg_at_k,
         "mann_whitney_price": ST.mann_whitney_price,
         "spearman_daily_trend": timeseries.spearman_daily_trend,
+        "classifier_calibration": QC.classifier_calibration,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2000,6 +2001,7 @@ FROM top
         "ann_ndcg_at_k": _ann_ndcg_oracle(),
         "mann_whitney_price": _mann_whitney_oracle(),
         "spearman_daily_trend": _spearman_oracle(),
+        "classifier_calibration": _calibration_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7090,4 +7092,35 @@ SELECT priority, n AS n_days,
     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
     * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
 FROM mom ORDER BY priority
+"""
+
+
+def _calibration_oracle() -> str:
+    """Calibration twin: same e6 score freeze, same clamped
+    equal-width bins, same exact integer conf/acc/gap/ECE-term
+    algebra."""
+    acc = _ppm_sql("n_gold", "n_docs")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(round(quality_prob * 1000000) AS BIGINT) AS p_e6
+  FROM ({_quality_classifier_oracle()})
+),
+gold AS (SELECT doc_id FROM ({_corpus_filter_oracle()})),
+base AS (
+  SELECT s.p_e6, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gold
+  FROM scored s LEFT JOIN gold g ON s.doc_id = g.doc_id
+),
+bins AS (
+  SELECT least(p_e6 // 100000, 9) AS bin,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(p_e6) AS BIGINT) AS sum_p_e6,
+    CAST(sum(gold) AS BIGINT) AS n_gold
+  FROM base GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+  CAST(sum_p_e6 // n_docs AS BIGINT) AS conf_e6,
+  CAST({acc} AS BIGINT) AS acc_ppm,
+  CAST(abs(sum_p_e6 // n_docs - ({acc})) AS BIGINT) AS gap_e6,
+  CAST(n_docs * abs(sum_p_e6 // n_docs - ({acc})) AS BIGINT) AS ece_term
+FROM bins ORDER BY bin
 """

@@ -166,3 +166,50 @@ def test_spearman_recompute(spark):
     assert abs(r.rho - rho) < 1e-6
     for row in rows.values():
         assert -1.0 <= row.rho <= 1.0
+
+
+def test_calibration_identities(spark):
+    """Structural invariants + recompute of the ECE assembly from the
+    emitted exact integers, and consistency with the operator's own
+    inputs (bin populations partition the corpus)."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        classifier_calibration,
+    )
+    from github_issues_lakehouse_spark.operators.scale import training_corpus_filter
+    from github_issues_lakehouse_spark.operators.text3 import quality_classifier
+
+    rows = classifier_calibration(spark, SF_DIR).collect()
+    n_total = quality_classifier(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_total
+
+    # independent per-bin recompute from the operator's own inputs
+    probs = {
+        r.doc_id: round(r.quality_prob * 1_000_000)
+        for r in quality_classifier(spark, SF_DIR).collect()
+    }
+    gold_ids = {
+        r.doc_id for r in training_corpus_filter(spark, SF_DIR).collect()
+    }
+    import collections
+
+    n_b = collections.Counter()
+    sum_b = collections.Counter()
+    gold_b = collections.Counter()
+    for doc_id, p in probs.items():
+        b = min(p // 100_000, 9)
+        n_b[b] += 1
+        sum_b[b] += p
+        gold_b[b] += 1 if doc_id in gold_ids else 0
+
+    def ppm(p, tot):
+        return (p * 1000 // tot) * 1000 + (p * 1000 % tot) * 1000 // tot
+
+    assert {r.bin for r in rows} == set(n_b)
+    for r in rows:
+        assert r.n_docs == n_b[r.bin]
+        assert r.conf_e6 == sum_b[r.bin] // n_b[r.bin]
+        assert r.acc_ppm == ppm(gold_b[r.bin], n_b[r.bin])
+        assert r.gap_e6 == abs(r.conf_e6 - r.acc_ppm)
+        assert r.ece_term == r.n_docs * r.gap_e6
+        assert r.bin * 100_000 <= r.conf_e6 <= (r.bin + 1) * 100_000
+        assert 0 <= r.acc_ppm <= 1_000_000
