@@ -47,16 +47,18 @@ def salted_join(
     return out.drop("_salt")
 
 
-def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 10) -> DataFrame:
-    """Deterministic stratified downsample: the ``per_stratum``
-    documents per source with the smallest md5(doc_id) — reproducible
-    across engines, runs, and partitionings (no RNG). A map-side
-    partial bottom-k prunes each input partition to ``per_stratum``
-    rows per source before the exact window, so no task ever holds a
-    whole stratum; one shuffle on the stratum key over the survivors."""
-    d = load_table(spark, sf_dir, "documents")
+def bottomk_sample_state(docs: DataFrame, per_stratum: int) -> DataFrame:
+    """Bounded uniform-sample state: the ``per_stratum`` (source,
+    doc_id, h) rows per source with the smallest md5(doc_id:source).
+    Merging two states = union -> dedup on (source, doc_id) ->
+    re-take k smallest (associative, order-insensitive, and
+    IDEMPOTENT — redelivering a doc cannot move the sample) — the
+    streaming fold behind D29 (the dedup lives in the merge, where
+    overlap is possible; batch doc_ids are unique). A map-side
+    partial bottom-k prunes each input partition before the exact
+    window."""
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
-    hashed = d.select("doc_id", "source", "n_chars", h.alias("h"))
+    hashed = docs.select("doc_id", "source", h.alias("h"))
     pruned = partial_topk(hashed, ["source"], "h", "doc_id", per_stratum, ascending=True)
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -64,6 +66,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 10) -
         .filter(F.col("rk") <= per_stratum)
         .select("source", F.col("rk").cast("long").alias("rk"), "doc_id", "h")
     )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 10) -> DataFrame:
+    """Deterministic stratified downsample: the ``per_stratum``
+    documents per source with the smallest md5(doc_id) — reproducible
+    across engines, runs, and partitionings (no RNG). A map-side
+    partial bottom-k prunes each input partition to ``per_stratum``
+    rows per source before the exact window, so no task ever holds a
+    whole stratum; one shuffle on the stratum key over the survivors.
+    The state/merge form (``bottomk_sample_state``) is the streaming
+    twin's fold (D29)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bottomk_sample_state(d, per_stratum)
 
 
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1262,3 +1262,50 @@ def stream_transition_maintenance(events: DataFrame, path: str, checkpoint: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sample_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, per_stratum: int = 10
+):
+    """D29: streaming uniform-sample maintenance — each micro-batch's
+    per-source bottom-k md5 sample (``bottomk_sample_state``, the
+    exact fold form of the batch ``sample_stratified``) merges into
+    the stored state by union -> dedup on (source, doc_id) -> re-take
+    k smallest. Min-k union is associative and order-insensitive, and
+    the doc_id dedup makes the fold IDEMPOTENT, so the state is
+    exactly correct even under at-least-once redelivery with no
+    batch-id guard needed (the exactly-once commit protocol still
+    wraps it). After draining, the state equals the batch
+    ``sample_stratified`` over every ingested document — a live,
+    bias-free inspection sample a 100 TB ingest keeps per stream at
+    O(k x sources) state with zero history rescans. Read with
+    ``read_mart``. Returns the started query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import bottomk_sample_state
+
+    def merge(existing, batch_df):
+        delta = bottomk_sample_state(batch_df, per_stratum)
+        if existing is None:
+            return delta
+        w = Window.partitionBy("source").orderBy(
+            F.col("h").asc(), F.col("doc_id").asc()
+        )
+        return (
+            existing.unionByName(delta)
+            .dropDuplicates(["source", "doc_id"])
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= per_stratum)
+            .select("source", F.col("rk").cast("long").alias("rk"), "doc_id", "h")
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

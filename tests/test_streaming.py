@@ -1017,3 +1017,43 @@ def test_stream_transitions_equal_batch_and_replay_safe(spark, tmp_path):
             .count()
         )
     assert intra_total < sum(n for n, _ in want.values())
+
+
+def test_stream_sample_equals_batch_and_idempotent(spark, tmp_path):
+    """D29: the drained streaming bottom-k sample equals the batch
+    sample_stratified even when documents are delivered TWICE (the
+    doc_id dedup makes the min-k fold idempotent), regardless of
+    micro-batch boundaries."""
+    from github_issues_lakehouse_spark.operators.scale import sample_stratified
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_sample_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    import glob
+    import shutil
+
+    f = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(f, f.replace("part-", "copy-"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "sample.parquet")
+    q = stream_sample_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_mart(spark, path).collect()))
+    want = sorted(map(tuple, sample_stratified(spark, SF_DIR).collect()))
+    assert got == want
+    per_src = {}
+    for source, rk, doc_id, h in got:
+        per_src.setdefault(source, []).append(rk)
+    for rks in per_src.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 10
