@@ -219,6 +219,7 @@ HEADLINE = [
     "mann_whitney_price",
     "spearman_daily_trend",
     "classifier_calibration",
+    "trimmed_winsorized_price",
 ]
 
 

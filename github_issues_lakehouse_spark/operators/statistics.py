@@ -674,3 +674,100 @@ def mann_whitney_price(spark: SparkSession, sf_dir: str, band_cents: int = 100_0
         f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
         f" * ({_ppm(f'abs({num})', prod)}) AS BIGINT) AS rank_biserial_ppm",
     )
+
+
+def trimmed_winsorized_price(
+    spark: SparkSession, sf_dir: str, trim_pct: int = 5, band_cents: int = 100_000
+) -> DataFrame:
+    """B122 (r5): exact trimmed and winsorized means of extended
+    price per return flag — the robust-location pair every metrics
+    platform keeps beside the plain mean (trimming DROPS the tails a
+    fat-fingered price or a whale order pollutes; winsorizing CLAMPS
+    them to the cut values, keeping n constant for variance-style
+    downstream use). k = n * trim_pct DIV 100 rows are cut per tail
+    — a COUNT contract, not a value contract, so it is tie-exact and
+    engine-invariant.
+
+    All integer, no per-row rank: at VALUE grain (per distinct cents
+    price: count c, count-before cb via the shared band/carry prefix
+    pass), the bottom-tail sum is sum_v v * clamp(k - cb, 0, c) and
+    the top tail mirrors it with count-after; the cut values are the
+    min v with cum >= k+1 / n-k (deterministic argmin via struct
+    min). Means are exact floor DIVs of DECIMAL(38,0)-exact sums.
+
+    Output per flag: n, k_trim, mean/trimmed/winsorized means in
+    cents (BIGINT), lo/hi cut prices in cents.
+
+    Plan/scale: one lineitem scan to value grain; every window after
+    runs at value grain inside bounded bands — the gini shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    vals = (
+        li.select(F.col("l_returnflag").alias("flag"), cents.alias("v"))
+        .groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # per-flag banded cum (the _banded_cum shape, partitioned by flag)
+    banded = vals.withColumn("_band", F.expr(f"v DIV {band_cents}"))
+    w_in = (
+        Window.partitionBy("flag", "_band")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    banded = banded.withColumn("_in_c", F.sum("c").over(w_in))
+    band_tot = banded.groupBy("flag", "_band").agg(F.sum("c").alias("_bt"))
+    w_carry = (
+        Window.partitionBy("flag")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = band_tot.select(
+        "flag",
+        "_band",
+        F.coalesce(F.sum("_bt").over(w_carry), F.lit(0)).alias("_carry"),
+    )
+    cum = (
+        banded.join(carry, ["flag", "_band"])
+        .withColumn("cum_c", (F.col("_carry") + F.col("_in_c")).cast("long"))
+        .select("flag", "v", "c", "cum_c")
+    )
+    D38 = "decimal(38,0)"
+    tot = vals.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast(D38) * F.col("c").cast(D38)).cast(D38).alias("s"),
+    ).withColumn("k", F.expr(f"CAST(n * {trim_pct} DIV 100 AS BIGINT)"))
+    j = cum.join(F.broadcast(tot), "flag")
+    per_flag = j.groupBy("flag", "n", "k").agg(
+        F.max("s").alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(v AS decimal(38,0)) * CAST(greatest(CAST(0 AS BIGINT),"
+                " least(c, k - (cum_c - c))) AS decimal(38,0))"
+            )
+        ).cast(D38).alias("lo_sum"),
+        F.sum(
+            F.expr(
+                "CAST(v AS decimal(38,0)) * CAST(greatest(CAST(0 AS BIGINT),"
+                " least(c, cum_c - (n - k))) AS decimal(38,0))"
+            )
+        ).cast(D38).alias("hi_sum"),
+        F.min(F.when(F.col("cum_c") >= F.col("k") + 1, F.col("v"))).alias("lo_cut"),
+        F.min(F.when(F.col("cum_c") >= F.col("n") - F.col("k"), F.col("v"))).alias(
+            "hi_cut"
+        ),
+    )
+    return per_flag.selectExpr(
+        "flag",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(k AS BIGINT) AS k_trim",
+        "CAST(CAST(s AS decimal(38,0)) DIV CAST(n AS decimal(38,0)) AS BIGINT)"
+        " AS mean_cents",
+        "CAST((s - lo_sum - hi_sum) DIV CAST(n - 2 * k AS decimal(38,0)) AS BIGINT)"
+        " AS trimmed_mean_cents",
+        "CAST((s - lo_sum - hi_sum + CAST(k AS decimal(38,0)) * (CAST(lo_cut AS"
+        " decimal(38,0)) + CAST(hi_cut AS decimal(38,0)))) DIV CAST(n AS"
+        " decimal(38,0)) AS BIGINT) AS winsor_mean_cents",
+        "CAST(lo_cut AS BIGINT) AS lo_cut_cents",
+        "CAST(hi_cut AS BIGINT) AS hi_cut_cents",
+    ).orderBy("flag")

@@ -796,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_price": ST.mann_whitney_price,
         "spearman_daily_trend": timeseries.spearman_daily_trend,
         "classifier_calibration": QC.classifier_calibration,
+        "trimmed_winsorized_price": ST.trimmed_winsorized_price,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2002,6 +2003,7 @@ FROM top
         "mann_whitney_price": _mann_whitney_oracle(),
         "spearman_daily_trend": _spearman_oracle(),
         "classifier_calibration": _calibration_oracle(),
+        "trimmed_winsorized_price": _trimmed_winsor_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7123,4 +7125,52 @@ SELECT CAST(bin AS BIGINT) AS bin, n_docs,
   CAST(abs(sum_p_e6 // n_docs - ({acc})) AS BIGINT) AS gap_e6,
   CAST(n_docs * abs(sum_p_e6 // n_docs - ({acc})) AS BIGINT) AS ece_term
 FROM bins ORDER BY bin
+"""
+
+
+def _trimmed_winsor_oracle(trim_pct: int = 5) -> str:
+    """Trimmed/winsorized twin: identical value-grain tail-clamp
+    algebra, DECIMAL(38,0)-exact sums, floor-DIV means."""
+    return f"""
+WITH li0 AS (
+  SELECT l_returnflag AS flag,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+vals AS (SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM li0 GROUP BY 1, 2),
+cum AS (
+  SELECT flag, v, c,
+    CAST(sum(c) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum_c
+  FROM vals
+),
+tot AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(CAST(v AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s,
+    CAST(sum(c) * {trim_pct} // 100 AS BIGINT) AS k
+  FROM vals GROUP BY 1
+),
+per_flag AS (
+  SELECT cum.flag, t.n, t.k, max(t.s) AS s,
+    CAST(sum(CAST(v AS DECIMAL(38,0)) * CAST(greatest(CAST(0 AS BIGINT),
+      least(c, t.k - (cum_c - c))) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS lo_sum,
+    CAST(sum(CAST(v AS DECIMAL(38,0)) * CAST(greatest(CAST(0 AS BIGINT),
+      least(c, cum_c - (t.n - t.k))) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS hi_sum,
+    min(CASE WHEN cum_c >= t.k + 1 THEN v END) AS lo_cut,
+    min(CASE WHEN cum_c >= t.n - t.k THEN v END) AS hi_cut
+  FROM cum JOIN tot t ON cum.flag = t.flag
+  GROUP BY 1, 2, 3
+)
+SELECT flag, n, k AS k_trim,
+  -- HUGEINT division: DuckDB's // on DECIMAL operands ROUNDS the
+  -- decimal quotient to scale instead of flooring; HUGEINT // is a
+  -- true integer floor-div matching Spark's decimal DIV truncation
+  CAST(CAST(s AS HUGEINT) // CAST(n AS HUGEINT) AS BIGINT) AS mean_cents,
+  CAST(CAST(s - lo_sum - hi_sum AS HUGEINT) // CAST(n - 2 * k AS HUGEINT)
+    AS BIGINT) AS trimmed_mean_cents,
+  CAST(CAST(s - lo_sum - hi_sum + CAST(k AS DECIMAL(38,0)) * (CAST(lo_cut AS
+    DECIMAL(38,0)) + CAST(hi_cut AS DECIMAL(38,0))) AS HUGEINT)
+    // CAST(n AS HUGEINT) AS BIGINT) AS winsor_mean_cents,
+  CAST(lo_cut AS BIGINT) AS lo_cut_cents,
+  CAST(hi_cut AS BIGINT) AS hi_cut_cents
+FROM per_flag ORDER BY flag
 """

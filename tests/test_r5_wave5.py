@@ -213,3 +213,38 @@ def test_calibration_identities(spark):
         assert r.ece_term == r.n_docs * r.gap_e6
         assert r.bin * 100_000 <= r.conf_e6 <= (r.bin + 1) * 100_000
         assert 0 <= r.acc_ppm <= 1_000_000
+
+
+def test_trimmed_winsorized_recompute(spark):
+    """Independent recompute: sort the raw cents per flag in Python,
+    trim/winsorize by count, compare every emitted column."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.statistics import (
+        trimmed_winsorized_price,
+    )
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pydict()
+    by_flag = collections.defaultdict(list)
+    for flag, price in zip(t["l_returnflag"], t["l_extendedprice"]):
+        by_flag[flag].append(int(round(float(price) * 100)))
+    rows = {r.flag: r for r in trimmed_winsorized_price(spark, SF_DIR).collect()}
+    assert set(rows) == set(by_flag)
+    for flag, xs in by_flag.items():
+        xs.sort()
+        n = len(xs)
+        k = n * 5 // 100
+        kept = xs[k : n - k]
+        lo_cut, hi_cut = kept[0], kept[-1]
+        r = rows[flag]
+        assert r.n == n and r.k_trim == k
+        assert r.mean_cents == sum(xs) // n
+        assert r.trimmed_mean_cents == sum(kept) // len(kept)
+        assert r.winsor_mean_cents == (sum(kept) + k * (lo_cut + hi_cut)) // n
+        assert (r.lo_cut_cents, r.hi_cut_cents) == (lo_cut, hi_cut)
+        # robustness direction: the trimmed mean sits inside the cuts
+        assert lo_cut <= r.trimmed_mean_cents <= hi_cut
