@@ -220,6 +220,7 @@ HEADLINE = [
     "spearman_daily_trend",
     "classifier_calibration",
     "trimmed_winsorized_price",
+    "containment_pairs",
 ]
 
 

@@ -1550,3 +1550,81 @@ def jaccard_threshold_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("threshold_ppm")
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """C126 (r5): asymmetric CONTAINMENT similar pairs — |A∩B| /
+    min(|A|,|B|) over the capped n-gram shingle universe. The
+    subset-duplicate detector Jaccard structurally misses: a document
+    quoted whole inside a 10x-larger one has containment ~1.0 but
+    Jaccard ~0.1 (Broder's original resemblance/containment split) —
+    exactly the boilerplate-envelope / quote-expansion dupes a
+    training-corpus dedup must catch to avoid training on the same
+    text twice at different wrapper lengths.
+
+    Same inverted-index blocking + df_cap stopword-pruning semantics
+    (and scale contract) as `dedup_ngram_jaccard`: pairs only for
+    docs sharing an informative shingle, intersection aggregated
+    straight off the index self-join, sizes joined onto the PAIR
+    table. Scores in exact integer ppm on both engines; jaccard_ppm
+    rides along so the two-metric gap (the wrapper signature:
+    containment high, jaccard low) is one subtraction for the reader.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    base = load_table(spark, sf_dir, "documents")
+    d = (
+        base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", tokens())
+        .select(
+            "doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh")
+        )
+    )
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap > 0:
+        wdf = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(inter AS BIGINT) AS inter",
+            "CAST(sa.sz AS BIGINT) AS sz_a",
+            "CAST(sb.sz AS BIGINT) AS sz_b",
+            f"CAST({_ppm_e('inter', 'least(sa.sz, sb.sz)')} AS BIGINT)"
+            " AS containment_ppm",
+            f"CAST({_ppm_e('inter', '(sa.sz + sb.sz - inter)')} AS BIGINT)"
+            " AS jaccard_ppm",
+        )
+    )
+    return scored.filter(F.col("containment_ppm") >= threshold_ppm).orderBy(
+        "doc_a", "doc_b"
+    )

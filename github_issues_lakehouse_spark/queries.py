@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_daily_trend": timeseries.spearman_daily_trend,
         "classifier_calibration": QC.classifier_calibration,
         "trimmed_winsorized_price": ST.trimmed_winsorized_price,
+        "containment_pairs": dedup.containment_pairs,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2004,6 +2005,7 @@ FROM top
         "spearman_daily_trend": _spearman_oracle(),
         "classifier_calibration": _calibration_oracle(),
         "trimmed_winsorized_price": _trimmed_winsor_oracle(),
+        "containment_pairs": _containment_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7173,4 +7175,37 @@ SELECT flag, n, k AS k_trim,
   CAST(lo_cut AS BIGINT) AS lo_cut_cents,
   CAST(hi_cut AS BIGINT) AS hi_cut_cents
 FROM per_flag ORDER BY flag
+"""
+
+
+def _containment_oracle(
+    n: int = 3, threshold_ppm: int = 500_000, df_cap: int = 1000
+) -> str:
+    """Containment twin: identical capped shingle universe and
+    inverted-index intersection, exact integer ppm scores."""
+    cont = _ppm_sql("i.n_inter", "least(za.sz, zb.sz)")
+    jac = _ppm_sql("i.n_inter", "(za.sz + zb.sz - i.n_inter)")
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+over_cap AS (SELECT s FROM sd GROUP BY s HAVING count(*) > {df_cap}),
+sdc AS (
+  SELECT doc_id, s FROM sd
+  WHERE NOT EXISTS (SELECT 1 FROM over_cap WHERE over_cap.s = sd.s)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sdc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sdc a JOIN sdc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS inter,
+  CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+  CAST({cont} AS BIGINT) AS containment_ppm,
+  CAST({jac} AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST({cont} AS BIGINT) >= {threshold_ppm}
+ORDER BY i.doc_a, i.doc_b
 """

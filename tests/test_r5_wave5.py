@@ -248,3 +248,41 @@ def test_trimmed_winsorized_recompute(spark):
         assert (r.lo_cut_cents, r.hi_cut_cents) == (lo_cut, hi_cut)
         # robustness direction: the trimmed mean sits inside the cuts
         assert lo_cut <= r.trimmed_mean_cents <= hi_cut
+
+
+def test_containment_catches_subset_dupe_jaccard_misses(spark, tmp_path):
+    """A document quoted whole inside a 10x wrapper: containment_ppm
+    ~1e6 while jaccard_ppm is low — the pair class this operator
+    exists for."""
+    from github_issues_lakehouse_spark.operators.dedup import containment_pairs
+
+    core = " ".join(f"tok{i}" for i in range(30))
+    wrapper = " ".join(f"pad{i}" for i in range(300))
+    rows = [
+        (0, "a", core, len(core)),
+        (1, "a", wrapper + " " + core, len(wrapper) + len(core) + 1),
+        (2, "b", "utterly unrelated words only here", 33),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, n_chars long")
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = containment_pairs(spark, sf).collect()
+    assert len(got) == 1
+    p = got[0]
+    assert (p.doc_a, p.doc_b) == (0, 1)
+    assert p.containment_ppm == 1_000_000  # fully contained
+    assert p.jaccard_ppm < 150_000  # resemblance misses it
+    assert p.inter == p.sz_a == min(p.sz_a, p.sz_b)
+
+
+def test_containment_identities_on_corpus(spark):
+    from github_issues_lakehouse_spark.operators.dedup import containment_pairs
+
+    for p in containment_pairs(spark, SF_DIR).collect():
+        assert p.doc_a < p.doc_b
+        assert 0 < p.inter <= min(p.sz_a, p.sz_b)
+        assert p.jaccard_ppm <= p.containment_ppm <= 1_000_000
+        assert p.containment_ppm >= 500_000
