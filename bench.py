@@ -221,6 +221,7 @@ HEADLINE = [
     "classifier_calibration",
     "trimmed_winsorized_price",
     "containment_pairs",
+    "epoch_shuffle_plan",
 ]
 
 

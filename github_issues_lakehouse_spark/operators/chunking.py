@@ -814,3 +814,60 @@ def bloom_fpr_audit(
             f"CAST(floor({theo} * 1000000) AS BIGINT) AS theoretical_fpr_ppm",
         )
     )
+
+
+def epoch_shuffle_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_epochs: int = 3,
+    shard_tokens: int = 512,
+) -> DataFrame:
+    """C127 (r5): deterministic per-epoch shard shuffle plan — the
+    order a trainer visits the `plan_token_shards` shards in each
+    epoch. Epoch order must differ per epoch (repeat order turns
+    multi-epoch training into memorization-friendly curriculum) yet
+    be fully reproducible for resume/audit, so position = rank of
+    md5(epoch:shard) per epoch — the same engine-invariant no-RNG
+    discipline as holdout_split. Cumulative tokens ride along so a
+    resume-from-step maps straight to (epoch, position).
+
+    Plan/scale: the corpus-scale work is plan_token_shards (one
+    tokenize scan, two-level prefix sums); everything here runs at
+    SHARD x EPOCH grain — shards are corpus_tokens/shard_tokens rows,
+    the epoch fanout is a bounded explode, and the per-epoch rank
+    window partitions on epoch over shard-grain rows.
+    """
+    shards = (
+        plan_token_shards(spark, sf_dir, shard_tokens=shard_tokens)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+    )
+    epochs = shards.crossJoin(
+        spark.range(1, n_epochs + 1).select(F.col("id").alias("epoch"))
+    )
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("shard_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "shard_id")
+    wc = (
+        Window.partitionBy("epoch")
+        .orderBy("h", "shard_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        epochs.withColumn("h", h)
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.row_number().over(w).cast("long").alias("pos"),
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_docs",
+            "tokens",
+            F.sum("tokens").over(wc).cast("long").alias("cum_tokens"),
+        )
+        .orderBy("epoch", "pos")
+    )

@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": QC.classifier_calibration,
         "trimmed_winsorized_price": ST.trimmed_winsorized_price,
         "containment_pairs": dedup.containment_pairs,
+        "epoch_shuffle_plan": chunking.epoch_shuffle_plan,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2006,6 +2007,7 @@ FROM top
         "classifier_calibration": _calibration_oracle(),
         "trimmed_winsorized_price": _trimmed_winsor_oracle(),
         "containment_pairs": _containment_oracle(),
+        "epoch_shuffle_plan": _epoch_shuffle_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7208,4 +7210,34 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST({cont} AS BIGINT) >= {threshold_ppm}
 ORDER BY i.doc_a, i.doc_b
+"""
+
+
+def _epoch_shuffle_oracle(n_epochs: int = 3, shard_tokens: int = 512) -> str:
+    """Epoch-shuffle twin: same shard plan subquery, same
+    md5(epoch:shard) ordering and per-epoch cumulative tokens."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({_norm_toks_sql()}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+), shards AS (
+  SELECT CAST(before // {shard_tokens} AS BIGINT) AS shard_id,
+    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM c GROUP BY 1
+), e AS (SELECT unnest(generate_series(1, {n_epochs})) AS epoch),
+fan AS (
+  SELECT CAST(e.epoch AS BIGINT) AS epoch, s.shard_id, s.n_docs, s.tokens,
+    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(s.shard_id AS VARCHAR)) AS h
+  FROM shards s CROSS JOIN e
+)
+SELECT epoch,
+  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, shard_id) AS BIGINT) AS pos,
+  shard_id, n_docs, tokens,
+  CAST(sum(tokens) OVER (PARTITION BY epoch ORDER BY h, shard_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM fan ORDER BY epoch, pos
 """

@@ -286,3 +286,31 @@ def test_containment_identities_on_corpus(spark):
         assert 0 < p.inter <= min(p.sz_a, p.sz_b)
         assert p.jaccard_ppm <= p.containment_ppm <= 1_000_000
         assert p.containment_ppm >= 500_000
+
+
+def test_epoch_shuffle_plan_properties(spark):
+    """Each epoch is a permutation of the same shard set with the
+    same total tokens, epochs differ from each other, and the order
+    is reproducible run to run."""
+    from github_issues_lakehouse_spark.operators.chunking import epoch_shuffle_plan
+
+    rows = epoch_shuffle_plan(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {1, 2, 3}
+    orders = {}
+    for epoch, es in by_epoch.items():
+        es.sort(key=lambda r: r.pos)
+        assert [r.pos for r in es] == list(range(1, len(es) + 1))
+        cum = 0
+        for r in es:
+            cum += r.tokens
+            assert r.cum_tokens == cum
+        orders[epoch] = [r.shard_id for r in es]
+    # same shard set per epoch; different visit order across epochs
+    assert set(orders[1]) == set(orders[2]) == set(orders[3])
+    assert orders[1] != orders[2] and orders[2] != orders[3]
+    # reproducible
+    again = epoch_shuffle_plan(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
