@@ -222,6 +222,7 @@ HEADLINE = [
     "trimmed_winsorized_price",
     "containment_pairs",
     "epoch_shuffle_plan",
+    "markov_attribution",
 ]
 
 

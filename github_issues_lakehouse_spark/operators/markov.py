@@ -144,3 +144,130 @@ def markov_stationary_events(
         [(t, rank[t], n_iter) for t in types],
         "event_type string, stationary_e6 long, n_iter int",
     ).orderBy("event_type")
+
+
+def _journey_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_state, to_state, n) over per-user conversion JOURNEYS:
+    START -> first event of each journey, consecutive events inside a
+    journey, transitions into 'purchase' land in the absorbing CONV
+    state (and end the journey — later events start a new journey at
+    START), and a journey's last non-purchase event exits to NULL.
+    One LAG/LEAD window pass over the fact — the only corpus-scale
+    stage; output is (|channels|+1) x (|channels|+2) grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    )
+    # START rows: first of user, or first after a purchase
+    starts = seq.filter(
+        F.col("prev_t").isNull() | (F.col("prev_t") == "purchase")
+    ).select(
+        F.lit("START").alias("from_state"),
+        F.when(F.col("t") == "purchase", "CONV").otherwise(F.col("t")).alias(
+            "to_state"
+        ),
+    )
+    # channel rows: every non-purchase event emits one outgoing edge
+    outs = seq.filter(F.col("t") != "purchase").select(
+        F.col("t").alias("from_state"),
+        F.when(F.col("next_t").isNull(), "NULL")
+        .when(F.col("next_t") == "purchase", "CONV")
+        .otherwise(F.col("next_t"))
+        .alias("to_state"),
+    )
+    return (
+        starts.unionByName(outs)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _absorption_ppm(
+    p: dict, froms: list[str], channels: list[str], removed: str | None, n_iter: int
+) -> dict:
+    """CONV-absorption probability per from-state in exact ppm by
+    fixed-point iteration: v'(s) = p(s,CONV) + sum_c p(s,c)*v(c) DIV
+    1e6, with transitions into ``removed`` redirected to NULL (the
+    standard removal-effect surgery — no renormalization). Pure
+    integer fold, bit-identical on both engines at every step."""
+    v = {s: 0 for s in froms}
+    for _ in range(n_iter):
+        new = {}
+        for s in froms:
+            acc = p.get((s, "CONV"), 0) * 1_000_000
+            for c in channels:
+                if c == removed:
+                    continue
+                acc += p.get((s, c), 0) * v[c]
+            new[s] = acc // 1_000_000
+        v = new
+    return v
+
+
+def markov_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = 15,
+) -> DataFrame:
+    """B123 (r5): Markov removal-effect conversion attribution
+    (Anderl et al. 2014, public) — the data-driven alternative to
+    last-touch/position rules (`attribution_touchpoints`): each
+    channel's credit is how much the journey chain's conversion
+    probability DROPS when that channel is surgically removed
+    (edges into it redirect to NULL, no renormalization).
+
+    Everything after the one LAG/LEAD journey pass is exact BIGINT
+    fixed point: transition probabilities in ppm, CONV-absorption by
+    n_iter truncating iterations (v' = p(s,CONV) + sum p(s,c)*v(c)
+    DIV 1e6 — monotone, bounded, bit-identical both engines, so no
+    tolerance), attribution = ppm(effect_c, sum effects). The k x k
+    matrix is one bounded collect folded on the driver (the
+    markov_stationary_events justification: k is the type
+    vocabulary, never data-sized; per-iteration distributed joins on
+    a ~30-row table cost ~3 s each in pure scheduling overhead).
+
+    Output per channel: base conversion (same every row — the
+    readout anchor), conversion with the channel removed, the
+    removal effect, and the normalized attribution share, all ppm.
+    """
+    counts = _journey_transition_counts(spark, sf_dir)
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("c_x"))
+    rows = (
+        counts.join(totals, "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.expr(_ppm("n", "c_x")).cast("long").alias("p_ppm"),
+        )
+        .collect()
+    )
+    p = {(r.from_state, r.to_state): r.p_ppm for r in rows}
+    channels = sorted(
+        {f for f, _ in p if f != "START"}
+        | {t for _, t in p if t not in ("CONV", "NULL")}
+    )
+    froms = ["START", *channels]
+    base = _absorption_ppm(p, froms, channels, None, n_iter)["START"]
+    effects = {}
+    for c in channels:
+        without = _absorption_ppm(p, froms, channels, c, n_iter)["START"]
+        effects[c] = (c, base, without, base - without)
+    total_effect = sum(e[3] for e in effects.values())
+    out = []
+    for c in channels:
+        _, b, w0, eff = effects[c]
+        share = (
+            (eff * 1000 // total_effect) * 1000
+            + (eff * 1000 % total_effect) * 1000 // total_effect
+            if total_effect > 0
+            else None
+        )
+        out.append((c, b, w0, eff, share))
+    return spark.createDataFrame(
+        out,
+        "channel string, base_conv_ppm long, conv_without_ppm long,"
+        " removal_effect_ppm long, attribution_ppm long",
+    ).orderBy("channel")

@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_winsorized_price": ST.trimmed_winsorized_price,
         "containment_pairs": dedup.containment_pairs,
         "epoch_shuffle_plan": chunking.epoch_shuffle_plan,
+        "markov_attribution": markov.markov_attribution,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2008,6 +2009,7 @@ FROM top
         "trimmed_winsorized_price": _trimmed_winsor_oracle(),
         "containment_pairs": _containment_oracle(),
         "epoch_shuffle_plan": _epoch_shuffle_oracle(),
+        "markov_attribution": _markov_attr_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7240,4 +7242,90 @@ SELECT epoch,
   CAST(sum(tokens) OVER (PARTITION BY epoch ORDER BY h, shard_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
 FROM fan ORDER BY epoch, pos
+"""
+
+
+def _markov_attr_oracle(n_iter: int = 15) -> str:
+    """Removal-effect attribution twin: identical journey transition
+    extraction, then the identical BIGINT absorption fold unrolled as
+    chained CTEs — one chain for the base and one per removed
+    channel (the _markov_stationary_oracle shape). Channel list is
+    the testdata event-type vocabulary minus 'purchase'; the Spark
+    side derives the same set from the observed transitions."""
+    channels = ["click", "error", "signup", "view"]
+    froms = ", ".join(f"'{s}'" for s in ["START", *channels])
+    sql = f"""
+WITH seq AS (
+  SELECT event_type AS t,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+  FROM events
+),
+edges AS (
+  SELECT 'START' AS from_state,
+    CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS to_state
+  FROM seq WHERE prev_t IS NULL OR prev_t = 'purchase'
+  UNION ALL
+  SELECT t AS from_state,
+    CASE WHEN next_t IS NULL THEN 'NULL'
+         WHEN next_t = 'purchase' THEN 'CONV'
+         ELSE next_t END AS to_state
+  FROM seq WHERE t <> 'purchase'
+),
+counts AS (SELECT from_state, to_state, count(*) AS n FROM edges GROUP BY 1, 2),
+tot AS (SELECT from_state, sum(n) AS c_x FROM counts GROUP BY 1),
+tr AS MATERIALIZED (
+  SELECT c.from_state, c.to_state,
+    CAST({_ppm_sql('c.n', 't.c_x')} AS BIGINT) AS p_ppm
+  FROM counts c JOIN tot t ON c.from_state = t.from_state
+),
+froms AS (SELECT unnest([{froms}]) AS s),
+v_base_0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM froms)"""
+    variants = [("base", None)] + [(c, c) for c in channels]
+    for tag, removed in variants:
+        if tag != "base":
+            sql += f""",
+v_{tag}_0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM froms)"""
+        guard = "" if removed is None else f" AND tr.to_state <> '{removed}'"
+        for i in range(1, n_iter + 1):
+            # MATERIALIZED per iteration (the stationary-oracle
+            # lesson): inlined, DuckDB's optimizer walks a ~300-join
+            # inlined plan and planning time explodes (>120 s)
+            sql += f""",
+v_{tag}_{i} AS MATERIALIZED (
+  SELECT f.s,
+    CAST((coalesce(cv.p_ppm, 0) * 1000000 + coalesce(agg.acc, 0)) // 1000000
+      AS BIGINT) AS v
+  FROM froms f
+  LEFT JOIN tr cv ON cv.from_state = f.s AND cv.to_state = 'CONV'
+  LEFT JOIN (
+    SELECT tr.from_state, sum(tr.p_ppm * pv.v) AS acc
+    FROM tr JOIN v_{tag}_{i - 1} pv ON tr.to_state = pv.s
+    WHERE tr.to_state NOT IN ('CONV', 'NULL'){guard}
+    GROUP BY 1
+  ) agg ON agg.from_state = f.s
+)"""
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS channel,"
+        f" (SELECT v FROM v_{c}_{n_iter} WHERE s = 'START') AS conv_without"
+        for c in channels
+    )
+    share = _ppm_sql("effect", "(SELECT te FROM tot_eff)")
+    return sql + f""",
+base_v AS (SELECT v FROM v_base_{n_iter} WHERE s = 'START'),
+variants AS (
+{unions}
+),
+eff AS (
+  SELECT channel, (SELECT v FROM base_v) AS base_conv, conv_without,
+    (SELECT v FROM base_v) - conv_without AS effect
+  FROM variants
+),
+tot_eff AS (SELECT sum(effect) AS te FROM eff)
+SELECT channel, CAST(base_conv AS BIGINT) AS base_conv_ppm,
+  CAST(conv_without AS BIGINT) AS conv_without_ppm,
+  CAST(effect AS BIGINT) AS removal_effect_ppm,
+  CASE WHEN (SELECT te FROM tot_eff) > 0
+       THEN CAST({share} AS BIGINT) END AS attribution_ppm
+FROM eff ORDER BY channel
 """

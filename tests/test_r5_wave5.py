@@ -314,3 +314,87 @@ def test_epoch_shuffle_plan_properties(spark):
     # reproducible
     again = epoch_shuffle_plan(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal can only reduce conversion (monotone under the
+    identical truncating fold), shares normalize, and the absorption
+    fold recomputed independently in Python from the operator's own
+    transition table matches."""
+    from github_issues_lakehouse_spark.operators.markov import (
+        _absorption_ppm,
+        _journey_transition_counts,
+        markov_attribution,
+    )
+
+    rows = markov_attribution(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    base = rows[0].base_conv_ppm
+    tot = 0
+    for r in rows:
+        assert r.base_conv_ppm == base
+        assert 0 <= r.conv_without_ppm <= base <= 1_000_000
+        assert r.removal_effect_ppm == base - r.conv_without_ppm
+        tot += r.attribution_ppm
+    # floor-ppm shares: sum within len(rows) ulps of 1e6
+    assert 1_000_000 - 3 * len(rows) <= tot <= 1_000_000
+
+    counts = {
+        (r.from_state, r.to_state): r.n
+        for r in _journey_transition_counts(spark, SF_DIR).collect()
+    }
+    totals = {}
+    for (f, _), n in counts.items():
+        totals[f] = totals.get(f, 0) + n
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    p = {k: ppm(n, totals[k[0]]) for k, n in counts.items()}
+    channels = sorted({f for f, _ in p if f != "START"})
+    froms = ["START", *channels]
+    assert _absorption_ppm(p, froms, channels, None, 15)["START"] == base
+    for r in rows:
+        v = _absorption_ppm(p, froms, channels, r.channel, 15)["START"]
+        assert v == r.conv_without_ppm
+
+
+def test_markov_journey_semantics(spark, tmp_path):
+    """Planted journeys: u1 view->purchase then click (new journey to
+    NULL); u2 view->view no purchase. Exact transition counts."""
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.markov import (
+        _journey_transition_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, t0, "view", 1.0, "{}"),
+        (2, 100, t0 + datetime.timedelta(minutes=1), "purchase", 5.0, "{}"),
+        (3, 100, t0 + datetime.timedelta(minutes=2), "click", 1.0, "{}"),
+        (4, 200, t0, "view", 1.0, "{}"),
+        (5, 200, t0 + datetime.timedelta(minutes=1), "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        (r.from_state, r.to_state): r.n
+        for r in _journey_transition_counts(spark, sf).collect()
+    }
+    assert got == {
+        ("START", "view"): 2,  # u1 j1, u2
+        ("view", "CONV"): 1,  # u1 converts
+        ("START", "click"): 1,  # u1 journey 2 starts after purchase
+        ("click", "NULL"): 1,  # and dies
+        ("view", "view"): 1,  # u2
+        ("view", "NULL"): 1,  # u2 last event
+    }
