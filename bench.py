@@ -223,6 +223,7 @@ HEADLINE = [
     "containment_pairs",
     "epoch_shuffle_plan",
     "markov_attribution",
+    "bot_regularity_flags",
 ]
 
 

@@ -800,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": dedup.containment_pairs,
         "epoch_shuffle_plan": chunking.epoch_shuffle_plan,
         "markov_attribution": markov.markov_attribution,
+        "bot_regularity_flags": timeseries.bot_regularity_flags,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2010,6 +2011,7 @@ FROM top
         "containment_pairs": _containment_oracle(),
         "epoch_shuffle_plan": _epoch_shuffle_oracle(),
         "markov_attribution": _markov_attr_oracle(),
+        "bot_regularity_flags": _bot_regularity_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7328,4 +7330,40 @@ SELECT channel, CAST(base_conv AS BIGINT) AS base_conv_ppm,
   CASE WHEN (SELECT te FROM tot_eff) > 0
        THEN CAST({share} AS BIGINT) END AS attribution_ppm
 FROM eff ORDER BY channel
+"""
+
+
+def _bot_regularity_oracle(max_cv2_e6: int = 100_000, min_gaps: int = 5) -> str:
+    """Bot-regularity twin: identical whole-second gaps, DECIMAL
+    moments, HUGEINT floor division for cv^2 (DuckDB DECIMAL `//`
+    rounds — the trimmed_winsorized trap)."""
+    return f"""
+WITH g AS (
+  SELECT user_id,
+    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+  FROM events
+),
+mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+    CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * CAST(gap_us AS DECIMAL(38,0)))
+      AS DECIMAL(38,0)) AS s2
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT user_id, n AS n_gaps,
+    CAST(CAST(s1 AS HUGEINT) // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+      AS mean_gap_s,
+    CAST(CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) * 1000000 AS HUGEINT)
+      // CAST(s1 * s1 AS HUGEINT) AS BIGINT) AS cv2_e6
+  FROM mom WHERE n >= {min_gaps} AND s1 > 0
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cv2_e6, user_id) AS rk, *
+  FROM scored
+)
+SELECT CAST(rk AS BIGINT) AS rk, user_id, n_gaps, mean_gap_s, cv2_e6,
+  (cv2_e6 < {max_cv2_e6}) AS flagged
+FROM ranked WHERE rk <= 25 ORDER BY rk
 """

@@ -398,3 +398,68 @@ def test_markov_journey_semantics(spark, tmp_path):
         ("view", "view"): 1,  # u2
         ("view", "NULL"): 1,  # u2 last event
     }
+
+
+def test_bot_regularity_planted_bot(spark, tmp_path):
+    """A planted metronomic user (exact 60 s gaps) ranks first with
+    cv2 == 0 and flagged; a bursty human is not flagged."""
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        bot_regularity_flags,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(10):  # bot: exactly 60s apart
+        rows.append((eid, 1, t0 + datetime.timedelta(seconds=60 * i), "view", 1.0, "{}"))
+        eid += 1
+    human_offsets = [0, 7, 9, 300, 305, 2000, 2004, 9000, 9100, 20000]
+    for off in human_offsets:
+        rows.append((eid, 2, t0 + datetime.timedelta(seconds=off), "view", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = bot_regularity_flags(spark, sf).collect()
+    assert got[0].user_id == 1
+    assert got[0].cv2_e6 == 0
+    assert got[0].flagged is True
+    assert got[0].mean_gap_s == 60
+    human = [r for r in got if r.user_id == 2][0]
+    assert human.flagged is False
+    assert human.cv2_e6 > 1_000_000  # burstier than exponential
+
+
+def test_bot_regularity_recompute(spark):
+    """Moment algebra recomputed from raw micros for the top row."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        bot_regularity_flags,
+    )
+
+    top = bot_regularity_flags(spark, SF_DIR).collect()
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id"]).to_pydict()
+    ev = collections.defaultdict(list)
+    for u, ts, eid in zip(t["user_id"], t["ts"], t["event_id"]):
+        us = int(ts.timestamp() * 1_000_000) if hasattr(ts, "timestamp") else int(ts)
+        ev[u].append((us, eid))
+    for row in top[:3]:
+        xs = sorted(ev[row.user_id])
+        gaps = [b[0] - a[0] for a, b in zip(xs, xs[1:])]
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        assert row.n_gaps == n
+        assert row.mean_gap_s == s1 // (n * 1_000_000)
+        assert row.cv2_e6 == (n * s2 - s1 * s1) * 1_000_000 // (s1 * s1)
