@@ -224,6 +224,7 @@ HEADLINE = [
     "epoch_shuffle_plan",
     "markov_attribution",
     "bot_regularity_flags",
+    "rake_keyphrases",
 ]
 
 

@@ -11,7 +11,7 @@ oracle reproduces bucket ids bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import norm_tokens
@@ -553,4 +553,100 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({_ppm('n_common', 'least(n_a, n_b)')} AS BIGINT) AS overlap_ppm",
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+def rake_keyphrases(
+    spark: SparkSession,
+    sf_dir: str,
+    max_phrase_len: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """C128 (r5): RAKE keyphrase extraction (Rose et al. 2010,
+    public) per source — candidate phrases are maximal stopword-free
+    token runs (capped at ``max_phrase_len``), each scored by the
+    corpus-level RAKE word metric sum(deg(w)/freq(w)): deg counts a
+    word's co-occurrence mass inside candidate phrases, freq its
+    occurrences, so words that live in LONG informative phrases
+    outscore words that appear alone. The unsupervised what-is-this-
+    feed-about summary a corpus triage dashboard shows per source.
+
+    Exact integers: word scores are ppm(deg, freq) (deg >= freq so
+    >= 1e6), a phrase's score is the BIGINT sum over its words —
+    identical across occurrences of the same phrase by construction.
+    Top-k per source by (score desc, phrase asc) behind a map-side
+    `partial_topk` prune.
+
+    Plan/scale: one tokenize scan; the stopword-run split is a
+    per-doc window cumsum (the sessionize shape); phrase assembly is
+    a bounded collect_list (<= max_phrase_len after the filter);
+    word stats are a vocabulary-grain aggregate joined back onto
+    phrase members (AQE broadcasts the small side). No all-pairs, no
+    driver loop.
+    """
+    from ..functions.exact import ppm_expr as _ppm_e
+    from ..functions.textfns import STOPWORDS_EN, norm_tokens
+    from .scale import partial_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = d.withColumn(
+        "phrase_id",
+        F.sum(F.when(F.col("tok").isin(STOPWORDS_EN), 1).otherwise(0)).over(w),
+    ).filter(~F.col("tok").isin(STOPWORDS_EN) & (F.col("tok") != ""))
+    phrases = (
+        marked.groupBy("source", "doc_id", "phrase_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias("arr"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_phrase_len)
+        .withColumn(
+            "phrase", F.array_join(F.expr("transform(arr, x -> x.tok)"), " ")
+        )
+    )
+    members = phrases.select(
+        "source",
+        "doc_id",
+        "phrase_id",
+        "phrase",
+        "n_words",
+        F.explode(F.expr("transform(arr, x -> x.tok)")).alias("w"),
+    )
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    occ = (
+        members.join(wstats, "w")
+        .groupBy("source", "doc_id", "phrase_id", "phrase")
+        .agg(
+            F.sum(F.expr(_ppm_e("deg", "freq"))).cast("long").alias("score_e6")
+        )
+    )
+    agg = occ.groupBy("source", "phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.max("score_e6").alias("score_e6"),
+    )
+    pruned = partial_topk(agg, ["source"], "score_e6", "phrase", top_k)
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score_e6").desc(), F.col("phrase").asc()
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "phrase",
+            "n_occ",
+            "score_e6",
+        )
+        .orderBy("source", "rk")
     )

@@ -801,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_plan": chunking.epoch_shuffle_plan,
         "markov_attribution": markov.markov_attribution,
         "bot_regularity_flags": timeseries.bot_regularity_flags,
+        "rake_keyphrases": text6.rake_keyphrases,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2012,6 +2013,7 @@ FROM top
         "epoch_shuffle_plan": _epoch_shuffle_oracle(),
         "markov_attribution": _markov_attr_oracle(),
         "bot_regularity_flags": _bot_regularity_oracle(),
+        "rake_keyphrases": _rake_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7366,4 +7368,64 @@ ranked AS (
 SELECT CAST(rk AS BIGINT) AS rk, user_id, n_gaps, mean_gap_s, cv2_e6,
   (cv2_e6 < {max_cv2_e6}) AS flagged
 FROM ranked WHERE rk <= 25 ORDER BY rk
+"""
+
+
+def _rake_oracle(max_phrase_len: int = 3, top_k: int = 10) -> str:
+    """RAKE twin: identical stopword-run phrase split (positional
+    unnest via generate_subscripts), corpus-level deg/freq word
+    stats, ppm word scores summed per phrase."""
+    from .functions.textfns import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    score = _ppm_sql("s.deg", "s.freq")
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT source, doc_id, {_norm_toks_sql()} AS arr FROM documents)
+),
+marked AS (
+  SELECT source, doc_id, tok, pos,
+    sum(CASE WHEN list_contains([{stop}], tok) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks
+),
+words AS (
+  SELECT * FROM marked WHERE NOT list_contains([{stop}], tok) AND tok <> ''
+),
+phr AS (
+  SELECT source, doc_id, phrase_id,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase, count(*) AS n_words
+  FROM words GROUP BY 1, 2, 3
+  HAVING count(*) <= {max_phrase_len}
+),
+members AS (
+  SELECT w.source, w.doc_id, w.phrase_id, p.phrase, p.n_words, w.tok AS w
+  FROM words w
+  JOIN phr p ON w.source = p.source AND w.doc_id = p.doc_id
+    AND w.phrase_id = p.phrase_id
+),
+wstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(n_words) AS BIGINT) AS deg
+  FROM members GROUP BY 1
+),
+occ AS (
+  SELECT m.source, m.doc_id, m.phrase_id, m.phrase,
+    CAST(sum({score}) AS BIGINT) AS score_e6
+  FROM members m JOIN wstats s ON m.w = s.w
+  GROUP BY 1, 2, 3, 4
+),
+agg AS (
+  SELECT source, phrase, CAST(count(*) AS BIGINT) AS n_occ,
+    CAST(max(score_e6) AS BIGINT) AS score_e6
+  FROM occ GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, phrase, n_occ, score_e6,
+    row_number() OVER (PARTITION BY source
+      ORDER BY score_e6 DESC, phrase ASC) AS rk
+  FROM agg
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ, score_e6
+FROM ranked WHERE rk <= {top_k} ORDER BY source, rk
 """

@@ -463,3 +463,50 @@ def test_bot_regularity_recompute(spark):
         assert row.n_gaps == n
         assert row.mean_gap_s == s1 // (n * 1_000_000)
         assert row.cv2_e6 == (n * s2 - s1 * s1) * 1_000_000 // (s1 * s1)
+
+
+def test_rake_planted_keyphrase(spark, tmp_path):
+    """A multiword phrase of co-occurring rare words outranks a
+    lone frequent word (the RAKE deg/freq point), and stopwords
+    never appear inside emitted phrases."""
+    from github_issues_lakehouse_spark.functions.textfns import STOPWORDS_EN
+    from github_issues_lakehouse_spark.operators.text6 import rake_keyphrases
+
+    docs = []
+    for i in range(6):
+        docs.append(
+            (i, "s1", "deep neural network is the best and banana", 40)
+        )
+    docs.append((6, "s1", "banana banana banana", 20))
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = rake_keyphrases(spark, sf).collect()
+    assert rows[0].phrase == "deep neural network"
+    assert rows[0].n_occ == 6
+    # 3 words, each deg/freq = 3 -> 9e6 exactly
+    assert rows[0].score_e6 == 9_000_000
+    for r in rows:
+        for t in r.phrase.split(" "):
+            assert t not in STOPWORDS_EN
+        assert 1 <= len(r.phrase.split(" ")) <= 3
+
+
+def test_rake_corpus_invariants(spark):
+    from github_issues_lakehouse_spark.operators.text6 import rake_keyphrases
+
+    rows = rake_keyphrases(spark, SF_DIR).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_e6 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.score_e6 >= 1_000_000 for r in rs)  # deg >= freq
