@@ -225,6 +225,7 @@ HEADLINE = [
     "markov_attribution",
     "bot_regularity_flags",
     "rake_keyphrases",
+    "shapley_attribution",
 ]
 
 

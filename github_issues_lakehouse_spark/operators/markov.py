@@ -186,20 +186,30 @@ def _journey_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _absorption_ppm(
-    p: dict, froms: list[str], channels: list[str], removed: str | None, n_iter: int
+    p: dict,
+    froms: list[str],
+    channels: list[str],
+    removed: str | set | None,
+    n_iter: int,
 ) -> dict:
     """CONV-absorption probability per from-state in exact ppm by
     fixed-point iteration: v'(s) = p(s,CONV) + sum_c p(s,c)*v(c) DIV
-    1e6, with transitions into ``removed`` redirected to NULL (the
+    1e6, with transitions into ``removed`` (one channel or a set —
+    the Shapley coalition complement) redirected to NULL (the
     standard removal-effect surgery — no renormalization). Pure
     integer fold, bit-identical on both engines at every step."""
+    gone = (
+        set()
+        if removed is None
+        else ({removed} if isinstance(removed, str) else set(removed))
+    )
     v = {s: 0 for s in froms}
     for _ in range(n_iter):
         new = {}
         for s in froms:
             acc = p.get((s, "CONV"), 0) * 1_000_000
             for c in channels:
-                if c == removed:
+                if c in gone:
                     continue
                 acc += p.get((s, c), 0) * v[c]
             new[s] = acc // 1_000_000
@@ -270,4 +280,91 @@ def markov_attribution(
         out,
         "channel string, base_conv_ppm long, conv_without_ppm long,"
         " removal_effect_ppm long, attribution_ppm long",
+    ).orderBy("channel")
+
+
+def shapley_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = 15,
+) -> DataFrame:
+    """B125 (r5): EXACT Shapley-value conversion attribution over the
+    journey chain — the game-theoretic axiom-fair split (efficiency,
+    symmetry, dummy) that the removal-effect heuristic
+    (`markov_attribution`) approximates: channel c's credit averages
+    its marginal conversion lift v(S ∪ c) − v(S) over every coalition
+    S of the other channels, weighted |S|!(k−1−|S|)!/k!.
+
+    Exact BY exhaustion, not sampling: v(S) is the CONV-absorption of
+    the chain with every channel OUTSIDE S redirected to NULL — the
+    same truncating BIGINT fold as markov_attribution — evaluated for
+    ALL 2^k coalitions. k is the event-type vocabulary (single
+    digits, bounded by schema not data), so 2^k chains on the ONE
+    collected k x k ppm matrix is driver-trivial; the corpus-scale
+    work remains the single LAG/LEAD journey pass. Weights stay
+    rational: phi is accumulated in e6 * k! units (integer factorial
+    weights) and divided once by k! with floor DIV.
+
+    Output per channel: v({c}) alone-conversion, phi in ppm-of-
+    conversion units, and the efficiency residual check column
+    (sum phi_e6k over channels == v(ALL)*k! - v(EMPTY)*k! exactly by
+    the Shapley identity — emitted as its own per-row constant so
+    the driver hash pins it).
+    """
+    from itertools import combinations
+    from math import factorial
+
+    counts = _journey_transition_counts(spark, sf_dir)
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("c_x"))
+    rows = (
+        counts.join(totals, "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.expr(_ppm("n", "c_x")).cast("long").alias("p_ppm"),
+        )
+        .collect()
+    )
+    p = {(r.from_state, r.to_state): r.p_ppm for r in rows}
+    channels = sorted(
+        {f for f, _ in p if f != "START"}
+        | {t for _, t in p if t not in ("CONV", "NULL")}
+    )
+    froms = ["START", *channels]
+    k = len(channels)
+    kfact = factorial(k)
+    # v(S) for every coalition S (key: frozenset)
+    v = {}
+    for r in range(k + 1):
+        for S in combinations(channels, r):
+            gone = set(channels) - set(S)
+            v[frozenset(S)] = _absorption_ppm(p, froms, channels, gone, n_iter)[
+                "START"
+            ]
+    phi_e6k = {}
+    for c in channels:
+        acc = 0
+        others = [x for x in channels if x != c]
+        for r in range(k):
+            w = factorial(r) * factorial(k - 1 - r)
+            for S in combinations(others, r):
+                fs = frozenset(S)
+                acc += w * (v[fs | {c}] - v[fs])
+        phi_e6k[c] = acc
+    grand = (v[frozenset(channels)] - v[frozenset()]) * kfact
+    assert sum(phi_e6k.values()) == grand  # Shapley efficiency, exact
+    out = [
+        (
+            c,
+            v[frozenset({c})],
+            phi_e6k[c] // kfact,
+            v[frozenset(channels)],
+            grand // kfact,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, alone_conv_ppm long, shapley_e6 long,"
+        " full_conv_ppm long, grand_e6 long",
     ).orderBy("channel")

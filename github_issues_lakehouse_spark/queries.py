@@ -802,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": markov.markov_attribution,
         "bot_regularity_flags": timeseries.bot_regularity_flags,
         "rake_keyphrases": text6.rake_keyphrases,
+        "shapley_attribution": markov.shapley_attribution,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2014,6 +2015,7 @@ FROM top
         "markov_attribution": _markov_attr_oracle(),
         "bot_regularity_flags": _bot_regularity_oracle(),
         "rake_keyphrases": _rake_oracle(),
+        "shapley_attribution": _shapley_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7429,3 +7431,110 @@ ranked AS (
 SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ, score_e6
 FROM ranked WHERE rk <= {top_k} ORDER BY source, rk
 """
+
+
+def _shapley_oracle(n_iter: int = 15) -> str:
+    """Shapley twin: the identical journey matrix and truncating
+    absorption fold unrolled per coalition (2^k MATERIALIZED chains),
+    then the exact factorial-weighted marginal sum assembled from the
+    16 scalar coalition values. k! division is one floor DIV."""
+    from itertools import combinations
+    from math import factorial
+
+    channels = ["click", "error", "signup", "view"]
+    k = len(channels)
+    kfact = factorial(k)
+    froms = ", ".join(f"'{s}'" for s in ["START", *channels])
+    sql = f"""
+WITH seq AS (
+  SELECT event_type AS t,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+  FROM events
+),
+edges AS (
+  SELECT 'START' AS from_state,
+    CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS to_state
+  FROM seq WHERE prev_t IS NULL OR prev_t = 'purchase'
+  UNION ALL
+  SELECT t AS from_state,
+    CASE WHEN next_t IS NULL THEN 'NULL'
+         WHEN next_t = 'purchase' THEN 'CONV'
+         ELSE next_t END AS to_state
+  FROM seq WHERE t <> 'purchase'
+),
+counts AS (SELECT from_state, to_state, count(*) AS n FROM edges GROUP BY 1, 2),
+tot AS (SELECT from_state, sum(n) AS c_x FROM counts GROUP BY 1),
+tr AS MATERIALIZED (
+  SELECT c.from_state, c.to_state,
+    CAST({_ppm_sql('c.n', 't.c_x')} AS BIGINT) AS p_ppm
+  FROM counts c JOIN tot t ON c.from_state = t.from_state
+),
+froms AS (SELECT unnest([{froms}]) AS s)"""
+
+    def tag(S):
+        return "v" + "".join("1" if c in S else "0" for c in channels)
+
+    subsets = [
+        frozenset(S)
+        for r in range(k + 1)
+        for S in combinations(channels, r)
+    ]
+    for S in subsets:
+        t = tag(S)
+        gone = [c for c in channels if c not in S]
+        guard = (
+            ""
+            if not gone
+            else " AND tr.to_state NOT IN ("
+            + ", ".join(f"'{c}'" for c in gone)
+            + ")"
+        )
+        sql += f""",
+{t}_0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM froms)"""
+        for i in range(1, n_iter + 1):
+            sql += f""",
+{t}_{i} AS MATERIALIZED (
+  SELECT f.s,
+    CAST((coalesce(cv.p_ppm, 0) * 1000000 + coalesce(agg.acc, 0)) // 1000000
+      AS BIGINT) AS v
+  FROM froms f
+  LEFT JOIN tr cv ON cv.from_state = f.s AND cv.to_state = 'CONV'
+  LEFT JOIN (
+    SELECT tr.from_state, sum(tr.p_ppm * pv.v) AS acc
+    FROM tr JOIN {t}_{i - 1} pv ON tr.to_state = pv.s
+    WHERE tr.to_state NOT IN ('CONV', 'NULL'){guard}
+    GROUP BY 1
+  ) agg ON agg.from_state = f.s
+)"""
+    sql += ",\nvals AS (\n" + "\n  UNION ALL\n".join(
+        f"  SELECT '{tag(S)}' AS coal,"
+        f" (SELECT v FROM {tag(S)}_{n_iter} WHERE s = 'START') AS v"
+        for S in subsets
+    ) + "\n)"
+    selects = []
+    full = tag(frozenset(channels))
+    for c in channels:
+        terms = []
+        others = [x for x in channels if x != c]
+        for r in range(k):
+            w = factorial(r) * factorial(k - 1 - r)
+            for S in combinations(others, r):
+                fs = frozenset(S)
+                terms.append(
+                    f"{w} * ((SELECT v FROM vals WHERE coal = '{tag(fs | {c})}')"
+                    f" - (SELECT v FROM vals WHERE coal = '{tag(fs)}'))"
+                )
+        alone = tag(frozenset({c}))
+        selects.append(
+            f"SELECT '{c}' AS channel,\n"
+            f"  CAST((SELECT v FROM vals WHERE coal = '{alone}') AS BIGINT)"
+            f" AS alone_conv_ppm,\n"
+            f"  CAST(({' + '.join(terms)}) // {kfact} AS BIGINT) AS shapley_e6,\n"
+            f"  CAST((SELECT v FROM vals WHERE coal = '{full}') AS BIGINT)"
+            f" AS full_conv_ppm,\n"
+            f"  CAST((((SELECT v FROM vals WHERE coal = '{full}')"
+            f" - (SELECT v FROM vals WHERE coal = '{tag(frozenset())}'))"
+            f" * {kfact}) // {kfact} AS BIGINT) AS grand_e6"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY channel\n"

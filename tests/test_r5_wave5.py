@@ -510,3 +510,57 @@ def test_rake_corpus_invariants(spark):
         scores = [r.score_e6 for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(r.score_e6 >= 1_000_000 for r in rs)  # deg >= freq
+
+
+def test_shapley_axioms(spark):
+    """Efficiency (sum phi == grand coalition lift, within the one
+    floor-DIV each), dominance vs alone-value bounds, and agreement
+    with a direct from-scratch Shapley recompute over the operator's
+    own coalition values."""
+    from itertools import combinations
+    from math import factorial
+
+    from github_issues_lakehouse_spark.operators.markov import (
+        _absorption_ppm,
+        _journey_transition_counts,
+        shapley_attribution,
+    )
+
+    rows = shapley_attribution(spark, SF_DIR).collect()
+    channels = [r.channel for r in rows]
+    k = len(channels)
+    grand = rows[0].grand_e6
+    tot_phi = sum(r.shapley_e6 for r in rows)
+    # each phi floors once by k!: total within k ulps of the grand lift
+    assert grand - k <= tot_phi <= grand
+
+    counts = {
+        (r.from_state, r.to_state): r.n
+        for r in _journey_transition_counts(spark, SF_DIR).collect()
+    }
+    totals = {}
+    for (f, _), n in counts.items():
+        totals[f] = totals.get(f, 0) + n
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    p = {kk: ppm(n, totals[kk[0]]) for kk, n in counts.items()}
+    froms = ["START", *channels]
+    v = {}
+    for r in range(k + 1):
+        for S in combinations(channels, r):
+            gone = set(channels) - set(S)
+            v[frozenset(S)] = _absorption_ppm(p, froms, channels, gone, 15)["START"]
+    for row in rows:
+        assert row.alone_conv_ppm == v[frozenset({row.channel})]
+        assert row.full_conv_ppm == v[frozenset(channels)]
+        acc = 0
+        others = [x for x in channels if x != row.channel]
+        for r in range(k):
+            w = factorial(r) * factorial(k - 1 - r)
+            for S in combinations(others, r):
+                fs = frozenset(S)
+                acc += w * (v[fs | {row.channel}] - v[fs])
+        assert row.shapley_e6 == acc // factorial(k)
+        assert row.shapley_e6 >= 0
