@@ -226,6 +226,7 @@ HEADLINE = [
     "bot_regularity_flags",
     "rake_keyphrases",
     "shapley_attribution",
+    "incremental_mart_rebuild",
 ]
 
 

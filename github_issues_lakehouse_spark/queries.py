@@ -803,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_regularity_flags": timeseries.bot_regularity_flags,
         "rake_keyphrases": text6.rake_keyphrases,
         "shapley_attribution": markov.shapley_attribution,
+        "incremental_mart_rebuild": scale.incremental_mart_rebuild,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2016,6 +2017,7 @@ FROM top
         "bot_regularity_flags": _bot_regularity_oracle(),
         "rake_keyphrases": _rake_oracle(),
         "shapley_attribution": _shapley_oracle(),
+        "incremental_mart_rebuild": _incremental_mart_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7538,3 +7540,26 @@ froms AS (SELECT unnest([{froms}]) AS s)"""
             f" * {kfact}) // {kfact} AS BIGINT) AS grand_e6"
         )
     return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY channel\n"
+
+
+def _incremental_mart_oracle() -> str:
+    """Incremental-maintenance twin BY FULL REBUILD: reconstruct the
+    deterministic second snapshot (the A7 rules) and aggregate it
+    directly — hash equality against Spark's v1-mart + CDC-delta
+    apply IS the incremental == recompute proof."""
+    return """
+WITH v2 AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 10.0, 2)
+         ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM v2 GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket
+"""

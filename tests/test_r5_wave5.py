@@ -564,3 +564,43 @@ def test_shapley_axioms(spark):
                 acc += w * (v[fs | {row.channel}] - v[fs])
         assert row.shapley_e6 == acc // factorial(k)
         assert row.shapley_e6 >= 0
+
+
+def test_incremental_mart_equals_full_rebuild(spark):
+    """The operator applies only the CDC delta; this recomputes the
+    v2 mart from scratch in Spark (independent of the DuckDB oracle)
+    and checks exact equality."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.scale import (
+        incremental_mart_rebuild,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    got = {
+        r.bucket: (r.n_orders, r.revenue_cents)
+        for r in incremental_mart_rebuild(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    surv = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 10.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    v2 = surv.unionByName(ins)
+    want = {
+        r.bucket: (r.n, r.cents)
+        for r in v2.groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
