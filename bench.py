@@ -227,6 +227,7 @@ HEADLINE = [
     "rake_keyphrases",
     "shapley_attribution",
     "incremental_mart_rebuild",
+    "functional_dependency_audit",
 ]
 
 

