@@ -228,6 +228,7 @@ HEADLINE = [
     "shapley_attribution",
     "incremental_mart_rebuild",
     "functional_dependency_audit",
+    "pq_codebook_stats",
 ]
 
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import norm, to_double
@@ -356,4 +356,101 @@ def pca_projection_outliers(
             r6(z).alias("z_score"),
             (F.abs(r6(z)) > z_cap).alias("is_outlier"),
         )
+    )
+
+
+def pq_codebook_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+) -> DataFrame:
+    """C129 (r5): product-quantization codebook build + assignment
+    audit (Jegou et al., PAMI 2011) — the third classic vector-index
+    compression beside scalar int8 (`quantize_embeddings`) and IVF
+    partitioning (`ann_ivf_topk`): split the 64-dim embedding into
+    ``n_sub`` 16-dim subspaces, give each subspace a
+    ``codes_per_sub``-entry codebook, assign every sub-vector to its
+    nearest codeword, and report the distortion a PQ index would pay.
+
+    Codebooks are md5-sampled corpus sub-vectors (bottom-k hash — the
+    reproducible no-RNG sampling discipline; a trained k-means
+    codebook drops in behind the same contract, this is the unbiased
+    baseline the training would have to beat). Components are frozen
+    to e6 integers, so every squared distance is an exact BIGINT
+    (bounded by 16 * (2e6)^2 ~ 6.4e13) and assignment ties break on
+    code id — the whole mart is hash-exact across engines.
+
+    Output per (subspace, code): vectors assigned, exact total
+    distortion (DECIMAL(38,0)-summed, BIGINT-emitted), and the
+    subspace totals repeated per row for one-subtraction reading.
+
+    Plan/scale: the tall (vec x subspace) frame is built by one
+    bounded explode (n_sub literals); codebooks are k rows per
+    subspace (window over md5 order); assignment is a broadcast join
+    against n_sub * codes_per_sub codewords + one argmin window — the
+    IVF assignment shape. No all-pairs, no driver fold.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(to_double(F.col("embedding")), lambda x: F.round(x * 1_000_000.0).cast("long"))
+    dim_per = 64 // n_sub
+    tall = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(v, s * dim_per + 1, dim_per).alias("sv"),
+                )
+                for s in range(n_sub)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("sub").cast("string")))
+    wcb = Window.partitionBy("sub").orderBy("h", "vec_id")
+    codebook = (
+        tall.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(wcb))
+        .filter(F.col("rk") <= codes_per_sub)
+        .select(
+            F.col("sub").alias("c_sub"),
+            (F.col("rk") - 1).cast("long").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        tall.join(F.broadcast(codebook), F.col("sub") == F.col("c_sub"))
+        .select("vec_id", "sub", "code", d2.alias("d2"))
+    )
+    wmin = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    best = assigned.withColumn("rn", F.row_number().over(wmin)).filter(
+        F.col("rn") == 1
+    )
+    D38 = "decimal(38,0)"
+    per_code = best.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum(F.col("d2").cast(D38)).cast(D38).cast("long").alias("distortion"),
+    )
+    per_sub = per_code.groupBy("sub").agg(
+        F.sum("n_assigned").cast("long").alias("sub_n"),
+        F.sum(F.col("distortion").cast(D38)).cast(D38).cast("long").alias("sub_distortion"),
+    )
+    return (
+        per_code.join(per_sub, "sub")
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            "code",
+            "n_assigned",
+            "distortion",
+            "sub_n",
+            "sub_distortion",
+        )
+        .orderBy("sub", "code")
     )

@@ -805,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_attribution": markov.shapley_attribution,
         "incremental_mart_rebuild": scale.incremental_mart_rebuild,
         "functional_dependency_audit": QC.functional_dependency_audit,
+        "pq_codebook_stats": V2.pq_codebook_stats,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2020,6 +2021,7 @@ FROM top
         "shapley_attribution": _shapley_oracle(),
         "incremental_mart_rebuild": _incremental_mart_oracle(),
         "functional_dependency_audit": _fd_audit_oracle(),
+        "pq_codebook_stats": _pq_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7593,3 +7595,59 @@ FROM (
         audit("lineitem", "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
     ]
     return "\nUNION ALL\n".join(parts) + "\nORDER BY rule\n"
+
+
+def _pq_oracle(n_sub: int = 4, codes_per_sub: int = 16) -> str:
+    """PQ twin: identical e6 freeze, md5 bottom-k codebooks per
+    subspace, exact BIGINT squared distances, argmin with code-id
+    tiebreak."""
+    dim_per = 64 // n_sub
+    subs = ", ".join(str(s) for s in range(n_sub))
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+tall AS (
+  SELECT vec_id, s.sub,
+    list_slice(v, s.sub * {dim_per} + 1, (s.sub + 1) * {dim_per}) AS sv
+  FROM base, (SELECT unnest([{subs}]) AS sub) s
+),
+cb AS (
+  SELECT sub AS c_sub, CAST(rk - 1 AS BIGINT) AS code, sv AS cv
+  FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)),
+               vec_id) AS rk
+    FROM tall
+  ) WHERE rk <= {codes_per_sub}
+),
+assigned AS (
+  SELECT t.vec_id, t.sub, cb.code,
+    CAST(list_sum(list_transform(range(1, {dim_per} + 1),
+      i -> (t.sv[i] - cb.cv[i]) * (t.sv[i] - cb.cv[i]))) AS BIGINT) AS d2
+  FROM tall t JOIN cb ON t.sub = cb.c_sub
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      ORDER BY d2 ASC, code ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+per_code AS (
+  SELECT sub, code, CAST(count(*) AS BIGINT) AS n_assigned,
+    CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS BIGINT) AS distortion
+  FROM best GROUP BY 1, 2
+),
+per_sub AS (
+  SELECT sub, CAST(sum(n_assigned) AS BIGINT) AS sub_n,
+    CAST(sum(CAST(distortion AS DECIMAL(38,0))) AS BIGINT) AS sub_distortion
+  FROM per_code GROUP BY 1
+)
+SELECT CAST(c.sub AS BIGINT) AS sub, c.code, c.n_assigned, c.distortion,
+  s.sub_n, s.sub_distortion
+FROM per_code c JOIN per_sub s ON c.sub = s.sub
+ORDER BY sub, code
+"""

@@ -646,3 +646,49 @@ def test_fd_audit_recompute_and_planted(spark, tmp_path):
         assert 0 <= r.bad_rows <= r.n_rows
         assert r.violating_groups <= r.n_groups
         assert (r.bad_rows == 0) == (r.violating_groups == 0)
+
+
+def test_pq_recompute_numpy(spark):
+    """Full PQ recompute in numpy from the raw embeddings: same md5
+    codebooks, nearest-code assignment with (d2, code) tiebreak,
+    exact distortion sums."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.vectors2 import pq_codebook_stats
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    vecs = np.round(
+        np.array(t["embedding"], dtype=np.float64) * 1_000_000.0
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    n_sub, dim_per, k = 4, 16, 16
+    got = {
+        (r.sub, r.code): r
+        for r in pq_codebook_stats(spark, SF_DIR).collect()
+    }
+    for sub in range(n_sub):
+        sv = vecs[:, sub * dim_per : (sub + 1) * dim_per]
+        hs = [
+            (hashlib.md5(f"{int(i)}:{sub}".encode()).hexdigest(), int(i))
+            for i in ids
+        ]
+        cb_ids = [i for _, i in sorted(hs)[:k]]
+        cb = np.stack([sv[np.where(ids == i)[0][0]] for i in cb_ids])
+        stats = {}
+        for row, i in zip(sv, ids):
+            d2s = ((cb - row) ** 2).sum(axis=1)
+            code = int(np.lexsort((np.arange(k), d2s))[0])
+            n, d = stats.get(code, (0, 0))
+            stats[code] = (n + 1, d + int(d2s[code]))
+        sub_n = sum(n for n, _ in stats.values())
+        sub_d = sum(d for _, d in stats.values())
+        assert {c for s, c in got if s == sub} == set(stats)
+        for code, (n, d) in stats.items():
+            r = got[(sub, code)]
+            assert (r.n_assigned, r.distortion) == (n, d)
+            assert (r.sub_n, r.sub_distortion) == (sub_n, sub_d)
