@@ -229,6 +229,7 @@ HEADLINE = [
     "incremental_mart_rebuild",
     "functional_dependency_audit",
     "pq_codebook_stats",
+    "pq_adc_recall",
 ]
 
 

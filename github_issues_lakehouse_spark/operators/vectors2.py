@@ -359,6 +359,71 @@ def pca_projection_outliers(
     )
 
 
+def _pq_sq_e6() -> F.Column:
+    """e6-frozen BIGINT component array of the embedding column."""
+    return F.transform(
+        to_double(F.col("embedding")), lambda x: F.round(x * 1_000_000.0).cast("long")
+    )
+
+
+def _pq_d2(a: str, b: str) -> F.Column:
+    """Exact BIGINT squared L2 between two frozen component arrays."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_frames(spark, sf_dir, n_sub: int, codes_per_sub: int):
+    """(tall sub-vector frame, md5-bottom-k codebook) shared by the
+    C129 distortion audit and the C130 ADC search tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _pq_sq_e6()
+    dim_per = 64 // n_sub
+    tall = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(v, s * dim_per + 1, dim_per).alias("sv"),
+                )
+                for s in range(n_sub)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("sub").cast("string")))
+    wcb = Window.partitionBy("sub").orderBy("h", "vec_id")
+    codebook = (
+        tall.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(wcb))
+        .filter(F.col("rk") <= codes_per_sub)
+        .select(
+            F.col("sub").alias("c_sub"),
+            (F.col("rk") - 1).cast("long").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    return tall, codebook
+
+
+def _pq_codes(tall: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-code assignment (vec_id, sub, code, d2) — exact BIGINT
+    distances, (d2, code) tiebreak."""
+    assigned = tall.join(
+        F.broadcast(codebook), F.col("sub") == F.col("c_sub")
+    ).select("vec_id", "sub", "code", _pq_d2("sv", "cv").alias("d2"))
+    wmin = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def pq_codebook_stats(
     spark: SparkSession,
     sf_dir: str,
@@ -391,48 +456,8 @@ def pq_codebook_stats(
     against n_sub * codes_per_sub codewords + one argmin window — the
     IVF assignment shape. No all-pairs, no driver fold.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(to_double(F.col("embedding")), lambda x: F.round(x * 1_000_000.0).cast("long"))
-    dim_per = 64 // n_sub
-    tall = e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice(v, s * dim_per + 1, dim_per).alias("sv"),
-                )
-                for s in range(n_sub)
-            ])
-        ).alias("x"),
-    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
-    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("sub").cast("string")))
-    wcb = Window.partitionBy("sub").orderBy("h", "vec_id")
-    codebook = (
-        tall.withColumn("h", h)
-        .withColumn("rk", F.row_number().over(wcb))
-        .filter(F.col("rk") <= codes_per_sub)
-        .select(
-            F.col("sub").alias("c_sub"),
-            (F.col("rk") - 1).cast("long").alias("code"),
-            F.col("sv").alias("cv"),
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        tall.join(F.broadcast(codebook), F.col("sub") == F.col("c_sub"))
-        .select("vec_id", "sub", "code", d2.alias("d2"))
-    )
-    wmin = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
-    best = assigned.withColumn("rn", F.row_number().over(wmin)).filter(
-        F.col("rn") == 1
-    )
+    tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
+    best = _pq_codes(tall, codebook)
     D38 = "decimal(38,0)"
     per_code = best.groupBy("sub", "code").agg(
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
@@ -453,4 +478,97 @@ def pq_codebook_stats(
             "sub_distortion",
         )
         .orderBy("sub", "code")
+    )
+
+
+def pq_adc_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+) -> DataFrame:
+    """C130 (r5): PQ asymmetric-distance (ADC) top-k search + recall
+    audit — turns the C129 codebooks into an actual index tier
+    (Jegou et al.'s ADC: the QUERY stays full precision, the database
+    is its 4 codes, distance = sum over subspaces of a precomputed
+    query-to-codeword lookup). Recall is audited against the EXACT
+    integer L2 top-k computed in the same frame, so the number
+    measures pure quantization loss — no float, no cross-metric
+    noise; everything is BIGINT-exact and hash-checkable.
+
+    Plan/scale — the reason PQ exists: per query the database cost is
+    a LUT join on (sub, code) over the CODES table (4 small ints per
+    vector, not 64 floats) + one sum; the LUT itself is n_queries x
+    n_sub x codes_per_sub rows (bounded, broadcast). The exact-truth
+    side is the brute-force audit (query-broadcast like C7) — at
+    scale you'd sample it; here the query set is the bound.
+
+    Output per query: n_hits, recall_ppm, adc_d2_sum (ADC distance
+    mass of its picks), true_d2_sum (exact mass of the true top-k) —
+    adc >= true with equality iff quantization cost nothing.
+    """
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
+    codes = _pq_codes(tall, codebook).select("vec_id", "sub", "code")
+    q_tall = tall.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("sub").alias("q_sub"), F.col("sv").alias("qv")
+    )
+    lut = q_tall.join(
+        F.broadcast(codebook), F.col("q_sub") == F.col("c_sub")
+    ).select(
+        "q_id",
+        F.col("q_sub").alias("sub"),
+        "code",
+        _pq_d2("qv", "cv").alias("lut_d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
+    )
+    from .scale import partial_topk
+
+    adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
+    wa = Window.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    adc_k = (
+        adc_top.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "adc_d2")
+    )
+    # exact integer truth on the full frozen vectors
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _pq_sq_e6().alias("fv"))
+    q_full = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("fv").alias("qfv")
+    )
+    exact = e.join(F.broadcast(q_full), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", _pq_d2("fv", "qfv").alias("true_d2")
+    )
+    exact_top = partial_topk(exact, ["q_id"], "true_d2", "vec_id", k, ascending=True)
+    we = Window.partitionBy("q_id").orderBy(F.col("true_d2").asc(), F.col("vec_id").asc())
+    truth_k = (
+        exact_top.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "true_d2")
+    )
+    hits = adc_k.join(truth_k.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+    per_q_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    adc_mass = adc_k.groupBy("q_id").agg(F.sum("adc_d2").cast("long").alias("adc_d2_sum"))
+    true_mass = truth_k.groupBy("q_id").agg(
+        F.sum("true_d2").cast("long").alias("true_d2_sum")
+    )
+    return (
+        true_mass.join(adc_mass, "q_id")
+        .join(per_q_hits, "q_id", "left")
+        .selectExpr(
+            "q_id",
+            "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
+            f"CAST({_ppm_e('coalesce(n_hits, 0)', str(k))} AS BIGINT) AS recall_ppm",
+            "adc_d2_sum",
+            "true_d2_sum",
+        )
+        .orderBy("q_id")
     )

