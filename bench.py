@@ -230,6 +230,7 @@ HEADLINE = [
     "functional_dependency_audit",
     "pq_codebook_stats",
     "pq_adc_recall",
+    "quality_rank_normalize",
 ]
 
 

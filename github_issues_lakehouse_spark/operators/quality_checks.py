@@ -20,7 +20,7 @@ downstream mart, so expectations are a first-class operator here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -544,3 +544,61 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(audit(df, rule, lhs, rhs))
     return out.orderBy("rule")
+
+
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C131 (r5): per-source quantile-transform table for the quality
+    score — raw quality scores are NOT comparable across sources (a
+    0.8 from a clean feed and a 0.8 from a noisy crawl mean different
+    things; C118 measures the drift, C125 the calibration), so
+    cross-source selection should threshold on the WITHIN-SOURCE rank
+    instead. This emits the decile map you broadcast to do that:
+    per (source, decile): doc count, the decile's raw-score
+    boundaries, and its mean raw score — i.e. the lookup that sends a
+    raw score to its source-relative quantile.
+
+    Exact: scores e6-frozen (the C118 discipline), decile =
+    min(midrank-free floor rank, 9) via value-grain cumulative counts
+    (2*cb + c midranks are unnecessary — the decile of a tied value
+    block is decided by its FIRST row, cum-before, so ties land in
+    one decile deterministically), bounds and means in exact BIGINT.
+
+    Plan/scale: one corpus scan to (source, q_e6) value grain, one
+    per-source window at value grain, 10 rows per source out.
+    """
+    from ..functions.textfns import quality_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.round(quality_score(F.col("text")) * 1_000_000).cast("long").alias("q_e6"),
+    )
+    vals = d.groupBy("source", "q_e6").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("source")
+        .orderBy("q_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = vals.groupBy("source").agg(F.sum("c").alias("n_src"))
+    cum = vals.withColumn(
+        "cb", F.coalesce(F.sum("c").over(wv), F.lit(0))
+    ).join(tot, "source")
+    # decile of the value block = decile of its first row (ties stay
+    # together); exact integer: floor(10 * cb / n) clamped to 9
+    dec = cum.withColumn(
+        "decile",
+        F.least(F.expr("CAST(10 * cb DIV n_src AS BIGINT)"), F.lit(9)).cast("long"),
+    )
+    D38 = "decimal(38,0)"
+    return (
+        dec.groupBy("source", "decile")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.min("q_e6").alias("q_lo_e6"),
+            F.max("q_e6").alias("q_hi_e6"),
+            F.expr(
+                "CAST(CAST(sum(CAST(q_e6 AS decimal(38,0)) * CAST(c AS decimal(38,0)))"
+                " AS decimal(38,0)) DIV CAST(sum(c) AS decimal(38,0)) AS BIGINT)"
+            ).alias("mean_q_e6"),
+        )
+        .orderBy("source", "decile")
+    )

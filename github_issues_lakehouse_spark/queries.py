@@ -807,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_dependency_audit": QC.functional_dependency_audit,
         "pq_codebook_stats": V2.pq_codebook_stats,
         "pq_adc_recall": V2.pq_adc_recall,
+        "quality_rank_normalize": QC.quality_rank_normalize,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2024,6 +2025,7 @@ FROM top
         "functional_dependency_audit": _fd_audit_oracle(),
         "pq_codebook_stats": _pq_oracle(),
         "pq_adc_recall": _pq_adc_oracle(),
+        "quality_rank_normalize": _rank_normalize_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7735,4 +7737,57 @@ SELECT tm.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   CAST({rec} AS BIGINT) AS recall_ppm, am.adc_d2_sum, tm.true_d2_sum
 FROM tm JOIN am ON tm.q_id = am.q_id LEFT JOIN h ON tm.q_id = h.q_id
 ORDER BY tm.q_id
+"""
+
+
+def _rank_normalize_oracle() -> str:
+    """Quantile-transform twin: identical e6 quality freeze (the
+    drift-oracle expression), value-grain cum-before deciles (tied
+    blocks land in one decile via their first row), exact BIGINT
+    bounds and mean."""
+    from .functions.textfns import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, text, {_norm_toks_sql()} AS toks FROM documents
+), feat AS (
+  SELECT source, doc_id,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    len(list_filter(toks, t -> list_contains([{stop}], t)))
+      / greatest(len(toks), 1) AS stopword_ratio,
+    1.0 - len(list_distinct(toks)) / greatest(len(toks), 1) AS repetition_ratio
+  FROM d
+), q AS (
+  SELECT source, doc_id,
+    CAST(round((
+      (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - repetition_ratio) * 0.3
+      + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
+    ) * 1000000) AS BIGINT) AS q_e6
+  FROM feat
+),
+vals AS (SELECT source, q_e6, count(*) AS c FROM q GROUP BY 1, 2),
+cum AS (
+  SELECT source, q_e6, c,
+    coalesce(sum(c) OVER (PARTITION BY source ORDER BY q_e6
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM vals
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM vals GROUP BY 1),
+dec AS (
+  SELECT cum.source, q_e6, c,
+    least(CAST(10 * cb // n_src AS BIGINT), 9) AS decile
+  FROM cum JOIN tot ON cum.source = tot.source
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+  CAST(sum(c) AS BIGINT) AS n_docs,
+  CAST(min(q_e6) AS BIGINT) AS q_lo_e6,
+  CAST(max(q_e6) AS BIGINT) AS q_hi_e6,
+  CAST(CAST(sum(CAST(q_e6 AS DECIMAL(38,0)) * c) AS HUGEINT)
+    // CAST(sum(c) AS HUGEINT) AS BIGINT) AS mean_q_e6
+FROM dec GROUP BY 1, 2 ORDER BY source, decile
 """

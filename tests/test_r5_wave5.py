@@ -749,3 +749,61 @@ def test_pq_adc_invariants(spark):
         assert r.adc_d2_sum == sum(d for d, _ in cand)
         assert r.true_d2_sum == sum(d for d, _ in truth)
         assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_rank_normalize_properties(spark):
+    """Decile populations partition each source ~uniformly (within
+    tie-block slack), boundaries are monotone non-overlapping, and
+    the decile map recomputed from the operator's own score input
+    matches."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.functions.textfns import quality_score
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        quality_rank_normalize,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    rows = quality_rank_normalize(spark, SF_DIR).collect()
+    scores = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "source",
+            F.round(quality_score(F.col("text")) * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        )
+        .collect()
+    )
+    import collections
+
+    per_src = collections.defaultdict(list)
+    for r in scores:
+        per_src[r.source].append(r.q)
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    assert set(by_src) == set(per_src)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.decile)
+        xs = sorted(per_src[src])
+        n = len(xs)
+        assert sum(r.n_docs for r in rs) == n
+        # recompute decile of each tied value block
+        want = collections.defaultdict(list)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and xs[j] == xs[i]:
+                j += 1
+            want[min(10 * i // n, 9)].extend(xs[i:j])
+            i = j
+        assert {r.decile for r in rs} == set(want)
+        for r in rs:
+            blk = want[r.decile]
+            assert r.n_docs == len(blk)
+            assert (r.q_lo_e6, r.q_hi_e6) == (min(blk), max(blk))
+            assert r.mean_q_e6 == sum(blk) // len(blk)
+        # non-overlapping, monotone boundaries
+        for a, b in zip(rs, rs[1:]):
+            assert a.q_hi_e6 < b.q_lo_e6
