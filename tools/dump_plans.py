@@ -159,6 +159,27 @@ KEYS = [
     "ivf_nprobe_recall_curve",
     "jaccard_threshold_sweep",
     "time_to_conversion",
+    # round 5 closing wave
+    "mmr_diverse_topk",
+    "detector_kappa",
+    "hll_union_overlap",
+    "theil_sen_trend",
+    "ann_ndcg_at_k",
+    "mann_whitney_price",
+    "spearman_daily_trend",
+    "classifier_calibration",
+    "trimmed_winsorized_price",
+    "containment_pairs",
+    "epoch_shuffle_plan",
+    "markov_attribution",
+    "bot_regularity_flags",
+    "rake_keyphrases",
+    "shapley_attribution",
+    "incremental_mart_rebuild",
+    "functional_dependency_audit",
+    "pq_codebook_stats",
+    "pq_adc_recall",
+    "quality_rank_normalize",
 ]
 
 
