@@ -231,6 +231,7 @@ HEADLINE = [
     "pq_codebook_stats",
     "pq_adc_recall",
     "quality_rank_normalize",
+    "order_total_reconciliation",
 ]
 
 

@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebook_stats": V2.pq_codebook_stats,
         "pq_adc_recall": V2.pq_adc_recall,
         "quality_rank_normalize": QC.quality_rank_normalize,
+        "order_total_reconciliation": QC.order_total_reconciliation,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2026,6 +2027,7 @@ FROM top
         "pq_codebook_stats": _pq_oracle(),
         "pq_adc_recall": _pq_adc_oracle(),
         "quality_rank_normalize": _rank_normalize_oracle(),
+        "order_total_reconciliation": _order_reconciliation_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7790,4 +7792,46 @@ SELECT source, CAST(decile AS BIGINT) AS decile,
   CAST(CAST(sum(CAST(q_e6 AS DECIMAL(38,0)) * c) AS HUGEINT)
     // CAST(sum(c) AS HUGEINT) AS BIGINT) AS mean_q_e6
 FROM dec GROUP BY 1, 2 ORDER BY source, decile
+"""
+
+
+def _order_reconciliation_oracle() -> str:
+    """Reconciliation twin: identical rounding-free cents-e4 integer
+    algebra (disc/tax are exact 2dp multiples), HUGEINT divisions."""
+    ppm = _ppm_sql("n_within_1pct", "n_orders")
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS recompute_e4
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority AS priority,
+    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS header_cents,
+    coalesce(p.recompute_e4, 0) AS recompute_e4
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+),
+scored AS (
+  SELECT priority,
+    abs(header_cents * 10000 - recompute_e4) AS abs_gap_e4,
+    CASE WHEN header_cents * 10000 = recompute_e4 THEN 1 ELSE 0 END AS exact_m,
+    CASE WHEN abs(header_cents * 10000 - recompute_e4) * 100
+              <= header_cents * 10000 THEN 1 ELSE 0 END AS within_1pct
+  FROM j
+),
+agg AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(exact_m) AS BIGINT) AS n_exact,
+    CAST(sum(within_1pct) AS BIGINT) AS n_within_1pct,
+    CAST(CAST(sum(CAST(abs_gap_e4 AS DECIMAL(38,0))) AS HUGEINT)
+      // (CAST(count(*) AS HUGEINT) * 10000) AS BIGINT) AS mean_abs_gap_cents,
+    CAST(max(abs_gap_e4) // 10000 AS BIGINT) AS max_abs_gap_cents
+  FROM scored GROUP BY 1
+)
+SELECT priority, n_orders, n_exact, n_within_1pct,
+  CAST({ppm} AS BIGINT) AS within_1pct_ppm,
+  mean_abs_gap_cents, max_abs_gap_cents
+FROM agg ORDER BY priority
 """

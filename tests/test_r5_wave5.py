@@ -807,3 +807,61 @@ def test_rank_normalize_properties(spark):
         # non-overlapping, monotone boundaries
         for a, b in zip(rs, rs[1:]):
             assert a.q_hi_e6 < b.q_lo_e6
+
+
+def test_reconciliation_planted_exact(spark, tmp_path):
+    """A planted order whose header equals the exact invoice math
+    reconciles (n_exact counts it); a mismatched one lands in the
+    gap stats with the exact cent gap."""
+    import datetime
+
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        order_total_reconciliation,
+    )
+
+    day = datetime.date(2024, 1, 1)
+    # order 1: one line 100.00 * (1-0.10) * (1+0.05) = 94.50 exact
+    # order 2: header overstates by 3.00
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 94.50, day, "1-URGENT", "c", 0, "x"),
+            (2, 11, "O", 97.50, day, "1-URGENT", "c", 0, "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 100.00, 0.10, 0.05, "N", "O", day),
+            (2, 1, 1, 1, 1.0, 100.00, 0.10, 0.05, "N", "O", day),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    rows = order_total_reconciliation(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_orders, r.n_exact) == (2, 1)
+    assert r.n_within_1pct == 1  # 3.00 on 97.50 is > 1%
+    assert r.max_abs_gap_cents == 300
+    assert r.mean_abs_gap_cents == 150
+
+
+def test_reconciliation_corpus_identities(spark):
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        order_total_reconciliation,
+    )
+
+    for r in order_total_reconciliation(spark, SF_DIR).collect():
+        assert 0 <= r.n_exact <= r.n_within_1pct <= r.n_orders
+        assert 0 <= r.within_1pct_ppm <= 1_000_000
+        assert r.mean_abs_gap_cents <= r.max_abs_gap_cents
