@@ -232,6 +232,7 @@ HEADLINE = [
     "pq_adc_recall",
     "quality_rank_normalize",
     "order_total_reconciliation",
+    "idf_jaccard_pairs",
 ]
 
 

@@ -1628,3 +1628,87 @@ def containment_pairs(
     return scored.filter(F.col("containment_ppm") >= threshold_ppm).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def idf_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold_ppm: int = 250_000,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """C132 (r5): rarity-WEIGHTED Jaccard similar pairs — each
+    shingle carries weight 1e6 DIV df (pure-integer idf surrogate:
+    a shingle shared by every doc is worth ~nothing, a unique one is
+    worth 1e6), so two documents that only share boilerplate score
+    near zero while documents sharing RARE content score high — the
+    standard fix for the unweighted-Jaccard failure mode where
+    template mass drowns the signal (weighted MinHash literature;
+    Ioffe 2010 is the sketch version, this is the exact form).
+
+    Same inverted-index blocking + df_cap join-cost guard as the
+    unweighted family; the guard is now belt-and-braces (a df>cap
+    shingle would carry weight <= 1e6/cap anyway — the weighting
+    itself de-fangs boilerplate, the cap bounds join fanout).
+    Weighted Jaccard = sum_w(intersection) / sum_w(union) in exact
+    ppm; per-doc weight totals ride the same index.
+
+    Output: doc_a, doc_b, w_inter, w_a, w_b, wjaccard_ppm, plus the
+    UNWEIGHTED jaccard_ppm so the boilerplate discount (unweighted
+    high, weighted low) reads off one row.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    base = load_table(spark, sf_dir, "documents")
+    d = (
+        base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("_toks", tokens())
+        .select(
+            "doc_id", F.array_distinct(shingles_from(F.col("_toks"), n)).alias("sh")
+        )
+    )
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    wdf = Window.partitionBy("shingle")
+    inv = inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+    if df_cap > 0:
+        inv = inv.filter(F.col("_df") <= df_cap)
+    inv = inv.withColumn("w", F.expr("CAST(1000000 DIV _df AS BIGINT)")).drop("_df")
+    sizes = inv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"), F.sum("w").cast("long").alias("wsz")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.sum("a.w").cast("long").alias("w_inter"),
+        )
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(w_inter AS BIGINT) AS w_inter",
+            "CAST(sa.wsz AS BIGINT) AS w_a",
+            "CAST(sb.wsz AS BIGINT) AS w_b",
+            f"CAST({_ppm_e('w_inter', '(sa.wsz + sb.wsz - w_inter)')} AS BIGINT)"
+            " AS wjaccard_ppm",
+            f"CAST({_ppm_e('inter', '(sa.sz + sb.sz - inter)')} AS BIGINT)"
+            " AS jaccard_ppm",
+        )
+    )
+    return scored.filter(F.col("wjaccard_ppm") >= threshold_ppm).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -809,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_recall": V2.pq_adc_recall,
         "quality_rank_normalize": QC.quality_rank_normalize,
         "order_total_reconciliation": QC.order_total_reconciliation,
+        "idf_jaccard_pairs": dedup.idf_jaccard_pairs,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2028,6 +2029,7 @@ FROM top
         "pq_adc_recall": _pq_adc_oracle(),
         "quality_rank_normalize": _rank_normalize_oracle(),
         "order_total_reconciliation": _order_reconciliation_oracle(),
+        "idf_jaccard_pairs": _idf_jaccard_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7834,4 +7836,41 @@ SELECT priority, n_orders, n_exact, n_within_1pct,
   CAST({ppm} AS BIGINT) AS within_1pct_ppm,
   mean_abs_gap_cents, max_abs_gap_cents
 FROM agg ORDER BY priority
+"""
+
+
+def _idf_jaccard_oracle(
+    n: int = 3, threshold_ppm: int = 250_000, df_cap: int = 1000
+) -> str:
+    """Weighted-Jaccard twin: identical 1e6//df integer rarity
+    weights over the capped shingle universe, exact ppm ratios."""
+    wj = _ppm_sql("i.w_inter", "(za.wsz + zb.wsz - i.w_inter)")
+    uj = _ppm_sql("i.n_inter", "(za.sz + zb.sz - i.n_inter)")
+    return f"""
+WITH {_shingle_cte(n)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+dfs AS (SELECT s, count(*) AS df FROM sd GROUP BY 1),
+sdc AS (
+  SELECT sd.doc_id, sd.s, CAST(1000000 // dfs.df AS BIGINT) AS w
+  FROM sd JOIN dfs ON sd.s = dfs.s WHERE dfs.df <= {df_cap}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS sz, CAST(sum(w) AS BIGINT) AS wsz
+  FROM sdc GROUP BY 1
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+    CAST(sum(a.w) AS BIGINT) AS w_inter
+  FROM sdc a JOIN sdc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.w_inter,
+  za.wsz AS w_a, zb.wsz AS w_b,
+  CAST({wj} AS BIGINT) AS wjaccard_ppm,
+  CAST({uj} AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST({wj} AS BIGINT) >= {threshold_ppm}
+ORDER BY i.doc_a, i.doc_b
 """

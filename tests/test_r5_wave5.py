@@ -865,3 +865,38 @@ def test_reconciliation_corpus_identities(spark):
         assert 0 <= r.n_exact <= r.n_within_1pct <= r.n_orders
         assert 0 <= r.within_1pct_ppm <= 1_000_000
         assert r.mean_abs_gap_cents <= r.max_abs_gap_cents
+
+
+def test_idf_jaccard_discounts_boilerplate(spark, tmp_path):
+    """Two docs sharing ONLY a corpus-wide boilerplate block: raw
+    Jaccard is high, rarity-weighted Jaccard collapses; two docs
+    sharing RARE content keep a high weighted score."""
+    from github_issues_lakehouse_spark.operators.dedup import idf_jaccard_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    docs = []
+    # every doc carries the boilerplate
+    for i in range(10):
+        unique = " ".join(f"u{i}x{j}" for j in range(20))
+        docs.append((i, "s", boiler + " " + unique, 100))
+    # docs 20/21 share rare content (plus the boilerplate)
+    rare = " ".join(f"rare{j}" for j in range(20))
+    docs.append((20, "s", boiler + " " + rare, 100))
+    docs.append((21, "s", boiler + " " + rare + " tailword", 100))
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {(r.doc_a, r.doc_b): r for r in idf_jaccard_pairs(spark, sf, threshold_ppm=0).collect()}
+    rare_pair = got[(20, 21)]
+    assert rare_pair.wjaccard_ppm > 600_000
+    # boilerplate-only pairs: unweighted similarity is substantial,
+    # weighted collapses by ~the df ratio
+    bp = got[(0, 1)]
+    assert bp.jaccard_ppm > 250_000
+    assert bp.wjaccard_ppm < bp.jaccard_ppm // 3
+    assert bp.wjaccard_ppm < 100_000
