@@ -604,53 +604,36 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B128 (r5): cross-table NUMERIC reconciliation audit — does the
-    order header total equal the invoice math over its lines
-    (sum of extendedprice x (1 - discount) x (1 + tax))? The
-    fact-to-fact consistency check every finance-adjacent warehouse
-    runs (B60 checks per-row predicates, referential_integrity_audit
-    checks keys; this checks MONEY), and on this synthetic corpus it
-    correctly reports that the generator does NOT enforce the
-    invariant — which is exactly what the audit is for.
-
-    All-integer, rounding-free algebra: discounts/taxes are exact 2dp
-    multiples, so each line contributes ext_cents*(100-disc_e2)*
-    (100+tax_e2) in cents-e4 units (exact BIGINT, ~1e13 per line,
-    DECIMAL(38,0) order sums) against header_cents*1e4 — no float
-    product or per-line rounding anywhere, hence engine-invariant
-    without tolerance.
-
-    Output per order priority: order count, exactly-matched count,
-    count within 1% of the header total, mean and max absolute gap
-    in whole cents.
-
-    Plan/scale: one lineitem aggregate on l_orderkey (the natural
-    join key — co-partitioned with the orders join), one bounded
-    per-priority rollup. Partial-agg friendly throughout.
-    """
-    from ..functions.exact import ppm_expr as _ppm
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
-            "header_cents"
-        ),
-    )
-    li = load_table(spark, sf_dir, "lineitem")
+def order_line_recompute(li: DataFrame) -> DataFrame:
+    """Per-order invoice recompute state (l_orderkey, recompute_e4)
+    in rounding-free cents-e4 integers. ADDITIVE over line subsets —
+    merging two states is a sum on the key — which makes it the D30
+    streaming fold: lines can arrive across micro-batches and the
+    state converges to the full-corpus recompute."""
     line_e4 = (
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
         * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
         * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long"))
     )
     D38 = "decimal(38,0)"
-    per_order = li.groupBy("l_orderkey").agg(
+    return li.groupBy("l_orderkey").agg(
         F.sum(line_e4.cast(D38)).cast(D38).cast("long").alias("recompute_e4")
     )
-    j = o.join(
-        per_order, o.o_orderkey == per_order.l_orderkey, "left"
-    ).select(
+
+
+def reconciliation_finalize(spark, orders: DataFrame, state: DataFrame) -> DataFrame:
+    """Assemble the B128 mart from the (additive) per-order recompute
+    state and the orders header table — the read-time half of D30."""
+    from ..functions.exact import ppm_expr as _ppm
+
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
+            "header_cents"
+        ),
+    )
+    j = o.join(state, o.o_orderkey == state.l_orderkey, "left").select(
         "priority",
         "header_cents",
         F.coalesce("recompute_e4", F.lit(0)).alias("recompute_e4"),
@@ -684,3 +667,35 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_abs_gap_cents",
         "max_abs_gap_cents",
     ).orderBy("priority")
+
+
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B128 (r5): cross-table NUMERIC reconciliation audit — does the
+    order header total equal the invoice math over its lines
+    (sum of extendedprice x (1 - discount) x (1 + tax))? The
+    fact-to-fact consistency check every finance-adjacent warehouse
+    runs (B60 checks per-row predicates, referential_integrity_audit
+    checks keys; this checks MONEY), and on this synthetic corpus it
+    correctly reports that the generator does NOT enforce the
+    invariant — which is exactly what the audit is for.
+
+    All-integer, rounding-free algebra: discounts/taxes are exact 2dp
+    multiples, so each line contributes ext_cents*(100-disc_e2)*
+    (100+tax_e2) in cents-e4 units (exact BIGINT, ~1e13 per line,
+    DECIMAL(38,0) order sums) against header_cents*1e4 — no float
+    product or per-line rounding anywhere, hence engine-invariant
+    without tolerance.
+
+    Output per order priority: order count, exactly-matched count,
+    count within 1% of the header total, mean and max absolute gap
+    in whole cents.
+
+    Plan/scale: one lineitem aggregate on l_orderkey (the natural
+    join key — co-partitioned with the orders join), one bounded
+    per-priority rollup. Partial-agg friendly throughout.
+    """
+    return reconciliation_finalize(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        order_line_recompute(load_table(spark, sf_dir, "lineitem")),
+    )

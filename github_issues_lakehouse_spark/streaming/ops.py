@@ -1309,3 +1309,45 @@ def stream_sample_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_reconciliation_maintenance(
+    lineitems: DataFrame, path: str, checkpoint: str
+):
+    """D30: streaming order-total reconciliation maintenance — each
+    micro-batch of LINE ITEMS folds into the stored per-order invoice
+    recompute state by keyed SUM (`order_line_recompute` is additive
+    over line subsets: an order's lines may arrive across any number
+    of batches and the state still converges to the full recompute;
+    exactly-once per batch via the commit protocol — the additive
+    core is NOT idempotent under redelivery, same contract class as
+    the D13 CMS counters). The serving mart (B128's per-priority
+    gap/match table) is derived at read time by
+    ``quality_checks.reconciliation_finalize`` against the orders
+    header table — headers are never part of the fold, so late or
+    restated headers are picked up on the next read with zero state
+    surgery. State is O(orders) key-grain, read with ``read_mart``.
+    Returns the started query."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality_checks import order_line_recompute
+
+    def merge(existing, batch_df):
+        delta = order_line_recompute(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("l_orderkey")
+            .agg(F.sum("recompute_e4").cast("long").alias("recompute_e4"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        lineitems.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1057,3 +1057,45 @@ def test_stream_sample_equals_batch_and_idempotent(spark, tmp_path):
     for rks in per_src.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 10
+
+
+def test_stream_reconciliation_equals_batch(spark, tmp_path):
+    """D30: lines of the SAME order split across micro-batches still
+    converge to the batch recompute (the fold is additive on the
+    order key), and the read-time finalize over the drained state
+    equals the batch B128 mart exactly."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        order_total_reconciliation,
+        reconciliation_finalize,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_reconciliation_maintenance,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    src = str(tmp_path / "li_src")
+    # repartition NOT on the order key: an order's lines land in
+    # different files -> different micro-batches
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "recon.parquet")
+    q = stream_reconciliation_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    state = read_mart(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            reconciliation_finalize(
+                spark, load_table(spark, SF_DIR, "orders"), state
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, order_total_reconciliation(spark, SF_DIR).collect()))
+    assert got == want
