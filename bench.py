@@ -233,6 +233,7 @@ HEADLINE = [
     "quality_rank_normalize",
     "order_total_reconciliation",
     "idf_jaccard_pairs",
+    "table_checksum_manifest",
 ]
 
 

@@ -699,3 +699,66 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         order_line_recompute(load_table(spark, sf_dir, "lineitem")),
     )
+
+
+def _row_sig(prefix: str, *cols: F.Column) -> F.Column:
+    """60-bit row signature: conv(md5 prefix) of the canonical
+    pipe-joined row string — the per-row term of the XOR checksum."""
+    s = F.concat_ws("|", F.lit(prefix), *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B129 (r5): content-checksum manifest across the core tables —
+    one (n_rows, XOR-of-row-signatures) line per table, the
+    cross-environment equality check a migration / replication /
+    backup-restore signs off against (the operational cousin of what
+    Iceberg manifests give you): two environments whose manifests
+    match row-count AND checksum hold the same row SET without either
+    side shipping data to the other.
+
+    XOR of 60-bit md5 row signatures: order-insensitive, associative,
+    self-inverse (so it never overflows and merges trivially — the
+    D31 streaming fold), and collision-bounded by the 60-bit space.
+    Canonical row strings pin the checked content explicitly: keys
+    plus the business-critical value columns (money in cents, dates
+    as ISO strings), so a silent price restatement flips the
+    checksum while a cosmetic column addition does not.
+
+    Plan/scale: one scan + one partial-agg-friendly XOR aggregate per
+    table; 4-row output.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        _row_sig(
+            "o",
+            F.col("o_orderkey"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+            F.to_date("o_orderdate"),
+        ).alias("sig")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _row_sig(
+            "l",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("sig")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        _row_sig(
+            "c", F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("sig")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        _row_sig("d", F.col("doc_id"), F.md5(F.col("text"))).alias("sig")
+    )
+    out = None
+    for name, t in (("orders", o), ("lineitem", li), ("customer", c), ("documents", d)):
+        row = t.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(sig)").cast("long").alias("xor_checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")

@@ -810,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rank_normalize": QC.quality_rank_normalize,
         "order_total_reconciliation": QC.order_total_reconciliation,
         "idf_jaccard_pairs": dedup.idf_jaccard_pairs,
+        "table_checksum_manifest": QC.table_checksum_manifest,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2030,6 +2031,7 @@ FROM top
         "quality_rank_normalize": _rank_normalize_oracle(),
         "order_total_reconciliation": _order_reconciliation_oracle(),
         "idf_jaccard_pairs": _idf_jaccard_oracle(),
+        "table_checksum_manifest": _checksum_manifest_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7873,4 +7875,42 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST({wj} AS BIGINT) >= {threshold_ppm}
 ORDER BY i.doc_a, i.doc_b
+"""
+
+
+def _checksum_manifest_oracle() -> str:
+    """Manifest twin: identical canonical row strings, identical
+    60-bit md5-prefix signatures ('0x'||hex cast), bit_xor."""
+
+    def sig(prefix: str, cols: str) -> str:
+        s = f"concat_ws('|', '{prefix}', {cols})"
+        return f"CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+    o = sig(
+        "o",
+        "CAST(o_orderkey AS VARCHAR),"
+        " CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),"
+        " CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    )
+    li = sig(
+        "l",
+        "CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
+        " CAST(l_partkey AS VARCHAR),"
+        " CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)",
+    )
+    c = sig(
+        "c",
+        "CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR), c_mktsegment",
+    )
+    d = sig("d", "CAST(doc_id AS VARCHAR), md5(text)")
+    return f"""
+SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(bit_xor({c}) AS BIGINT) AS xor_checksum FROM customer
+UNION ALL
+SELECT 'documents', CAST(count(*) AS BIGINT), CAST(bit_xor({d}) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor({li}) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT), CAST(bit_xor({o}) AS BIGINT) FROM orders
+ORDER BY table_name
 """

@@ -1351,3 +1351,52 @@ def stream_reconciliation_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_checksum_maintenance(docs: DataFrame, path: str, checkpoint: str):
+    """D31: streaming content-checksum maintenance — each micro-batch
+    of documents folds its (row count, XOR of 60-bit row signatures)
+    into the stored manifest line (the `table_checksum_manifest`
+    'documents' signature exactly). XOR is associative, commutative
+    and self-inverse, so the merge is one BIGINT op and never
+    overflows; exactly-once per batch via the commit protocol (XOR is
+    not idempotent — a replayed row would cancel itself — which is
+    precisely what the batch_id guard exists for, the D13 contract
+    class). After draining, the state equals the batch manifest row,
+    so a replica/restore can be signed off against the live ingest
+    without rescanning history. Read with ``read_mart``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality_checks import _row_sig
+
+    def manifest(batch_df):
+        return batch_df.select(
+            _row_sig("d", F.col("doc_id"), F.md5(F.col("text"))).alias("sig")
+        ).agg(
+            F.lit("documents").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("coalesce(bit_xor(sig), 0)").cast("long").alias("xor_checksum"),
+        )
+
+    def merge(existing, batch_df):
+        delta = manifest(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("table_name")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.expr("coalesce(bit_xor(xor_checksum), 0)").cast("long").alias("xor_checksum"),
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

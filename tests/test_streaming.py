@@ -1099,3 +1099,58 @@ def test_stream_reconciliation_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, order_total_reconciliation(spark, SF_DIR).collect()))
     assert got == want
+
+
+def test_stream_checksum_equals_batch_and_detects_change(spark, tmp_path):
+    """D31: drained (n_rows, xor) equals the batch manifest row for
+    documents regardless of batch boundaries, and restating ONE
+    document's text flips the checksum (sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        table_checksum_manifest,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_checksum_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "cksum.parquet")
+    q = stream_checksum_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = read_mart(spark, path).collect()[0]
+    want = {
+        r.table_name: r for r in table_checksum_manifest(spark, SF_DIR).collect()
+    }["documents"]
+    assert (got.n_rows, got.xor_checksum) == (want.n_rows, want.xor_checksum)
+
+    # sensitivity: restate one doc -> checksum flips, count unchanged
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit(" X")))
+        .otherwise(F.col("text")),
+    )
+    sf2 = str(tmp_path / "sf2")
+    import os
+
+    os.makedirs(sf2, exist_ok=True)
+    mutated.write.mode("overwrite").parquet(f"{sf2}/documents.parquet")
+    for t in ("orders", "lineitem", "customer"):
+        load_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+            f"{sf2}/{t}.parquet"
+        )
+    after = {
+        r.table_name: r for r in table_checksum_manifest(spark, sf2).collect()
+    }["documents"]
+    assert after.n_rows == want.n_rows
+    assert after.xor_checksum != want.xor_checksum
