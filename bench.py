@@ -234,6 +234,7 @@ HEADLINE = [
     "order_total_reconciliation",
     "idf_jaccard_pairs",
     "table_checksum_manifest",
+    "embedding_dup_clusters",
 ]
 
 

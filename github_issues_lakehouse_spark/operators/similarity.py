@@ -947,3 +947,35 @@ def ann_ndcg_at_k(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method", "q_id")
+
+
+def embedding_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, max_iter: int = 20
+) -> DataFrame:
+    """C133 (r5): connected components over the embedding-cosine
+    near-dup pairs — the SEMANTIC twin of `dedup_clusters` (C5): C6
+    lists pairs, this rolls them into "which vectors are the same
+    content" clusters (cluster_id = min reachable vec_id), the form a
+    keep-one policy or a cluster-aware holdout consumes. Closes the
+    pairs -> clusters gap on the embedding side that the shingle side
+    already had.
+
+    Reuses the shared `components_from_pairs` min-label propagation
+    (bounded by cluster diameter, localCheckpoint per round) over the
+    C6 triangle block-pair join — no driver collect anywhere; the
+    pair stage's n-squared scoring is C6's documented exact-audit
+    contract, the scale path being LSH-bucketed candidates.
+    """
+    from .dedup import components_from_pairs
+
+    pairs = neardup_embedding_cosine(spark, sf_dir, threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return (
+        components_from_pairs(pairs, max_iter=max_iter)
+        .select(
+            F.col("doc_id").cast("long").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )

@@ -811,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_reconciliation": QC.order_total_reconciliation,
         "idf_jaccard_pairs": dedup.idf_jaccard_pairs,
         "table_checksum_manifest": QC.table_checksum_manifest,
+        "embedding_dup_clusters": similarity.embedding_dup_clusters,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2032,6 +2033,7 @@ FROM top
         "order_total_reconciliation": _order_reconciliation_oracle(),
         "idf_jaccard_pairs": _idf_jaccard_oracle(),
         "table_checksum_manifest": _checksum_manifest_oracle(),
+        "embedding_dup_clusters": _embedding_clusters_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7913,4 +7915,33 @@ SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor({li}) AS BIGINT) FROM 
 UNION ALL
 SELECT 'orders', CAST(count(*) AS BIGINT), CAST(bit_xor({o}) AS BIGINT) FROM orders
 ORDER BY table_name
+"""
+
+
+def _embedding_clusters_oracle(threshold: float = 0.4) -> str:
+    """Embedding-components twin: the C6 cosine pair SQL feeding the
+    same recursive min-reachable-id CTE as _clusters_oracle."""
+    return f"""
+WITH RECURSIVE
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1
 """

@@ -900,3 +900,42 @@ def test_idf_jaccard_discounts_boilerplate(spark, tmp_path):
     assert bp.jaccard_ppm > 250_000
     assert bp.wjaccard_ppm < bp.jaccard_ppm // 3
     assert bp.wjaccard_ppm < 100_000
+
+
+def test_embedding_clusters_consistent_with_pairs(spark):
+    """Every emitted pair's endpoints share a cluster; cluster_id is
+    the min member id; transitivity holds (recomputed with a Python
+    union-find over the operator's own pair list)."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        embedding_dup_clusters,
+        neardup_embedding_cosine,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_cosine(spark, SF_DIR).collect()
+    ]
+    comp = {
+        r.vec_id: r.cluster_id
+        for r in embedding_dup_clusters(spark, SF_DIR).collect()
+    }
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in parent:
+        want[x] = find(x)
+    assert comp == want
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    for node, c in comp.items():
+        assert c <= node
