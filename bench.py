@@ -235,6 +235,7 @@ HEADLINE = [
     "idf_jaccard_pairs",
     "table_checksum_manifest",
     "embedding_dup_clusters",
+    "term_burst_detection",
 ]
 
 

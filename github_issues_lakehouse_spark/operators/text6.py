@@ -650,3 +650,97 @@ def rake_keyphrases(
         )
         .orderBy("source", "rk")
     )
+
+
+def term_burst_detection(
+    spark: SparkSession,
+    sf_dir: str,
+    top_m: int = 50,
+    bucket_width: int = 50,
+    factor_e6: int = 2_000_000,
+    min_prior: int = 3,
+) -> DataFrame:
+    """C134 (r5): term burst detection (Kleinberg-burst-lite) — for
+    the corpus's ``top_m`` terms, flag ingest-order buckets where the
+    term's count jumps past ``factor_e6``/1e6 times its trailing
+    mean: the trending-topics / event-detection readout a feed
+    monitor runs (doc_id buckets stand in for arrival time, the
+    quality_temporal_drift convention — swap in a date column behind
+    the same contract when the corpus has one).
+
+    Exact integer rule: with cum counts per (term, bucket), the
+    trailing mean over the b prior buckets is (cum_before / b), and
+    the burst test  count * b * 1e6 > factor_e6 * cum_before  is
+    pure BIGINT cross-multiplication — no division, no float, no
+    tie ambiguity. Buckets with fewer than ``min_prior`` prior
+    occurrences can't fire (cold-start guard).
+
+    Output: the 20 most-bursty (term, bucket) rows (ratio desc — the
+    monitoring triage queue, non-empty and auditable even on a
+    stationary corpus) with a ``bursting`` flag against the
+    threshold and the exact integers the rule fires on.
+
+    Plan/scale: one tokenize scan to (term, bucket) grain; the top-m
+    gate is a broadcast semi-join (m rows); the trailing window runs
+    per term over ~n_buckets rows. Vocabulary never explodes: only
+    top-m terms pass the gate.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+    from ..functions.textfns import norm_tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
+        F.explode(norm_tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    totals = d.groupBy("term").agg(F.count(F.lit(1)).alias("total"))
+    wtop = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    top = (
+        totals.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= top_m)
+        .select("term")
+    )
+    counts = (
+        d.join(F.broadcast(top), "term")
+        .groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wprev = (
+        Window.partitionBy("term")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = counts.select(
+        "term",
+        "bucket",
+        F.col("c").cast("long").alias("c"),
+        F.coalesce(F.sum("c").over(wprev), F.lit(0)).cast("long").alias("cum_before"),
+        F.coalesce(F.count("c").over(wprev), F.lit(0)).cast("long").alias("n_prior"),
+    )
+    eligible = scored.filter(F.col("n_prior") >= min_prior).selectExpr(
+        "term",
+        "CAST(bucket AS BIGINT) AS bucket",
+        "c AS n_count",
+        "n_prior",
+        "cum_before",
+        f"CAST({_ppm('c * n_prior', 'cum_before')} AS BIGINT) AS burst_ppm",
+        f"(c * n_prior * 1000000 > CAST({factor_e6} AS BIGINT) * cum_before)"
+        " AS bursting",
+    )
+    wr = Window.orderBy(
+        F.col("burst_ppm").desc(), F.col("term").asc(), F.col("bucket").asc()
+    )
+    return (
+        eligible.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            "bucket",
+            "n_count",
+            "n_prior",
+            "cum_before",
+            "burst_ppm",
+            "bursting",
+        )
+        .orderBy("rk")
+    )

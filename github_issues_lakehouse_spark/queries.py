@@ -812,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_jaccard_pairs": dedup.idf_jaccard_pairs,
         "table_checksum_manifest": QC.table_checksum_manifest,
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
+        "term_burst_detection": text6.term_burst_detection,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
         "token_budget_apportionment": chunking.token_budget_apportionment,
@@ -2034,6 +2035,7 @@ FROM top
         "idf_jaccard_pairs": _idf_jaccard_oracle(),
         "table_checksum_manifest": _checksum_manifest_oracle(),
         "embedding_dup_clusters": _embedding_clusters_oracle(),
+        "term_burst_detection": _term_burst_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
         "token_budget_apportionment": _token_budget_oracle(),
@@ -7944,4 +7946,57 @@ reach(id, comp) AS (
 )
 SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(comp) AS BIGINT) AS cluster_id
 FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+def _term_burst_oracle(
+    top_m: int = 50,
+    bucket_width: int = 50,
+    factor_e6: int = 2_000_000,
+    min_prior: int = 3,
+) -> str:
+    """Burst twin: identical top-m gate, trailing cum counts, and the
+    division-free BIGINT cross-multiplication burst rule."""
+    ratio = _ppm_sql("(c * n_prior)", "cum_before")
+    return f"""
+WITH toks AS (
+  SELECT doc_id // {bucket_width} AS bucket,
+    unnest({_norm_toks_sql()}) AS term
+  FROM documents
+),
+tk AS (SELECT * FROM toks WHERE term <> ''),
+top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS total,
+      row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+    FROM tk GROUP BY 1
+  ) WHERE rk <= {top_m}
+),
+counts AS (
+  SELECT tk.term, tk.bucket, CAST(count(*) AS BIGINT) AS c
+  FROM tk JOIN top ON tk.term = top.term GROUP BY 1, 2
+),
+scored AS (
+  SELECT term, bucket, c,
+    CAST(coalesce(sum(c) OVER (PARTITION BY term ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+    CAST(coalesce(count(c) OVER (PARTITION BY term ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_prior
+  FROM counts
+),
+eligible AS (
+  SELECT term, CAST(bucket AS BIGINT) AS bucket, c AS n_count, n_prior,
+    cum_before, CAST({ratio} AS BIGINT) AS burst_ppm,
+    (c * n_prior * 1000000 > CAST({factor_e6} AS BIGINT) * cum_before)
+      AS bursting
+  FROM scored WHERE n_prior >= {min_prior}
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY burst_ppm DESC, term ASC, bucket ASC)
+    AS rk, *
+  FROM eligible
+)
+SELECT CAST(rk AS BIGINT) AS rk, term, bucket, n_count, n_prior, cum_before,
+  burst_ppm, bursting
+FROM ranked WHERE rk <= 20 ORDER BY rk
 """

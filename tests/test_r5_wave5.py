@@ -939,3 +939,42 @@ def test_embedding_clusters_consistent_with_pairs(spark):
         assert comp[a] == comp[b]
     for node, c in comp.items():
         assert c <= node
+
+
+def test_term_burst_planted_spike(spark, tmp_path):
+    """A term that appears once per bucket then 50x in the last
+    bucket fires the burst flag with the exact cross-multiplied
+    ratio; stationary terms do not fire."""
+    from github_issues_lakehouse_spark.operators.text6 import term_burst_detection
+
+    docs = []
+    did = 0
+    # 6 buckets of 50 docs; every doc carries 'steady'; bucket 5 docs
+    # additionally carry 'viral' many times
+    for b in range(6):
+        for i in range(50):
+            text = "steady filler words here"
+            if b == 5:
+                text += " " + " ".join(["viral"] * 3)
+            elif i == 0:
+                text += " viral"  # sparse background presence
+            docs.append((did, "s", text, len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = term_burst_detection(spark, sf).collect()
+    top = rows[0]
+    assert top.term == "viral"
+    assert top.bucket == 5
+    assert top.bursting is True
+    # exact rule: c=150, prior buckets=5, cum_before=5 -> ratio 150x
+    assert (top.n_count, top.n_prior, top.cum_before) == (150, 5, 5)
+    assert top.burst_ppm == 150 * 1_000_000
+    steady = [r for r in rows if r.term == "steady"]
+    assert all(not r.bursting for r in steady)
