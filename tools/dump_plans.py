@@ -180,6 +180,11 @@ KEYS = [
     "pq_codebook_stats",
     "pq_adc_recall",
     "quality_rank_normalize",
+    "order_total_reconciliation",
+    "idf_jaccard_pairs",
+    "table_checksum_manifest",
+    "embedding_dup_clusters",
+    "term_burst_detection",
 ]
 
 

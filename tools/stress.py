@@ -143,6 +143,13 @@ HEAVY = [
     "rake_keyphrases",
     "incremental_mart_rebuild",
     "functional_dependency_audit",
+    # r5 last batch: money reconciliation (order-key aggregate),
+    # weighted-Jaccard index join (densifies on near-dup replicas),
+    # checksum manifests (pure map+xor), burst detection (top-m gate)
+    "order_total_reconciliation",
+    "idf_jaccard_pairs",
+    "table_checksum_manifest",
+    "term_burst_detection",
 ]
 
 
