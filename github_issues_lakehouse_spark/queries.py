@@ -542,6 +542,36 @@ _DRIVER_PRIORITY_R5 = [
     "join_size_estimate",
     "ab_test_conversion",
     "lang_id_confusion",
+    # r5 closing wave (this session, zero driver evidence yet) — the
+    # flagship new machinery first so the driver budget proves it:
+    # attribution folds, PQ tier, rank statistics, money/content
+    # integrity, dedup upgrades, pipeline planners
+    "shapley_attribution",
+    "markov_attribution",
+    "pq_adc_recall",
+    "pq_codebook_stats",
+    "ann_ndcg_at_k",
+    "incremental_mart_rebuild",
+    "order_total_reconciliation",
+    "table_checksum_manifest",
+    "trimmed_winsorized_price",
+    "mann_whitney_price",
+    "spearman_daily_trend",
+    "classifier_calibration",
+    "containment_pairs",
+    "idf_jaccard_pairs",
+    "embedding_dup_clusters",
+    "rake_keyphrases",
+    "term_burst_detection",
+    "bot_regularity_flags",
+    "epoch_shuffle_plan",
+    "functional_dependency_audit",
+    "quality_rank_normalize",
+    # r5 fourth wave (prior session, also never driver-checked)
+    "mmr_diverse_topk",
+    "detector_kappa",
+    "hll_union_overlap",
+    "theil_sen_trend",
     # r5 second wave: sketches + incremental/cluster-aware dedup marts
     "hll_distinct_terms",
     "quantile_sketch_price",
