@@ -377,11 +377,14 @@ def vocab_growth_curve(
     bucket's distinct terms in exact ppm.
 
     Plan/scale: two aggregates at term grain (min-bucket, per-bucket
-    distinct) off one explode scan; the cumulative sum runs at BUCKET
-    grain (bounded by corpus/bucket_width). Nothing quadratic,
-    nothing collected.
+    distinct) off one explode scan; the cumulative vocabulary uses the
+    two-level band/carry prefix-sum (``statistics._banded_cum``) so no
+    single task ever sees more than one band of buckets — the bucket
+    grain is corpus/bucket_width rows, which is NOT bounded when
+    bucket_width stays fixed while the corpus grows 100×. Nothing
+    quadratic, nothing collected.
     """
-    from pyspark.sql import Window
+    from .statistics import _banded_cum
 
     d = load_table(spark, sf_dir, "documents").select(
         F.expr(f"doc_id DIV {bucket_width}").alias("bucket"),
@@ -402,8 +405,7 @@ def vocab_growth_curve(
         .groupBy(F.expr(f"doc_id DIV {bucket_width}").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    joined = (
         per_bucket.join(first_seen, "bucket", "left")
         .join(docs_per, "bucket")
         .select(
@@ -413,7 +415,11 @@ def vocab_growth_curve(
             F.col("n_bucket_terms").cast("long").alias("n_bucket_terms"),
             F.coalesce("n_new_terms", F.lit(0)).cast("long").alias("n_new_terms"),
         )
-        .withColumn("cum_vocab", F.sum("n_new_terms").over(w).cast("long"))
+    )
+    return (
+        _banded_cum(joined, "bucket", ["n_new_terms"], band_div=64)
+        .withColumn("cum_vocab", F.col("cum_n_new_terms"))
+        .drop("cum_n_new_terms")
         .withColumn(
             "new_share_ppm",
             F.expr(_ppm("n_new_terms", "n_bucket_terms")).cast("long"),
@@ -693,10 +699,12 @@ def term_burst_detection(
         F.explode(norm_tokens(F.col("text"))).alias("term"),
     ).filter(F.col("term") != "")
     totals = d.groupBy("term").agg(F.count(F.lit(1)).alias("total"))
-    wtop = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    # orderBy+limit plans as TakeOrderedAndProject — a distributed
+    # partial top-m per partition (the vocab_stats idiom), never a
+    # single-partition rank window over the full vocabulary
     top = (
-        totals.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= top_m)
+        totals.orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(top_m)
         .select("term")
     )
     counts = (
@@ -729,9 +737,14 @@ def term_burst_detection(
     wr = Window.orderBy(
         F.col("burst_ppm").desc(), F.col("term").asc(), F.col("bucket").asc()
     )
+    # same TakeOrdered discipline for the triage top-20: limit first
+    # (distributed partial top-k), rank only the 20 survivors
     return (
-        eligible.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= 20)
+        eligible.orderBy(
+            F.col("burst_ppm").desc(), F.col("term").asc(), F.col("bucket").asc()
+        )
+        .limit(20)
+        .withColumn("rk", F.row_number().over(wr))
         .select(
             F.col("rk").cast("long").alias("rk"),
             "term",

@@ -317,6 +317,62 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_S, HOLT_OFF, _HOLT_K = 1 << 24, 1 << 23, 1 << 24
+
+
+def holt_packed_fold(pfx, a10: int, b10: int):
+    """The packed Holt fold over a prefix-list column (seed = first
+    element as level, trend 0): returns the packed BIGINT state
+    level * 2^24 + (trend + 2^23) after consuming the whole list.
+    Factored out of ``holt_linear_daily`` so tests can drive the
+    exact production fold over adversarial synthetic series (the
+    ADVICE r5 decaying-to-zero case) without a parquet detour."""
+    S, OFF, K = HOLT_S, HOLT_OFF, _HOLT_K
+
+    def d10(num):
+        return (F.floor((num + K * 10) / 10) - K).cast("long")
+
+    init = F.element_at(pfx, 1) * S + OFF
+
+    def step(acc, x):
+        r = ((acc % S) + S) % S
+        lvl = F.floor((acc - r) / S).cast("long")
+        trd = r - OFF
+        nl = F.greatest(
+            d10(a10 * x + (10 - a10) * (lvl + trd) + 5), F.lit(0).cast("long")
+        )
+        nt = d10(b10 * (nl - lvl) + (10 - b10) * trd + 5)
+        return (nl * S + (nt + OFF)).cast("long")
+
+    return F.aggregate(F.slice(pfx, 2, 100000), init.cast("long"), step)
+
+
+def holt_unpack(state):
+    """Sign-safe (level, trend) unpack of the packed Holt state:
+    r = pmod(state, S) spelled ((state % S) + S) % S, then the level
+    divide runs on the exact multiple (state - r)."""
+    S, OFF = HOLT_S, HOLT_OFF
+    r = ((state % S) + S) % S
+    lvl = F.floor((state - r) / S).cast("long")
+    trd = (r - OFF).cast("long")
+    return lvl, trd
+
+
+def holt_python_reference(xs: list[int], a10: int, b10: int) -> list[tuple[int, int]]:
+    """Plain-Python reference recursion (no packing): the semantics
+    both engine folds must reproduce. Levels clamp at 0 — daily
+    counts are >= 0, so a negative smoothed level is never
+    meaningful (ADVICE r5)."""
+    l, t = xs[0], 0
+    states = [(l, t)]
+    for x in xs[1:]:
+        nl = max(0, (a10 * x + (10 - a10) * (l + t) + 5) // 10)
+        nt = (b10 * (nl - l) + (10 - b10) * t + 5) // 10
+        l, t = nl, nt
+        states.append((l, t))
+    return states
+
+
 def holt_linear_daily(
     spark: SparkSession, sf_dir: str, alpha10: int = 3, beta10: int = 2
 ) -> DataFrame:
@@ -368,23 +424,20 @@ def holt_linear_daily(
     # (+2^24*10 before, -2^24 after) so both engines divide a
     # non-negative number and floor == truncate (DuckDB's ``//``
     # truncates toward zero on negatives, Spark's floor() floors).
-    S, OFF, K = 1 << 24, 1 << 23, 1 << 24
-
-    def d10(num):
-        return (F.floor((num + K * 10) / 10) - K).cast("long")
-
-    init = F.element_at(F.col("pfx"), 1) * S + OFF
-
-    def step(acc, x):
-        lvl = F.floor(acc / S).cast("long")
-        trd = (acc % S) - OFF
-        nl = d10(a10 * x + (10 - a10) * (lvl + trd) + 5)
-        nt = d10(b10 * (nl - lvl) + (10 - b10) * trd + 5)
-        return (nl * S + (nt + OFF)).cast("long")
-
-    state = F.aggregate(F.slice(F.col("pfx"), 2, 100000), init.cast("long"), step)
-    lvl = F.floor(state / S).cast("long")
-    trd = (state % S - OFF).cast("long")
+    #
+    # Unpack is SIGN-SAFE (ADVICE r5): r = pmod(acc, S) spelled
+    # ((acc % S) + S) % S identically on both engines (each engine's
+    # bare % carries the dividend sign, so a negative acc would
+    # unpack the trend ~S too low), then lvl = (acc - r)/S — an exact
+    # multiple of S with <= 39 significant bits, so the double
+    # division is exact far past the 2^53 bound bare acc/S would hit.
+    # The level is additionally CLAMPED at 0: daily counts are >= 0,
+    # so a negative smoothed level is never meaningful (it arises
+    # when a type stops firing and l+t overshoots below zero on the
+    # gap-filled trailing zeros), and the clamp keeps acc >= 0 by
+    # construction.
+    state = holt_packed_fold(F.col("pfx"), a10, b10)
+    lvl, trd = holt_unpack(state)
     return with_prefix.select(
         "event_type",
         "day",

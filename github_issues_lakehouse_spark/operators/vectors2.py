@@ -506,8 +506,13 @@ def pq_adc_recall(
     scale you'd sample it; here the query set is the bound.
 
     Output per query: n_hits, recall_ppm, adc_d2_sum (ADC distance
-    mass of its picks), true_d2_sum (exact mass of the true top-k) —
-    adc >= true with equality iff quantization cost nothing.
+    mass of its picks), true_d2_sum (exact mass of the true top-k).
+    ADC distances are an APPROXIMATION, not a bound — a codeword can
+    sit closer to the query than the original sub-vector, so adc_d2
+    can under- or over-estimate the true distance per pair; the
+    invariant that does hold is that the picks' EXACT distance mass
+    is >= the true top-k's mass (the true top-k minimizes it), which
+    is what recall_ppm measures against (ADVICE r5 docstring fix).
     """
     from ..functions.exact import ppm_expr as _ppm_e
 

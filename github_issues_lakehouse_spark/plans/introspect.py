@@ -46,6 +46,79 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", _plan_str(df)))
 
 
+def _tree_nodes(s: str) -> list[tuple[int, str, str]]:
+    """Parse the formatted-plan tree header into (depth, name, id)
+    tuples. Depth comes from the 3-char-per-level ASCII indentation;
+    the ``*`` whole-stage-codegen marker is stripped."""
+    import re
+
+    lines = s.splitlines()
+    start = 0
+    for i, line in enumerate(lines):
+        if line.startswith("== Physical Plan =="):
+            start = i + 1
+            break
+    node_re = re.compile(r"^([:+\-\s]*)\*?\s*([A-Za-z][\w .]*?)\s*\((\d+)\)")
+    out: list[tuple[int, str, str]] = []
+    for line in lines[start:]:
+        if not line.strip():
+            break
+        m = node_re.match(line)
+        if m:
+            out.append((len(m.group(1)) // 3, m.group(2), m.group(3)))
+    return out
+
+
+def _single_partition_window(s: str) -> bool:
+    """True when a Window/Sort node consumes an ``Exchange
+    SinglePartition`` — the one scale-killer class the r5 advisor
+    missed (term_burst_detection's full-vocabulary rank window): the
+    entire input moves to ONE task before the operator runs. Fine
+    when the input grain is bounded (a per-source aggregate, a top-k
+    survivor set); fatal when it's a vocabulary or fact table. The
+    snapshot gate records the bounded-grain sites as reviewed."""
+    import re
+
+    single_ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\s*\n(?:[^\n]+\n){0,3}?Arguments: SinglePartition", s
+        )
+    )
+    if not single_ids:
+        return False
+    nodes = _tree_nodes(s)
+    parents: dict[int, int | None] = {}
+    stack: list[tuple[int, int]] = []
+    for i, (d, _name, _nid) in enumerate(nodes):
+        while stack and stack[-1][0] >= d:
+            stack.pop()
+        parents[i] = stack[-1][1] if stack else None
+        stack.append((d, i))
+    passthrough = {"ShuffleQueryStage", "AQEShuffleRead", "InputAdapter", "WholeStageCodegen"}
+    bounded = {"TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit"}
+    for i, (d, name, nid) in enumerate(nodes):
+        if name.split()[0] != "Exchange" or nid not in single_ids:
+            continue
+        j = parents[i]
+        while j is not None and nodes[j][1].split()[0] in passthrough:
+            j = parents[j]
+        if j is None or nodes[j][1].split()[0] not in ("Sort", "Window", "WindowGroupLimit"):
+            continue
+        # an Exchange fed by a limit (TakeOrderedAndProject from
+        # orderBy().limit(k), or an explicit limit) moves a BOUNDED
+        # row set — the repo's own top-k idiom; don't flag it
+        k = i + 1
+        is_bounded = False
+        while k < len(nodes) and nodes[k][0] > d:
+            if nodes[k][1].split()[0] in bounded:
+                is_bounded = True
+                break
+            k += 1
+        if not is_bounded:
+            return True
+    return False
+
+
 def advise(df: DataFrame) -> list[str]:
     """Plan advisor: scan a query's physical plan for the patterns
     that kill it at 100x scale and return human-readable warnings
@@ -94,6 +167,15 @@ def advise(df: DataFrame) -> list[str]:
         warnings.append(
             "Row-at-a-time Python UDF in the plan — replace with built-in "
             "Column functions or an Arrow-batched pandas UDF"
+        )
+    if _single_partition_window(s):
+        warnings.append(
+            "Window/Sort over Exchange SinglePartition — the whole input "
+            "moves to ONE task before the operator runs; acceptable only "
+            "when the input grain is provably bounded (per-source/bucket "
+            "aggregate, top-k survivors). For an unbounded grain use "
+            "orderBy().limit() (TakeOrderedAndProject) or the band/carry "
+            "two-level prefix-sum"
         )
     return warnings
 

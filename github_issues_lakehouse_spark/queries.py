@@ -494,125 +494,71 @@ FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap (r3 and r4 each checked exactly
-# 50). Round 5 ordering (VERDICT.md r4, tasks 1+3): positions 1-4 are
-# the four r4 driver-hash FAILs, rewritten this round to BIGINT
-# integer units (the DECIMAL trailing-zero purge) — they MUST
-# re-prove. Positions 5-8 are the other DECIMAL emitters whose output
-# columns were renamed by the same purge (their old driver evidence is
-# stale: filtered_agg_orders / revenue_concentration passed r3 with
-# the old schema). Positions 9-19 are the 11 remaining
-# never-driver-checked keys. Positions 20+ refresh the most-stale
-# evidence: every key whose only green row is r1 (three rounds old),
-# window/join/percentile shapes first so a budget cutoff sacrifices
-# trivial scans, not depth. Everything with r2+ evidence rides at the
-# tail in existing order.
-_DRIVER_PRIORITY_R5 = [
-    # r4 driver-hash FAILs, rewritten to integer units — re-prove first
-    "customer_rfm",
-    "order_seasonality",
-    "weighted_median_price",
-    "weighted_quantiles_price",
-    # same DECIMAL purge, schema changed -> old evidence stale
-    "yoy_revenue",
-    "price_quantity_heatmap",
-    "filtered_agg_orders",
-    "revenue_concentration",
-    # new this round: SLA month-over-month mart (VERDICT r4 task 5) +
-    # grid phase-coverage audit for the substring dedup (task 6) +
-    # packing/cluster/filter-bias accounting marts
-    "gold_sla_mom",
-    "substring_phase_audit",
-    "pack_efficiency",
-    "dedup_cluster_size_profile",
-    "quality_length_bias",
-    "minhash_calibration",
-    "media_dedup_stats",
-    "user_growth_accounting",
-    # never driver-checked (r4 budget overflow) — VERDICT r4 task 3:
-    # these 11 must land inside the ~50-row driver budget this round
-    "event_trigram_patterns",
-    "mixture_resample",
-    "event_order_inversions",
-    "dau_wau_stickiness",
-    "user_churn_flags",
-    "weekday_hour_heatmap",
-    "char_class_stats",
-    "kfold_assignment",
-    "join_size_estimate",
-    "ab_test_conversion",
-    "lang_id_confusion",
-    # r5 closing wave (this session, zero driver evidence yet) — the
-    # flagship new machinery first so the driver budget proves it:
-    # attribution folds, PQ tier, rank statistics, money/content
-    # integrity, dedup upgrades, pipeline planners
-    "shapley_attribution",
-    "markov_attribution",
-    "pq_adc_recall",
-    "pq_codebook_stats",
-    "ann_ndcg_at_k",
-    "incremental_mart_rebuild",
-    "order_total_reconciliation",
-    "table_checksum_manifest",
-    "trimmed_winsorized_price",
-    "mann_whitney_price",
-    "spearman_daily_trend",
-    "classifier_calibration",
-    "containment_pairs",
-    "idf_jaccard_pairs",
-    "embedding_dup_clusters",
-    "rake_keyphrases",
-    "term_burst_detection",
-    "bot_regularity_flags",
-    "epoch_shuffle_plan",
-    "functional_dependency_audit",
-    "quality_rank_normalize",
-    # r5 fourth wave (prior session, also never driver-checked)
-    "mmr_diverse_topk",
-    "detector_kappa",
-    "hll_union_overlap",
-    "theil_sen_trend",
-    # r5 second wave: sketches + incremental/cluster-aware dedup marts
+# order under a ~50-entry budget cap (r3/r4/r5 each checked exactly
+# 50). Round 6 ordering (VERDICT.md r5, tasks 1+4): positions 1-44
+# are EXACTLY the 44 keys that have never been driver-checked (every
+# r5 addition past the r5 budget) — the verdict's highest-leverage
+# item, converting "implemented, locally verified" into "proven" for
+# the whole r5 wave. Within the 44, the three queries whose fold or
+# plan changed this round (holt sign-safe unpack + clamp, banded
+# vocab cumsum) lead so they re-prove first. Position 45 is
+# term_burst_detection, whose top-m gate was re-planned this round
+# (TakeOrdered idiom — results identical, plan changed). Positions
+# 46+ refresh the most-stale evidence: the 39 keys whose only green
+# row is r1 (five rounds old), window/join/percentile shapes first so
+# a budget cutoff sacrifices trivial scans, not depth; then the 50
+# r2-stale keys, heavy dedup/ANN composites first for the same
+# reason. NEW operators added this round ride BELOW all of the above
+# (VERDICT r5 task 1: additions must not displace the backlog).
+_DRIVER_PRIORITY_R6 = [
+    # -- positions 1-44: never driver-checked (r5 additions) --------
+    "holt_linear_daily",
+    "forecast_backtest_holt",
+    "vocab_growth_curve",
     "hll_distinct_terms",
+    "hll_union_overlap",
     "quantile_sketch_price",
     "dedup_aware_holdout",
     "dedup_against_index",
     "neardup_against_index",
-    "token_budget_apportionment",
+    "normalization_impact",
     "curriculum_plan",
     "span_corruption_plan",
-    "normalization_impact",
-    "holt_linear_daily",
+    "token_budget_apportionment",
     "rendezvous_shard_plan",
-    # r5 third wave: distribution audits + sketch calibration
+    "theil_sen_trend",
     "benford_first_digit",
     "gini_revenue",
     "ks_promo_price",
     "autocorr_daily",
-    "boilerplate_prefix_stats",
-    "bloom_fpr_audit",
     "event_entropy_rate",
     "markov_stationary_events",
-    "vocab_growth_curve",
-    "simpson_diversity_by_source",
     "contingency_dependence",
     "lorenz_deciles",
     "fano_daily_dispersion",
-    "stopword_mass_by_source",
     "theil_hoover_indices",
+    "anova_price_by_returnflag",
+    "market_concentration_hhi",
+    "boilerplate_prefix_stats",
+    "simpson_diversity_by_source",
+    "stopword_mass_by_source",
+    "source_vocab_overlap",
+    "bloom_fpr_audit",
     "referential_integrity_audit",
     "k_anonymity_audit",
-    "forecast_backtest_holt",
-    "source_vocab_overlap",
-    "anova_price_by_returnflag",
+    "quality_temporal_drift",
     "embedding_sim_histogram",
     "minhash_band_tuning",
+    "ivf_nprobe_recall_curve",
+    "jaccard_threshold_sweep",
     "fulfillment_latency_percentiles",
     "user_survival_curve",
-    "quality_temporal_drift",
     "pareto_frontier_parts",
-    "market_concentration_hhi",
-    # oldest evidence (r1-only), complex shapes first
+    "aov_mix_shift_bridge",
+    "time_to_conversion",
+    # -- position 45: plan re-written this round, re-prove ----------
+    "term_burst_detection",
+    # -- r1-stale evidence (five rounds old), complex shapes first --
     "asof_join_orders_events",
     "range_join_events",
     "sessionize_events",
@@ -643,7 +589,6 @@ _DRIVER_PRIORITY_R5 = [
     "semi_anti_join",
     "json_extract_events",
     "distinct_agg_orders",
-    # ---- position 50 boundary: below likely waits for r6
     "having_active_customers",
     "exists_urgent_customers",
     "scalar_subquery_above_avg",
@@ -653,8 +598,58 @@ _DRIVER_PRIORITY_R5 = [
     "count_distribution",
     "nation_pair_volume",
     "part_revenue_rank",
+    # -- r2-stale evidence, heavy dedup/ANN composites first --------
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "semdedup",
+    "kmeans_embeddings",
+    "neardup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "ann_recall_at_k",
+    "ann_ivf_recall_at_k",
+    "knn_label_purity",
+    "hard_negative_mining",
+    "paragraph_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_keep_best",
+    "duplication_profile",
+    "dedup_rate_mart",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
+    "chunk_documents",
+    "pack_sequences",
+    "unigram_perplexity",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "quantize_embeddings",
+    "vocab_stats",
+    "source_mixing_weights",
+    "repetition_filter",
+    "pii_redact",
+    "sample_stratified",
+    "training_corpus_filter",
+    "multimodal_meta",
+    "frame_sample",
+    "audio_features",
+    "corpus_stats",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "bronze_issues",
+    "silver_issues",
+    "silver_merge_dedup",
+    "label_catalog",
+    "gold_kpi_component_tier",
+    "gold_kpi_global",
+    "gold_kpi_mom",
+    "snapshot_diff",
 ]
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -972,7 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R5 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 
@@ -5673,6 +5668,24 @@ FROM lv GROUP BY 1 ORDER BY 1
 """
 
 
+def holt_fold_sql_parts(a: int, b: int) -> tuple[str, str]:
+    """The DuckDB spellings of the Holt step's new-level / new-trend
+    expressions over accumulator ``acc`` and element ``e`` — shared by
+    the oracle twin and the adversarial fold-parity test so the two
+    cannot drift. Mirrors the Spark fold exactly: sign-safe pmod
+    unpack, exact-multiple level divide, greatest(nl, 0) clamp."""
+    S, OFF, K = 1 << 24, 1 << 23, 1 << 24
+
+    def d10(num: str) -> str:
+        return f"(({num} + {K * 10}) // 10 - {K})"
+
+    r = f"(((acc % {S}) + {S}) % {S})"
+    lvl, trd = f"((acc - {r}) // {S})", f"({r} - {OFF})"
+    nl = f"greatest({d10(f'{a} * e + {10 - a} * ({lvl} + {trd}) + 5')}, 0)"
+    nt = d10(f"{b} * ({nl} - {lvl}) + {10 - b} * {trd} + 5")
+    return nl, nt
+
+
 def _holt_oracle(alpha10: int = 3, beta10: int = 2) -> str:
     """Holt linear-trend twin: the identical fixed-point recursion
     folded by list_reduce over per-row prefix lists, with the state
@@ -5681,16 +5694,14 @@ def _holt_oracle(alpha10: int = 3, beta10: int = 2) -> str:
     bug where a later struct-literal field referencing the
     accumulator sees the already-updated first field. The rounding
     divide is shifted (+2^22*10, -2^22) so ``//`` always truncates a
-    non-negative number (== floor, matching Spark)."""
+    non-negative number (== floor, matching Spark). Unpack mirrors
+    the Spark side's sign-safe pmod spelling (((acc % S) + S) % S)
+    and exact-multiple division, and the level carries the same
+    greatest(nl, 0) clamp (ADVICE r5: daily counts are >= 0, so the
+    smoothed level never goes negative)."""
     a, b = alpha10, beta10
-    S, OFF, K = 1 << 24, 1 << 23, 1 << 24
-
-    def d10(num: str) -> str:
-        return f"(({num} + {K * 10}) // 10 - {K})"
-
-    lvl, trd = f"(acc // {S})", f"(acc % {S} - {OFF})"
-    nl = d10(f"{a} * e + {10 - a} * ({lvl} + {trd}) + 5")
-    nt = d10(f"{b} * ({nl} - {lvl}) + {10 - b} * {trd} + 5")
+    S, OFF = 1 << 24, 1 << 23
+    nl, nt = holt_fold_sql_parts(a, b)
     return f"""
 WITH {_DAILY_GRID_SQL},
 pfx AS (
@@ -5709,9 +5720,10 @@ st AS (
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
   CAST(n AS BIGINT) AS n_events,
-  CAST(s // {S} AS BIGINT) AS level_e2,
-  CAST(s % {S} - {OFF} AS BIGINT) AS trend_e2,
-  CAST(s // {S} + s % {S} - {OFF} AS BIGINT) AS forecast_next_e2
+  CAST((s - (((s % {S}) + {S}) % {S})) // {S} AS BIGINT) AS level_e2,
+  CAST((((s % {S}) + {S}) % {S}) - {OFF} AS BIGINT) AS trend_e2,
+  CAST((s - (((s % {S}) + {S}) % {S})) // {S}
+       + (((s % {S}) + {S}) % {S}) - {OFF} AS BIGINT) AS forecast_next_e2
 FROM st ORDER BY event_type, day
 """
 

@@ -34,6 +34,7 @@ KINDS = [
     ("shuffle exchanges", "many-shuffles"),
     ("SortMergeJoin with no broadcast", "smj-no-broadcast"),
     ("Python UDF", "python-udf"),
+    ("Exchange SinglePartition", "single-partition-window"),
 ]
 
 

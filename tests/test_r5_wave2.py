@@ -274,6 +274,7 @@ def test_holt_linear_matches_python_recursion(spark):
     from github_issues_lakehouse_spark.operators.timeseries import (
         _daily_grid,
         holt_linear_daily,
+        holt_python_reference,
     )
 
     grid = sorted(
@@ -282,17 +283,7 @@ def test_holt_linear_matches_python_recursion(spark):
     series = {}
     for r in grid:
         series.setdefault(r.event_type, []).append(r.n * 100)
-    a10, b10 = 3, 2
-    want = {}
-    for et, xs in series.items():
-        l, t = xs[0], 0
-        states = [(l, t)]
-        for x in xs[1:]:
-            nl = (a10 * x + (10 - a10) * (l + t) + 5) // 10
-            nt = (b10 * (nl - l) + (10 - b10) * t + 5) // 10
-            l, t = nl, nt
-            states.append((l, t))
-        want[et] = states
+    want = {et: holt_python_reference(xs, 3, 2) for et, xs in series.items()}
     got = sorted(
         holt_linear_daily(spark, SF_DIR).collect(), key=lambda r: (r.event_type, r.day)
     )
@@ -302,6 +293,69 @@ def test_holt_linear_matches_python_recursion(spark):
     for et, rows in by_type.items():
         assert [(r.level_e2, r.trend_e2) for r in rows] == want[et]
         assert all(r.forecast_next_e2 == r.level_e2 + r.trend_e2 for r in rows)
+
+
+def test_holt_packed_fold_survives_decay_to_zero(spark):
+    """ADVICE r5: a high-volume series that stops firing feeds the
+    fold gap-filled trailing zeros; pre-fix, l+t overshot below 0,
+    the sign-carrying % unpacked the trend ~2^24 too low, and the
+    state exploded. Prove the production Spark fold, the DuckDB
+    oracle fold, and the plain-Python reference agree on every
+    prefix of such a series (and that the level really decays to 0
+    instead of exploding)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        holt_packed_fold,
+        holt_python_reference,
+        holt_unpack,
+    )
+    from github_issues_lakehouse_spark.queries import holt_fold_sql_parts
+
+    a10, b10 = 3, 2
+    # spike then silence (e2 units): trend goes negative, l+t
+    # undershoots 0 within a few zero days
+    xs = [50_000, 60_000, 55_000] + [0] * 50
+    want = holt_python_reference(xs, a10, b10)
+    # under floor rounding the zero-level trend fixed points are -1
+    # and -2 (at t=-2: (8*-2 + 5) // 10 = -2), not 0; approaching
+    # from a deep negative trend the fold settles at -2
+    assert want[-1][0] == 0 and -2 <= want[-1][1] <= 0, (
+        "series must decay to the zero-level fixed point"
+    )
+    assert any(
+        (a10 * x + (10 - a10) * (l + t) + 5) // 10 < 0
+        for (l, t), x in zip(want[:-1], xs[1:])
+    ), "series must actually drive the pre-clamp level negative"
+
+    prefixes = [(k, xs[:k]) for k in range(1, len(xs) + 1)]
+    pdf = spark.createDataFrame(
+        [(k, v) for k, v in prefixes], "k int, pfx array<bigint>"
+    )
+    state = holt_packed_fold(F.col("pfx"), a10, b10)
+    lvl, trd = holt_unpack(state)
+    got_spark = {
+        r.k: (r.l, r.t)
+        for r in pdf.select("k", lvl.alias("l"), trd.alias("t")).collect()
+    }
+    S, OFF = 1 << 24, 1 << 23
+    nl, nt = holt_fold_sql_parts(a10, b10)
+    con = duckdb.connect()
+    got_duck = {}
+    for k, pfx in prefixes:
+        lst = "[" + ", ".join(str(v) for v in pfx) + "]"
+        (s,) = con.execute(
+            f"""SELECT list_reduce(
+                  list_transform({lst}::BIGINT[],
+                    (x, i) -> CASE WHEN i = 1 THEN x * {S} + {OFF} ELSE x END),
+                  (acc, e) -> {nl} * {S} + ({nt} + {OFF}))"""
+        ).fetchone()
+        r = ((s % S) + S) % S
+        got_duck[k] = ((s - r) // S, r - OFF)
+    for k in range(1, len(xs) + 1):
+        assert got_spark[k] == want[k - 1], f"spark diverges at prefix {k}"
+        assert got_duck[k] == want[k - 1], f"duckdb diverges at prefix {k}"
 
 
 def test_rendezvous_only_moves_to_the_new_shard(spark):
