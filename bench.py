@@ -236,6 +236,13 @@ HEADLINE = [
     "table_checksum_manifest",
     "embedding_dup_clusters",
     "term_burst_detection",
+    # r6 additions
+    "mad_anomaly_events",
+    "hits_hub_authority",
+    "shard_local_dedup_loss",
+    "lsh_bucket_skew_audit",
+    "tail_head_overlap_pairs",
+    "memorization_risk_ngrams",
 ]
 
 

@@ -1712,3 +1712,196 @@ def idf_jaccard_pairs(
     return scored.filter(F.col("wjaccard_ppm") >= threshold_ppm).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def shard_local_dedup_loss(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """C135 (r6): shard-local vs global exact-dedup audit — the cost
+    model for THE 100-TB dedup architecture decision. Global exact
+    dedup shuffles every content hash once; shard-local dedup (each
+    ingest shard dedups independently, no cross-shard shuffle) is
+    embarrassingly parallel but silently keeps every duplicate whose
+    copies land in different shards. This mart measures exactly what
+    that shortcut costs, per shard, before anyone takes it.
+
+    Shards are the deterministic seeded-md5 bucket of doc_id
+    (holdout_split idiom, seed '#shard'), the engine-portable stand-in
+    for an ingest partition. Per shard: docs, duplicates removable by
+    a shard-local pass (keep min doc_id per (hash, shard)), duplicates
+    global dedup would remove (doc_id != global keeper), the MISSED
+    docs (locally kept, globally removable — by construction one per
+    (hash, shard) group whose local keeper isn't the global keeper),
+    and the miss rate in exact ppm of shard docs.
+
+    Plan/scale: one scan to (hash, shard) grain — the only
+    corpus-scale shuffle and it moves 32-hex hashes, never text; the
+    global roll-up aggregates the (hash, shard) grain (distinct
+    hashes x shards rows), and the keeper identity
+    ``min_local == min_global  <=>  global keeper is in this shard``
+    turns the doc-grain membership test into a pure group-level
+    comparison — no join back to documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    base = d.select(
+        F.md5(normalized_text().cast("binary")).alias("h"), shard.alias("shard")
+    , F.col("doc_id"))
+    per = base.groupBy("h", "shard").agg(
+        F.min("doc_id").alias("local_keep"), F.count(F.lit(1)).alias("c")
+    )
+    glob = per.groupBy("h").agg(F.min("local_keep").alias("global_keep"))
+    joined = per.join(glob, "h").withColumn(
+        "contains_keeper", (F.col("local_keep") == F.col("global_keep")).cast("long")
+    )
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.col("c") - 1).cast("long").alias("n_local_removable"),
+            F.sum(F.col("c") - F.col("contains_keeper"))
+            .cast("long")
+            .alias("n_global_removable"),
+            F.sum(1 - F.col("contains_keeper")).cast("long").alias("n_missed"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "n_local_removable",
+            "n_global_removable",
+            "n_missed",
+            f"CAST({_ppm('n_missed', 'n_docs')} AS BIGINT) AS missed_ppm",
+        )
+        .orderBy("shard")
+    )
+
+
+def lsh_bucket_skew_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """C136 (r6): LSH band-bucket skew audit — prices the candidate
+    self-join BEFORE running it. The band-bucket equi-join's cost is
+    sum over buckets of c*(c-1)/2; one boilerplate-heavy bucket of a
+    million docs is half a trillion candidate pairs, which is why the
+    family carries the ``bucket_cap`` guard. This mart is the
+    evidence for setting that cap: per band, bucket-count/size
+    extremes, the exact pair count the uncapped join would produce,
+    the pair count surviving the cap, and how many postings the cap
+    drops (the recall the guard trades for survival).
+
+    Everything is an exact BIGINT over bucket-grain counts (c*(c-1)
+    is always even, so DIV 2 is exact). Reuses the family's shared
+    ``lsh_postings`` stage verbatim — the audit measures the exact
+    postings the dedup join would see.
+
+    Plan/scale: signatures are O(n) JVM-side md5; the audit
+    aggregates at (band, band_key) grain then band grain — buckets,
+    never documents, cross the second shuffle.
+    """
+    posts = lsh_postings(
+        load_table(spark, sf_dir, "documents"), num_hashes=num_hashes, bands=bands
+    )
+    buckets = posts.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_postings"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_singleton"),
+            F.sum(F.when(F.col("c") > bucket_cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+            F.sum(F.when(F.col("c") > bucket_cap, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("postings_dropped"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).cast("long").alias("pairs_uncapped"),
+            F.sum(
+                F.when(F.col("c") <= bucket_cap, F.expr("c * (c - 1) DIV 2")).otherwise(0)
+            )
+            .cast("long")
+            .alias("pairs_after_cap"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def tail_head_overlap_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 2, group_cap: int = 200
+) -> DataFrame:
+    """C137 (r6): chunk-stitching detector — ordered pairs (a, b)
+    where document a's LAST ``k`` normalized tokens equal document
+    b's FIRST ``k`` tokens: the signature of one source document
+    split into overlapping crawl/chunk windows, which exact and
+    near-dup detectors both miss (the chunks are neither identical
+    nor high-Jaccard, but concatenating them reconstructs — and
+    trains on — the original twice). k=2 suits this corpus's short
+    docs; a production crawl runs k~30-50.
+
+    Plan/scale: one scan computes two md5 fingerprints per doc (head
+    k-gram, tail k-gram) — the join runs hash = hash, never text,
+    and the ``group_cap`` guard drops degenerate boilerplate
+    openers/closers (a cap-sized head group against a cap-sized tail
+    group is cap^2 pairs; capping both sides bounds any key's output,
+    the bucket_cap discipline). Docs shorter than 2k tokens are
+    excluded — their head and tail overlap, which self-matches
+    trivially.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    # materialize the token array once (shingles_from discipline) so
+    # the head and tail slices share one tokenizer pass; filter short
+    # docs before anything joins
+    base = (
+        d.withColumn("_t", toks)
+        .filter(F.array_size("_t") >= 2 * k)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("_t"), 1, k), " ").cast("binary")).alias(
+                "head_h"
+            ),
+            F.md5(
+                F.array_join(F.expr(f"slice(_t, -{k}, {k})"), " ").cast("binary")
+            ).alias("tail_h"),
+        )
+    )
+    wh = Window.partitionBy("head_h")
+    wt = Window.partitionBy("tail_h")
+    capped = (
+        base.withColumn("_nh", F.count(F.lit(1)).over(wh))
+        .withColumn("_nt", F.count(F.lit(1)).over(wt))
+        .filter((F.col("_nh") <= group_cap) & (F.col("_nt") <= group_cap))
+        .drop("_nh", "_nt")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tail_h") == F.col("b.head_h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tail_h").alias("overlap_h"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

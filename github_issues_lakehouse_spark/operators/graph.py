@@ -105,3 +105,95 @@ def pagerank_trade_graph(
             .localCheckpoint(eager=True)
         )
     return ranks.orderBy("node")
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> DataFrame:
+    """B131 (r6): HITS (hubs & authorities) over the same bipartite
+    customer<->supplier trade graph as ``pagerank_trade_graph`` —
+    customers are hubs (good buyers spread volume across strong
+    suppliers), suppliers are authorities (strong suppliers attract
+    volume from good buyers). The mutually-recursive centrality pair
+    PageRank's single score can't express on a bipartite graph.
+
+    Determinism contract — one step STRICTER than pagerank's 6dp
+    doubles: scores live in exact e6 BIGINTs. Each half-iteration is
+        raw(s) = sum_c w(c,s) * hub_e6(c)      (exact BIGINT fold,
+                                                order-independent)
+        auth_e6 = round(raw / sum(raw) * 1e6)  (one double division
+                                                of two exact BIGINTs,
+                                                identical tree on
+                                                both engines)
+    so the iterate sequence is bit-identical across engines with no
+    float-summation-order exposure at all. L1 normalization (not the
+    textbook L2) avoids sqrt while preserving the ranking; init is
+    the uniform hub vector 1e6.
+
+    Magnitude bound: hub/auth <= 1e6 after every normalization, so
+    the fold stays < 2^53-exact up to ~9e9 total lineitems — past
+    that, both engines still agree (identical BIGINT->double casts),
+    only absolute rounding granularity degrades.
+
+    Plan/scale: edge construction (one orders JOIN lineitem
+    aggregate) is the only corpus-scale stage and is localCheckpointed
+    once; each half-iteration is one shuffle at pair grain plus a
+    broadcast 1-row total. Constant plan depth via localCheckpoint
+    per iterate (the pagerank/k-means recipe).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    trade = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw_df: DataFrame, key: str) -> DataFrame:
+        tot = raw_df.agg(F.sum("raw").alias("tot"))
+        return (
+            raw_df.crossJoin(F.broadcast(tot))
+            .select(
+                key,
+                F.round(
+                    F.col("raw").cast("double")
+                    / F.col("tot").cast("double")
+                    * F.lit(1000000.0)
+                )
+                .cast("long")
+                .alias("score_e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = customer.select(
+        F.col("c_custkey").alias("ck"), F.lit(1_000_000).cast("long").alias("score_e6")
+    )
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            trade.join(hub.withColumnRenamed("score_e6", "h"), "ck")
+            .groupBy("sk")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("raw"))
+        )
+        auth = _normalize(araw, "sk")
+        hraw = (
+            trade.join(auth.withColumnRenamed("score_e6", "a"), "sk")
+            .groupBy("ck")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("raw"))
+        )
+        hub = _normalize(hraw, "ck")
+
+    hubs = customer.join(hub, customer.c_custkey == hub.ck, "left").select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"),
+        F.lit("hub").alias("role"),
+        F.coalesce("score_e6", F.lit(0)).cast("long").alias("score_e6"),
+    )
+    auths = supplier.join(auth, supplier.s_suppkey == auth.sk, "left").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"),
+        F.lit("authority").alias("role"),
+        F.coalesce("score_e6", F.lit(0)).cast("long").alias("score_e6"),
+    )
+    return hubs.unionByName(auths).orderBy("node")

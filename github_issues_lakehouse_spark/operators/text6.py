@@ -757,3 +757,71 @@ def term_burst_detection(
         )
         .orderBy("rk")
     )
+
+
+def memorization_risk_ngrams(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """C138 (r6): memorization-risk audit — per source, how much of
+    its text consists of ``k``-token windows that appear MORE THAN
+    ONCE in the corpus. Repetition is the single strongest predictor
+    of verbatim memorization in a trained model (the reason exact-
+    substring dedup exists), so this is the per-source risk readout a
+    training-data review quotes: a source whose windows are 30%
+    repeated is feeding the model the same strings over and over,
+    whether or not whole documents ever matched a dedup detector.
+
+    Per source: total k-token windows, windows whose k-gram occurs
+    >= 2 times corpus-wide (counted with multiplicity — every copy
+    contributes risk), distinct k-grams, k-grams unique to one
+    occurrence, and the repeated share in exact ppm.
+
+    Plan/scale: windows become md5 fingerprints inside the row
+    (shingles_from slice discipline — tokens materialize once), so
+    the two shuffles move 32-hex hashes at window then gram grain,
+    never text. The corpus-wide count joins back to the (source,
+    gram) grain — vocabulary-sized, not corpus-sized — and the
+    repeated-set membership is a group-level comparison, no doc
+    join.
+    """
+    from .dedup import shingles_from, tokens as _dtokens
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.withColumn("_t", _dtokens())
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    shingles_from(F.col("_t"), k),
+                    lambda s: F.md5(s.cast("binary")),
+                )
+            ).alias("gh"),
+        )
+    )
+    per_sg = grams.groupBy("source", "gh").agg(F.count(F.lit(1)).alias("c"))
+    global_c = per_sg.groupBy("gh").agg(F.sum("c").alias("gc"))
+    joined = per_sg.join(global_c, "gh")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("gc") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_repeated_windows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(F.when(F.col("gc") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_grams"),
+        )
+        .selectExpr(
+            "source",
+            "n_windows",
+            "n_repeated_windows",
+            "n_distinct_grams",
+            "n_unique_grams",
+            f"CAST({_ppm('n_repeated_windows', 'n_windows')} AS BIGINT)"
+            " AS repeated_ppm",
+        )
+        .orderBy("source")
+    )

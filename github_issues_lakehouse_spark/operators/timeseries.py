@@ -448,6 +448,97 @@ def holt_linear_daily(
     ).orderBy("event_type", "day")
 
 
+def mad_anomaly_events(
+    spark: SparkSession,
+    sf_dir: str,
+    trailing_days: int = 14,
+    min_trailing: int = 7,
+    thresh_e3: int = 3000,
+) -> DataFrame:
+    """B130 (r6): robust daily volume anomalies via median/MAD — the
+    heavy-tail-safe twin of ``daily_anomaly_events`` (B73): a single
+    spike day inflates a trailing MEAN and STDDEV enough to mask the
+    next spike (masking), while the median/MAD pair ignores it. The
+    alarm a pipeline runs on bursty event streams where z-scores
+    self-blind.
+
+    Exact integer rule: over the trailing ``trailing_days`` observed
+    days (excluding today, >= ``min_trailing`` present), med2 = the
+    doubled exact median (sum of the two middle order statistics —
+    integer for any parity) and mad4 = the doubled median of the
+    doubled absolute deviations |2x - med2| (4x raw units). The flag
+    is the pure-BIGINT cross-multiplication
+        2000 * |2*n - med2| > thresh_e3 * mad4
+    (i.e. |n - med| > thresh * MAD with thresh = thresh_e3/1e3) — no
+    division, no float, no tie ambiguity; a zero MAD flags any
+    nonzero deviation (the degenerate-window convention). robust_z
+    is the 6dp readout assembled once from the exact integers.
+
+    Plan/scale: one corpus-scale daily aggregate; the trailing sort
+    runs per row over <= ``trailing_days`` BIGINTs inside a
+    day-grain window (same bounded-window discipline as B73 — the
+    array never exceeds 14 elements regardless of corpus size).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.collect_list("n_events").over(w).alias("wl"),
+    )
+    return (
+        win.withColumn("m", F.array_size("wl").cast("long"))
+        .filter(F.col("m") >= min_trailing)
+        .withColumn("ws", F.array_sort("wl"))
+        .withColumn(
+            "med2",
+            F.expr(
+                "element_at(ws, CAST((m + 1) DIV 2 AS INT))"
+                " + element_at(ws, CAST(m DIV 2 + 1 AS INT))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "ds", F.expr("array_sort(transform(wl, v -> abs(2 * v - med2)))")
+        )
+        .withColumn(
+            "mad4",
+            F.expr(
+                "element_at(ds, CAST((m + 1) DIV 2 AS INT))"
+                " + element_at(ds, CAST(m DIV 2 + 1 AS INT))"
+            ).cast("long"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.col("m").alias("n_trailing"),
+            "med2",
+            "mad4",
+            F.when(
+                F.col("mad4") > 0,
+                r6(
+                    F.lit(2.0)
+                    * (2 * F.col("n_events") - F.col("med2")).cast("double")
+                    / F.col("mad4").cast("double")
+                ),
+            ).alias("robust_z"),
+            (
+                2000 * F.abs(2 * F.col("n_events") - F.col("med2"))
+                > F.lit(thresh_e3) * F.col("mad4")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def autocorr_daily(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
     """B102 (r5): lag-1..``max_lag`` autocorrelation of daily event
     volume per type over the gap-filled grid — the seasonality

@@ -966,6 +966,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R3.q17_small_quantity_revenue,
         "q18_large_volume_orders": R3.q18_large_volume_orders,
         "q19_disjunctive_revenue": R3.q19_disjunctive_revenue,
+        # r6 additions — LAST on purpose (VERDICT r5 task 1: new keys
+        # ride BELOW the never-driver-checked backlog so they cannot
+        # displace it from the ~50-row driver budget)
+        "mad_anomaly_events": timeseries.mad_anomaly_events,
+        "hits_hub_authority": graph.hits_hub_authority,
+        "shard_local_dedup_loss": dedup.shard_local_dedup_loss,
+        "lsh_bucket_skew_audit": dedup.lsh_bucket_skew_audit,
+        "tail_head_overlap_pairs": dedup.tail_head_overlap_pairs,
+        "memorization_risk_ngrams": text6.memorization_risk_ngrams,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2470,6 +2479,18 @@ SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
 FROM d GROUP BY 1
 """,
     }
+    out.update(
+        {
+            # r6 additions (registered BELOW the driver-priority
+            # backlog — VERDICT r5 task 1)
+            "mad_anomaly_events": _mad_anomaly_oracle(),
+            "hits_hub_authority": _hits_oracle(),
+            "shard_local_dedup_loss": _shard_dedup_loss_oracle(),
+            "lsh_bucket_skew_audit": _lsh_skew_oracle(),
+            "tail_head_overlap_pairs": _tail_head_oracle(),
+            "memorization_risk_ngrams": _memorization_oracle(),
+        }
+    )
     return out
 
 
@@ -3133,6 +3154,29 @@ shing AS (
 )"""
 
 
+def _lsh_bands_ctes(
+    num_hashes: int = 12,
+    bands: int = 4,
+    source: str = "documents",
+) -> str:
+    """CTE chain up through the UNCAPPED band postings (shingles ->
+    signatures -> ``bands``), shared by the candidate stage and the
+    bucket-skew audit so the banding spelling cannot drift."""
+    rows = num_hashes // bands
+    return f"""{_shingle_cte(3, source=source)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
+sig AS (
+  SELECT doc_id, j, min(md5(s || '#' || CAST(j AS VARCHAR))) AS mh
+  FROM sd, seeds GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {rows} AS band_id,
+         string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {rows}
+)"""
+
+
 def _minhash_cand_ctes(
     num_hashes: int = 12,
     bands: int = 4,
@@ -3146,19 +3190,7 @@ def _minhash_cand_ctes(
     bucket_cap mirrors the Spark operator's skew guard exactly: band
     buckets larger than the cap generate no candidates (same bucket
     => same count, so constraining side a suffices)."""
-    rows = num_hashes // bands
-    return f"""{_shingle_cte(3, source=source)},
-sd AS (SELECT DISTINCT doc_id, s FROM shing),
-seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS j),
-sig AS (
-  SELECT doc_id, j, min(md5(s || '#' || CAST(j AS VARCHAR))) AS mh
-  FROM sd, seeds GROUP BY doc_id, j
-),
-bands AS (
-  SELECT doc_id, j // {rows} AS band_id,
-         string_agg(mh, '|' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, j // {rows}
-),
+    return f"""{_lsh_bands_ctes(num_hashes, bands, source=source)},
 overb AS (
   SELECT band_id, band_key FROM bands GROUP BY 1, 2 HAVING count(*) > {bucket_cap}
 ),
@@ -8041,4 +8073,203 @@ ranked AS (
 SELECT CAST(rk AS BIGINT) AS rk, term, bucket, n_count, n_prior, cum_before,
   burst_ppm, bursting
 FROM ranked WHERE rk <= 20 ORDER BY rk
+"""
+
+
+# ----------------------------------------------------------- r6 oracles
+
+
+def _mad_anomaly_oracle(
+    trailing_days: int = 14, min_trailing: int = 7, thresh_e3: int = 3000
+) -> str:
+    """Median/MAD anomaly twin (operators/timeseries.py
+    mad_anomaly_events): trailing list window, exact doubled order
+    statistics (med2/mad4), pure-BIGINT cross-multiplied flag."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, n_events,
+    list(n_events) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN {trailing_days} PRECEDING AND 1 PRECEDING) AS wl
+  FROM daily
+), m1 AS (
+  SELECT event_type, day, n_events, len(wl) AS m, list_sort(wl) AS ws, wl
+  FROM win
+), m2 AS (
+  SELECT *, ws[(m + 1) // 2] + ws[m // 2 + 1] AS med2
+  FROM m1 WHERE m >= {min_trailing}
+), m3 AS (
+  SELECT *, list_sort(list_transform(wl, v -> abs(2 * v - med2))) AS ds FROM m2
+), m4 AS (
+  SELECT *, ds[(m + 1) // 2] + ds[m // 2 + 1] AS mad4 FROM m3
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+  CAST(m AS BIGINT) AS n_trailing,
+  CAST(med2 AS BIGINT) AS med2, CAST(mad4 AS BIGINT) AS mad4,
+  CASE WHEN mad4 > 0
+       THEN round(2.0 * CAST(2 * n_events - med2 AS DOUBLE)
+                  / CAST(mad4 AS DOUBLE), 6) END AS robust_z,
+  (2000 * abs(2 * n_events - med2) > {thresh_e3} * mad4) AS is_anomaly
+FROM m4 ORDER BY event_type, day
+"""
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    """HITS twin (operators/graph.py hits_hub_authority): unrolled
+    half-iterations in exact e6 BIGINTs; the only float op per step
+    is the one normalize divide, an identical tree on both engines.
+    MATERIALIZED iterates keep DuckDB's planner off the inlined join
+    tree (the unrolled-CTE discipline)."""
+    norm = (
+        "CAST(round(CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM {src}) AS DOUBLE)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    ctes = [
+        """trade AS MATERIALIZED (
+  SELECT o_custkey AS ck, l_suppkey AS sk, count(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+)""",
+        "h0 AS (SELECT c_custkey AS ck, CAST(1000000 AS BIGINT) AS s FROM customer)",
+    ]
+    for it in range(1, n_iter + 1):
+        prev_h = f"h{it - 1}"
+        ctes.append(
+            f"""a{it}r AS MATERIALIZED (
+  SELECT sk, sum(w * s) AS raw FROM trade JOIN {prev_h} USING (ck) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT sk, {norm.format(src=f'a{it}r')} AS s FROM a{it}r)"
+        )
+        ctes.append(
+            f"""h{it}r AS MATERIALIZED (
+  SELECT ck, sum(w * s) AS raw FROM trade JOIN a{it} USING (sk) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"h{it} AS MATERIALIZED (SELECT ck, {norm.format(src=f'h{it}r')} AS s FROM h{it}r)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'c:' || c_custkey AS node, 'hub' AS role,
+  CAST(coalesce(h{n_iter}.s, 0) AS BIGINT) AS score_e6
+FROM customer LEFT JOIN h{n_iter} ON h{n_iter}.ck = c_custkey
+UNION ALL
+SELECT 's:' || s_suppkey, 'authority', CAST(coalesce(a{n_iter}.s, 0) AS BIGINT)
+FROM supplier LEFT JOIN a{n_iter} ON a{n_iter}.sk = s_suppkey
+ORDER BY node
+"""
+    )
+
+
+def _shard_dedup_loss_oracle(n_shards: int = 8) -> str:
+    """Shard-local dedup loss twin (operators/dedup.py
+    shard_local_dedup_loss): same seeded-md5 shard, same group-level
+    keeper-identity test."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#shard')), 1, 15))
+         AS BIGINT) % {n_shards} AS shard
+  FROM documents
+),
+per AS (SELECT h, shard, min(doc_id) AS local_keep, count(*) AS c FROM d GROUP BY 1, 2),
+gk AS (SELECT h, min(local_keep) AS global_keep FROM per GROUP BY 1),
+agg AS (
+  SELECT shard,
+    sum(c) AS n_docs,
+    sum(c - 1) AS n_local_removable,
+    sum(c - CASE WHEN local_keep = global_keep THEN 1 ELSE 0 END) AS n_global_removable,
+    sum(CASE WHEN local_keep = global_keep THEN 0 ELSE 1 END) AS n_missed
+  FROM per JOIN gk USING (h) GROUP BY 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_local_removable AS BIGINT) AS n_local_removable,
+  CAST(n_global_removable AS BIGINT) AS n_global_removable,
+  CAST(n_missed AS BIGINT) AS n_missed,
+  CAST({_ppm_sql('n_missed', 'n_docs')} AS BIGINT) AS missed_ppm
+FROM agg ORDER BY shard
+"""
+
+
+def _lsh_skew_oracle(
+    num_hashes: int = 12, bands: int = 4, bucket_cap: int = 200
+) -> str:
+    """Band-bucket skew twin (operators/dedup.py
+    lsh_bucket_skew_audit) over the shared uncapped bands CTEs."""
+    return f"""
+WITH {_lsh_bands_ctes(num_hashes, bands)},
+bk AS (SELECT band_id, band_key, count(*) AS c FROM bands GROUP BY 1, 2)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(c) AS BIGINT) AS n_postings,
+  CAST(max(c) AS BIGINT) AS max_bucket,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+  CAST(sum(CASE WHEN c > {bucket_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+  CAST(sum(CASE WHEN c > {bucket_cap} THEN c ELSE 0 END) AS BIGINT) AS postings_dropped,
+  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs_uncapped,
+  CAST(sum(CASE WHEN c <= {bucket_cap} THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT)
+    AS pairs_after_cap
+FROM bk GROUP BY 1 ORDER BY 1
+"""
+
+
+def _tail_head_oracle(k: int = 2, group_cap: int = 200) -> str:
+    """Chunk-stitch twin (operators/dedup.py tail_head_overlap_pairs):
+    same normalized head/tail k-gram md5s, same two-sided group cap."""
+    return f"""
+WITH d AS (SELECT doc_id, {_norm_toks_sql()} AS t FROM documents),
+f AS (
+  SELECT doc_id,
+    md5(array_to_string(t[1:{k}], ' ')) AS head_h,
+    md5(array_to_string(t[-{k}:], ' ')) AS tail_h
+  FROM d WHERE len(t) >= {2 * k}
+),
+hc AS (SELECT head_h, count(*) AS nh FROM f GROUP BY 1),
+tc AS (SELECT tail_h, count(*) AS nt FROM f GROUP BY 1),
+capped AS (
+  SELECT f.* FROM f
+  JOIN hc USING (head_h) JOIN tc USING (tail_h)
+  WHERE nh <= {group_cap} AND nt <= {group_cap}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_h AS overlap_h
+FROM capped a JOIN capped b
+  ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def _memorization_oracle(k: int = 8) -> str:
+    """Memorization-risk twin (operators/text6.py
+    memorization_risk_ngrams): k-gram windows via the standing
+    shingle spelling, corpus-wide counts at gram grain."""
+    return f"""
+WITH d AS (SELECT doc_id, source, {_norm_toks_sql()} AS t FROM documents),
+st AS (
+  SELECT source, t,
+    unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS i
+  FROM d
+),
+g AS (SELECT source, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS gh FROM st),
+sg AS (SELECT source, gh, count(*) AS c FROM g GROUP BY 1, 2),
+gc AS (SELECT gh, sum(c) AS gc FROM sg GROUP BY 1),
+agg AS (
+  SELECT source,
+    sum(c) AS n_windows,
+    sum(CASE WHEN gc >= 2 THEN c ELSE 0 END) AS n_repeated_windows,
+    count(*) AS n_distinct_grams,
+    sum(CASE WHEN gc = 1 THEN 1 ELSE 0 END) AS n_unique_grams
+  FROM sg JOIN gc USING (gh) GROUP BY 1
+)
+SELECT source, CAST(n_windows AS BIGINT) AS n_windows,
+  CAST(n_repeated_windows AS BIGINT) AS n_repeated_windows,
+  CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+  CAST(n_unique_grams AS BIGINT) AS n_unique_grams,
+  CAST({_ppm_sql('n_repeated_windows', 'n_windows')} AS BIGINT) AS repeated_ppm
+FROM agg ORDER BY source
 """

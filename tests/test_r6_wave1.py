@@ -1,0 +1,274 @@
+"""Round-6 wave 1: robust MAD anomalies, HITS, shard-local dedup
+loss, LSH bucket-skew pricing, chunk-stitch pairs, memorization risk.
+
+Each test recomputes the operator's claim from first principles (a
+plain-Python reference over collected base data, or an internal
+consistency identity the math guarantees) — the oracle gate already
+proves Spark == DuckDB; these prove both equal the intended
+semantics.
+"""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from github_issues_lakehouse_spark.sources.registry import load_table
+
+from .conftest import SF_DIR
+
+
+def test_mad_anomaly_matches_python_reference(spark):
+    """med2/mad4/flag equal a plain-Python recompute over the same
+    trailing windows, and the flag is exactly the integer
+    cross-multiplication of the documented rule."""
+    from github_issues_lakehouse_spark.operators.timeseries import mad_anomaly_events
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+        series[r.event_type].append((r.day, r.n))
+
+    want = {}
+    for et, rows in series.items():
+        ns = [n for _, n in rows]
+        for i, (day, n) in enumerate(rows):
+            wl = ns[max(0, i - 14) : i]
+            m = len(wl)
+            if m < 7:
+                continue
+            ws = sorted(wl)
+            med2 = ws[(m + 1) // 2 - 1] + ws[m // 2]
+            ds = sorted(abs(2 * v - med2) for v in wl)
+            mad4 = ds[(m + 1) // 2 - 1] + ds[m // 2]
+            want[(et, day)] = (n, m, med2, mad4, 2000 * abs(2 * n - med2) > 3000 * mad4)
+
+    got = mad_anomaly_events(spark, SF_DIR).collect()
+    assert len(got) == len(want) > 0
+    for r in got:
+        n, m, med2, mad4, flag = want[(r.event_type, r.day)]
+        assert (r.n_events, r.n_trailing, r.med2, r.mad4, r.is_anomaly) == (
+            n,
+            m,
+            med2,
+            mad4,
+            flag,
+        )
+        if mad4 > 0:
+            assert r.robust_z == round(2.0 * (2 * n - med2) / mad4, 6)
+        else:
+            assert r.robust_z is None
+
+
+def test_mad_anomaly_resists_masking_where_zscore_blinds(spark):
+    """The reason B130 exists: a trailing window already containing a
+    huge spike inflates mean+std enough that a second spike hides
+    (z < 2), while median/MAD still flags it. Construct the case and
+    check both operators' primitives disagree exactly as documented."""
+    import statistics
+
+    wl = [10, 11, 9, 10, 12, 10, 1000]  # one prior spike in the window
+    x = 500  # second spike
+    mu = statistics.mean(wl)
+    sd = statistics.stdev(wl)
+    assert abs((x - mu) / sd) < 2.0, "classic z-score must mask the spike"
+    m = len(wl)
+    ws = sorted(wl)
+    med2 = ws[(m + 1) // 2 - 1] + ws[m // 2]
+    ds = sorted(abs(2 * v - med2) for v in wl)
+    mad4 = ds[(m + 1) // 2 - 1] + ds[m // 2]
+    assert 2000 * abs(2 * x - med2) > 3000 * mad4, "MAD rule must flag it"
+
+
+def test_hits_matches_python_reference_and_conserves_mass(spark):
+    """The e6-integer HITS iterates equal a plain-Python recompute
+    (exact folds + the one rounded normalize per half-step), every
+    role's scores sum to ~1e6 (L1 normalization, rounding drift
+    bounded by node count), and roles partition the node prefixes."""
+    from github_issues_lakehouse_spark.operators.graph import hits_hub_authority
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    trade = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    custs = [r.c_custkey for r in load_table(spark, SF_DIR, "customer").collect()]
+    supps = [r.s_suppkey for r in load_table(spark, SF_DIR, "supplier").collect()]
+
+    hub = {c: 1_000_000 for c in custs}
+    auth = {}
+    for _ in range(2):
+        raw = defaultdict(int)
+        for r in trade:
+            if r.o_custkey in hub:
+                raw[r.l_suppkey] += r.w * hub[r.o_custkey]
+        tot = sum(raw.values())
+        auth = {s: round(v / tot * 1_000_000) for s, v in raw.items()}
+        raw = defaultdict(int)
+        for r in trade:
+            if r.l_suppkey in auth:
+                raw[r.o_custkey] += r.w * auth[r.l_suppkey]
+        tot = sum(raw.values())
+        hub = {c: round(v / tot * 1_000_000) for c, v in raw.items()}
+
+    got = {r.node: (r.role, r.score_e6) for r in hits_hub_authority(spark, SF_DIR).collect()}
+    assert len(got) == len(custs) + len(supps)
+    for c in custs:
+        role, s = got[f"c:{c}"]
+        assert role == "hub" and s == hub.get(c, 0)
+    for sp in supps:
+        role, s = got[f"s:{sp}"]
+        assert role == "authority" and s == auth.get(sp, 0)
+    hub_sum = sum(s for r, s in got.values() if r == "hub")
+    auth_sum = sum(s for r, s in got.values() if r == "authority")
+    assert abs(hub_sum - 1_000_000) <= len(custs)
+    assert abs(auth_sum - 1_000_000) <= len(supps)
+
+
+def test_shard_dedup_loss_identities(spark):
+    """Per shard missed == global - local removable; totals reconcile
+    against dedup_exact's corpus-wide duplicate count; docs
+    partition across shards."""
+    from github_issues_lakehouse_spark.operators.dedup import (
+        dedup_exact,
+        shard_local_dedup_loss,
+    )
+
+    rows = shard_local_dedup_loss(spark, SF_DIR).collect()
+    assert {r.shard for r in rows} <= set(range(8))
+    for r in rows:
+        assert r.n_missed == r.n_global_removable - r.n_local_removable
+        assert 0 <= r.n_local_removable <= r.n_global_removable <= r.n_docs
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    global_dupes = sum(
+        r.dup_count - 1 for r in dedup_exact(spark, SF_DIR).collect()
+    )
+    assert sum(r.n_global_removable for r in rows) == global_dupes
+
+
+def test_lsh_skew_audit_prices_the_candidate_join(spark):
+    """Every doc posts exactly once per band; pair counts recompute
+    from the raw postings; the capped pair count is what the capped
+    candidate join actually produces (>= distinct candidate pairs —
+    the same pair can land in several bands)."""
+    from github_issues_lakehouse_spark.operators.dedup import (
+        lsh_bucket_skew_audit,
+        lsh_postings,
+        minhash_candidates,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    got = {r.band_id: r for r in lsh_bucket_skew_audit(spark, SF_DIR).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    posts = lsh_postings(docs).collect()
+    sizes = Counter((p.band_id, p.band_key) for p in posts)
+    for b, r in got.items():
+        cs = [c for (bid, _), c in sizes.items() if bid == b]
+        assert r.n_postings == n_docs == sum(cs)
+        assert r.n_buckets == len(cs)
+        assert r.max_bucket == max(cs)
+        assert r.n_singleton == sum(1 for c in cs if c == 1)
+        assert r.pairs_uncapped == sum(c * (c - 1) // 2 for c in cs)
+        assert r.pairs_after_cap == sum(c * (c - 1) // 2 for c in cs if c <= 200)
+
+    _, cand = minhash_candidates(spark, SF_DIR)
+    assert sum(r.pairs_after_cap for r in got.values()) >= cand.count()
+
+
+def test_tail_head_pairs_really_overlap(spark):
+    """Every reported pair's tail tokens equal the partner's head
+    tokens after the standing normalization, pairs are non-reflexive,
+    and a planted stitched pair is found."""
+    import re
+
+    from github_issues_lakehouse_spark.operators.dedup import tail_head_overlap_pairs
+
+    k = 2
+    docs = {
+        r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    pairs = tail_head_overlap_pairs(spark, SF_DIR).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.doc_a != r.doc_b
+        ta, tb = toks(docs[r.doc_a]), toks(docs[r.doc_b])
+        assert len(ta) >= 2 * k and len(tb) >= 2 * k
+        assert ta[-k:] == tb[:k], (r.doc_a, r.doc_b)
+
+    # planted stitched chunks: b starts with a's last 2 tokens
+    plant = spark.createDataFrame(
+        [
+            (900001, "alpha beta gamma delta OVERLAP MARKER", "s"),
+            (900002, "overlap marker epsilon zeta eta theta", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    import github_issues_lakehouse_spark.operators.dedup as D
+
+    orig = D.load_table
+    try:
+        D.load_table = lambda s, d, t: base.unionByName(plant) if t == "documents" else orig(s, d, t)
+        planted = tail_head_overlap_pairs(spark, SF_DIR).collect()
+    finally:
+        D.load_table = orig
+    assert any(r.doc_a == 900001 and r.doc_b == 900002 for r in planted)
+
+
+def test_memorization_risk_matches_python_reference(spark):
+    """Per-source window counts equal a plain-Python k-gram recompute
+    (k=8, same normalization and partial-shingle convention), and the
+    planted duplicate documents make repeated_ppm nonzero."""
+    import re
+
+    from github_issues_lakehouse_spark.operators.text6 import memorization_risk_ngrams
+
+    k = 8
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    grams = []
+    for r in docs:
+        t = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        n = max(len(t) - (k - 1), 1)
+        for i in range(n):
+            grams.append((r.source, " ".join(t[i : i + k])))
+    gc = Counter(g for _, g in grams)
+    want = defaultdict(lambda: [0, 0, set(), 0])
+    for s, g in grams:
+        w = want[s]
+        w[0] += 1
+        if gc[g] >= 2:
+            w[1] += 1
+        w[2].add(g)
+    for s, w in want.items():
+        w[3] = sum(1 for g in w[2] if gc[g] == 1)
+
+    got = memorization_risk_ngrams(spark, SF_DIR).collect()
+    assert {r.source for r in got} == set(want)
+    any_repeated = False
+    for r in got:
+        w = want[r.source]
+        assert (r.n_windows, r.n_repeated_windows, r.n_distinct_grams, r.n_unique_grams) == (
+            w[0],
+            w[1],
+            len(w[2]),
+            w[3],
+        )
+        assert r.repeated_ppm == (r.n_repeated_windows * 1000) // r.n_windows * 1000 + (
+            (r.n_repeated_windows * 1000) % r.n_windows
+        ) * 1000 // r.n_windows
+        any_repeated = any_repeated or r.n_repeated_windows > 0
+    assert any_repeated, "planted duplicates must register as repeated windows"
