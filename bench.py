@@ -243,6 +243,9 @@ HEADLINE = [
     "lsh_bucket_skew_audit",
     "tail_head_overlap_pairs",
     "memorization_risk_ngrams",
+    "quality_decile_lift",
+    "ann_mrr_at_k",
+    "event_freshness_mart",
 ]
 
 

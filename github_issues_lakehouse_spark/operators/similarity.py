@@ -979,3 +979,50 @@ def embedding_dup_clusters(
         )
         .orderBy("vec_id")
     )
+
+
+def ann_mrr_at_k(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """C140 (r6): MRR@k of both approximate ANN tiers (LSH, IVF)
+    against brute-force truth — the third standard retrieval metric
+    beside recall@k (C26/C58, "how many true neighbors") and nDCG@k
+    (C124, "are the best ones first"): reciprocal rank of the FIRST
+    true neighbor, the single-answer latency-to-relevance number a
+    retrieval-augmented pipeline quotes (if the first hit is at rank
+    3, the user/LLM reads two wrong neighbors first).
+
+    Exact integers: rr_e6 = 1e6 DIV first_hit_rank (0 when the tier
+    returns no true neighbor in its top k) — quantized reciprocal,
+    no float division, hash-exact. first_hit_rank rides along so the
+    quantization is auditable.
+
+    Plan/scale: truth computed ONCE (localCheckpoint pin) and scored
+    against both tiers (the C124 discipline); all joins are on
+    k-rows-per-query sets — grain-bounded regardless of corpus size.
+    """
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir, n_queries, k)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    base = truth.select("q_id").distinct()
+    out = None
+    for method, approx in (
+        ("ivf", ann_ivf_topk(spark, sf_dir, n_queries, k)),
+        ("lsh", ann_lsh_topk(spark, sf_dir, n_queries, k)),
+    ):
+        first = (
+            approx.join(truth, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.min("rank").cast("long").alias("first_hit_rank"))
+        )
+        row = base.join(first, "q_id", "left").selectExpr(
+            f"'{method}' AS method",
+            "q_id",
+            "CAST(coalesce(first_hit_rank, 0) AS BIGINT) AS first_hit_rank",
+            "CAST(CASE WHEN first_hit_rank IS NOT NULL"
+            " THEN 1000000 DIV first_hit_rank ELSE 0 END AS BIGINT) AS rr_e6",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method", "q_id")

@@ -1079,3 +1079,48 @@ def bot_regularity_flags(
         )
         .orderBy("rk")
     )
+
+
+def event_freshness_mart(
+    spark: SparkSession, sf_dir: str, stale_days: int = 7
+) -> DataFrame:
+    """B132 (r6): per-type data-freshness mart — the ingest-health
+    readout an operations dashboard keeps beside the volume-anomaly
+    alarms (B73/B130): for each event type, its span, its daily rate,
+    and how stale it is against the corpus's newest event. A type
+    whose staleness crosses ``stale_days`` stopped flowing — either
+    upstream died or the product retired it; both need a human.
+
+    Exact integers throughout: staleness in exact microseconds
+    (``unix_micros``, the relational6 idiom — whole-second extraction
+    diverges across engines), rate as events-per-day in e2 integer
+    DIV (span measured in calendar days, inclusive).
+
+    Plan/scale: ONE aggregate over events to type grain (map-side
+    combinable min/max/count); the corpus max rides in as a 1-row
+    broadcast. Nothing else touches the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+    )
+    corpus = e.agg(F.max(F.unix_micros("ts")).cast("long").alias("corpus_max_us"))
+    stale_us = F.lit(stale_days) * F.lit(86_400_000_000)
+    return (
+        per.crossJoin(F.broadcast(corpus))
+        .select(
+            "event_type",
+            "n_events",
+            "first_day",
+            "last_day",
+            (F.col("corpus_max_us") - F.col("last_us")).cast("long").alias("staleness_us"),
+            F.expr(
+                "CAST(n_events * 100 DIV (datediff(last_day, first_day) + 1) AS BIGINT)"
+            ).alias("events_per_day_e2"),
+            ((F.col("corpus_max_us") - F.col("last_us")) > stale_us).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

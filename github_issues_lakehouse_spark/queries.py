@@ -975,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_skew_audit": dedup.lsh_bucket_skew_audit,
         "tail_head_overlap_pairs": dedup.tail_head_overlap_pairs,
         "memorization_risk_ngrams": text6.memorization_risk_ngrams,
+        "quality_decile_lift": QC.quality_decile_lift,
+        "ann_mrr_at_k": similarity.ann_mrr_at_k,
+        "event_freshness_mart": timeseries.event_freshness_mart,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2489,6 +2492,9 @@ FROM d GROUP BY 1
             "lsh_bucket_skew_audit": _lsh_skew_oracle(),
             "tail_head_overlap_pairs": _tail_head_oracle(),
             "memorization_risk_ngrams": _memorization_oracle(),
+            "quality_decile_lift": _decile_lift_oracle(),
+            "ann_mrr_at_k": _ann_mrr_oracle(),
+            "event_freshness_mart": _freshness_oracle(),
         }
     )
     return out
@@ -8272,4 +8278,101 @@ SELECT source, CAST(n_windows AS BIGINT) AS n_windows,
   CAST(n_unique_grams AS BIGINT) AS n_unique_grams,
   CAST({_ppm_sql('n_repeated_windows', 'n_windows')} AS BIGINT) AS repeated_ppm
 FROM agg ORDER BY source
+"""
+
+
+def _ann_mrr_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """MRR twin (operators/similarity.py ann_mrr_at_k): same three
+    top-k subqueries as the nDCG twin, reciprocal rank quantized as
+    1e6 // first_hit_rank."""
+
+    def tier(method: str, sub: str) -> str:
+        return f"""
+SELECT '{method}' AS method, b.q_id,
+  CAST(coalesce(s.fr, 0) AS BIGINT) AS first_hit_rank,
+  CAST(CASE WHEN s.fr IS NOT NULL THEN 1000000 // s.fr ELSE 0 END AS BIGINT) AS rr_e6
+FROM (SELECT DISTINCT q_id FROM bf) b
+LEFT JOIN (
+  SELECT a.q_id, min(a.rank) AS fr
+  FROM {sub} a
+  JOIN bf t ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+) s ON b.q_id = s.q_id"""
+
+    return f"""
+WITH bf AS ({_ann_bf_oracle(n_queries, k)}),
+ivf AS ({_ann_ivf_oracle(n_queries, k)}),
+lsh AS ({_ann_lsh_oracle(n_queries, k)})
+{tier("ivf", "ivf")}
+UNION ALL
+{tier("lsh", "lsh")}
+ORDER BY method, q_id
+"""
+
+
+def _decile_lift_oracle() -> str:
+    """Decile lift twin (operators/quality_checks.py
+    quality_decile_lift): same e6 freeze of the heuristic quality
+    score, value-grain cumulative-before deciles, quantized ppm/e6
+    lift algebra."""
+    rate = _ppm_sql("n_gold", "n_docs")
+    overall = _ppm_sql("total_gold", "total_docs")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(round(quality_score * 1000000.0) AS BIGINT) AS score_e6
+  FROM ({_quality_oracle()})
+),
+gold AS (SELECT doc_id FROM ({_corpus_filter_oracle()})),
+base AS (
+  SELECT s.score_e6, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gold
+  FROM scored s LEFT JOIN gold g ON s.doc_id = g.doc_id
+),
+vg AS (SELECT score_e6, count(*) AS n, sum(gold) AS g FROM base GROUP BY 1),
+tot AS (SELECT count(*) AS total_docs, sum(gold) AS total_gold FROM base),
+cum AS (
+  SELECT score_e6, n, g,
+    coalesce(sum(n) OVER (ORDER BY score_e6 DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM vg
+),
+dec AS (
+  SELECT least(cb * 10 // total_docs, 9) + 1 AS decile, n, g, total_docs, total_gold
+  FROM cum, tot
+),
+per AS (
+  SELECT decile, total_docs, total_gold, sum(n) AS n_docs, sum(g) AS n_gold
+  FROM dec GROUP BY 1, 2, 3
+),
+cumg AS (
+  SELECT *, sum(n_gold) OVER (ORDER BY decile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gold
+  FROM per
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_gold AS BIGINT) AS n_gold,
+  CAST({rate} AS BIGINT) AS gold_rate_ppm,
+  CAST(({rate}) * 1000000 // ({overall}) AS BIGINT) AS lift_e6,
+  CAST(cum_gold AS BIGINT) AS cum_gold,
+  CAST({_ppm_sql('cum_gold', 'total_gold')} AS BIGINT) AS capture_ppm
+FROM cumg ORDER BY decile
+"""
+
+
+def _freshness_oracle(stale_days: int = 7) -> str:
+    """Freshness twin (operators/timeseries.py event_freshness_mart):
+    exact-microsecond staleness via epoch_us, inclusive-day e2 rate."""
+    stale_us = stale_days * 86_400_000_000
+    return f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n_events,
+    min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day,
+    max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1
+), corpus AS (SELECT max(epoch_us(ts)) AS cmax FROM events)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events, first_day, last_day,
+  CAST(cmax - last_us AS BIGINT) AS staleness_us,
+  CAST(n_events * 100 // (date_diff('day', first_day, last_day) + 1) AS BIGINT)
+    AS events_per_day_e2,
+  (cmax - last_us) > {stale_us} AS is_stale
+FROM per, corpus ORDER BY event_type
 """

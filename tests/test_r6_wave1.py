@@ -272,3 +272,107 @@ def test_memorization_risk_matches_python_reference(spark):
         ) * 1000 // r.n_windows
         any_repeated = any_repeated or r.n_repeated_windows > 0
     assert any_repeated, "planted duplicates must register as repeated windows"
+
+
+def test_quality_decile_lift_identities(spark):
+    """Deciles partition the corpus; rates/lift/capture recompute
+    from the emitted counts; the gains curve is monotone and ends at
+    full capture; decile 1 (top scores) must not lift below the
+    corpus average by construction of the heuristic's correlation
+    with the gate."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        quality_decile_lift,
+    )
+    from github_issues_lakehouse_spark.operators.scale import training_corpus_filter
+
+    rows = sorted(quality_decile_lift(spark, SF_DIR).collect(), key=lambda r: r.decile)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    n_gold = training_corpus_filter(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_gold for r in rows) == n_gold
+    assert rows[-1].cum_gold == n_gold and rows[-1].capture_ppm == 1_000_000
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    overall = ppm(n_gold, n_docs)
+    cum = 0
+    for r in rows:
+        assert r.gold_rate_ppm == ppm(r.n_gold, r.n_docs)
+        assert r.lift_e6 == ppm(r.n_gold, r.n_docs) * 1_000_000 // overall
+        cum += r.n_gold
+        assert r.cum_gold == cum
+        assert r.capture_ppm == ppm(cum, n_gold)
+        # value-grain deciles: each holds ~10% of docs modulo tie blocks
+        assert r.n_docs > 0
+
+
+def test_ann_mrr_consistent_with_recall_machinery(spark):
+    """rr_e6 is exactly 1e6 DIV the rank of the first true neighbor,
+    recomputed from the tiers' own outputs; a tier with zero hits for
+    a query reports 0; MRR never exceeds 1e6."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_mrr_at_k,
+    )
+
+    truth = {
+        (r.q_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        "ivf": ann_ivf_topk(spark, SF_DIR).collect(),
+        "lsh": ann_lsh_topk(spark, SF_DIR).collect(),
+    }
+    want = {}
+    for method, rows in approx.items():
+        first = {}
+        for r in rows:
+            if (r.q_id, r.neighbor_id) in truth:
+                first[r.q_id] = min(first.get(r.q_id, 10**9), r.rank)
+        want[method] = first
+
+    got = ann_mrr_at_k(spark, SF_DIR).collect()
+    q_ids = {r.q_id for r in got}
+    assert len(got) == 2 * len(q_ids)
+    for r in got:
+        fr = want[r.method].get(r.q_id)
+        if fr is None:
+            assert (r.first_hit_rank, r.rr_e6) == (0, 0)
+        else:
+            assert r.first_hit_rank == fr
+            assert r.rr_e6 == 1_000_000 // fr
+        assert 0 <= r.rr_e6 <= 1_000_000
+
+
+def test_event_freshness_mart_recomputes(spark):
+    """Staleness, rate, and flags recompute exactly from the raw
+    events; the freshest type has staleness 0."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        event_freshness_mart,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.to_date("ts").alias("day"), F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    per = defaultdict(lambda: [0, None, None, 0])
+    cmax = max(r.us for r in ev)
+    for r in ev:
+        p = per[r.event_type]
+        p[0] += 1
+        p[1] = r.day if p[1] is None else min(p[1], r.day)
+        p[2] = r.day if p[2] is None else max(p[2], r.day)
+        p[3] = max(p[3], r.us)
+
+    got = event_freshness_mart(spark, SF_DIR).collect()
+    assert {r.event_type for r in got} == set(per)
+    assert min(r.staleness_us for r in got) == 0
+    for r in got:
+        n, d0, d1, last = per[r.event_type]
+        assert r.n_events == n and r.first_day == d0 and r.last_day == d1
+        assert r.staleness_us == cmax - last
+        assert r.events_per_day_e2 == n * 100 // ((d1 - d0).days + 1)
+        assert r.is_stale == (cmax - last > 7 * 86_400_000_000)
