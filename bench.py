@@ -246,6 +246,8 @@ HEADLINE = [
     "quality_decile_lift",
     "ann_mrr_at_k",
     "event_freshness_mart",
+    "ngram_kneser_ney_counts",
+    "source_pair_dup_matrix",
 ]
 
 

@@ -1905,3 +1905,64 @@ def tail_head_overlap_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def source_pair_dup_matrix(
+    spark: SparkSession, sf_dir: str, k: int = 16
+) -> DataFrame:
+    """C142 (r6): source-pair shared-content matrix — which SOURCES
+    share verbatim text: for each unordered source pair, the number
+    of distinct sliding ``k``-token windows present in both
+    (cross-source duplication = crawl provenance / mirror detection,
+    the readout that decides which source to drop wholesale before
+    any per-doc dedup runs); the diagonal counts windows repeated
+    WITHIN a source. Window grain, not whole-document hashes, because
+    real mirrors share spans long before they share byte-identical
+    documents (this corpus has zero full-doc duplicates but thousands
+    of cross-source shared windows). The source-grain companion of
+    the per-doc dedup family (C1/C29) and the exact-window complement
+    of the token-set cross_source_overlap (C40).
+
+    Plan/scale: windows become md5s inside the row (shingles_from
+    discipline) and collapse to (hash, source) grain — the only
+    corpus-scale shuffle, moving md5s; the pair stage self-joins the
+    (hash, source) table on the hash key, whose fanout is bounded by
+    sources-per-hash (<= |sources|, a catalog-sized constant, never a
+    document count). Output is |sources|^2-bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.withColumn("_t", tokens())
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    shingles_from(F.col("_t"), k),
+                    lambda x: F.md5(x.cast("binary")),
+                )
+            ).alias("h"),
+        )
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    hs = per.select("h", "source")
+    a, b = hs.alias("a"), hs.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )
+    diag = (
+        per.filter(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+        .select(
+            "source_a", F.col("source_a").alias("source_b"), "n_shared_windows"
+        )
+    )
+    return cross.unionByName(diag).orderBy("source_a", "source_b")

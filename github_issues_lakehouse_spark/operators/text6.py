@@ -825,3 +825,83 @@ def memorization_risk_ngrams(
         )
         .orderBy("source")
     )
+
+
+def ngram_kneser_ney_counts(
+    spark: SparkSession, sf_dir: str, top_k: int = 30
+) -> DataFrame:
+    """C141 (r6): Kneser-Ney smoothing ingredients from the corpus —
+    the counts the best classical n-gram language model (Kneser & Ney
+    1995; Chen & Goodman 1999, public papers) is built from, and the
+    reason a plain unigram backoff misreads words like "francisco"
+    (frequent, but only ever after "san"): per word, the CONTINUATION
+    count N1+(.w) = distinct left contexts, the fanout N1+(w.) =
+    distinct right contexts, and the continuation probability
+    N1+(.w) / |distinct bigrams| in exact ppm. The absolute-discount
+    estimate D = n1/(n1 + 2*n2) (bigrams seen once/twice) rides along
+    in exact e6 — the full KN recipe's parameters, measured in one
+    pass. NULL discount when no bigram occurs fewer than three times
+    (n1 = n2 = 0 — true of this corpus at sf0.1, where the templated
+    text repeats everything).
+
+    Plan/scale: bigrams come from the in-row array-shift zip (the
+    term_cooccurrence_pmi discipline — no positional self-join), so
+    the shuffles are the bigram-grain count and two vocabulary-grain
+    distinct-context rollups; the top-k gate is orderBy().limit
+    (TakeOrderedAndProject), never a full-vocabulary window.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        norm_tokens(F.col("text")).alias("t")
+    )
+    n = F.array_size("t")
+    bi = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                    F.slice("t", 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    # bigram-grain rollups: distinct contexts = row counts at bigram
+    # grain (each (a,b) appears once in bc)
+    left = bc.groupBy(F.col("b").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left_ctx")
+    )
+    right = bc.groupBy(F.col("a").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right_ctx")
+    )
+    glob = bc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    uni = (
+        d.select(F.explode("t").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = uni.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(top_k)
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    return (
+        top.join(left, "word", "left")
+        .join(right, "word", "left")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "word",
+            "freq",
+            "CAST(coalesce(n_left_ctx, 0) AS BIGINT) AS n_left_ctx",
+            "CAST(coalesce(n_right_ctx, 0) AS BIGINT) AS n_right_ctx",
+            f"CAST({_ppm_e('coalesce(n_left_ctx, 0)', 'n_bigrams')} AS BIGINT)"
+            " AS cont_prob_ppm",
+            "CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 * 1000000 DIV (n1 + 2 * n2) AS BIGINT)"
+            " END AS discount_e6",
+        )
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+    )

@@ -483,6 +483,20 @@ def mad_anomaly_events(
     daily = e.groupBy(
         F.col("event_type"), F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return mad_anomaly_from_counts(daily, trailing_days, min_trailing, thresh_e3)
+
+
+def mad_anomaly_from_counts(
+    daily: DataFrame,
+    trailing_days: int = 14,
+    min_trailing: int = 7,
+    thresh_e3: int = 3000,
+) -> DataFrame:
+    """The MAD-anomaly readout over an ALREADY-AGGREGATED daily grain
+    (event_type, day, n_events) — composable with the incrementally
+    maintained streaming mart (stream_mart_maintenance keeps exactly
+    this grain), the daily_anomaly_from_counts convention: the robust
+    alarm runs on the committed mart without rescanning events."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -978,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decile_lift": QC.quality_decile_lift,
         "ann_mrr_at_k": similarity.ann_mrr_at_k,
         "event_freshness_mart": timeseries.event_freshness_mart,
+        "ngram_kneser_ney_counts": text6.ngram_kneser_ney_counts,
+        "source_pair_dup_matrix": dedup.source_pair_dup_matrix,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2495,6 +2497,8 @@ FROM d GROUP BY 1
             "quality_decile_lift": _decile_lift_oracle(),
             "ann_mrr_at_k": _ann_mrr_oracle(),
             "event_freshness_mart": _freshness_oracle(),
+            "ngram_kneser_ney_counts": _kn_counts_oracle(),
+            "source_pair_dup_matrix": _source_pair_dup_oracle(),
         }
     )
     return out
@@ -8375,4 +8379,77 @@ SELECT event_type, CAST(n_events AS BIGINT) AS n_events, first_day, last_day,
     AS events_per_day_e2,
   (cmax - last_us) > {stale_us} AS is_stale
 FROM per, corpus ORDER BY event_type
+"""
+
+
+def _kn_counts_oracle(top_k: int = 30) -> str:
+    """Kneser-Ney ingredient twin (operators/text6.py
+    ngram_kneser_ney_counts): in-row bigrams, bigram-grain context
+    rollups, exact ppm/e6 readouts."""
+    return f"""
+WITH d AS (SELECT {_norm_toks_sql()} AS t FROM documents),
+bi AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM d WHERE len(t) >= 2)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+bc AS (SELECT a, b, count(*) AS c FROM bi GROUP BY 1, 2),
+lft AS (SELECT b AS word, count(*) AS n_left_ctx FROM bc GROUP BY 1),
+rgt AS (SELECT a AS word, count(*) AS n_right_ctx FROM bc GROUP BY 1),
+gl AS (
+  SELECT count(*) AS n_bigrams,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+  FROM bc
+),
+uni AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(t) AS word FROM d) WHERE word <> '' GROUP BY 1
+),
+top AS (SELECT * FROM uni ORDER BY freq DESC, word ASC LIMIT {top_k})
+SELECT top.word, CAST(top.freq AS BIGINT) AS freq,
+  CAST(coalesce(lft.n_left_ctx, 0) AS BIGINT) AS n_left_ctx,
+  CAST(coalesce(rgt.n_right_ctx, 0) AS BIGINT) AS n_right_ctx,
+  CAST({_ppm_sql('coalesce(lft.n_left_ctx, 0)', 'gl.n_bigrams')} AS BIGINT)
+    AS cont_prob_ppm,
+  CASE WHEN gl.n1 + 2 * gl.n2 > 0
+       THEN CAST(gl.n1 * 1000000 // (gl.n1 + 2 * gl.n2) AS BIGINT) END AS discount_e6
+FROM top
+LEFT JOIN lft ON top.word = lft.word
+LEFT JOIN rgt ON top.word = rgt.word
+CROSS JOIN gl
+ORDER BY top.freq DESC, top.word ASC
+"""
+
+
+def _source_pair_dup_oracle(k: int = 16) -> str:
+    """Source-pair shared-content twin (operators/dedup.py
+    source_pair_dup_matrix): sliding k-token window hashes at
+    (hash, source) grain, bounded self-join on the hash key,
+    within-source diagonal."""
+    return f"""
+WITH d AS (SELECT source, {_norm_toks_sql()} AS t FROM documents),
+st AS (
+  SELECT source, t,
+    unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS i
+  FROM d
+),
+per AS (
+  SELECT md5(array_to_string(t[i:i+{k - 1}], ' ')) AS h, source, count(*) AS c
+  FROM st GROUP BY 1, 2
+),
+cross_p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*) AS n_shared_windows
+  FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+diag AS (
+  SELECT source AS source_a, source AS source_b, count(*) AS n_shared_windows
+  FROM per WHERE c >= 2 GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_shared_windows AS BIGINT) AS n_shared_windows
+FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM diag)
+ORDER BY source_a, source_b
 """

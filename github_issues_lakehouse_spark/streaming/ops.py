@@ -1400,3 +1400,77 @@ def stream_checksum_maintenance(docs: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def freshness_merge(existing, batch_df):
+    """D32 merge: count by SUM (additive), span fields by MIN/MAX
+    (idempotent) — module-level so the replay tests can drive it
+    directly past the batch_id guard."""
+    from pyspark.sql import functions as F
+
+    delta = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+    )
+    if existing is None:
+        return delta
+    return (
+        existing.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("first_day").alias("first_day"),
+            F.max("last_day").alias("last_day"),
+            F.max("last_us").cast("long").alias("last_us"),
+        )
+    )
+
+
+def stream_freshness_maintenance(events: DataFrame, path: str, checkpoint: str):
+    """D32 (r6): streaming data-freshness maintenance — each
+    micro-batch folds into a per-type (n_events, first_day, last_day,
+    last_us) state table: the count merges by SUM (additive — the
+    exactly-once batch_id guard's job), the span fields by MIN/MAX
+    (idempotent: re-folding the same batch cannot move a min or max,
+    so the staleness readout survives at-least-once redelivery even
+    without the guard). After draining, ``freshness_from_state`` over
+    the committed state equals the batch ``event_freshness_mart`` —
+    the ingest-health alarm runs on O(types) state with zero history
+    rescans. Returns the started query."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=freshness_merge)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def freshness_from_state(state: DataFrame, stale_days: int = 7) -> DataFrame:
+    """Freshness readout over the D32 state table: identical algebra
+    to the batch ``event_freshness_mart`` (exact-microsecond staleness
+    vs the state's own max, inclusive-day e2 rate, stale flag) — the
+    two must agree after a drain, which the D32 test asserts."""
+    from pyspark.sql import functions as F
+
+    corpus = state.agg(F.max("last_us").cast("long").alias("corpus_max_us"))
+    stale_us = F.lit(stale_days) * F.lit(86_400_000_000)
+    return (
+        state.crossJoin(F.broadcast(corpus))
+        .select(
+            "event_type",
+            "n_events",
+            "first_day",
+            "last_day",
+            (F.col("corpus_max_us") - F.col("last_us")).cast("long").alias("staleness_us"),
+            F.expr(
+                "CAST(n_events * 100 DIV (datediff(last_day, first_day) + 1) AS BIGINT)"
+            ).alias("events_per_day_e2"),
+            ((F.col("corpus_max_us") - F.col("last_us")) > stale_us).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

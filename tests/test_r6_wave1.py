@@ -376,3 +376,75 @@ def test_event_freshness_mart_recomputes(spark):
         assert r.staleness_us == cmax - last
         assert r.events_per_day_e2 == n * 100 // ((d1 - d0).days + 1)
         assert r.is_stale == (cmax - last > 7 * 86_400_000_000)
+
+
+def test_kneser_ney_counts_match_python_reference(spark):
+    """Continuation/fanout counts, continuation ppm, and the
+    absolute-discount estimate all equal a plain-Python bigram
+    recompute; 'san francisco'-style words (high freq, few left
+    contexts) get cont_prob far below their frequency share."""
+    import re
+
+    from github_issues_lakehouse_spark.operators.text6 import (
+        ngram_kneser_ney_counts,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    uni = Counter()
+    bc = Counter()
+    for r in docs:
+        t = [w for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")]
+        uni.update(w for w in t if w != "")
+        for a, b in zip(t, t[1:]):
+            if a != "" and b != "":
+                bc[(a, b)] += 1
+    left = Counter(b for _, b in bc)
+    right = Counter(a for a, _ in bc)
+    B = len(bc)
+    n1 = sum(1 for c in bc.values() if c == 1)
+    n2 = sum(1 for c in bc.values() if c == 2)
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    got = ngram_kneser_ney_counts(spark, SF_DIR).collect()
+    assert len(got) == 30
+    want_top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert [(r.word, r.freq) for r in got] == want_top
+    for r in got:
+        assert r.n_left_ctx == left[r.word]
+        assert r.n_right_ctx == right[r.word]
+        assert r.cont_prob_ppm == ppm(left[r.word], B)
+        assert r.discount_e6 == n1 * 1_000_000 // (n1 + 2 * n2)
+
+
+def test_source_pair_dup_matrix_recomputes(spark):
+    """Every cell equals a plain-Python recompute over sliding
+    16-token window hashes; the matrix is symmetric by construction
+    (only source_a <= source_b emitted) and nonzero on this corpus's
+    templated text."""
+    import re
+
+    from github_issues_lakehouse_spark.operators.dedup import source_pair_dup_matrix
+
+    k = 16
+    per = defaultdict(Counter)  # gram -> source -> count
+    for r in load_table(spark, SF_DIR, "documents").select("source", "text").collect():
+        t = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        n = max(len(t) - (k - 1), 1)
+        for i in range(n):
+            per[" ".join(t[i : i + k])][r.source] += 1
+    want = Counter()
+    for srcs in per.values():
+        ss = sorted(srcs)
+        for i, sa in enumerate(ss):
+            if srcs[sa] >= 2:
+                want[(sa, sa)] += 1
+            for sb in ss[i + 1 :]:
+                want[(sa, sb)] += 1
+
+    got = {(r.source_a, r.source_b): r.n_shared_windows
+           for r in source_pair_dup_matrix(spark, SF_DIR).collect()}
+    assert got == dict(want)
+    assert any(a != b for a, b in got), "templated corpus must share cross-source"
+    assert all(a <= b for a, b in got)

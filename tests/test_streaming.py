@@ -1154,3 +1154,118 @@ def test_stream_checksum_equals_batch_and_detects_change(spark, tmp_path):
     }["documents"]
     assert after.n_rows == want.n_rows
     assert after.xor_checksum != want.xor_checksum
+
+
+def test_stream_freshness_equals_batch_and_minmax_replay_safe(
+    spark, events_dir, tmp_path
+):
+    """D32: after draining, the freshness readout over the maintained
+    per-type state equals the batch event_freshness_mart; re-folding a
+    batch under a FRESH batch_id (simulated redelivery past the guard)
+    cannot move the min/max span fields — only the additive count
+    needs the exactly-once guard, and the guard provides it."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        event_freshness_mart,
+    )
+    from github_issues_lakehouse_spark.streaming import (
+        freshness_from_state,
+        read_mart,
+        stream_freshness_maintenance,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    path = str(tmp_path / "fresh_state")
+    q = stream_freshness_maintenance(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r.event_type: (r.n_events, r.first_day, r.last_day, r.staleness_us,
+                       r.events_per_day_e2, r.is_stale)
+        for r in freshness_from_state(read_mart(spark, path)).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.first_day, r.last_day, r.staleness_us,
+                       r.events_per_day_e2, r.is_stale)
+        for r in event_freshness_mart(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # (a) redelivery CAUGHT by the guard: a second drain of the same
+    # source restarts batch_ids at 0, which mart_fold_batch has
+    # already committed — the whole refold must be a no-op
+    before = {r.event_type: r for r in read_mart(spark, path).collect()}
+    stream2 = spark.readStream.schema(batch.schema).parquet(events_dir)
+    q2 = stream_freshness_maintenance(stream2, path, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    after = {r.event_type: r for r in read_mart(spark, path).collect()}
+    for et, b in before.items():
+        a = after[et]
+        assert (a.n_events, a.first_day, a.last_day, a.last_us) == (
+            b.n_events,
+            b.first_day,
+            b.last_day,
+            b.last_us,
+        ), "replayed batch_ids must be absorbed by the exactly-once guard"
+
+    # (b) redelivery PAST the guard (merge driven directly): the
+    # additive count doubles — that is exactly why the guard exists —
+    # but every min/max span field is idempotent and stays put
+    from github_issues_lakehouse_spark.streaming.ops import freshness_merge
+
+    refolded = {
+        r.event_type: r
+        for r in freshness_merge(read_mart(spark, path), batch).collect()
+    }
+    for et, b in before.items():
+        a = refolded[et]
+        assert a.n_events == 2 * b.n_events
+        assert (a.first_day, a.last_day, a.last_us) == (
+            b.first_day,
+            b.last_day,
+            b.last_us,
+        ), "min/max span fields must be idempotent under refold"
+
+
+def test_stream_mad_anomaly_over_maintained_mart(spark, events_dir, tmp_path):
+    """D33: the robust MAD anomaly readout (mad_anomaly_from_counts)
+    over the D12-maintained daily mart equals the batch
+    mad_anomaly_events — the alarm runs on committed O(days x types)
+    state, never rescanning events."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        mad_anomaly_events,
+        mad_anomaly_from_counts,
+    )
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_mart_maintenance,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    path = str(tmp_path / "daily_mart_mad")
+    q = stream_mart_maintenance(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    mart = read_mart(spark, path).select(
+        "event_type", F.to_date("day").alias("day"), "n_events"
+    )
+    got = {
+        (r.event_type, str(r.day)): (r.n_events, r.n_trailing, r.med2, r.mad4,
+                                     r.robust_z, r.is_anomaly)
+        for r in mad_anomaly_from_counts(mart).collect()
+    }
+    want = {
+        (r.event_type, str(r.day)): (r.n_events, r.n_trailing, r.med2, r.mad4,
+                                     r.robust_z, r.is_anomaly)
+        for r in mad_anomaly_events(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0

@@ -185,6 +185,18 @@ KEYS = [
     "table_checksum_manifest",
     "embedding_dup_clusters",
     "term_burst_detection",
+    # r6 additions
+    "mad_anomaly_events",
+    "hits_hub_authority",
+    "shard_local_dedup_loss",
+    "lsh_bucket_skew_audit",
+    "tail_head_overlap_pairs",
+    "memorization_risk_ngrams",
+    "quality_decile_lift",
+    "ann_mrr_at_k",
+    "event_freshness_mart",
+    "ngram_kneser_ney_counts",
+    "source_pair_dup_matrix",
 ]
 
 
