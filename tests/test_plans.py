@@ -323,3 +323,39 @@ def test_r3_ninth_wave_shuffle_budgets(spark):
     qs = Q.queries()
     assert _shuffle_count(qs["lang_id_confusion"](spark, SF_DIR)) <= 3
     assert _shuffle_count(qs["user_churn_flags"](spark, SF_DIR)) <= 2
+
+
+def test_single_partition_window_rule(spark):
+    """The r6 advisor rule (VERDICT r5 task 3): an unpartitioned
+    running-sum window over unbounded input fires; the repo's
+    orderBy().limit top-k idiom (TakeOrderedAndProject feeding the
+    rank window) does not; the fixed term_burst_detection and
+    vocab_stats plans are clean."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.plans.introspect import (
+        _plan_str,
+        _single_partition_window,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    )
+    # unbounded global cumsum — the scale-killer class
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    bad = df.withColumn("cum", F.sum("v").over(w))
+    assert _single_partition_window(_plan_str(bad))
+
+    # the blessed idiom: distributed partial top-k, then rank the
+    # bounded survivors
+    top = df.orderBy(F.col("v").desc()).limit(5)
+    good = top.withColumn("rk", F.row_number().over(Window.orderBy(F.col("v").desc())))
+    assert not _single_partition_window(_plan_str(good))
+
+    qs = Q.queries()
+    assert not _single_partition_window(
+        _plan_str(qs["term_burst_detection"](spark, SF_DIR))
+    )
+    assert not _single_partition_window(_plan_str(qs["vocab_stats"](spark, SF_DIR)))
