@@ -248,6 +248,7 @@ HEADLINE = [
     "event_freshness_mart",
     "ngram_kneser_ney_counts",
     "source_pair_dup_matrix",
+    "stitch_against_index",
 ]
 
 

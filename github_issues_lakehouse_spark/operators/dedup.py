@@ -1841,6 +1841,30 @@ def lsh_bucket_skew_audit(
     )
 
 
+def head_tail_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
+    """(doc_id, head_h, tail_h) fingerprint rows for the chunk-stitch
+    family: md5 of the first/last ``k`` normalized tokens, computed
+    off ONE materialized token array (shingles_from discipline); docs
+    shorter than 2k tokens are excluded (their head and tail overlap,
+    which self-matches trivially). Idempotent keyed rows — the same
+    doc always yields the same single row, so the D34 streaming index
+    absorbs replay with a keyed dedup."""
+    base = (
+        docs.withColumn("_t", tokens())
+        .filter(F.array_size("_t") >= 2 * k)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("_t"), 1, k), " ").cast("binary")).alias(
+                "head_h"
+            ),
+            F.md5(
+                F.array_join(F.expr(f"slice(_t, -{k}, {k})"), " ").cast("binary")
+            ).alias("tail_h"),
+        )
+    )
+    return base
+
+
 def tail_head_overlap_pairs(
     spark: SparkSession, sf_dir: str, k: int = 2, group_cap: int = 200
 ) -> DataFrame:
@@ -1864,24 +1888,7 @@ def tail_head_overlap_pairs(
     """
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    # materialize the token array once (shingles_from discipline) so
-    # the head and tail slices share one tokenizer pass; filter short
-    # docs before anything joins
-    base = (
-        d.withColumn("_t", toks)
-        .filter(F.array_size("_t") >= 2 * k)
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.slice(F.col("_t"), 1, k), " ").cast("binary")).alias(
-                "head_h"
-            ),
-            F.md5(
-                F.array_join(F.expr(f"slice(_t, -{k}, {k})"), " ").cast("binary")
-            ).alias("tail_h"),
-        )
-    )
+    base = head_tail_fingerprints(load_table(spark, sf_dir, "documents"), k)
     wh = Window.partitionBy("head_h")
     wt = Window.partitionBy("tail_h")
     capped = (
@@ -1966,3 +1973,83 @@ def source_pair_dup_matrix(
         )
     )
     return cross.unionByName(diag).orderBy("source_a", "source_b")
+
+
+def stitch_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 2,
+    old_permille: int = 800,
+    group_cap: int = 200,
+) -> DataFrame:
+    """C143 (r6): INCREMENTAL chunk-stitch screening — probe a "new"
+    batch of documents against the head/tail fingerprint index of the
+    corpus already ingested (the C104/C105 incremental-screening
+    pattern applied to C137's overlap class): per new doc, does its
+    HEAD continue an already-ingested chunk's tail (it EXTENDS known
+    content), and does its TAIL match an ingested head (known content
+    continues it)? Either way the "new" doc is part of an
+    already-seen span stream, and the ingest gate should route it to
+    the stitch resolver instead of admitting it as fresh.
+
+    Corpus split old/new by the deterministic md5 permille bucket
+    (seed '#ingest', the C104 convention) so the oracle reproduces
+    the partition. Oversized fingerprint groups on the INDEX side are
+    capped (boilerplate openers/closers, the C137 guard) before the
+    probe joins.
+
+    Plan/scale: the index is one bounded row per ingested doc, keyed
+    on two md5s (at 100 TB it lives bucketed, maintained by D34 —
+    never rebuilt); the probe is two hash equi-joins sized by the
+    BATCH, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"), "#ingest")
+    old_docs = d.filter(bucket < old_permille)
+    new_docs = d.filter(bucket >= old_permille)
+    index = head_tail_fingerprints(old_docs, k)
+    wh = Window.partitionBy("head_h")
+    wt = Window.partitionBy("tail_h")
+    index = (
+        index.withColumn("_nh", F.count(F.lit(1)).over(wh))
+        .withColumn("_nt", F.count(F.lit(1)).over(wt))
+        .filter((F.col("_nh") <= group_cap) & (F.col("_nt") <= group_cap))
+        .drop("_nh", "_nt")
+        .persist()
+    )
+    probe = head_tail_fingerprints(new_docs, k)
+    head_hits = (
+        probe.join(
+            index.select(F.col("tail_h").alias("head_h"), F.lit(1).alias("x")),
+            "head_h",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("x").cast("long").alias("n_extends_ingested"))
+    )
+    tail_hits = (
+        probe.join(
+            index.select(F.col("head_h").alias("tail_h"), F.lit(1).alias("x")),
+            "tail_h",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("x").cast("long").alias("n_continued_by_ingested"))
+    )
+    return (
+        new_docs.select("doc_id", "source")
+        .join(head_hits, "doc_id", "left")
+        .join(tail_hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(coalesce(n_extends_ingested, 0) AS BIGINT) AS n_extends_ingested",
+            "CAST(coalesce(n_continued_by_ingested, 0) AS BIGINT)"
+            " AS n_continued_by_ingested",
+            "(coalesce(n_extends_ingested, 0) + coalesce(n_continued_by_ingested, 0)"
+            " > 0) AS is_stitch_candidate",
+        )
+        .orderBy("doc_id")
+    )

@@ -980,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_freshness_mart": timeseries.event_freshness_mart,
         "ngram_kneser_ney_counts": text6.ngram_kneser_ney_counts,
         "source_pair_dup_matrix": dedup.source_pair_dup_matrix,
+        "stitch_against_index": dedup.stitch_against_index,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2499,6 +2500,7 @@ FROM d GROUP BY 1
             "event_freshness_mart": _freshness_oracle(),
             "ngram_kneser_ney_counts": _kn_counts_oracle(),
             "source_pair_dup_matrix": _source_pair_dup_oracle(),
+            "stitch_against_index": _stitch_index_oracle(),
         }
     )
     return out
@@ -8452,4 +8454,53 @@ diag AS (
 SELECT source_a, source_b, CAST(n_shared_windows AS BIGINT) AS n_shared_windows
 FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM diag)
 ORDER BY source_a, source_b
+"""
+
+
+def _stitch_index_oracle(
+    k: int = 2, old_permille: int = 800, group_cap: int = 200
+) -> str:
+    """Incremental stitch-screen twin (operators/dedup.py
+    stitch_against_index): same '#ingest' permille split, same capped
+    head/tail fingerprint index, same two probe joins."""
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#ingest')), 1, 15))"
+        " AS BIGINT) % 1000"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, {_norm_toks_sql()} AS t,
+                  {bucket} AS bkt
+           FROM documents),
+f AS (
+  SELECT doc_id, source, bkt,
+    md5(array_to_string(t[1:{k}], ' ')) AS head_h,
+    md5(array_to_string(t[-{k}:], ' ')) AS tail_h
+  FROM d WHERE len(t) >= {2 * k}
+),
+old AS (SELECT * FROM f WHERE bkt < {old_permille}),
+hc AS (SELECT head_h, count(*) AS nh FROM old GROUP BY 1),
+tc AS (SELECT tail_h, count(*) AS nt FROM old GROUP BY 1),
+idx AS (
+  SELECT old.* FROM old
+  JOIN hc USING (head_h) JOIN tc USING (tail_h)
+  WHERE nh <= {group_cap} AND nt <= {group_cap}
+),
+probe AS (SELECT * FROM f WHERE bkt >= {old_permille}),
+hh AS (
+  SELECT p.doc_id, count(*) AS n_ext
+  FROM probe p JOIN idx i ON p.head_h = i.tail_h GROUP BY 1
+),
+th AS (
+  SELECT p.doc_id, count(*) AS n_cont
+  FROM probe p JOIN idx i ON p.tail_h = i.head_h GROUP BY 1
+),
+newdocs AS (SELECT doc_id, source FROM d WHERE bkt >= {old_permille})
+SELECT n.doc_id, n.source,
+  CAST(coalesce(hh.n_ext, 0) AS BIGINT) AS n_extends_ingested,
+  CAST(coalesce(th.n_cont, 0) AS BIGINT) AS n_continued_by_ingested,
+  (coalesce(hh.n_ext, 0) + coalesce(th.n_cont, 0) > 0) AS is_stitch_candidate
+FROM newdocs n
+LEFT JOIN hh ON n.doc_id = hh.doc_id
+LEFT JOIN th ON n.doc_id = th.doc_id
+ORDER BY n.doc_id
 """

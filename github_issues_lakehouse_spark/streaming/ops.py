@@ -1474,3 +1474,45 @@ def freshness_from_state(state: DataFrame, stale_days: int = 7) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def stream_stitch_index_maintenance(
+    docs: DataFrame, path: str, checkpoint: str, k: int = 2
+):
+    """D34 (r6): streaming maintenance of the chunk-stitch INDEX —
+    one (doc_id, head_h, tail_h) fingerprint row per ingested doc
+    (``operators.dedup.head_tail_fingerprints``). Rows are IDEMPOTENT
+    keyed state: re-fingerprinting the same doc yields the same
+    single row, so the merge is union + keyed dedup and the index is
+    exact under at-least-once redelivery even without the batch_id
+    guard (the D24/D26 idempotent-state class). The drained state
+    equals the batch fingerprints over every doc ingested; an ingest
+    gate probes incoming batches against it (``stitch_against_index``
+    semantics) with cost proportional to the BATCH, never the corpus.
+    Read with read_mart. Returns the query."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import head_tail_fingerprints
+
+    def merge(existing, batch_df):
+        delta = head_tail_fingerprints(batch_df, k)
+        if existing is None:
+            return delta.dropDuplicates(["doc_id"])
+        return (
+            existing.unionByName(delta)
+            .groupBy("doc_id")
+            .agg(
+                F.min("head_h").alias("head_h"),
+                F.min("tail_h").alias("tail_h"),
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -448,3 +448,103 @@ def test_source_pair_dup_matrix_recomputes(spark):
     assert got == dict(want)
     assert any(a != b for a, b in got), "templated corpus must share cross-source"
     assert all(a <= b for a, b in got)
+
+
+def test_stitch_against_index_matches_python_reference(spark):
+    """The incremental stitch screen equals a plain-Python recompute:
+    same '#ingest' md5 permille split, same capped index, same two
+    probe directions; and the probe finds a planted boundary pair
+    split across old/new."""
+    import hashlib
+    import re
+
+    from github_issues_lakehouse_spark.operators.dedup import stitch_against_index
+
+    k = 2
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"{doc_id}#ingest".encode()).hexdigest()[:15], 16) % 1000
+
+    def fp(text):
+        t = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(t) < 2 * k:
+            return None
+        return (
+            hashlib.md5(" ".join(t[:k]).encode()).hexdigest(),
+            hashlib.md5(" ".join(t[-k:]).encode()).hexdigest(),
+        )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text").collect()
+    old = [(r.doc_id, fp(r.text)) for r in docs if bucket(r.doc_id) < 800]
+    newd = [(r.doc_id, r.source, fp(r.text)) for r in docs if bucket(r.doc_id) >= 800]
+    old = [(d, f) for d, f in old if f]
+    hc = Counter(f[0] for _, f in old)
+    tc = Counter(f[1] for _, f in old)
+    idx = [(d, f) for d, f in old if hc[f[0]] <= 200 and tc[f[1]] <= 200]
+    tails = Counter(f[1] for _, f in idx)
+    heads = Counter(f[0] for _, f in idx)
+    want = {}
+    for d, src, f in newd:
+        ext = tails[f[0]] if f else 0
+        cont = heads[f[1]] if f else 0
+        want[d] = (src, ext, cont, ext + cont > 0)
+
+    got = stitch_against_index(spark, SF_DIR).collect()
+    assert {r.doc_id for r in got} == set(want)
+    for r in got:
+        assert (
+            r.source,
+            r.n_extends_ingested,
+            r.n_continued_by_ingested,
+            r.is_stitch_candidate,
+        ) == want[r.doc_id]
+
+
+def test_stream_stitch_index_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """D34: the drained index equals the batch fingerprints over all
+    docs; re-merging the full corpus (redelivery past the guard) is a
+    NO-OP — the keyed rows are idempotent state."""
+    import shutil
+    import tempfile
+
+    from github_issues_lakehouse_spark.operators.dedup import head_tail_fingerprints
+    from github_issues_lakehouse_spark.streaming import read_mart
+    from github_issues_lakehouse_spark.streaming.ops import (
+        stream_stitch_index_maintenance,
+    )
+
+    batch = load_table(spark, SF_DIR, "documents")
+    d = tempfile.mkdtemp(prefix="stitch_docs_")
+    try:
+        batch.write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        path = str(tmp_path / "stitch_idx")
+        q = stream_stitch_index_maintenance(stream, path, str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+
+        got = {
+            r.doc_id: (r.head_h, r.tail_h) for r in read_mart(spark, path).collect()
+        }
+        want = {
+            r.doc_id: (r.head_h, r.tail_h)
+            for r in head_tail_fingerprints(batch).collect()
+        }
+        assert got == want and len(got) > 0
+
+        # redelivery past the guard: keyed dedup absorbs a full refold
+        refolded = (
+            read_mart(spark, path)
+            .unionByName(head_tail_fingerprints(batch))
+            .groupBy("doc_id")
+            .agg(F.min("head_h").alias("head_h"), F.min("tail_h").alias("tail_h"))
+        )
+        after = {r.doc_id: (r.head_h, r.tail_h) for r in refolded.collect()}
+        assert after == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
