@@ -249,6 +249,8 @@ HEADLINE = [
     "ngram_kneser_ney_counts",
     "source_pair_dup_matrix",
     "stitch_against_index",
+    "watermark_lateness_audit",
+    "ab_srm_check",
 ]
 
 

@@ -742,3 +742,72 @@ def aov_mix_shift_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def ab_srm_check(
+    spark: SparkSession, sf_dir: str, target_a_permille: int = 500
+) -> DataFrame:
+    """B134 (r6): sample-ratio-mismatch (SRM) guardrail for the A/B
+    machinery — the FIRST check every experimentation platform runs
+    before reading any metric (Kohavi et al.): does the realized arm
+    split match the configured ratio? A mismatched split means broken
+    assignment/logging and invalidates the experiment regardless of
+    what ab_test_conversion (B88) says. Uses the same deterministic
+    md5 user-arm assignment as B88 (seed '#ab'), so this audits the
+    exact split the conversion mart reads.
+
+    Chi-square in the benford_first_digit integer spelling: per arm,
+    observed share in exact ppm vs the configured expectation, with
+    chi2_contrib_e6 = (obs_ppm - exp_ppm)^2 DIV exp_ppm — pure BIGINT,
+    no float, no tie ambiguity; the 2-row total rides along and the
+    flag tests it against the df=1 5% critical value (3.841459 e6,
+    pinned literal — no runtime chi-square inverse).
+
+    Plan/scale: one distinct-user pass (the only corpus-scale stage),
+    then 2-row arithmetic.
+    """
+    from ..functions.exact import ppm_expr as _ppm
+
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    users = e.select("user_id").distinct().withColumn("arm", arm)
+    per = users.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    exp_ppm = F.when(
+        F.col("arm") == "A", F.lit(target_a_permille * 1000)
+    ).otherwise(F.lit((1000 - target_a_permille) * 1000))
+    w_all = Window.partitionBy()  # 2 bounded rows
+    scored = (
+        per.withColumn("total", F.sum("n_users").over(w_all))
+        .withColumn("obs_ppm", F.expr(_ppm("n_users", "total")).cast("long"))
+        .withColumn("expected_ppm", exp_ppm.cast("long"))
+        .withColumn(
+            "chi2_contrib_e6",
+            F.expr(
+                "(obs_ppm - expected_ppm) * (obs_ppm - expected_ppm)"
+                " DIV expected_ppm"
+            ).cast("long"),
+        )
+        .withColumn("chi2_e6", F.sum("chi2_contrib_e6").over(w_all).cast("long"))
+    )
+    return scored.select(
+        "arm",
+        "n_users",
+        "obs_ppm",
+        "expected_ppm",
+        "chi2_contrib_e6",
+        "chi2_e6",
+        (F.col("chi2_e6") > 3_841_459).alias("srm_detected"),
+    ).orderBy("arm")

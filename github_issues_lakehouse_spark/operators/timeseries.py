@@ -1138,3 +1138,97 @@ def event_freshness_mart(
         )
         .orderBy("event_type")
     )
+
+
+def watermark_lateness_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark_s: int = 600,
+    band_width: int = 4096,
+) -> DataFrame:
+    """B133 (r6): out-of-orderness audit — the measurement that SIZES
+    a streaming watermark before anyone picks one: per event type,
+    how late events arrive relative to the maximum event time already
+    seen at their arrival position (arrival order = event_id, the
+    ingest-sequence proxy this corpus carries; swap in a kafka offset
+    behind the same contract). An event is LATE when some
+    earlier-arriving event has a newer timestamp; events later than
+    ``watermark_s`` would be DROPPED by a watermark of that delay —
+    the exact trade this table prices (D-family ops take the delay as
+    a parameter; this is where its value comes from).
+
+    Exact integers: lateness in microseconds (``unix_micros``),
+    ppm shares, avg via integer DIV.
+
+    Plan/scale: the running prefix-max uses the band/carry two-level
+    decomposition GENERALIZED TO MAX (prefix-max is associative, so
+    the same trick applies: within-band running max over <=
+    ``band_width`` arrival ids + a carry of per-band maxima) — no
+    task ever sorts a whole type's stream, the exact failure the
+    advisor's single-partition-window rule exists to catch at type
+    grain.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").cast("long").alias("us"),
+    )
+    neg_inf = -(1 << 62)
+    banded = e.withColumn("_band", F.expr(f"event_id DIV {band_width}"))
+    w_in = (
+        Window.partitionBy("event_type", "_band")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    banded = banded.withColumn("_in_max", F.max("us").over(w_in))
+    band_max = banded.groupBy("event_type", "_band").agg(
+        F.max("us").alias("_bm")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = band_max.select(
+        "event_type",
+        "_band",
+        F.coalesce(F.max("_bm").over(w_carry), F.lit(neg_inf)).alias("_carry_max"),
+    )
+    late = (
+        banded.join(carry, ["event_type", "_band"])
+        .withColumn(
+            "prev_max",
+            F.greatest(F.coalesce("_in_max", F.lit(neg_inf)), F.col("_carry_max")),
+        )
+        .withColumn(
+            "lateness_us",
+            F.greatest(F.col("prev_max") - F.col("us"), F.lit(0)).cast("long"),
+        )
+    )
+    wm_us = watermark_s * 1_000_000
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("lateness_us") > 0).cast("long")).cast("long").alias("n_late"),
+            F.sum((F.col("lateness_us") > wm_us).cast("long"))
+            .cast("long")
+            .alias("n_dropped_by_watermark"),
+            F.max("lateness_us").cast("long").alias("max_lateness_us"),
+            F.sum("lateness_us").cast("long").alias("_sum_late"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "n_late",
+            f"CAST({_ppm_e('n_late', 'n_events')} AS BIGINT) AS late_share_ppm",
+            "n_dropped_by_watermark",
+            f"CAST({_ppm_e('n_dropped_by_watermark', 'n_events')} AS BIGINT)"
+            " AS dropped_share_ppm",
+            "max_lateness_us",
+            "CAST(_sum_late DIV n_events AS BIGINT) AS avg_lateness_us",
+        )
+        .orderBy("event_type")
+    )

@@ -981,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_kneser_ney_counts": text6.ngram_kneser_ney_counts,
         "source_pair_dup_matrix": dedup.source_pair_dup_matrix,
         "stitch_against_index": dedup.stitch_against_index,
+        "watermark_lateness_audit": timeseries.watermark_lateness_audit,
+        "ab_srm_check": R7.ab_srm_check,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2501,6 +2503,8 @@ FROM d GROUP BY 1
             "ngram_kneser_ney_counts": _kn_counts_oracle(),
             "source_pair_dup_matrix": _source_pair_dup_oracle(),
             "stitch_against_index": _stitch_index_oracle(),
+            "watermark_lateness_audit": _lateness_oracle(),
+            "ab_srm_check": _srm_oracle(),
         }
     )
     return out
@@ -8503,4 +8507,78 @@ FROM newdocs n
 LEFT JOIN hh ON n.doc_id = hh.doc_id
 LEFT JOIN th ON n.doc_id = th.doc_id
 ORDER BY n.doc_id
+"""
+
+
+def _lateness_oracle(watermark_s: int = 600) -> str:
+    """Watermark-lateness twin (operators/timeseries.py
+    watermark_lateness_audit): one running prefix-max window in
+    arrival (event_id) order — equal by construction to the Spark
+    side's band/carry two-level max decomposition."""
+    wm_us = watermark_s * 1_000_000
+    neg_inf = -(1 << 62)
+    return f"""
+WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+lm AS (
+  SELECT event_type, us,
+    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM e
+),
+sc AS (
+  SELECT event_type, us,
+    greatest(coalesce(prev_max, {neg_inf}) - us, 0) AS lateness_us
+  FROM lm
+),
+agg AS (
+  SELECT event_type, count(*) AS n_events,
+    sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS n_late,
+    sum(CASE WHEN lateness_us > {wm_us} THEN 1 ELSE 0 END) AS n_dropped,
+    max(lateness_us) AS max_lateness_us,
+    sum(lateness_us) AS sum_late
+  FROM sc GROUP BY 1
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_late AS BIGINT) AS n_late,
+  CAST({_ppm_sql('n_late', 'n_events')} AS BIGINT) AS late_share_ppm,
+  CAST(n_dropped AS BIGINT) AS n_dropped_by_watermark,
+  CAST({_ppm_sql('n_dropped', 'n_events')} AS BIGINT) AS dropped_share_ppm,
+  CAST(max_lateness_us AS BIGINT) AS max_lateness_us,
+  CAST(sum_late // n_events AS BIGINT) AS avg_lateness_us
+FROM agg ORDER BY event_type
+"""
+
+
+def _srm_oracle(target_a_permille: int = 500) -> str:
+    """SRM twin (operators/relational7.py ab_srm_check): same md5
+    arm split as the B88 oracle, benford-style integer chi-square."""
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+  SELECT CASE WHEN CAST(concat('0x',
+      substr(md5(concat(CAST(user_id AS VARCHAR), '#ab')), 1, 15)) AS BIGINT)
+      % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM u
+),
+per AS (SELECT arm, count(*) AS n_users FROM arms GROUP BY 1),
+tot AS (SELECT sum(n_users) AS total FROM per),
+sc AS (
+  SELECT arm, n_users,
+    CAST({_ppm_sql('n_users', 'total')} AS BIGINT) AS obs_ppm,
+    CAST(CASE WHEN arm = 'A' THEN {target_a_permille * 1000}
+         ELSE {(1000 - target_a_permille) * 1000} END AS BIGINT) AS expected_ppm
+  FROM per, tot
+),
+sc2 AS (
+  SELECT *,
+    (obs_ppm - expected_ppm) * (obs_ppm - expected_ppm) // expected_ppm
+      AS chi2_contrib_e6
+  FROM sc
+),
+t2 AS (SELECT sum(chi2_contrib_e6) AS chi2_e6 FROM sc2)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users, obs_ppm, expected_ppm,
+  CAST(chi2_contrib_e6 AS BIGINT) AS chi2_contrib_e6,
+  CAST(t2.chi2_e6 AS BIGINT) AS chi2_e6,
+  t2.chi2_e6 > 3841459 AS srm_detected
+FROM sc2, t2 ORDER BY arm
 """

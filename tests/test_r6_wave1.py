@@ -548,3 +548,105 @@ def test_stream_stitch_index_equals_batch_and_replay_idempotent(
         assert after == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_lateness_matches_python_reference(spark):
+    """Banded prefix-max == a plain running max in arrival order:
+    every per-type aggregate recomputes exactly; and a fully ordered
+    planted stream reports zero lateness while one late arrival is
+    counted and dropped at the right threshold."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        watermark_lateness_audit,
+    )
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "event_id", F.unix_micros("ts").alias("us"))
+        .collect(),
+        key=lambda r: (r.event_type, r.event_id),
+    )
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, late, dropped, max, sum
+    run = {}
+    wm = 600 * 1_000_000
+    for r in ev:
+        prev = run.get(r.event_type)
+        late = max(prev - r.us, 0) if prev is not None else 0
+        p = per[r.event_type]
+        p[0] += 1
+        p[1] += late > 0
+        p[2] += late > wm
+        p[3] = max(p[3], late)
+        p[4] += late
+        run[r.event_type] = max(prev or -(1 << 62), r.us)
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    got = watermark_lateness_audit(spark, SF_DIR).collect()
+    assert {r.event_type for r in got} == set(per)
+    for r in got:
+        n, late, dropped, mx, sm = per[r.event_type]
+        assert (r.n_events, r.n_late, r.n_dropped_by_watermark) == (n, late, dropped)
+        assert r.late_share_ppm == ppm(late, n)
+        assert r.dropped_share_ppm == ppm(dropped, n)
+        assert r.max_lateness_us == mx
+        assert r.avg_lateness_us == sm // n
+
+    # planted: ordered stream -> zero lateness; one 2h-late arrival
+    # (well past the 10-minute watermark) -> counted AND dropped
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "t", 1.0, "{}") for i in range(10)]
+    rows.append((10, "2024-01-01 08:00:00", 1, "t", 1.0, "{}"))  # arrives last, 2h late
+    plant = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import github_issues_lakehouse_spark.operators.timeseries as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: plant if t == "events" else orig(s, d, t)
+        out = {r.event_type: r for r in watermark_lateness_audit(spark, SF_DIR, watermark_s=600).collect()}
+    finally:
+        T.load_table = orig
+    r = out["t"]
+    assert r.n_events == 11 and r.n_late == 1 and r.n_dropped_by_watermark == 1
+    assert r.max_lateness_us == 7740 * 1_000_000  # 10:09 running max vs 08:00
+
+
+def test_ab_srm_check_matches_python_reference(spark):
+    """Arm counts, ppm shares, and the integer chi-square recompute
+    exactly from a hashlib split; the balanced md5 split on this data
+    must not trip the 5% critical value."""
+    import hashlib
+
+    from github_issues_lakehouse_spark.operators.relational7 import ab_srm_check
+
+    users = {
+        r.user_id
+        for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"{u}#ab".encode()).hexdigest()[:15], 16) % 2 == 0
+    )
+    counts = {"A": n_a, "B": len(users) - n_a}
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    total = len(users)
+    contrib = {
+        arm: (ppm(n, total) - 500_000) ** 2 // 500_000 for arm, n in counts.items()
+    }
+    chi2 = sum(contrib.values())
+
+    got = {r.arm: r for r in ab_srm_check(spark, SF_DIR).collect()}
+    assert set(got) == {"A", "B"}
+    for arm, r in got.items():
+        assert r.n_users == counts[arm]
+        assert r.obs_ppm == ppm(counts[arm], total)
+        assert r.expected_ppm == 500_000
+        assert r.chi2_contrib_e6 == contrib[arm]
+        assert r.chi2_e6 == chi2
+        assert r.srm_detected == (chi2 > 3_841_459)
+    assert not got["A"].srm_detected, "balanced md5 split must pass SRM"
