@@ -2053,3 +2053,58 @@ def stitch_against_index(
         )
         .orderBy("doc_id")
     )
+
+
+def cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C144 (r6): transitive-chaining audit of the near-dup clusters —
+    the quality check on C5's connected components: transitive
+    closure over LSH pairs can CHAIN documents that were never
+    verified similar to each other (A~B, B~C puts A and C in one
+    cluster with no A~C evidence; at 100 TB a single boilerplate
+    bridge can weld thousands of unrelated docs into one mega-cluster
+    that a keep-one policy then decimates). Per multi-member cluster:
+    members, verified edges, the edge density against the complete
+    graph in exact ppm, the weakest verified link, and a chained flag
+    when any member pair lacks direct evidence (density < 1e6).
+
+    Plan/scale: reuses the C2 verified pairs and the shared min-label
+    propagation verbatim; the audit itself aggregates edges at
+    cluster grain — pairs, never documents, cross its shuffles. The
+    density denominator n(n-1)/2 is BIGINT-exact (and itself the
+    mega-cluster detector: a cluster too big to audit is the
+    finding).
+    """
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).persist()
+    clusters = components_from_pairs(pairs.select("doc_a", "doc_b"))
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    edges = (
+        pairs.join(
+            clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min("jaccard").alias("min_edge_jaccard"),
+        )
+    )
+    return (
+        sizes.join(edges, "cluster_id")
+        .selectExpr(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            "CAST(n_members * (n_members - 1) DIV 2 AS BIGINT) AS possible_edges",
+            f"CAST({_ppm_e('n_edges', '(n_members * (n_members - 1) DIV 2)')}"
+            " AS BIGINT) AS edge_density_ppm",
+            "min_edge_jaccard",
+            f"({_ppm_e('n_edges', '(n_members * (n_members - 1) DIV 2)')})"
+            " < 1000000 AS is_chained",
+        )
+        .orderBy("cluster_id")
+    )

@@ -348,3 +348,61 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_micro.alias("p_micro"),
         (u < p_micro).alias("keep"),
     )
+
+
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C145 (r6): per-source PII prevalence — the compliance readout
+    one level up from the per-doc scrub (C25): which SOURCES leak
+    emails/phones/IPs and at what rate, the table that decides
+    whether a source needs scrubbing, quarantine, or exclusion before
+    its docs enter a training mix (and the before/after evidence a
+    privacy review asks for). Same deterministic synthetic-PII
+    injection and regex patterns as C25, so the two marts reconcile
+    exactly.
+
+    Exact integers: per source, docs scanned, docs with >= 1 hit of
+    each kind, total hits of each kind, and the any-PII document
+    share in exact ppm.
+
+    Plan/scale: one scan, three regex counts per row (the C25
+    projection), one map-side-combinable rollup to source grain.
+    """
+    from ..functions.exact import ppm_expr as _ppm_e
+
+    d = with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    per_doc = d.select(
+        "source",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("ne"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("np"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("ni"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("ne") > 0).cast("long")).cast("long").alias("docs_with_email"),
+            F.sum((F.col("np") > 0).cast("long")).cast("long").alias("docs_with_phone"),
+            F.sum((F.col("ni") > 0).cast("long")).cast("long").alias("docs_with_ip"),
+            F.sum(
+                ((F.col("ne") + F.col("np") + F.col("ni")) > 0).cast("long")
+            ).cast("long").alias("docs_with_any_pii"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("np").cast("long").alias("n_phones"),
+            F.sum("ni").cast("long").alias("n_ips"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "docs_with_email",
+            "docs_with_phone",
+            "docs_with_ip",
+            "docs_with_any_pii",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            f"CAST({_ppm_e('docs_with_any_pii', 'n_docs')} AS BIGINT)"
+            " AS pii_doc_share_ppm",
+        )
+        .orderBy("source")
+    )

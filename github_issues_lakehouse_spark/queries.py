@@ -983,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_against_index": dedup.stitch_against_index,
         "watermark_lateness_audit": timeseries.watermark_lateness_audit,
         "ab_srm_check": R7.ab_srm_check,
+        "cluster_chaining_audit": dedup.cluster_chaining_audit,
+        "pii_rate_by_source": text2.pii_rate_by_source,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R6 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2505,6 +2507,8 @@ FROM d GROUP BY 1
             "stitch_against_index": _stitch_index_oracle(),
             "watermark_lateness_audit": _lateness_oracle(),
             "ab_srm_check": _srm_oracle(),
+            "cluster_chaining_audit": _chaining_oracle(),
+            "pii_rate_by_source": _pii_rate_oracle(),
         }
     )
     return out
@@ -8581,4 +8585,91 @@ SELECT arm, CAST(n_users AS BIGINT) AS n_users, obs_ppm, expected_ppm,
   CAST(t2.chi2_e6 AS BIGINT) AS chi2_e6,
   t2.chi2_e6 > 3841459 AS srm_detected
 FROM sc2, t2 ORDER BY arm
+"""
+
+
+def _chaining_oracle() -> str:
+    """Cluster-chaining twin (operators/dedup.py
+    cluster_chaining_audit): the C2 verified-pairs oracle + the C5
+    recursive min-reachable components, edge rollup at cluster
+    grain."""
+    return f"""
+WITH RECURSIVE
+mh AS (SELECT * FROM ({_minhash_oracle()}) m),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1),
+sz AS (
+  SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1
+  HAVING count(*) >= 2
+),
+ed AS (
+  SELECT c.cluster_id, count(*) AS n_edges,
+    round(min(mh.jaccard), 6) AS min_edge_jaccard
+  FROM mh JOIN cl c ON mh.doc_a = c.doc_id GROUP BY 1
+)
+SELECT s.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+  CAST(ed.n_edges AS BIGINT) AS n_edges,
+  CAST(s.n_members * (s.n_members - 1) // 2 AS BIGINT) AS possible_edges,
+  CAST({_ppm_sql('ed.n_edges', '(s.n_members * (s.n_members - 1) // 2)')} AS BIGINT)
+    AS edge_density_ppm,
+  ed.min_edge_jaccard,
+  ({_ppm_sql('ed.n_edges', '(s.n_members * (s.n_members - 1) // 2)')}) < 1000000
+    AS is_chained
+FROM sz s JOIN ed ON s.cluster_id = ed.cluster_id
+ORDER BY s.cluster_id
+"""
+
+
+def _pii_rate_oracle() -> str:
+    """Per-source PII twin (operators/text2.py pii_rate_by_source):
+    identical synthetic injection and patterns as the C25 oracle."""
+    from .operators.text2 import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH withpii AS (
+  SELECT source,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
+  FROM documents
+),
+per AS (
+  SELECT source,
+    len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+    len(regexp_extract_all(text, '{PHONE_RE}')) AS np,
+    len(regexp_extract_all(text, '{IPV4_RE}')) AS ni
+  FROM withpii
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+    sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+    sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS docs_with_phone,
+    sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_with_ip,
+    sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS docs_with_any_pii,
+    sum(ne) AS n_emails, sum(np) AS n_phones, sum(ni) AS n_ips
+  FROM per GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(docs_with_email AS BIGINT) AS docs_with_email,
+  CAST(docs_with_phone AS BIGINT) AS docs_with_phone,
+  CAST(docs_with_ip AS BIGINT) AS docs_with_ip,
+  CAST(docs_with_any_pii AS BIGINT) AS docs_with_any_pii,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_phones AS BIGINT) AS n_phones,
+  CAST(n_ips AS BIGINT) AS n_ips,
+  CAST({_ppm_sql('docs_with_any_pii', 'n_docs')} AS BIGINT) AS pii_doc_share_ppm
+FROM agg ORDER BY source
 """

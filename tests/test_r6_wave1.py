@@ -650,3 +650,80 @@ def test_ab_srm_check_matches_python_reference(spark):
         assert r.chi2_e6 == chi2
         assert r.srm_detected == (chi2 > 3_841_459)
     assert not got["A"].srm_detected, "balanced md5 split must pass SRM"
+
+
+def test_cluster_chaining_audit_identities(spark):
+    """Edges/density/weakest-link recompute from the operator's own
+    pairs + clusters; every pair's endpoints share a cluster; density
+    == 1e6 exactly when the cluster is a verified clique, and
+    is_chained flags precisely the rest."""
+    from github_issues_lakehouse_spark.operators.dedup import (
+        cluster_chaining_audit,
+        components_from_pairs,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in components_from_pairs(
+            dedup_minhash_lsh(spark, SF_DIR).select("doc_a", "doc_b")
+        ).collect()
+    }
+    edges = defaultdict(list)
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b]
+        edges[comp[p.doc_a]].append(p.jaccard)
+    members = Counter(comp.values())
+
+    def ppm(p, t):
+        return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
+
+    got = {r.cluster_id: r for r in cluster_chaining_audit(spark, SF_DIR).collect()}
+    assert set(got) == {c for c, n in members.items() if n >= 2}
+    for c, r in got.items():
+        n = members[c]
+        poss = n * (n - 1) // 2
+        assert r.n_members == n
+        assert r.n_edges == len(edges[c])
+        assert r.possible_edges == poss
+        assert r.edge_density_ppm == ppm(len(edges[c]), poss)
+        assert r.min_edge_jaccard == round(min(edges[c]), 6)
+        assert r.is_chained == (ppm(len(edges[c]), poss) < 1_000_000)
+
+
+def test_pii_rate_by_source_reconciles_with_per_doc_scrub(spark):
+    """The per-source rollup equals an aggregation of the per-doc C25
+    counts joined back to sources — the two marts cannot disagree."""
+    from github_issues_lakehouse_spark.operators.text2 import (
+        pii_rate_by_source,
+        pii_redact,
+    )
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    per = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0, 0])
+    for r in pii_redact(spark, SF_DIR).collect():
+        p = per[src[r.doc_id]]
+        p[0] += 1
+        p[1] += r.n_emails > 0
+        p[2] += r.n_phones > 0
+        p[3] += r.n_ips > 0
+        p[4] += (r.n_emails + r.n_phones + r.n_ips) > 0
+        p[5] += r.n_emails
+        p[6] += r.n_phones
+        p[7] += r.n_ips
+
+    got = pii_rate_by_source(spark, SF_DIR).collect()
+    assert {r.source for r in got} == set(per)
+    any_pii = False
+    for r in got:
+        p = per[r.source]
+        assert (
+            r.n_docs, r.docs_with_email, r.docs_with_phone, r.docs_with_ip,
+            r.docs_with_any_pii, r.n_emails, r.n_phones, r.n_ips,
+        ) == tuple(p)
+        any_pii = any_pii or r.docs_with_any_pii > 0
+    assert any_pii, "the synthetic injection must register"

@@ -200,6 +200,8 @@ KEYS = [
     "stitch_against_index",
     "watermark_lateness_audit",
     "ab_srm_check",
+    "cluster_chaining_audit",
+    "pii_rate_by_source",
 ]
 
 
