@@ -2005,8 +2005,6 @@ def stitch_against_index(
     """
     from pyspark.sql import Window
 
-    from ..functions.exact import ppm_expr as _ppm_e
-
     d = load_table(spark, sf_dir, "documents")
     bucket = _split_bucket(F.col("doc_id"), "#ingest")
     old_docs = d.filter(bucket < old_permille)

@@ -139,6 +139,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> Dat
     broadcast 1-row total. Constant plan depth via localCheckpoint
     per iterate (the pagerank/k-means recipe).
     """
+    if n_iter < 1:
+        raise ValueError(
+            f"hits_hub_authority needs n_iter >= 1 (got {n_iter}): with zero "
+            "iterations there is no authority vector to report"
+        )
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
@@ -152,17 +157,22 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> Dat
     )
 
     def _normalize(raw_df: DataFrame, key: str) -> DataFrame:
+        # empty/zero-weight graph: sum(raw) is NULL or 0 — emit 0
+        # scores instead of a null-propagating divide (ADVICE r6)
         tot = raw_df.agg(F.sum("raw").alias("tot"))
         return (
             raw_df.crossJoin(F.broadcast(tot))
             .select(
                 key,
-                F.round(
-                    F.col("raw").cast("double")
-                    / F.col("tot").cast("double")
-                    * F.lit(1000000.0)
+                F.when(
+                    F.coalesce(F.col("tot"), F.lit(0)) > 0,
+                    F.round(
+                        F.col("raw").cast("double")
+                        / F.col("tot").cast("double")
+                        * F.lit(1000000.0)
+                    ).cast("long"),
                 )
-                .cast("long")
+                .otherwise(F.lit(0).cast("long"))
                 .alias("score_e6"),
             )
             .localCheckpoint(eager=True)

@@ -756,12 +756,20 @@ def ab_srm_check(
     md5 user-arm assignment as B88 (seed '#ab'), so this audits the
     exact split the conversion mart reads.
 
-    Chi-square in the benford_first_digit integer spelling: per arm,
-    observed share in exact ppm vs the configured expectation, with
-    chi2_contrib_e6 = (obs_ppm - exp_ppm)^2 DIV exp_ppm — pure BIGINT,
-    no float, no tie ambiguity; the 2-row total rides along and the
-    flag tests it against the df=1 5% critical value (3.841459 e6,
-    pinned literal — no runtime chi-square inverse).
+    Pearson chi-square on COUNTS (not shares — ADVICE r6 high: a
+    share-based statistic omits N, capping chi2 at 1.0 and making the
+    flag unreachable): per arm, with n_exp = total * exp_permille /
+    1000 kept exact in thousandths (d_milli = 1000*n_obs -
+    total*exp_permille),
+    chi2_contrib_e6 = 1e6 * d_milli^2 DIV (1000 * total *
+    exp_permille) — algebraically 1e6*(n_obs-n_exp)^2/n_exp with zero
+    float; DECIMAL(38,0) intermediates (the square can pass 2^63 at
+    cluster N), final cast BIGINT. The 2-row total rides along and
+    the flag tests it against the df=1 5% critical value (3.841459
+    e6, pinned literal — no runtime chi-square inverse). Now
+    N-sensitive: 50.5/49.5 on 1M users → chi2_e6 = 100,000,000
+    (chi2=100), detected; the same shares on 1k users → chi2=0.1,
+    passed — exactly Kohavi's guardrail semantics.
 
     Plan/scale: one distinct-user pass (the only corpus-scale stage),
     then 2-row arithmetic.
@@ -785,20 +793,33 @@ def ab_srm_check(
     ).otherwise(F.lit("B"))
     users = e.select("user_id").distinct().withColumn("arm", arm)
     per = users.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    exp_ppm = F.when(
-        F.col("arm") == "A", F.lit(target_a_permille * 1000)
-    ).otherwise(F.lit((1000 - target_a_permille) * 1000))
+    exp_permille = F.when(
+        F.col("arm") == "A", F.lit(target_a_permille)
+    ).otherwise(F.lit(1000 - target_a_permille))
     w_all = Window.partitionBy()  # 2 bounded rows
     scored = (
         per.withColumn("total", F.sum("n_users").over(w_all))
         .withColumn("obs_ppm", F.expr(_ppm("n_users", "total")).cast("long"))
-        .withColumn("expected_ppm", exp_ppm.cast("long"))
+        .withColumn("exp_permille", exp_permille.cast("long"))
+        .withColumn("expected_ppm", (F.col("exp_permille") * 1000).cast("long"))
+        # d_milli = 1000*(n_obs - n_exp): exact in thousandth-users
+        .withColumn(
+            "d_milli",
+            (
+                F.lit(1000) * F.col("n_users")
+                - F.col("total") * F.col("exp_permille")
+            ).cast("long"),
+        )
         .withColumn(
             "chi2_contrib_e6",
             F.expr(
-                "(obs_ppm - expected_ppm) * (obs_ppm - expected_ppm)"
-                " DIV expected_ppm"
-            ).cast("long"),
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * CAST(d_milli AS DECIMAL(38,0))"
+                " * CAST(d_milli AS DECIMAL(38,0))"
+                " DIV (CAST(1000 AS DECIMAL(38,0))"
+                " * CAST(total AS DECIMAL(38,0))"
+                " * CAST(exp_permille AS DECIMAL(38,0))) AS BIGINT)"
+            ),
         )
         .withColumn("chi2_e6", F.sum("chi2_contrib_e6").over(w_all).cast("long"))
     )

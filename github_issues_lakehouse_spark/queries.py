@@ -8555,7 +8555,9 @@ FROM agg ORDER BY event_type
 
 def _srm_oracle(target_a_permille: int = 500) -> str:
     """SRM twin (operators/relational7.py ab_srm_check): same md5
-    arm split as the B88 oracle, benford-style integer chi-square."""
+    arm split as the B88 oracle; count-based Pearson chi-square
+    (ADVICE r6 high) in exact thousandth-user integers, HUGEINT
+    intermediates for the square."""
     return f"""
 WITH u AS (SELECT DISTINCT user_id FROM events),
 arms AS (
@@ -8567,15 +8569,18 @@ arms AS (
 per AS (SELECT arm, count(*) AS n_users FROM arms GROUP BY 1),
 tot AS (SELECT sum(n_users) AS total FROM per),
 sc AS (
-  SELECT arm, n_users,
+  SELECT arm, n_users, total,
     CAST({_ppm_sql('n_users', 'total')} AS BIGINT) AS obs_ppm,
-    CAST(CASE WHEN arm = 'A' THEN {target_a_permille * 1000}
-         ELSE {(1000 - target_a_permille) * 1000} END AS BIGINT) AS expected_ppm
+    CAST(CASE WHEN arm = 'A' THEN {target_a_permille}
+         ELSE {1000 - target_a_permille} END AS BIGINT) AS exp_permille
   FROM per, tot
 ),
 sc2 AS (
-  SELECT *,
-    (obs_ppm - expected_ppm) * (obs_ppm - expected_ppm) // expected_ppm
+  SELECT *, exp_permille * 1000 AS expected_ppm,
+    CAST((1000000::HUGEINT
+          * (1000::HUGEINT * n_users - total::HUGEINT * exp_permille)
+          * (1000::HUGEINT * n_users - total::HUGEINT * exp_permille))
+         // (1000::HUGEINT * total * exp_permille) AS BIGINT)
       AS chi2_contrib_e6
   FROM sc
 ),

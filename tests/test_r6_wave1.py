@@ -132,6 +132,17 @@ def test_hits_matches_python_reference_and_conserves_mass(spark):
     assert abs(auth_sum - 1_000_000) <= len(supps)
 
 
+def test_hits_rejects_zero_iterations(spark):
+    """n_iter=0 has no authority vector — a clear ValueError, not an
+    AttributeError on a None join (ADVICE r6)."""
+    import pytest as _pytest
+
+    from github_issues_lakehouse_spark.operators.graph import hits_hub_authority
+
+    with _pytest.raises(ValueError, match="n_iter >= 1"):
+        hits_hub_authority(spark, SF_DIR, n_iter=0)
+
+
 def test_shard_dedup_loss_identities(spark):
     """Per shard missed == global - local removable; totals reconcile
     against dedup_exact's corpus-wide duplicate count; docs
@@ -612,10 +623,24 @@ def test_watermark_lateness_matches_python_reference(spark):
     assert r.max_lateness_us == 7740 * 1_000_000  # 10:09 running max vs 08:00
 
 
+def _srm_reference(counts: dict[str, int]) -> tuple[dict[str, int], int]:
+    """Count-based Pearson chi-square in the operator's exact integer
+    spelling: contrib_e6 = 1e6 * (1000*n - total*exp_permille)^2 //
+    (1000 * total * exp_permille), exp 50/50. Equals
+    floor(1e6 * (n-total/2)^2/(total/2)) — scipy chisquare * 1e6."""
+    total = sum(counts.values())
+    contrib = {}
+    for arm, n in counts.items():
+        d_milli = 1000 * n - total * 500
+        contrib[arm] = (1_000_000 * d_milli * d_milli) // (1000 * total * 500)
+    return contrib, sum(contrib.values())
+
+
 def test_ab_srm_check_matches_python_reference(spark):
-    """Arm counts, ppm shares, and the integer chi-square recompute
-    exactly from a hashlib split; the balanced md5 split on this data
-    must not trip the 5% critical value."""
+    """Arm counts, ppm shares, and the COUNT-based integer chi-square
+    (ADVICE r6 high: share-based stats omit N and can never fire)
+    recompute exactly from a hashlib split; the balanced md5 split on
+    this data must not trip the 5% critical value."""
     import hashlib
 
     from github_issues_lakehouse_spark.operators.relational7 import ab_srm_check
@@ -635,10 +660,7 @@ def test_ab_srm_check_matches_python_reference(spark):
         return (p * 1000 // t) * 1000 + (p * 1000 % t) * 1000 // t
 
     total = len(users)
-    contrib = {
-        arm: (ppm(n, total) - 500_000) ** 2 // 500_000 for arm, n in counts.items()
-    }
-    chi2 = sum(contrib.values())
+    contrib, chi2 = _srm_reference(counts)
 
     got = {r.arm: r for r in ab_srm_check(spark, SF_DIR).collect()}
     assert set(got) == {"A", "B"}
@@ -650,6 +672,51 @@ def test_ab_srm_check_matches_python_reference(spark):
         assert r.chi2_e6 == chi2
         assert r.srm_detected == (chi2 > 3_841_459)
     assert not got["A"].srm_detected, "balanced md5 split must pass SRM"
+
+
+def test_ab_srm_check_detects_true_mismatch(spark, tmp_path):
+    """The guardrail must FIRE on a genuinely broken split: mine user
+    ids so the md5 arm assignment lands 400 A / 100 B (true chi2 =
+    180 >> 3.84), write them as a synthetic events table, and assert
+    srm_detected. Known-value check: chi2 for (400,100) vs 50/50 is
+    exactly (150^2/250)*2 = 180.0 -> chi2_e6 == 180_000_000."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from github_issues_lakehouse_spark.operators.relational7 import ab_srm_check
+
+    a_ids, b_ids, u = [], [], 0
+    while len(a_ids) < 400 or len(b_ids) < 100:
+        u += 1
+        arm_a = int(hashlib.md5(f"{u}#ab".encode()).hexdigest()[:15], 16) % 2 == 0
+        if arm_a and len(a_ids) < 400:
+            a_ids.append(u)
+        elif not arm_a and len(b_ids) < 100:
+            b_ids.append(u)
+    ids = a_ids + b_ids
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ids)), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000 + i for i in range(len(ids))],
+                           pa.timestamp("ns")),
+            "user_id": pa.array(ids, pa.int64()),
+            "event_type": pa.array(["view"] * len(ids)),
+            "value": pa.array([1.0] * len(ids)),
+            "props": pa.array(["{}"] * len(ids)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {r.arm: r for r in ab_srm_check(spark, str(tmp_path)).collect()}
+    contrib, chi2 = _srm_reference({"A": 400, "B": 100})
+    assert chi2 == 180_000_000  # scipy chisquare([400,100]) == 180.0
+    assert got["A"].n_users == 400 and got["B"].n_users == 100
+    for arm in ("A", "B"):
+        assert got[arm].chi2_contrib_e6 == contrib[arm]
+        assert got[arm].chi2_e6 == chi2
+        assert got[arm].srm_detected is True
 
 
 def test_cluster_chaining_audit_identities(spark):
