@@ -553,6 +553,49 @@ def mad_anomaly_from_counts(
     )
 
 
+def mad_anomaly_from_counts_daily(
+    spark: SparkSession,
+    sf_dir: str,
+    trailing_days: int = 14,
+    min_trailing: int = 7,
+    thresh_e3: int = 3000,
+) -> DataFrame:
+    """B132b (r7, VERDICT r6 task 3): ``mad_anomaly_from_counts`` as
+    a first-class registered query — B130's exact median/MAD algebra
+    over the GAP-FILLED daily grid (B31's sequence x types zero-fill
+    convention) instead of observed days only. This is exactly the
+    shape of the maintained-mart alarm (D12 keeps the complete daily
+    grain; D33 proves drain==batch over it): zero days ENTER the
+    trailing window, so a type that goes silent pulls its median down
+    and the first burst after a quiet stretch alarms — semantics the
+    observed-days-only B130 cannot express (its window silently skips
+    the gap).
+
+    Plan/scale: the grid is days x types — calendar-bounded at ANY
+    corpus scale; one corpus-scale daily aggregate feeds the
+    broadcast-joined grid; the readout is the shared bounded-window
+    helper (<= ``trailing_days`` BIGINTs per row).
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    return mad_anomaly_from_counts(filled, trailing_days, min_trailing, thresh_e3)
+
+
 def autocorr_daily(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
     """B102 (r5): lag-1..``max_lag`` autocorrelation of daily event
     volume per type over the gap-filled grid — the seasonality

@@ -184,9 +184,12 @@ KEYS = [
     "idf_jaccard_pairs",
     "table_checksum_manifest",
     "embedding_dup_clusters",
+    "embedding_dup_clusters_banded",
+    "banded_neardup_recall",
     "term_burst_detection",
     # r6 additions
     "mad_anomaly_events",
+    "mad_anomaly_from_counts_daily",
     "hits_hub_authority",
     "shard_local_dedup_loss",
     "lsh_bucket_skew_audit",
