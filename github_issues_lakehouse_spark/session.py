@@ -62,4 +62,38 @@ def get_spark(
         # output-tail capture budget with bench.py's one JSON line
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_reviewed_window_warnings(spark)
+    return spark
+
+
+def _silence_reviewed_window_warnings(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR (VERDICT r6 task 5).
+
+    Every unpartitioned window in this engine sits on a frame bounded
+    by construction (a post-aggregate grain, a top-k survivor set, a
+    band/carry summary) and is individually recorded as a
+    ``single-partition-window`` entry in
+    tests/data/plan_advice_snapshot.json — tests/test_plan_advice_drift
+    FAILS on any new or moved site, so the CI-enforced advisor gate,
+    not log eyeballing, is the detector for a NOVEL unbounded window
+    (it also catches the class this runtime warning misses: a
+    partitionless Sort feeding a limit, an Exchange SinglePartition
+    under an aggregate). With the gate in place, the per-run WARN spam
+    from the ~27 reviewed sites is pure noise a fresh warning could
+    hide in — suppressing the logger makes bench/verify logs clean
+    while keeping novel-site detection strictly stronger than the log
+    ever was. A constant partition key cannot do this structurally:
+    ``partitionBy(lit(0))`` is constant-folded back to an empty spec
+    before WindowExec sees it (measured).
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # a foreign JVM without log4j2 (or a connect session) just
+        # keeps the warnings — cosmetic, never correctness
+        pass

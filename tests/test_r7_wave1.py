@@ -183,3 +183,19 @@ def test_banded_pairs_plan_has_no_n2_stage(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windowexec_warning_suppressed_in_tuned_session(spark):
+    """VERDICT r6 task 5: the ~27 reviewed bounded-grain
+    single-partition windows are recorded in the plan-advice snapshot
+    (the CI drift gate is the novel-site detector), so the tuned
+    session raises the WindowExec logger to ERROR — bench/verify logs
+    stay clean and a WindowExec WARN can no longer hide among
+    reviewed-site spam."""
+    jvm = spark.sparkContext._jvm
+    lvl = str(
+        jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).getLevel()
+    )
+    assert lvl == "ERROR"
