@@ -221,9 +221,69 @@ def planted_main() -> None:
         print(f"planted x{mult} {name}: {n} rows {time.time() - t0:.2f}s")
 
 
+def banded_main() -> None:
+    """r7: banded embedding-pair scaling. Replicate embeddings with
+    shifted vec_ids and a tiny per-replica deterministic perturbation
+    of coordinate 0 (replicas are NEAR- but not exact duplicates, so
+    every replica family becomes a genuine high-cosine near-dup
+    cluster — the adversarial case for a pair lister).
+
+    Expected shape, stated up front: with a FIXED band config (8
+    bands x 6 bits = 64 buckets/band) bucket occupancy grows ~n, so
+    the candidate join and the verified PAIR LISTING grow
+    ~quadratically — the same documented contract as the shingle-LSH
+    pair listing (see module docstring); the knob that restores ~n
+    candidates at real scale is bits-per-band (bucket count must grow
+    with n), and the cluster OUTPUT form (C146) stays the scale path.
+    This mode measures that statement instead of asserting it:
+
+        python tools/stress.py banded 1
+        python tools/stress.py banded 10
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = "/root/testdata/sf0.1"
+    dst = f"/tmp/stress_banded_{mult}"
+
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        banded_corpus_pairs,
+        embedding_dup_clusters_banded,
+    )
+    from github_issues_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-banded")
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    e = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.concat(
+                F.array(emb[0] + F.col("rep").cast("double") * 0.001),
+                F.slice(emb, 2, 10_000),
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/embeddings.parquet")
+    )
+    for name, fn in (
+        ("pairs", banded_corpus_pairs),
+        ("clusters", embedding_dup_clusters_banded),
+    ):
+        t0 = time.time()
+        n = fn(spark, dst).count()
+        print(f"banded x{mult} {name}: {n} rows {time.time() - t0:.2f}s")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "planted":
         planted_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "banded":
+        banded_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = "/root/testdata/sf0.1"
