@@ -509,6 +509,17 @@ def banded_corpus_pairs(
     priced by C147 rather than hidden. Raise ``bands`` (more, shorter
     bands) to buy recall with candidate mass at low thresholds.
 
+    Sizing at scale (measured, tools/stress.py banded): with a FIXED
+    band config, bucket occupancy grows ~n/2^bits, so BOTH knobs must
+    scale with the corpus — ``bits_per_band`` so buckets stay sparse
+    (the candidate join is sum-of-occupancy², and recall at
+    production thresholds survives longer bands), and ``bucket_cap``
+    which guards DEGENERATE buckets, not typical mass: at 10x this
+    corpus the default cap starts dropping ordinary buckets and C147
+    reports the recall hit — set cap to a few × the expected
+    n/(bands·2^bits) occupancy and let the skew audit (C136's
+    counterpart maths) justify it.
+
     Plan/scale: O(n) signatures, one equi-join on (band_id,
     band_val) bounded per bucket by ``bucket_cap``, verification
     sized by the CANDIDATE set — never an all-pairs stage (C133's
