@@ -478,6 +478,40 @@ def _band_keys(vec_col, planes, bands: int, bits_per_band: int):
     return F.array(*keys)
 
 
+def embedding_band_postings(
+    df: DataFrame, n_planes: int = 48, bands: int = 8, dim: int = 64
+) -> DataFrame:
+    """(vec_id, band_id, band_val) hyperplane band postings for an
+    embeddings-schema frame — the row grain the D35 streaming index
+    maintains and the incremental embedding probe joins on. Uses the
+    SAME md5 hyperplanes and ``_band_keys`` construction as
+    ``banded_corpus_pairs``, so streamed index rows are bit-identical
+    to the batch candidate stage's keys (the D24 ``lsh_postings``
+    discipline, dedup.py). A posting row is pure idempotent state:
+    union + distinct folds survive at-least-once redelivery with no
+    dedup bookkeeping. bucket_cap stays a QUERY-time policy — the
+    prober derives bucket counts from the index, so one maintained
+    index serves any cap."""
+    from ..functions.vectors import to_double
+
+    assert n_planes % bands == 0
+    planes = _hyperplanes(dim, n_planes)
+    return (
+        df.select(
+            "vec_id",
+            _band_keys(
+                to_double(F.col("embedding")), planes, bands, n_planes // bands
+            ).alias("bk"),
+        )
+        .select("vec_id", F.explode("bk").alias("k"))
+        .select(
+            "vec_id",
+            F.col("k.band_id").alias("band_id"),
+            F.col("k.band_val").alias("band_val"),
+        )
+    )
+
+
 def banded_corpus_pairs(
     spark: SparkSession,
     sf_dir: str,

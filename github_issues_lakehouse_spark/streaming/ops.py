@@ -1476,6 +1476,58 @@ def freshness_from_state(state: DataFrame, stale_days: int = 7) -> DataFrame:
     )
 
 
+def stream_embedding_bands_maintenance(
+    vecs: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_planes: int = 48,
+    bands: int = 8,
+    dim: int = 64,
+):
+    """D35 (r7): streaming maintenance of the EMBEDDING band-postings
+    INDEX — each micro-batch's (vec_id, band_id, band_val) hyperplane
+    postings (``similarity.embedding_band_postings``, bit-identical
+    to the C146 batch candidate stage's keys) fold into the stored
+    index by union + distinct. A posting row is pure idempotent
+    state, so the fold survives at-least-once redelivery with no
+    dedup bookkeeping (the D24 class, mirrored from the shingle side
+    onto the embedding side). This is the historical side an
+    incremental embedding probe joins: new vectors' postings
+    equi-join the index on (band_id, band_val), and only the
+    candidate pairs get exact-cosine verification against the stored
+    embeddings table — per-batch probe cost, never a corpus
+    re-banding (the C104/C105 incremental contract; see the
+    drain==batch + probe-equivalence test). ``bucket_cap`` stays a
+    QUERY-time policy, derived from index bucket counts. Read with
+    read_mart. Returns the started query."""
+
+    def merge(existing, batch_df):
+        delta = embedding_bands_delta(batch_df, n_planes, bands, dim)
+        if existing is None:
+            return delta.dropDuplicates(["vec_id", "band_id", "band_val"])
+        return existing.unionByName(delta).dropDuplicates(
+            ["vec_id", "band_id", "band_val"]
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        vecs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def embedding_bands_delta(
+    batch_df: DataFrame, n_planes: int = 48, bands: int = 8, dim: int = 64
+):
+    from ..operators.similarity import embedding_band_postings
+
+    return embedding_band_postings(batch_df, n_planes, bands, dim)
+
+
 def stream_stitch_index_maintenance(
     docs: DataFrame, path: str, checkpoint: str, k: int = 2
 ):

