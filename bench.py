@@ -237,6 +237,7 @@ HEADLINE = [
     "embedding_dup_clusters",
     "embedding_dup_clusters_banded",
     "banded_neardup_recall",
+    "embedding_band_skew_audit",
     "term_burst_detection",
     # r6 additions
     "mad_anomaly_events",

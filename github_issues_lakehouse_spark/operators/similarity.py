@@ -659,6 +659,70 @@ def embedding_dup_clusters_banded(
     )
 
 
+def embedding_band_skew_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 48,
+    bands: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """C148 (r7): embedding band-bucket skew audit — C136's pricing
+    mart mirrored onto the hyperplane bands: the candidate equi-join
+    of `embedding_dup_clusters_banded` costs sum over buckets of
+    c*(c-1)/2, and a sign-space hot spot (embeddings are NOT uniform
+    on the sphere — clustered corpora concentrate in few orthants)
+    can make one bucket quadratic. This mart prices the join BEFORE
+    running it: per band, bucket-count/size extremes, the exact pair
+    count the uncapped join would produce, the pair count surviving
+    ``bucket_cap``, and the postings the cap would drop — the sizing
+    table the C146 docstring's cap/bits-per-band guidance reads (the
+    r7 10x stress decomposition was exactly this computation done by
+    hand; now it's a mart).
+
+    Exact BIGINTs over bucket-grain counts (c*(c-1) is even — DIV 2
+    exact). Reuses the shared ``embedding_band_postings`` stage
+    verbatim, so the audit measures the exact postings the candidate
+    join (and the D35-maintained index) would see.
+
+    Plan/scale: signatures are O(n); aggregation at (band_id,
+    band_val) grain then band grain — buckets, never vectors, cross
+    the second shuffle.
+    """
+    posts = embedding_band_postings(
+        load_table(spark, sf_dir, "embeddings"), n_planes, bands, dim
+    )
+    buckets = posts.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_postings"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton"),
+            F.sum(F.when(F.col("c") > bucket_cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+            F.sum(F.when(F.col("c") > bucket_cap, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("postings_dropped"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).cast("long").alias("pairs_uncapped"),
+            F.sum(
+                F.when(
+                    F.col("c") <= bucket_cap, F.expr("c * (c - 1) DIV 2")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pairs_after_cap"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def banded_neardup_recall(
     spark: SparkSession,
     sf_dir: str,

@@ -564,6 +564,7 @@ _DRIVER_PRIORITY_R7 = [
     "mad_anomaly_from_counts_daily",
     "embedding_dup_clusters_banded",
     "banded_neardup_recall",
+    "embedding_band_skew_audit",
     # -- overflow: r2-stale evidence, heavy composites first --------
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -805,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
         "embedding_dup_clusters_banded": similarity.embedding_dup_clusters_banded,
         "banded_neardup_recall": similarity.banded_neardup_recall,
+        "embedding_band_skew_audit": similarity.embedding_band_skew_audit,
         "term_burst_detection": text6.term_burst_detection,
         "jaccard_threshold_sweep": dedup.jaccard_threshold_sweep,
         "time_to_conversion": timeseries.time_to_conversion,
@@ -2050,6 +2052,7 @@ FROM top
         "embedding_dup_clusters": _embedding_clusters_oracle(),
         "embedding_dup_clusters_banded": _banded_clusters_oracle(),
         "banded_neardup_recall": _banded_recall_oracle(),
+        "embedding_band_skew_audit": _emb_skew_oracle(),
         "term_burst_detection": _term_burst_oracle(),
         "jaccard_threshold_sweep": _jaccard_sweep_oracle(),
         "time_to_conversion": _time_to_conversion_oracle(),
@@ -8015,18 +8018,12 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
-def _banded_pairs_sql(
-    threshold: float = 0.4,
-    n_planes: int = 48,
-    bands: int = 8,
-    dim: int = 64,
-    bucket_cap: int = 2000,
-) -> str:
-    """Shared CTE chain for the banded within-corpus pair stage
-    (operators/similarity.py banded_corpus_pairs): identical md5
-    hyperplanes, banded sign-bit keys, bucket_cap window guard, bare-id
-    candidate distinct, 6dp-rounded exact-cosine verify. Ends with a
-    CTE named ``bpairs(id_a, id_b, cos_sim)``."""
+def _emb_posting_ctes(n_planes: int = 48, bands: int = 8, dim: int = 64) -> str:
+    """Shared posting-stage CTEs for the embedding band family
+    (operators/similarity.py embedding_band_postings): identical md5
+    hyperplanes and banded sign-bit keys. Ends with
+    ``posts(vec_id, band_id, band_val)`` (a ``c(vec_id, v)`` CTE
+    rides along for downstream verify joins)."""
     from .operators.similarity import _hyperplanes
 
     bits_per_band = n_planes // bands
@@ -8046,18 +8043,34 @@ def _banded_pairs_sql(
         f"{{'band_id': {b}, 'band_val': CAST({band_val(b)} AS BIGINT)}}"
         for b in range(bands)
     )
-    cos = (
-        "round(list_dot_product(x.v, y.v) /"
-        " (sqrt(list_dot_product(x.v, x.v)) *"
-        " sqrt(list_dot_product(y.v, y.v))), 6)"
-    )
     return f"""
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (SELECT vec_id, [{band_structs}] AS bk FROM c),
 posts AS (
   SELECT vec_id, band_id, band_val
   FROM (SELECT vec_id, unnest(bk, recursive := true) FROM s)
-),
+)"""
+
+
+def _banded_pairs_sql(
+    threshold: float = 0.4,
+    n_planes: int = 48,
+    bands: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 2000,
+) -> str:
+    """Shared CTE chain for the banded within-corpus pair stage
+    (operators/similarity.py banded_corpus_pairs): the shared posting
+    CTEs + bucket_cap window guard, bare-id candidate distinct,
+    6dp-rounded exact-cosine verify. Ends with a CTE named
+    ``bpairs(id_a, id_b, cos_sim)``."""
+    cos = (
+        "round(list_dot_product(x.v, y.v) /"
+        " (sqrt(list_dot_product(x.v, x.v)) *"
+        " sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+{_emb_posting_ctes(n_planes, bands, dim)},
 capped AS (
   SELECT vec_id, band_id, band_val FROM (
     SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS _n FROM posts
@@ -8074,6 +8087,29 @@ bpairs AS (
   FROM cand JOIN c x ON cand.id_a = x.vec_id JOIN c y ON cand.id_b = y.vec_id
   WHERE {cos} >= {threshold}
 )"""
+
+
+def _emb_skew_oracle(
+    n_planes: int = 48, bands: int = 8, dim: int = 64, bucket_cap: int = 2000
+) -> str:
+    """Embedding band-bucket skew twin (operators/similarity.py
+    embedding_band_skew_audit) over the shared posting CTEs — the
+    C136 pricing algebra on hyperplane buckets."""
+    return f"""
+WITH {_emb_posting_ctes(n_planes, bands, dim)},
+bk AS (SELECT band_id, band_val, count(*) AS c FROM posts GROUP BY 1, 2)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(c) AS BIGINT) AS n_postings,
+  CAST(max(c) AS BIGINT) AS max_bucket,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+  CAST(sum(CASE WHEN c > {bucket_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+  CAST(sum(CASE WHEN c > {bucket_cap} THEN c ELSE 0 END) AS BIGINT) AS postings_dropped,
+  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs_uncapped,
+  CAST(sum(CASE WHEN c <= {bucket_cap} THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT)
+    AS pairs_after_cap
+FROM bk GROUP BY 1 ORDER BY 1
+"""
 
 
 def _banded_clusters_oracle(threshold: float = 0.4) -> str:

@@ -199,3 +199,38 @@ def test_windowexec_warning_suppressed_in_tuned_session(spark):
         ).getLevel()
     )
     assert lvl == "ERROR"
+
+
+def test_embedding_band_skew_audit_matches_python_recompute(spark):
+    """Every column of the pricing mart recomputes from the shared
+    posting stage in plain Python — bucket counts, extremes, exact
+    pair masses, and the cap's trim arithmetic."""
+    from collections import Counter
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        embedding_band_postings,
+        embedding_band_skew_audit,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    cap = 2000
+    posts = embedding_band_postings(
+        load_table(spark, SF_DIR, "embeddings")
+    ).collect()
+    per_band = {}
+    for r in posts:
+        per_band.setdefault(r.band_id, Counter())[r.band_val] += 1
+
+    got = {r.band_id: r for r in embedding_band_skew_audit(spark, SF_DIR).collect()}
+    assert set(got) == set(per_band)
+    for b, buckets in per_band.items():
+        cs = list(buckets.values())
+        r = got[b]
+        assert r.n_buckets == len(cs)
+        assert r.n_postings == sum(cs)
+        assert r.max_bucket == max(cs)
+        assert r.n_singleton == sum(1 for c in cs if c == 1)
+        assert r.n_over_cap == sum(1 for c in cs if c > cap)
+        assert r.postings_dropped == sum(c for c in cs if c > cap)
+        assert r.pairs_uncapped == sum(c * (c - 1) // 2 for c in cs)
+        assert r.pairs_after_cap == sum(c * (c - 1) // 2 for c in cs if c <= cap)
