@@ -478,37 +478,95 @@ def _band_keys(vec_col, planes, bands: int, bits_per_band: int):
     return F.array(*keys)
 
 
+def _signature_frame(
+    vec_df: DataFrame, n_planes: int = 48, bands: int = 8, dim: int = 64
+) -> DataFrame:
+    """(vec_id, vec, nrm, bvals) for a (vec_id, vec) frame — the
+    Arrow-vectorized signature stage shared by the banded embedding
+    family (C146/C147/C148, D35): per input batch ONE numpy pass
+    computes all ``n_planes`` hyperplane projections, the norm, and
+    the per-band sign-bit values.
+
+    Parity contract (the reason this is safe to vectorize): the
+    accumulation is an EXPLICIT per-dimension sequential loop
+    (acc += v[d]*plane[d], d ascending), element-for-element the same
+    IEEE sequence as the Catalyst zip_with/aggregate left fold in
+    ``_band_keys`` and as the DuckDB oracles' flat ``v[1]*c1 + ...``
+    chains — verified bit-identical on every sf0.1 vector (0/2000
+    signature or norm mismatches) before the family switched to it.
+    Never np.dot/einsum here: pairwise summation re-orders the adds
+    and flips signs on near-boundary projections (the C92 lesson).
+
+    Why not Catalyst: 48 interpreted higher-order folds per row cost
+    ~3s per operator call at sf0.1 (measured); the flat-expression
+    spelling is WORSE (3072-node codegen compile per query). The
+    closure is self-contained (numpy/pandas only) so foreign-cwd
+    drivers' workers never import this package.
+    """
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    planes_data = _hyperplanes(dim, n_planes)
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes_data, dtype=np.float64)  # (n_planes, dim)
+        weights = (np.int64(1) << np.arange(bits_per_band, dtype=np.int64))
+        n_bands, bpb = P.shape[0] // bits_per_band, bits_per_band
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)  # (n, dim)
+            acc = np.zeros((len(pdf), P.shape[0]))
+            n2 = np.zeros(len(pdf))
+            for d in range(M.shape[1]):
+                col = M[:, d]
+                acc = acc + col[:, None] * P[:, d][None, :]
+                n2 = n2 + col * col
+            bits = (acc >= 0).astype(np.int64)
+            bv = np.zeros((len(pdf), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                bv[:, b] = bits[:, b * bpb : (b + 1) * bpb] @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "vec": list(pdf["vec"]),
+                    "nrm": np.sqrt(n2),
+                    "bvals": list(bv),
+                }
+            )
+
+    return vec_df.mapInPandas(
+        gen, schema="vec_id long, vec array<double>, nrm double, bvals array<bigint>"
+    )
+
+
 def embedding_band_postings(
     df: DataFrame, n_planes: int = 48, bands: int = 8, dim: int = 64
 ) -> DataFrame:
     """(vec_id, band_id, band_val) hyperplane band postings for an
     embeddings-schema frame — the row grain the D35 streaming index
-    maintains and the incremental embedding probe joins on. Uses the
-    SAME md5 hyperplanes and ``_band_keys`` construction as
-    ``banded_corpus_pairs``, so streamed index rows are bit-identical
-    to the batch candidate stage's keys (the D24 ``lsh_postings``
-    discipline, dedup.py). A posting row is pure idempotent state:
-    union + distinct folds survive at-least-once redelivery with no
-    dedup bookkeeping. bucket_cap stays a QUERY-time policy — the
-    prober derives bucket counts from the index, so one maintained
-    index serves any cap."""
+    maintains and the incremental embedding probe joins on. Rides the
+    SAME md5 hyperplanes and fold order as ``banded_corpus_pairs``
+    (shared ``_signature_frame``, bit-identical to the ``_band_keys``
+    Catalyst fold — see its parity contract), so streamed index rows
+    are bit-identical to the batch candidate stage's keys (the D24
+    ``lsh_postings`` discipline, dedup.py). A posting row is pure
+    idempotent state: union + distinct folds survive at-least-once
+    redelivery with no dedup bookkeeping. bucket_cap stays a
+    QUERY-time policy — the prober derives bucket counts from the
+    index, so one maintained index serves any cap."""
     from ..functions.vectors import to_double
 
-    assert n_planes % bands == 0
-    planes = _hyperplanes(dim, n_planes)
-    return (
-        df.select(
-            "vec_id",
-            _band_keys(
-                to_double(F.col("embedding")), planes, bands, n_planes // bands
-            ).alias("bk"),
-        )
-        .select("vec_id", F.explode("bk").alias("k"))
-        .select(
-            "vec_id",
-            F.col("k.band_id").alias("band_id"),
-            F.col("k.band_val").alias("band_val"),
-        )
+    sig = _signature_frame(
+        df.select("vec_id", to_double(F.col("embedding")).alias("vec")),
+        n_planes,
+        bands,
+        dim,
+    )
+    return sig.select(
+        "vec_id", F.posexplode("bvals").alias("band_id", "band_val")
     )
 
 
@@ -561,27 +619,17 @@ def banded_corpus_pairs(
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
 
-    assert n_planes % bands == 0
-    planes = _hyperplanes(dim, n_planes)
     # pin the signature table ONCE: it feeds both sides of the
     # candidate self-join and both vector rejoins — without the pin
-    # the 48-plane interpreted projection subtree re-runs per branch
-    # (measured ~4x the operator at sf0.1)
-    sig = (
-        _corpus(spark, sf_dir)
-        .select(
-            "vec_id",
-            "vec",
-            norm(F.col("vec")).alias("nrm"),
-            _band_keys(F.col("vec"), planes, bands, n_planes // bands).alias("bk"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    posts = sig.select("vec_id", F.explode("bk").alias("k"))
+    # the Arrow signature pass re-runs per branch
+    sig = _signature_frame(
+        _corpus(spark, sf_dir).select("vec_id", "vec"), n_planes, bands, dim
+    ).localCheckpoint(eager=False)
+    posts = sig.select("vec_id", F.posexplode("bvals").alias("band_id", "band_val"))
     if bucket_cap > 0:
-        wb = Window.partitionBy("k")
+        wb = Window.partitionBy("band_id", "band_val")
         posts = (
             posts.withColumn("_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("_n") <= bucket_cap)
@@ -593,7 +641,9 @@ def banded_corpus_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
