@@ -8069,6 +8069,9 @@ def _banded_pairs_sql(
         " (sqrt(list_dot_product(x.v, x.v)) *"
         " sqrt(list_dot_product(y.v, y.v))), 6)"
     )
+    # cos is evaluated ONCE in an inner projection then filtered —
+    # the SELECT+WHERE double evaluation was ~2x the oracle's work
+    # and the biggest DuckDB memory spike in the full-sweep gate
     return f"""
 {_emb_posting_ctes(n_planes, bands, dim)},
 capped AS (
@@ -8083,9 +8086,10 @@ cand AS (
    AND a.vec_id < b.vec_id
 ),
 bpairs AS (
-  SELECT id_a, id_b, {cos} AS cos_sim
-  FROM cand JOIN c x ON cand.id_a = x.vec_id JOIN c y ON cand.id_b = y.vec_id
-  WHERE {cos} >= {threshold}
+  SELECT id_a, id_b, cos_sim FROM (
+    SELECT id_a, id_b, {cos} AS cos_sim
+    FROM cand JOIN c x ON cand.id_a = x.vec_id JOIN c y ON cand.id_b = y.vec_id
+  ) WHERE cos_sim >= {threshold}
 )"""
 
 
