@@ -494,78 +494,26 @@ FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap (r3-r6 each checked exactly 50).
-# Round 7 ordering (VERDICT.md r6, tasks 1+2+8): positions 1-16 are
-# EXACTLY the 16 r6 additions that have never been driver-checked —
-# closing them makes the registry 290/290 driver-proven at least
-# once. Positions 17-50 are the 34 keys whose only driver evidence is
-# r1 vintage (six rounds old, the round whose canon traps were least
-# understood), complex window/join/percentile shapes first so a
-# budget cutoff sacrifices trivial scans, not depth. 16+34 fills the
-# 50-row budget exactly. NEW operators registered this round ride
-# immediately after (they are also never-checked, but must not
-# displace the committed backlog — the r5/r6 discipline), then the
-# 50 r2-stale keys as overflow, heavy dedup/ANN composites first.
-_DRIVER_PRIORITY_R7 = [
-    # -- positions 1-16: never driver-checked (r6 additions) --------
-    "mad_anomaly_events",
-    "hits_hub_authority",
-    "shard_local_dedup_loss",
-    "lsh_bucket_skew_audit",
-    "tail_head_overlap_pairs",
-    "memorization_risk_ngrams",
-    "quality_decile_lift",
-    "ann_mrr_at_k",
-    "event_freshness_mart",
-    "ngram_kneser_ney_counts",
-    "source_pair_dup_matrix",
-    "stitch_against_index",
-    "watermark_lateness_audit",
-    "ab_srm_check",
-    "cluster_chaining_audit",
-    "pii_rate_by_source",
-    # -- positions 17-50: r1-stale evidence (six rounds old) --------
-    "percentile_suite_lineitem",
-    "window_rank_suite",
-    "event_transitions",
-    "cohort_retention",
-    "daily_gapfill_events",
-    "running_customer_totals",
-    "order_gap_days",
-    "moving_avg_user_value",
-    "stats_summary_lineitem",
-    "grouping_sets_revenue",
-    "props_map_stats",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "market_segment_share",
-    "topk_per_group",
-    "rollup_orders",
-    "cube_events",
-    "pivot_events",
-    "semi_anti_join",
-    "json_extract_events",
-    "distinct_agg_orders",
-    "having_active_customers",
-    "exists_urgent_customers",
-    "scalar_subquery_above_avg",
-    "set_ops_customers",
-    "string_funcs_parts",
-    "date_arith_orders",
-    "count_distribution",
-    "nation_pair_volume",
-    "part_revenue_rank",
-    # -- new keys registered this round (never-checked, below the
-    # -- committed backlog per the r5/r6 discipline) ----------------
+# order under a ~50-entry budget cap (r3-r7 each checked exactly 50).
+# Round 8 ordering (VERDICT.md r7, tasks 1+6): positions 1-4 are the
+# 4 r7 additions that have never been driver-checked — closing them
+# makes the registry 294/294 driver-proven at least once. Positions
+# 5-50 are 46 of the 50 keys whose latest driver evidence is r2
+# vintage (five rounds old), heavy dedup/ANN composites first so a
+# budget cutoff sacrifices trivial scans, not depth. 4+46 fills the
+# 50-row budget exactly; the 4 remaining r2-vintage keys (trivial
+# text scans) sit at positions 51-54, first in line for r9. NEW
+# operators registered this round ride below THOSE (never-checked,
+# but must not displace the committed refresh queue — the r5/r6/r7
+# discipline), then the 45 r3-stale keys as overflow.
+_DRIVER_PRIORITY_R8 = [
+    # -- positions 1-4: never driver-checked (r7 additions) ---------
     "mad_anomaly_from_counts_daily",
     "embedding_dup_clusters_banded",
     "banded_neardup_recall",
     "embedding_band_skew_audit",
-    # -- overflow: r2-stale evidence, heavy composites first --------
+    # -- positions 5-50: r2-stale evidence (five rounds old),
+    # -- heavy dedup/ANN composites first ---------------------------
     "dedup_minhash_lsh",
     "dedup_clusters",
     "semdedup",
@@ -604,10 +552,6 @@ _DRIVER_PRIORITY_R7 = [
     "frame_sample",
     "audio_features",
     "corpus_stats",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
     "bronze_issues",
     "silver_issues",
     "silver_merge_dedup",
@@ -616,6 +560,62 @@ _DRIVER_PRIORITY_R7 = [
     "gold_kpi_global",
     "gold_kpi_mom",
     "snapshot_diff",
+    # -- positions 51-54: the 4 remaining r2-vintage keys (trivial
+    # -- text scans), first in line for r9's budget -----------------
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    # -- new keys registered this round (never-checked, below the
+    # -- committed refresh queue per the r5-r7 discipline) ----------
+    "stream_daily_anomaly_readout",
+    # -- overflow: r3-stale evidence (checked only if the driver
+    # -- budget ever exceeds the keys above), composites first ------
+    "scd2_priority_history",
+    "dq_violations",
+    "quality_classifier",
+    "cross_source_overlap",
+    "winnow_overlap_pairs",
+    "weighted_sample",
+    "label_separability",
+    "embedding_norm_outliers",
+    "modality_qa_join",
+    "cross_split_leakage",
+    "tokenizer_fertility",
+    "source_drift_kl",
+    "vocab_coverage",
+    "token_histogram",
+    "holdout_split",
+    "plan_token_shards",
+    "length_outliers",
+    "ttr_stats",
+    "bpe_pair_counts",
+    "event_path_match",
+    "activity_streaks",
+    "time_weighted_value",
+    "variant_events",
+    "session_window_batch",
+    "trailing_window_user_value",
+    "concurrent_sessions",
+    "q6_forecast_revenue",
+    "excess_supply_suppliers",
+    "parts_supplier_count",
+    "promo_revenue_share",
+    "late_shipment_priority",
+    "returned_items_top_customers",
+    "product_profit",
+    "national_market_share",
+    "order_priority_checking",
+    "idle_rich_customers",
+    "returns_blame_suppliers",
+    "top_supplier_revenue",
+    "important_parts_share",
+    "min_cost_supplier",
+    "contingency_orders",
+    "histogram_prices",
+    "profile_orders",
+    "label_array_funcs",
+    "null_semantics_orders",
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -957,7 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_chaining_audit": dedup.cluster_chaining_audit,
         "pii_rate_by_source": text2.pii_rate_by_source,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R7 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R8 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 
