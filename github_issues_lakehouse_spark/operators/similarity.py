@@ -93,9 +93,23 @@ def neardup_embedding_cosine(
     The corpus is hashed into ``n_blocks`` disjoint blocks on vec_id;
     each row is replicated to every unordered block pair it belongs to
     (``n_blocks`` copies), shuffled once on (bi, bj), and each of the
-    B(B+1)/2 groups runs one numpy block×block matmul via
-    ``applyInPandas``. Coverage is exact: every vector pair {u, v}
-    falls in exactly one group (min(blk_u, blk_v), max(blk_u, blk_v)).
+    B(B+1)/2 groups scores one block×block tile via ``applyInPandas``.
+    Coverage is exact: every vector pair {u, v} falls in exactly one
+    group (min(blk_u, blk_v), max(blk_u, blk_v)).
+
+    Cosine spelling (ADVICE r7 unification): the tile kernel is the
+    vectorized SEQUENTIAL fold — per-dimension outer-product
+    accumulation in ascending d, norms folded in the same pass, one
+    dot/(na*nb) divide — bit-identical to the Catalyst
+    ``dot()/(norm()*norm())`` spelling ``banded_corpus_pairs`` uses
+    to verify candidates and to DuckDB's sequential
+    ``list_dot_product`` oracle. That makes the banded family's
+    subset-of-exact contract (C146/C147 precision-1 identity) an IEEE
+    guarantee, not an empirical one. Never a BLAS matmul here:
+    pairwise summation re-orders adds and can flip 6dp-boundary
+    cosines across the three sites. (~64 vectorized passes per tile
+    instead of one GEMM — this operator is the documented exact
+    AUDIT; the production path is C146.)
 
     Scale: the row-expression form (self-join + per-pair 64-term fold)
     is O(n² · dim) *interpreted* work; the previous broadcast form
@@ -143,9 +157,24 @@ def neardup_embedding_cosine(
         ids_b = b_side["vec_id"].to_numpy()
         Ma = np.stack(a_side["vec"].to_numpy()).astype(np.float64)
         Mb = np.stack(b_side["vec"].to_numpy()).astype(np.float64)
-        na = np.sqrt((Ma * Ma).sum(axis=1))
-        nb = np.sqrt((Mb * Mb).sum(axis=1))
-        S = np.round((Ma @ Mb.T) / na[:, None] / nb[None, :], 6)
+        # ONE cosine spelling across the family (ADVICE r7): a
+        # sequential per-dimension fold (d ascending, acc starts 0.0)
+        # with a single dot/(na*nb) divide — element-for-element the
+        # IEEE sequence of the Catalyst dot()/norm() folds that
+        # banded_corpus_pairs verifies with and of DuckDB's
+        # list_dot_product, so banded pairs are a bit-for-bit SUBSET
+        # of these pairs and the oracle parity holds term-for-term.
+        # A BLAS matmul (pairwise summation) re-orders the adds and
+        # can flip a 6dp-boundary cosine against both of those.
+        acc = np.zeros((len(ids_a), len(ids_b)))
+        na2 = np.zeros(len(ids_a))
+        nb2 = np.zeros(len(ids_b))
+        for d in range(Ma.shape[1]):
+            ca, cb = Ma[:, d], Mb[:, d]
+            acc = acc + ca[:, None] * cb[None, :]
+            na2 = na2 + ca * ca
+            nb2 = nb2 + cb * cb
+        S = np.round(acc / (np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]), 6)
         if bi == bj:
             # same block on both sides: strict id order dedups and
             # drops self-pairs in one mask
@@ -517,7 +546,26 @@ def _signature_frame(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)  # (n, dim)
+            # np.stack on NULL/ragged input raises an opaque shape
+            # error (ADVICE r7): name the offending vec_id instead —
+            # the banded family and the D35 index require non-null
+            # fixed-dim vectors, same as the _corpus contract.
+            vecs = pdf["vec"]
+            null_mask = vecs.isna()
+            if null_mask.any():
+                bad = pdf.loc[null_mask, "vec_id"].iloc[0]
+                raise ValueError(
+                    f"embedding signature: NULL embedding for vec_id={bad}; "
+                    "drop or impute upstream of the banded family"
+                )
+            lens = vecs.map(len)
+            if (lens != P.shape[1]).any():
+                row = pdf.loc[lens != P.shape[1]].iloc[0]
+                raise ValueError(
+                    f"embedding signature: vec_id={row['vec_id']} has dim "
+                    f"{len(row['vec'])}, expected {P.shape[1]}"
+                )
+            M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
             acc = np.zeros((len(pdf), P.shape[0]))
             n2 = np.zeros(len(pdf))
             for d in range(M.shape[1]):
@@ -585,10 +633,12 @@ def banded_corpus_pairs(
     bands`` hyperplane sign bits each), candidates are the distinct
     same-band-key pairs after a ``bucket_cap`` degenerate-bucket
     guard (the minhash_candidates idiom), and every candidate is
-    verified with the same 6dp-rounded exact cosine C6 uses — so
-    emitted pairs are a SUBSET of C6's exact pairs (precision 1 by
-    construction; the quantity that degrades is recall, and C147
-    measures it).
+    verified with the same 6dp-rounded exact cosine C6 uses — the
+    Catalyst dot/(na*nb) sequential fold, which C6's tile kernel
+    replicates IEEE-op-for-op since the ADVICE r7 unification — so
+    emitted pairs are a bit-for-bit SUBSET of C6's exact pairs
+    (precision 1 guaranteed, not just observed; the quantity that
+    degrades is recall, and C147 measures it).
 
     Banding math (why the default is 8 bands x 6 bits): a pair at
     cosine c matches one sign bit with p = 1 - acos(c)/pi, a band
@@ -786,10 +836,12 @@ def banded_neardup_recall(
     banded embedding pair stage — the embedding-side twin of
     ``lsh_recall_vs_exact`` (C90): compare ``banded_corpus_pairs``
     against C6's exact all-pairs ground truth at the same threshold.
-    Banded pairs are verified with the same 6dp cosine, so they are a
-    subset of the exact pairs (precision 1 by construction — the
-    in-operator left join doubles as the subset proof since n_caught
-    == n_banded_pairs exactly); the number that silently degrades
+    Banded pairs are verified with the SAME cosine spelling C6's tile
+    kernel computes (sequential fold, dot/(na*nb), 6dp — unified per
+    ADVICE r7), so they are a bit-for-bit subset of the exact pairs
+    (precision 1 — the in-operator left join doubles as the subset
+    proof since n_caught == n_banded_pairs exactly, now an IEEE
+    identity rather than an empirical one); the number that silently degrades
     with band configuration and bucket caps is RECALL, reported in
     exact ppm. The exact side is the audit's documented cost (C6's n²
     contract) — run it at audit cadence, not per batch.

@@ -8312,9 +8312,15 @@ def _hits_oracle(n_iter: int = 2) -> str:
     is the one normalize divide, an identical tree on both engines.
     MATERIALIZED iterates keep DuckDB's planner off the inlined join
     tree (the unrolled-CTE discipline)."""
+    # zero/NULL-total guard mirrors the engine's _normalize CASE
+    # (ADVICE r7: the engine emits 0 scores on a zero-weight graph;
+    # an unguarded divide here would render NULL/inf instead and
+    # leave that branch untwinned)
     norm = (
-        "CAST(round(CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM {src}) AS DOUBLE)"
-        " * 1000000.0) AS BIGINT)"
+        "CASE WHEN coalesce((SELECT sum(raw) FROM {src}), 0) > 0"
+        " THEN CAST(round(CAST(raw AS DOUBLE)"
+        " / CAST((SELECT sum(raw) FROM {src}) AS DOUBLE)"
+        " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     )
     ctes = [
         """trade AS MATERIALIZED (

@@ -86,7 +86,17 @@ def _silence_reviewed_window_warnings(spark: SparkSession) -> None:
     ever was. A constant partition key cannot do this structurally:
     ``partitionBy(lit(0))`` is constant-folded back to an empty spec
     before WindowExec sees it (measured).
+
+    Scope (ADVICE r7): the suppression is JVM-wide by necessity
+    (log4j config is per-logger, not per-query), so a co-resident
+    application sharing this factory's JVM would lose the warning
+    too. Opt out with ``SPARK_GRAFT_KEEP_WINDOW_WARNINGS=1`` — ad-hoc
+    user sessions that want the runtime warning back keep it; this
+    repo's bench/verify entry points (where every site is gated by
+    the plan-advice snapshot) leave it unset.
     """
+    if os.environ.get("SPARK_GRAFT_KEEP_WINDOW_WARNINGS", "") == "1":
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -1,0 +1,127 @@
+"""Round-8 wave 1: the ADVICE r7 fixes.
+
+- One cosine spelling across the exact/banded family: C6's tile
+  kernel now replicates the Catalyst sequential fold IEEE-op-for-op,
+  so the banded subset identity is a guarantee, not an observation.
+- _signature_frame names the offending vec_id on NULL/ragged vectors
+  instead of an opaque np.stack shape error.
+- _hits_oracle carries the engine's zero-weight-graph guard.
+- The WindowExec log suppression honors an opt-out env flag.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_c6_kernel_matches_catalyst_fold_exactly(spark):
+    """The numpy tile kernel (sequential per-dimension fold,
+    dot/(na*nb)) must reproduce the Catalyst r6(dot/(norm*norm))
+    spelling EXACTLY on every emitted pair — the ADVICE r7
+    unification that makes banded-verify a bit-for-bit subset."""
+    from github_issues_lakehouse_spark.functions.vectors import dot, norm
+    from github_issues_lakehouse_spark.operators.relational import r6
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _corpus,
+        neardup_embedding_cosine,
+    )
+
+    pairs = neardup_embedding_cosine(spark, SF_DIR, threshold=0.4)
+    c = _corpus(spark, SF_DIR).select("vec_id", "vec", norm(F.col("vec")).alias("nrm"))
+    a = c.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = c.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    catalyst = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        "cos_sim",
+        r6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("ref"),
+    )
+    rows = catalyst.collect()
+    assert len(rows) > 0
+    mismatches = [r for r in rows if r.cos_sim != r.ref]
+    assert mismatches == []
+
+
+def test_banded_pairs_bitwise_subset_of_exact(spark):
+    """Every banded pair row (ids AND 6dp cosine) appears verbatim in
+    C6's exact output — the precision-1 identity at value grain, not
+    just count grain (count grain is test_r7_wave1)."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        banded_corpus_pairs,
+        neardup_embedding_cosine,
+    )
+
+    banded = banded_corpus_pairs(spark, SF_DIR, threshold=0.4)
+    exact = neardup_embedding_cosine(spark, SF_DIR, threshold=0.4)
+    n_banded = banded.count()
+    assert n_banded > 0
+    matched = banded.join(exact, ["id_a", "id_b", "cos_sim"], "inner").count()
+    assert matched == n_banded
+
+
+def test_signature_frame_names_null_vector(spark):
+    from github_issues_lakehouse_spark.operators.similarity import _signature_frame
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (7, None), (3, [0.25] * 64)],
+        "vec_id long, vec array<double>",
+    )
+    with pytest.raises(Exception, match="NULL embedding for vec_id=7"):
+        _signature_frame(df.repartition(1)).collect()
+
+
+def test_signature_frame_names_ragged_vector(spark):
+    from github_issues_lakehouse_spark.operators.similarity import _signature_frame
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (9, [0.5] * 63)],
+        "vec_id long, vec array<double>",
+    )
+    with pytest.raises(Exception, match="vec_id=9 has dim 63, expected 64"):
+        _signature_frame(df.repartition(1)).collect()
+
+
+def test_hits_oracle_zero_weight_graph_emits_zero_scores():
+    """On a graph with no trade edges the engine emits score_e6 = 0
+    for every node (the _normalize CASE); the oracle must land on the
+    same branch instead of NULL/inf from an unguarded divide."""
+    import duckdb
+
+    from github_issues_lakehouse_spark.queries import _hits_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer AS SELECT * FROM (VALUES (1), (2)) t(c_custkey)")
+    con.execute("CREATE TABLE supplier AS SELECT * FROM (VALUES (10), (11)) t(s_suppkey)")
+    con.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT)"
+    )
+    rows = con.execute(_hits_oracle()).fetchall()
+    assert len(rows) == 4
+    assert all(score == 0 for _, _, score in rows)
+
+
+def test_window_warning_suppression_opt_out(monkeypatch):
+    """SPARK_GRAFT_KEEP_WINDOW_WARNINGS=1 must return before touching
+    the JVM (ADVICE r7: ad-hoc co-resident sessions keep the runtime
+    warning)."""
+    from github_issues_lakehouse_spark.session import (
+        _silence_reviewed_window_warnings,
+    )
+
+    class _Boom:
+        @property
+        def sparkContext(self):
+            raise AssertionError("JVM touched despite opt-out")
+
+    monkeypatch.setenv("SPARK_GRAFT_KEEP_WINDOW_WARNINGS", "1")
+    _silence_reviewed_window_warnings(_Boom())
