@@ -485,7 +485,15 @@ def _band_keys(vec_col, planes, bands: int, bits_per_band: int):
     term-for-term. (A flat v[0]*c0 + v[1]*c1 + ... spelling is
     FP-identical but plans a 3072-node expression tree whose codegen
     compile dominates every query — measured 2x WORSE than the
-    interpreted fold; don't "optimize" it back.)"""
+    interpreted fold; don't "optimize" it back.)
+
+    As of r8 no operator calls this directly — every production site
+    (C92/C146/C147/C148, D35) rides the Arrow ``_signature_frame``
+    pass. This stays as the executable Catalyst REFERENCE spelling of
+    the banding contract: tests/test_r8_wave1.py re-proves
+    _signature_frame bit-identical to it per config, which is what
+    licenses the oracles' flat SQL chains to stand in for the Arrow
+    pass."""
     keys = []
     for b in range(bands):
         val = F.lit(0)
@@ -910,8 +918,6 @@ def embedding_decontaminate(
     (train_vec_id, n_test_matches, max_cos).
     """
     assert n_planes % bands == 0
-    bits_per_band = n_planes // bands
-    planes = _hyperplanes(dim, n_planes)
     corpus = _corpus(spark, sf_dir)
     split_bucket = (
         F.conv(
@@ -924,38 +930,37 @@ def embedding_decontaminate(
         % 1000
     )
 
-    def band_keys(vec_col):
-        return _band_keys(vec_col, planes, bands, bits_per_band)
+    from ..functions.vectors import dot
 
-    from ..functions.vectors import dot, norm
-
-    # norms are folded ONCE per vector here; per candidate pair only
-    # the a.b fold remains (cosine() would re-fold |a| and |b| per
-    # pair — 3x the interpreted higher-order-function work on the
-    # pair set, which dominates this operator at low thresholds)
-    sigd = corpus.select(
-        "vec_id",
-        "vec",
-        norm(F.col("vec")).alias("nrm"),
-        band_keys(F.col("vec")).alias("bk"),
-        split_bucket.alias("sb"),
+    # signature stage is the shared Arrow pass (VERDICT r7 task 2:
+    # this was the family's LAST interpreted Catalyst _band_keys/norm
+    # fold, ~half the operator's cost at sf0.1). _signature_frame is
+    # proven bit-identical to that fold — norms folded once per
+    # vector, banding and oracle parity unchanged. Pinned ONCE: it
+    # feeds the posting join and both vector rejoins, and without
+    # the pin the Arrow pass re-runs per branch (the
+    # banded_corpus_pairs discipline).
+    sigd = (
+        _signature_frame(corpus.select("vec_id", "vec"), n_planes, bands, dim)
+        .withColumn("sb", split_bucket)
+        .localCheckpoint(eager=False)
     )
-    test = sigd.filter(F.col("sb") < 100).select(
-        F.col("vec_id").alias("t_id"),
-        F.col("vec").alias("t_vec"),
-        F.col("nrm").alias("t_nrm"),
-        F.explode("bk").alias("k"),
-    )
-    train = sigd.filter(F.col("sb") >= 100).select(
-        "vec_id", "vec", "nrm", F.explode("bk").alias("k")
+    posts = sigd.select(
+        "vec_id", "sb", F.posexplode("bvals").alias("band_id", "band_val")
     )
     # candidate pairs dedup on BARE IDS — dragging the two 64-double
     # payload arrays through the distinct shuffle multiplied shuffle
     # bytes ~60x (measured: the payload-carrying form dominated the
     # operator); vectors rejoin AFTER the distinct, keyed by id
     cand = (
-        train.select("vec_id", "k")
-        .join(test.select("t_id", "k"), "k")
+        posts.filter(F.col("sb") >= 100)
+        .select("vec_id", "band_id", "band_val")
+        .join(
+            posts.filter(F.col("sb") < 100).select(
+                F.col("vec_id").alias("t_id"), "band_id", "band_val"
+            ),
+            ["band_id", "band_val"],
+        )
         .select("vec_id", "t_id")
         .dropDuplicates(["vec_id", "t_id"])
     )

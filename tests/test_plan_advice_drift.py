@@ -46,12 +46,18 @@ def _kind(warning: str) -> str:
 
 
 def test_plan_advice_snapshot(spark):
-    # cached subtrees registered by earlier tests in the same session
-    # (persist() inside operators) change exchange counts — fingerprint
-    # the UNCACHED plans so the snapshot is order-independent
-    spark.catalog.clearCache()
+    # cached subtrees registered by earlier tests OR by earlier
+    # iterations of this very loop (persist() inside an operator
+    # registers with the CacheManager at BUILD time, so any later
+    # query sharing the subtree fingerprints an InMemoryRelation
+    # plan) change exchange counts — clear before EVERY query so the
+    # snapshot records each query's canonical uncached plan and is
+    # genuinely registry-order-independent (r8: the r7 snapshot
+    # silently encoded one interleaving; a registry reorder flipped
+    # two dedup fingerprints with zero code change).
     got = {}
     for name, fn in Q.queries().items():
+        spark.catalog.clearCache()
         kinds = sorted({_kind(w) for w in advise(fn(spark, SF_DIR))})
         if kinds:
             got[name] = kinds

@@ -110,6 +110,60 @@ def test_hits_oracle_zero_weight_graph_emits_zero_scores():
     assert all(score == 0 for _, _, score in rows)
 
 
+def test_signature_frame_matches_band_keys_fold_12x4(spark):
+    """The Arrow signature pass must stay bit-identical to the
+    Catalyst _band_keys fold in the 12x4 config too (C92's banding —
+    the r7 proof covered only the 8x6 banded-family config) before
+    embedding_decontaminate rides it."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _band_keys,
+        _corpus,
+        _hyperplanes,
+        _signature_frame,
+    )
+    from github_issues_lakehouse_spark.functions.vectors import norm
+
+    n_planes, bands, dim = 48, 12, 64
+    corpus = _corpus(spark, SF_DIR).select("vec_id", "vec")
+    arrow = {
+        r.vec_id: (r.nrm, tuple(r.bvals))
+        for r in _signature_frame(corpus, n_planes, bands, dim).collect()
+    }
+    planes = _hyperplanes(dim, n_planes)
+    fold = {
+        r.vec_id: (r.nrm, tuple(k.band_val for k in r.bk))
+        for r in corpus.select(
+            "vec_id",
+            norm(F.col("vec")).alias("nrm"),
+            _band_keys(F.col("vec"), planes, bands, n_planes // bands).alias("bk"),
+        ).collect()
+    }
+    assert set(arrow) == set(fold)
+    diff = {k for k in arrow if arrow[k] != fold[k]}
+    assert diff == set()
+
+
+def test_embedding_decontaminate_output_unchanged_by_arrow_switch(spark, duck):
+    """C92's Arrow signature switch must not move a single output row
+    — recompute the mart via the oracle SQL and compare value-exact."""
+    from github_issues_lakehouse_spark.queries import oracle_sql
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    got = {
+        (r.train_vec_id, r.n_test_matches, float(r.max_cos))
+        for r in embedding_decontaminate(spark, SF_DIR).collect()
+    }
+    want = {
+        (a, b, float(c))
+        for a, b, c in duck.execute(oracle_sql()["embedding_decontaminate"]).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_window_warning_suppression_opt_out(monkeypatch):
     """SPARK_GRAFT_KEEP_WINDOW_WARNINGS=1 must return before touching
     the JVM (ADVICE r7: ad-hoc co-resident sessions keep the runtime
