@@ -651,13 +651,20 @@ def banded_corpus_pairs(
     Banding math (why the default is 8 bands x 6 bits): a pair at
     cosine c matches one sign bit with p = 1 - acos(c)/pi, a band
     with p^6, some band with 1-(1-p^6)^8. At production near-dup
-    thresholds this is high recall with strong pruning — c=0.8 =>
-    98% recall on ~1/64th of the pairs; c=0.9 => 99.9%. This
-    corpus's only pair grain is the adversarially-low c~0.4 (random
-    synthetic vectors, no planted dups), where the same config holds
-    ~45% recall on ~1/8th of the pairs — the honest worst case,
-    priced by C147 rather than hidden. Raise ``bands`` (more, shorter
-    bands) to buy recall with candidate mass at low thresholds.
+    thresholds this is high recall with strong pruning, and as of r8
+    the numbers are MEASURED on planted pairs, not just computed
+    (``tools/stress.py planted-embeddings``, 2000 pairs/point;
+    tests/test_r8_planted.py asserts the match): c=0.8 => 90.3%
+    predicted / 90.3% measured; c=0.9 => 98.2% / 98.0%; c=0.95 =>
+    99.75% / 99.85%. (r7 docs quoted "98% at 0.8" — that was a
+    mis-evaluation of this same formula; 98% belongs to c=0.9.)
+    Random orthogonal pairs pass some band at ~1-(1-2^-6)^8 = 11.8%
+    of postings mass. This corpus's only organic pair grain is the
+    adversarially-low c~0.4 (random synthetic vectors, no planted
+    dups), where the same config holds ~45% recall on ~1/8th of the
+    pairs — the honest worst case, priced by C147 rather than
+    hidden. Raise ``bands`` (more, shorter bands) to buy recall with
+    candidate mass at low thresholds.
 
     Sizing at scale (measured, tools/stress.py banded): with a FIXED
     band config, bucket occupancy grows ~n/2^bits, so BOTH knobs must

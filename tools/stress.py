@@ -221,6 +221,79 @@ def planted_main() -> None:
         print(f"planted x{mult} {name}: {n} rows {time.time() - t0:.2f}s")
 
 
+def plant_neardup_embeddings(
+    path: str, n_pairs: int, cos: float, dim: int = 64, seed: int = 8
+) -> None:
+    """Write an embeddings.parquet whose ONLY high-cosine pairs are
+    planted: ``n_pairs`` base vectors u_i (uniform on the sphere)
+    each paired with v_i = cos*u_i + sqrt(1-cos^2)*w_i (w_i a random
+    unit vector orthogonal to u_i), so cos(u_i, v_i) == cos up to fp.
+    Unrelated 64-dim random pairs concentrate at |cos| <~ 0.7 even
+    over millions of pairs (std 1/8), so at thresholds near ``cos``
+    the exact pair set IS the planted set — the fixture that turns
+    the banded family's S-curve recall claim into a measurement
+    (VERDICT r7 task 3). Pair i is (vec_id=i, vec_id=i+n_pairs);
+    float32 storage matches the real table's schema.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n_pairs, dim))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.standard_normal((n_pairs, dim))
+    w -= (w * u).sum(axis=1, keepdims=True) * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    v = cos * u + np.sqrt(1.0 - cos * cos) * w
+    vecs = np.concatenate([u, v]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(2 * n_pairs), pa.int64()),
+            "embedding": pa.array([list(r) for r in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * (2 * n_pairs), pa.int32()),
+        }
+    )
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, f"{path}/embeddings.parquet")
+
+
+def planted_embeddings_main() -> None:
+    """VERDICT r7 task 3: measure banded recall at PRODUCTION
+    near-dup cosines with planted pairs instead of quoting the
+    S-curve. For each c in {0.8, 0.9, 0.95}: plant 2000 pairs at
+    cosine c, run banded_corpus_pairs at threshold c-0.01 (only
+    planted pairs clear it), and print measured recall beside the
+    1-(1-p^6)^8 prediction (p = 1 - acos(c)/pi).
+
+        python tools/stress.py planted-embeddings [n_pairs]
+    """
+    import math
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        banded_corpus_pairs,
+    )
+    from github_issues_lakehouse_spark.session import get_spark
+
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    spark = get_spark(app_name="stress-planted-embeddings")
+    for c in (0.8, 0.9, 0.95):
+        dst = f"/tmp/stress_planted_emb_{int(c * 100)}"
+        plant_neardup_embeddings(dst, n_pairs, c)
+        t0 = time.time()
+        got = banded_corpus_pairs(spark, dst, threshold=c - 0.01)
+        caught = got.filter(got.id_b - got.id_a == n_pairs).count()
+        p = 1 - math.acos(c) / math.pi
+        pred = 1 - (1 - p**6) ** 8
+        print(
+            f"planted-emb c={c}: measured recall {caught}/{n_pairs} = "
+            f"{caught / n_pairs:.4f}  predicted {pred:.4f}  "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+
 def banded_main() -> None:
     """r7: banded embedding-pair scaling. Replicate embeddings with
     shifted vec_ids and a tiny per-replica deterministic perturbation
@@ -281,6 +354,9 @@ def banded_main() -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "planted":
         planted_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "planted-embeddings":
+        planted_embeddings_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "banded":
         banded_main()
