@@ -15,9 +15,64 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+STDERR_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STDERR.log")
+
+
+def _tee_stderr(path: str) -> int:
+    """OS-level tee of fd 2 (VERDICT r7 task 5): the JVM writes Spark
+    logs straight to fd 2, bypassing sys.stderr, and the driver's
+    ~2.2 KB output-tail capture truncates any stack trace that lands
+    there (the r7 anonymous DAGScheduler fragment). Route fd 2
+    through a pipe pumped to BOTH the real stderr and ``path`` so
+    the console behavior is unchanged while the FULL untruncated log
+    survives for naming. Returns the saved real-stderr fd."""
+    real = os.dup(2)
+    logfd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump() -> None:
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            os.write(real, chunk)
+            os.write(logfd, chunk)
+
+    threading.Thread(target=pump, daemon=True).start()
+    return real
+
+
+def _exception_blocks(text: str) -> list[dict]:
+    """Group JVM stack frames ('  at ...' runs) into named blocks:
+    [{'head': <line preceding the first frame>, 'frames': N}]."""
+    lines = text.splitlines()
+    blocks: list[dict] = []
+    i = 0
+
+    def is_frame(s: str) -> bool:
+        t = s.lstrip()
+        return t.startswith("at ") or t.startswith("Caused by") or t.startswith("... ")
+
+    while i < len(lines):
+        if is_frame(lines[i]) and i > 0 and not is_frame(lines[i - 1]):
+            j = i
+            while j < len(lines) and is_frame(lines[j]):
+                j += 1
+            blocks.append({"head": lines[i - 1][-300:], "frames": j - i})
+            i = j
+        else:
+            i += 1
+    return blocks
 
 # The r1 driver-measured baseline set (BASELINE.md pins 28.493 s at
 # sf0.1 to EXACTLY these 22 queries). A named frozen list (ADVICE r4):
@@ -277,6 +332,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    _tee_stderr(STDERR_LOG)
+
     from github_issues_lakehouse_spark import queries as Q
     from github_issues_lakehouse_spark.session import get_spark
 
@@ -319,6 +376,19 @@ def main() -> None:
     spark.catalog.clearCache()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # quiesce the JVM before reading the stderr log so the capture
+    # holds every stack frame the run produced (task 5: every block
+    # is NAMED in the side file — no anonymous truncated fragments
+    # in the driver tail; the full text stays in BENCH_STDERR.log)
+    spark.stop()
+    time.sleep(0.5)
+    try:
+        with open(STDERR_LOG) as f:
+            blocks = _exception_blocks(f.read())
+    except OSError:
+        blocks = []
+
     # full per-query map -> side file (the driver records the stdout
     # tail only; keep the final line comfortably under ~1 KB)
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
@@ -330,6 +400,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": timings,
+                "stderr_log": STDERR_LOG,
+                "stderr_exception_blocks": blocks,
             },
             f,
             indent=1,
@@ -352,7 +424,6 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

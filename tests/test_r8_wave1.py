@@ -164,6 +164,32 @@ def test_embedding_decontaminate_output_unchanged_by_arrow_switch(spark, duck):
     assert len(got) > 0
 
 
+def test_bench_exception_block_parser():
+    """bench.py's stderr capture groups JVM stack-frame runs into
+    NAMED blocks (head line + frame count) — 'Caused by' and '...'
+    continuation frames merge into their parent block."""
+    from bench import _exception_blocks
+
+    sample = (
+        "26/08/15 WARN DAGScheduler: accumulator update failed\n"
+        "\tat org.apache.spark.scheduler.DAGScheduler.updateAccumulators"
+        "(DAGScheduler.scala:1787)\n"
+        "\tat org.apache.spark.scheduler.DAGScheduler.handleTaskCompletion"
+        "(DAGScheduler.scala:2000)\n"
+        "Caused by: java.lang.IllegalStateException: gone\n"
+        "\tat foo.Bar(z.java:1)\n"
+        "\t... 12 more\n"
+        "ordinary log line\n"
+        "26/08/15 ERROR TaskSetManager: Task 0 failed\n"
+        "\tat a.b(c.scala:3)\n"
+    )
+    blocks = _exception_blocks(sample)
+    assert [b["frames"] for b in blocks] == [5, 1]
+    assert "DAGScheduler: accumulator update failed" in blocks[0]["head"]
+    assert "TaskSetManager" in blocks[1]["head"]
+    assert _exception_blocks("clean\nlines\nonly\n") == []
+
+
 def test_window_warning_suppression_opt_out(monkeypatch):
     """SPARK_GRAFT_KEEP_WINDOW_WARNINGS=1 must return before touching
     the JVM (ADVICE r7: ad-hoc co-resident sessions keep the runtime

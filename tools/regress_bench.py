@@ -4,6 +4,7 @@ BASELINE_QUERIES.json and flag regressions.
     python bench.py > /tmp/bench.json      # also writes BENCH_QUERIES.json
     python tools/regress_bench.py BENCH_QUERIES.json [threshold]
     python tools/regress_bench.py BENCH_QUERIES.json --rebase rN
+    python tools/regress_bench.py BENCH_QUERIES.json --confirm
 
 The baseline is ONE machine-readable file (VERDICT r5 task 6):
 BASELINE_QUERIES.json maps query -> {"sec": baseline seconds,
@@ -17,6 +18,16 @@ any query exceeds the threshold (default 1.5x, BASELINE.md's stated
 regression bar). Host noise note: BASELINE.md documents multi-second
 CPU-steal spikes on this VM — re-measure a flagged query in
 isolation before treating it as real.
+
+``--confirm`` (VERDICT r7 task 4) implements that re-measure ritual
+machine-checkably: every flagged line is re-run ISOLATED and WARM
+(one fresh session, codegen warm-up at sf0.001, best of
+BENCH_REPEATS samples with the cache cleared between), the flag is
+kept only if the re-measure still exceeds the threshold, and the
+post-confirmation list is printed as one JSON line (quote THAT in
+VERIFY_SNAPSHOT instead of hand-adjudicating). Flags that evaporate
+on a quiet re-run were host noise by the repo's documented
+run-twice rule — on identical code a real regression reproduces.
 """
 
 from __future__ import annotations
@@ -52,15 +63,65 @@ def rebase(data: dict, round_tag: str) -> None:
     print(f"rebased: {len(added)} new queries stamped {round_tag}; {len(base)} total")
 
 
+def confirm_flags(
+    flagged: list[tuple[str, float, float]], threshold: float
+) -> list[dict]:
+    """Re-run each flagged query isolated+warm in one fresh session;
+    return the flags that survive (still over threshold on the
+    better of the original and the re-measured best-of-N)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import time
+
+    from bench import _extra_queries
+    from github_issues_lakehouse_spark import queries as Q
+    from github_issues_lakehouse_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = "/root/testdata/sf0.001"
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    spark = get_spark(app_name="regress-confirm")
+    qs = {**Q.queries(), **_extra_queries()}
+    survived = []
+    for q, base, orig_sec in flagged:
+        if q not in qs:
+            survived.append(
+                {"query": q, "base": base, "sec": orig_sec, "note": "unknown query"}
+            )
+            continue
+        if os.path.isdir(warm_dir):
+            qs[q](spark, warm_dir).count()  # codegen warm-up
+        best = orig_sec
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[q](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        status = "CONFIRMED" if best > base * threshold else "noise"
+        print(
+            f"confirm {q:34s} base {base:6.2f}  flagged {orig_sec:6.2f}"
+            f"  isolated {best:6.2f}  -> {status}",
+            file=sys.stderr,
+        )
+        if status == "CONFIRMED":
+            survived.append(
+                {"query": q, "base": base, "sec": round(best, 3), "flagged_sec": orig_sec}
+            )
+    spark.stop()
+    return survived
+
+
 def main() -> None:
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdin"
+    args = sys.argv[1:]
+    confirm = "--confirm" in args
+    args = [a for a in args if a != "--confirm"]
+    bench_path = args[0] if args else "/dev/stdin"
     rebase_tag = None
     threshold = 1.5
-    if len(sys.argv) > 2:
-        if sys.argv[2] == "--rebase":
-            rebase_tag = sys.argv[3] if len(sys.argv) > 3 else "r?"
+    if len(args) > 1:
+        if args[1] == "--rebase":
+            rebase_tag = args[2] if len(args) > 2 else "r?"
         else:
-            threshold = float(sys.argv[2])
+            threshold = float(args[1])
     text = open(bench_path).read()
     try:
         data = json.loads(text)  # a JSON document (BENCH_QUERIES.json)
@@ -85,16 +146,33 @@ def main() -> None:
         base = ref.get(q)
         rows.append((sec / base if base else None, q, base, sec))
     rows.sort(key=lambda r: -(r[0] or 0))
-    bad = 0
+    flagged = []
     for ratio, q, base, sec in rows:
         tag = ""
         if ratio is not None and ratio > threshold:
             tag = "  <-- REGRESSION"
-            bad += 1
+            flagged.append((q, base, sec))
         r = f"{ratio:5.2f}x" if ratio is not None else "  new "
         b = f"{base:6.2f}" if base is not None else "     -"
         print(f"{q:34s} base {b}  now {sec:6.2f}  {r}{tag}")
-    sys.exit(1 if bad else 0)
+    if confirm and flagged:
+        survived = confirm_flags(flagged, threshold)
+        print(
+            json.dumps(
+                {
+                    "confirm": {
+                        "threshold": threshold,
+                        "initial_flags": len(flagged),
+                        "confirmed": survived,
+                    }
+                },
+                separators=(",", ":"),
+            )
+        )
+        sys.exit(1 if survived else 0)
+    if confirm and not flagged:
+        print(json.dumps({"confirm": {"threshold": threshold, "initial_flags": 0, "confirmed": []}}, separators=(",", ":")))
+    sys.exit(1 if flagged else 0)
 
 
 if __name__ == "__main__":
