@@ -312,6 +312,8 @@ HEADLINE = [
     "ab_srm_check",
     "cluster_chaining_audit",
     "pii_rate_by_source",
+    # r8 addition: the streaming tier's driver surface (D12 drain + D33 readout)
+    "stream_daily_anomaly_readout",
 ]
 
 

@@ -618,6 +618,14 @@ _DRIVER_PRIORITY_R8 = [
     "null_semantics_orders",
 ]
 
+def _stream_daily_anomaly_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy import wrapper: keep the streaming module out of the
+    batch-registry import path until the key actually runs."""
+    from .streaming.ops import stream_daily_anomaly_readout
+
+    return stream_daily_anomaly_readout(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
@@ -956,6 +964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_srm_check": R7.ab_srm_check,
         "cluster_chaining_audit": dedup.cluster_chaining_audit,
         "pii_rate_by_source": text2.pii_rate_by_source,
+        # r8 addition — below the refresh queue per the r5-r7
+        # discipline: the streaming tier's first driver-checked
+        # surface (D12 mart drain -> D33 MAD readout == B130 batch)
+        "stream_daily_anomaly_readout": _stream_daily_anomaly_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R8 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2484,6 +2496,10 @@ FROM d GROUP BY 1
             "ab_srm_check": _srm_oracle(),
             "cluster_chaining_audit": _chaining_oracle(),
             "pii_rate_by_source": _pii_rate_oracle(),
+            # r8 addition: the streaming readout drains the D12 mart
+            # then runs B130's MAD algebra over it — drain == batch,
+            # so the oracle IS B130's oracle verbatim
+            "stream_daily_anomaly_readout": _mad_anomaly_oracle(),
         }
     )
     return out

@@ -1568,3 +1568,63 @@ def stream_stitch_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_daily_anomaly_readout(
+    spark,
+    sf_dir: str,
+    trailing_days: int = 14,
+    min_trailing: int = 7,
+    thresh_e3: int = 3000,
+) -> DataFrame:
+    """D33 as a driver-checkable batch surface (VERDICT r7 task 8):
+    run the incrementally maintained daily mart END-TO-END — stage
+    the events table as a file stream, fold it micro-batch by
+    micro-batch through ``stream_mart_maintenance`` (D12's
+    exactly-once versioned-commit protocol, 8 micro-batches via
+    maxFilesPerTrigger=1), then compute the robust MAD alarm
+    (``mad_anomaly_from_counts``, B130's algebra) over the COMMITTED
+    mart. Equals batch ``mad_anomaly_events`` exactly — the
+    drain-equals-batch identity tests/test_streaming.py proves, here
+    registered with the same DuckDB oracle so the driver's hash gate
+    covers the streaming tier for the first time.
+
+    Determinism: the mart is additive at (event_type, day) grain, so
+    micro-batch boundaries and partition order cannot move a count;
+    every run recommits from a clean staging/checkpoint/mart root
+    (md5-keyed per sf_dir under $TMPDIR).
+
+    Plan/scale: one corpus-scale staging write + one aggregate per
+    micro-batch sized by THAT batch (never a history rescan —
+    merge_mart_increment merges two day-grain aggregates); the alarm
+    reads O(days x types) committed state.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.timeseries import mad_anomaly_from_counts
+    from ..sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"sgl_d33_readout_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "staging")
+    events.repartition(8).write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    mart_path = os.path.join(base, "mart")
+    q = stream_mart_maintenance(stream, mart_path, os.path.join(base, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_daily_anomaly_readout: mart drain timed out")
+    mart = read_mart(spark, mart_path)
+    if mart is None:
+        raise RuntimeError("stream_daily_anomaly_readout: no committed mart version")
+    daily = mart.select("event_type", F.to_date("day").alias("day"), "n_events")
+    return mad_anomaly_from_counts(daily, trailing_days, min_trailing, thresh_e3)

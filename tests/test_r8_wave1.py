@@ -164,6 +164,29 @@ def test_embedding_decontaminate_output_unchanged_by_arrow_switch(spark, duck):
     assert len(got) > 0
 
 
+def test_stream_daily_anomaly_readout_equals_batch(spark):
+    """B135: the registered streaming readout (stage -> D12 drain ->
+    D33 MAD readout over the committed mart) equals batch
+    mad_anomaly_events row-for-row — the drain==batch identity on the
+    driver-facing surface itself."""
+    from github_issues_lakehouse_spark.operators.timeseries import mad_anomaly_events
+    from github_issues_lakehouse_spark.streaming import stream_daily_anomaly_readout
+
+    got = {
+        (r.event_type, str(r.day)): (
+            r.n_events, r.n_trailing, r.med2, r.mad4, r.robust_z, r.is_anomaly
+        )
+        for r in stream_daily_anomaly_readout(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.event_type, str(r.day)): (
+            r.n_events, r.n_trailing, r.med2, r.mad4, r.robust_z, r.is_anomaly
+        )
+        for r in mad_anomaly_events(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_bench_exception_block_parser():
     """bench.py's stderr capture groups JVM stack-frame runs into
     NAMED blocks (head line + frame count) — 'Caused by' and '...'

@@ -206,6 +206,8 @@ KEYS = [
     "ab_srm_check",
     "cluster_chaining_audit",
     "pii_rate_by_source",
+    # r8 addition: the streaming tier's driver surface (D12 drain + D33 readout)
+    "stream_daily_anomaly_readout",
 ]
 
 
