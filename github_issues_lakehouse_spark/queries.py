@@ -569,6 +569,8 @@ _DRIVER_PRIORITY_R8 = [
     # -- new keys registered this round (never-checked, below the
     # -- committed refresh queue per the r5-r7 discipline) ----------
     "stream_daily_anomaly_readout",
+    "stream_freshness_readout",
+    "stream_reconciliation_readout",
     # -- overflow: r3-stale evidence (checked only if the driver
     # -- budget ever exceeds the keys above), composites first ------
     "scd2_priority_history",
@@ -624,6 +626,18 @@ def _stream_daily_anomaly_readout(spark: SparkSession, sf_dir: str) -> DataFrame
     from .streaming.ops import stream_daily_anomaly_readout
 
     return stream_daily_anomaly_readout(spark, sf_dir)
+
+
+def _stream_freshness_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_freshness_readout
+
+    return stream_freshness_readout(spark, sf_dir)
+
+
+def _stream_reconciliation_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_reconciliation_readout
+
+    return stream_reconciliation_readout(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -968,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discipline: the streaming tier's first driver-checked
         # surface (D12 mart drain -> D33 MAD readout == B130 batch)
         "stream_daily_anomaly_readout": _stream_daily_anomaly_readout,
+        "stream_freshness_readout": _stream_freshness_readout,
+        "stream_reconciliation_readout": _stream_reconciliation_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R8 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2500,6 +2516,10 @@ FROM d GROUP BY 1
             # then runs B130's MAD algebra over it — drain == batch,
             # so the oracle IS B130's oracle verbatim
             "stream_daily_anomaly_readout": _mad_anomaly_oracle(),
+            # drain == batch, so these reuse B132's and B128's
+            # oracles verbatim too
+            "stream_freshness_readout": _freshness_oracle(),
+            "stream_reconciliation_readout": _order_reconciliation_oracle(),
         }
     )
     return out

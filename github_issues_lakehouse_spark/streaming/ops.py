@@ -1570,6 +1570,43 @@ def stream_stitch_index_maintenance(
     )
 
 
+def _stage_and_drain(spark, df, tag: str, maintain, n_files: int = 8, timeout: int = 600):
+    """Shared readout plumbing (r8): stage a batch table as a file
+    stream (``n_files`` part files -> that many micro-batches via
+    maxFilesPerTrigger=1), drain it through ``maintain(stream, path,
+    checkpoint)`` into a CLEAN tmp root (md5-keyed by ``tag`` so
+    per-sf_dir reruns are deterministic), and return the committed
+    state table. Every B13x streaming readout key rides this, so the
+    driver gate exercises one staging write + the real D-op fold
+    protocol + a committed-state read per key."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "sgl_readout_" + hashlib.md5(tag.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "staging")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    mart_path = os.path.join(base, "mart")
+    q = maintain(stream, mart_path, os.path.join(base, "ckpt"))
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"{tag}: streaming drain timed out")
+    state = read_mart(spark, mart_path)
+    if state is None:
+        raise RuntimeError(f"{tag}: no committed mart version")
+    return state
+
+
 def stream_daily_anomaly_readout(
     spark,
     sf_dir: str,
@@ -1577,54 +1614,79 @@ def stream_daily_anomaly_readout(
     min_trailing: int = 7,
     thresh_e3: int = 3000,
 ) -> DataFrame:
-    """D33 as a driver-checkable batch surface (VERDICT r7 task 8):
-    run the incrementally maintained daily mart END-TO-END — stage
-    the events table as a file stream, fold it micro-batch by
+    """B135 — D33 as a driver-checkable batch surface (VERDICT r7
+    task 8): run the incrementally maintained daily mart END-TO-END —
+    stage the events table as a file stream, fold it micro-batch by
     micro-batch through ``stream_mart_maintenance`` (D12's
-    exactly-once versioned-commit protocol, 8 micro-batches via
-    maxFilesPerTrigger=1), then compute the robust MAD alarm
-    (``mad_anomaly_from_counts``, B130's algebra) over the COMMITTED
-    mart. Equals batch ``mad_anomaly_events`` exactly — the
+    exactly-once versioned-commit protocol), then compute the robust
+    MAD alarm (``mad_anomaly_from_counts``, B130's algebra) over the
+    COMMITTED mart. Equals batch ``mad_anomaly_events`` exactly — the
     drain-equals-batch identity tests/test_streaming.py proves, here
     registered with the same DuckDB oracle so the driver's hash gate
-    covers the streaming tier for the first time.
+    covers the streaming tier.
 
     Determinism: the mart is additive at (event_type, day) grain, so
-    micro-batch boundaries and partition order cannot move a count;
-    every run recommits from a clean staging/checkpoint/mart root
-    (md5-keyed per sf_dir under $TMPDIR).
+    micro-batch boundaries and partition order cannot move a count.
 
     Plan/scale: one corpus-scale staging write + one aggregate per
     micro-batch sized by THAT batch (never a history rescan —
     merge_mart_increment merges two day-grain aggregates); the alarm
     reads O(days x types) committed state.
     """
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from ..operators.timeseries import mad_anomaly_from_counts
     from ..sources.registry import load_table
 
     events = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"sgl_d33_readout_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    staging = os.path.join(base, "staging")
-    events.repartition(8).write.mode("overwrite").parquet(staging)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging)
+    mart = _stage_and_drain(
+        spark, events, f"d33:{os.path.abspath(sf_dir)}", stream_mart_maintenance
     )
-    mart_path = os.path.join(base, "mart")
-    q = stream_mart_maintenance(stream, mart_path, os.path.join(base, "ckpt"))
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_daily_anomaly_readout: mart drain timed out")
-    mart = read_mart(spark, mart_path)
-    if mart is None:
-        raise RuntimeError("stream_daily_anomaly_readout: no committed mart version")
     daily = mart.select("event_type", F.to_date("day").alias("day"), "n_events")
     return mad_anomaly_from_counts(daily, trailing_days, min_trailing, thresh_e3)
+
+
+def stream_freshness_readout(spark, sf_dir: str, stale_days: int = 7) -> DataFrame:
+    """B136 (r8) — D32 as a driver-checkable surface: drain the events
+    stream through ``stream_freshness_maintenance`` (count by SUM
+    behind the exactly-once guard; span fields by idempotent MIN/MAX)
+    and assemble the staleness readout from the committed O(types)
+    state. Equals batch ``event_freshness_mart`` exactly (the D32
+    drain==batch test), so it registers with B132's oracle verbatim.
+    """
+    import os
+
+    from ..sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    state = _stage_and_drain(
+        spark, events, f"d32:{os.path.abspath(sf_dir)}", stream_freshness_maintenance
+    )
+    return freshness_from_state(state, stale_days)
+
+
+def stream_reconciliation_readout(spark, sf_dir: str) -> DataFrame:
+    """B137 (r8) — D30 as a driver-checkable surface: fold LINE ITEMS
+    through ``stream_reconciliation_maintenance`` (per-order invoice
+    recompute state, additive over line subsets — an order's lines
+    may arrive across any number of micro-batches) and derive B128's
+    per-priority gap/match mart at read time against the orders
+    header table (headers never enter the fold; late/restated headers
+    are picked up on the next read with zero state surgery). Equals
+    batch ``order_total_reconciliation`` exactly (the D30 test), so
+    it registers with B128's oracle verbatim.
+    """
+    import os
+
+    from ..operators.quality_checks import reconciliation_finalize
+    from ..sources.registry import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    state = _stage_and_drain(
+        spark,
+        lineitem,
+        f"d30:{os.path.abspath(sf_dir)}",
+        stream_reconciliation_maintenance,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return reconciliation_finalize(spark, orders, state)

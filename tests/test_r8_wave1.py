@@ -187,6 +187,40 @@ def test_stream_daily_anomaly_readout_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_stream_freshness_readout_equals_batch(spark):
+    """B136: drained D32 state + freshness_from_state equals batch
+    event_freshness_mart row-for-row on the driver-facing surface."""
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        event_freshness_mart,
+    )
+    from github_issues_lakehouse_spark.streaming import stream_freshness_readout
+
+    key = lambda r: (r.event_type, r.n_events, str(r.first_day), str(r.last_day),
+                     r.staleness_us, r.events_per_day_e2, r.is_stale)
+    got = sorted(key(r) for r in stream_freshness_readout(spark, SF_DIR).collect())
+    want = sorted(key(r) for r in event_freshness_mart(spark, SF_DIR).collect())
+    assert got == want and len(got) > 0
+
+
+def test_stream_reconciliation_readout_equals_batch(spark):
+    """B137: drained D30 state + header finalize equals batch
+    order_total_reconciliation row-for-row."""
+    from github_issues_lakehouse_spark.operators.quality_checks import (
+        order_total_reconciliation,
+    )
+    from github_issues_lakehouse_spark.streaming import (
+        stream_reconciliation_readout,
+    )
+
+    got = sorted(
+        map(tuple, stream_reconciliation_readout(spark, SF_DIR).collect())
+    )
+    want = sorted(
+        map(tuple, order_total_reconciliation(spark, SF_DIR).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_bench_exception_block_parser():
     """bench.py's stderr capture groups JVM stack-frame runs into
     NAMED blocks (head line + frame count) — 'Caused by' and '...'

@@ -208,6 +208,8 @@ KEYS = [
     "pii_rate_by_source",
     # r8 addition: the streaming tier's driver surface (D12 drain + D33 readout)
     "stream_daily_anomaly_readout",
+    "stream_freshness_readout",
+    "stream_reconciliation_readout",
 ]
 
 
