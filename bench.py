@@ -316,6 +316,7 @@ HEADLINE = [
     "stream_daily_anomaly_readout",
     "stream_freshness_readout",
     "stream_reconciliation_readout",
+    "stream_dedup_index_readout",
 ]
 
 

@@ -1198,14 +1198,32 @@ def dedup_against_index(
     are admitted (n_blocks = 0 -> hit_ppm = 0), matching the grid
     contract documented on dedup_exact_substrings.
     """
-    from ..functions.exact import ppm_expr
-
     k = block_tokens
     d = load_table(spark, sf_dir, "documents")
     bucket = _split_bucket(F.col("doc_id"), "#ingest")
     old_docs = d.filter(bucket < old_permille)
     new_docs = d.filter(bucket >= old_permille)
     index = block_first_index(old_docs, k).select("h")
+    return block_index_probe(new_docs, index, k, dup_threshold_ppm)
+
+
+def block_index_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    block_tokens: int = 10,
+    dup_threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """The probe stage of C104, factored out (r8) so the streaming
+    readout B138 can run the IDENTICAL decision algebra against a
+    D19-maintained committed index instead of a batch-built one.
+    ``index`` needs only the distinct block-hash column ``h``; any
+    extra columns (D19 keeps first-occurrence and counts) are pruned
+    here, so one maintained index serves both the admit/reject screen
+    and the rewrite path."""
+    from ..functions.exact import ppm_expr
+
+    k = block_tokens
+    index = index.select("h")
     new_blocks = block_hashes(new_docs, k).select("doc_id", "h")
     hits = (
         new_blocks.join(index.withColumn("hit", F.lit(1)), "h", "left")

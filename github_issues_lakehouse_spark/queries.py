@@ -571,6 +571,7 @@ _DRIVER_PRIORITY_R8 = [
     "stream_daily_anomaly_readout",
     "stream_freshness_readout",
     "stream_reconciliation_readout",
+    "stream_dedup_index_readout",
     # -- overflow: r3-stale evidence (checked only if the driver
     # -- budget ever exceeds the keys above), composites first ------
     "scd2_priority_history",
@@ -638,6 +639,12 @@ def _stream_reconciliation_readout(spark: SparkSession, sf_dir: str) -> DataFram
     from .streaming.ops import stream_reconciliation_readout
 
     return stream_reconciliation_readout(spark, sf_dir)
+
+
+def _stream_dedup_index_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_dedup_index_readout
+
+    return stream_dedup_index_readout(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -984,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_daily_anomaly_readout": _stream_daily_anomaly_readout,
         "stream_freshness_readout": _stream_freshness_readout,
         "stream_reconciliation_readout": _stream_reconciliation_readout,
+        "stream_dedup_index_readout": _stream_dedup_index_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R8 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2520,6 +2528,7 @@ FROM d GROUP BY 1
             # oracles verbatim too
             "stream_freshness_readout": _freshness_oracle(),
             "stream_reconciliation_readout": _order_reconciliation_oracle(),
+            "stream_dedup_index_readout": _dedup_against_index_oracle(),
         }
     )
     return out

@@ -1690,3 +1690,50 @@ def stream_reconciliation_readout(spark, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     return reconciliation_finalize(spark, orders, state)
+
+
+def stream_dedup_index_readout(
+    spark,
+    sf_dir: str,
+    block_tokens: int = 10,
+    old_permille: int = 800,
+    dup_threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """B138 (r8) — D19 as a driver-checkable surface, closing the
+    loop on the INDEX side of the incremental-dedup contract: the
+    already-ingested corpus (C104's md5 permille old split) is drained
+    micro-batch by micro-batch through ``stream_block_index_maintenance``
+    (block-hash index folds by MIN-first-occurrence + SUM-count under
+    the exactly-once versioned-commit protocol), and the new batch is
+    screened against the COMMITTED index with ``block_index_probe`` —
+    the exact decision algebra ``dedup_against_index`` runs against
+    its batch-built index. Drained index == batch index over the old
+    split (the D19 drain==batch test), and the probe reads only the
+    distinct hash column, so the readout equals batch C104 exactly
+    and registers with its DuckDB oracle verbatim.
+
+    This is the production shape at 100 TB: the index is maintained
+    state, never rebuilt; each arriving batch pays one probe join
+    sized by the BATCH. The other three readouts (B135-B137) cover
+    the additive-mart folds; this one covers the idempotent-index
+    class that the dedup tier rides (D19, and by the same protocol
+    D24/D34/D35).
+    """
+    import os
+
+    from functools import partial
+
+    from ..operators.dedup import _split_bucket, block_index_probe
+    from ..sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"), "#ingest")
+    old_docs = d.filter(bucket < old_permille)
+    new_docs = d.filter(bucket >= old_permille)
+    index = _stage_and_drain(
+        spark,
+        old_docs,
+        f"d19:{os.path.abspath(sf_dir)}",
+        partial(stream_block_index_maintenance, block_tokens=block_tokens),
+    )
+    return block_index_probe(new_docs, index, block_tokens, dup_threshold_ppm)

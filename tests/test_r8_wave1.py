@@ -221,6 +221,20 @@ def test_stream_reconciliation_readout_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_stream_dedup_index_readout_equals_batch(spark):
+    """B138: drained D19 index + block_index_probe equals batch
+    dedup_against_index row-for-row — the idempotent-index class of
+    the streaming tier on the driver-facing surface, with flagged
+    dups present so the decision branch is exercised."""
+    from github_issues_lakehouse_spark.operators.dedup import dedup_against_index
+    from github_issues_lakehouse_spark.streaming import stream_dedup_index_readout
+
+    got = sorted(map(tuple, stream_dedup_index_readout(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, dedup_against_index(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+    assert any(r[-1] for r in got)  # at least one admit/reject fires
+
+
 def test_bench_exception_block_parser():
     """bench.py's stderr capture groups JVM stack-frame runs into
     NAMED blocks (head line + frame count) — 'Caused by' and '...'

@@ -210,6 +210,7 @@ KEYS = [
     "stream_daily_anomaly_readout",
     "stream_freshness_readout",
     "stream_reconciliation_readout",
+    "stream_dedup_index_readout",
 ]
 
 
