@@ -1574,11 +1574,14 @@ def _stage_and_drain(spark, df, tag: str, maintain, n_files: int = 8, timeout: i
     """Shared readout plumbing (r8): stage a batch table as a file
     stream (``n_files`` part files -> that many micro-batches via
     maxFilesPerTrigger=1), drain it through ``maintain(stream, path,
-    checkpoint)`` into a CLEAN tmp root (md5-keyed by ``tag`` so
-    per-sf_dir reruns are deterministic), and return the committed
-    state table. Every B13x streaming readout key rides this, so the
-    driver gate exercises one staging write + the real D-op fold
-    protocol + a committed-state read per key."""
+    checkpoint)`` into a CLEAN tmp root (md5-keyed by ``tag`` PLUS
+    the pid: same-process reruns reuse-and-clean one dir instead of
+    leaking a corpus-scale staging copy per run, while two concurrent
+    sessions running the same key — e.g. the test suite beside a
+    bench — can never race each other's rmtree/write), and return the
+    committed state table. Every B13x streaming readout key rides
+    this, so the driver gate exercises one staging write + the real
+    D-op fold protocol + a committed-state read per key."""
     import hashlib
     import os
     import shutil
@@ -1586,7 +1589,9 @@ def _stage_and_drain(spark, df, tag: str, maintain, n_files: int = 8, timeout: i
 
     base = os.path.join(
         tempfile.gettempdir(),
-        "sgl_readout_" + hashlib.md5(tag.encode()).hexdigest()[:12],
+        "sgl_readout_"
+        + hashlib.md5(tag.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     staging = os.path.join(base, "staging")
@@ -1638,7 +1643,10 @@ def stream_daily_anomaly_readout(
     from ..operators.timeseries import mad_anomaly_from_counts
     from ..sources.registry import load_table
 
-    events = load_table(spark, sf_dir, "events")
+    # stage only the columns the D12 fold reads (ts/event_type/value)
+    # — the corpus-scale staging write is the readout's dominant cost
+    # and the pruned schema cannot change the drained mart
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     mart = _stage_and_drain(
         spark, events, f"d33:{os.path.abspath(sf_dir)}", stream_mart_maintenance
     )
@@ -1658,7 +1666,7 @@ def stream_freshness_readout(spark, sf_dir: str, stale_days: int = 7) -> DataFra
 
     from ..sources.registry import load_table
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
     state = _stage_and_drain(
         spark, events, f"d32:{os.path.abspath(sf_dir)}", stream_freshness_maintenance
     )
@@ -1681,7 +1689,9 @@ def stream_reconciliation_readout(spark, sf_dir: str) -> DataFrame:
     from ..operators.quality_checks import reconciliation_finalize
     from ..sources.registry import load_table
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
     state = _stage_and_drain(
         spark,
         lineitem,
@@ -1728,7 +1738,7 @@ def stream_dedup_index_readout(
 
     d = load_table(spark, sf_dir, "documents")
     bucket = _split_bucket(F.col("doc_id"), "#ingest")
-    old_docs = d.filter(bucket < old_permille)
+    old_docs = d.filter(bucket < old_permille).select("doc_id", "source", "text")
     new_docs = d.filter(bucket >= old_permille)
     index = _stage_and_drain(
         spark,
