@@ -1,0 +1,82 @@
+"""Bookkeeping gates the external review script-checks every round —
+pinned in CI so drift is caught at commit time instead (r8):
+
+- SURVEY.md §2 batch table lines == queries() keys == oracle_sql()
+  keys, zero in either direction (the r6 B132b defect class: a §2
+  line with no registered key, or a key with no coverage line).
+- Every bench HEADLINE query has a BASELINE_QUERIES.json entry with
+  round provenance (a key benched without a baseline silently skips
+  the regression gate — the rebase step these tests make mandatory).
+- The driver-priority prefix stays what the round's evidence plan
+  says it is (never-checked keys first), so a registry edit cannot
+  silently demote the queue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_keys() -> list[str]:
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    return list(E.queries()), E.oracle_sql()
+
+
+def test_survey_table_matches_registry_exactly():
+    queries, oracles = _registry_keys()
+    md = open(os.path.join(REPO, "SURVEY.md")).read()
+    rows = re.findall(r"^\| [ABC][0-9]+[a-z]?\b[^|]* \| `([a-z0-9_]+)`", md, re.M)
+    assert len(rows) == len(set(rows)), "duplicate §2 table lines"
+    table, reg = set(rows), set(queries)
+    assert table == reg, (
+        f"§2 drift — table-not-registry: {sorted(table - reg)}, "
+        f"registry-not-table: {sorted(reg - table)}"
+    )
+    assert set(oracles) == reg, (
+        f"oracle drift — {sorted(set(oracles) ^ reg)}"
+    )
+
+
+def test_every_headline_query_has_a_baseline():
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import HEADLINE
+
+    with open(os.path.join(REPO, "BASELINE_QUERIES.json")) as f:
+        base = json.load(f)
+    missing = [q for q in HEADLINE if q not in base]
+    assert missing == [], (
+        f"benched without a baseline (run regress_bench --rebase): {missing}"
+    )
+    bad = [q for q, v in base.items() if "sec" not in v or "round" not in v]
+    assert bad == []
+
+
+def test_driver_priority_prefix_is_the_evidence_queue():
+    queries, _ = _registry_keys()
+    # r8 plan: the 4 never-driver-checked r7 keys lead; everything in
+    # the first 54 positions predates the r8 additions (which sit
+    # below the refresh queue).
+    assert queries[:4] == [
+        "mad_anomaly_from_counts_daily",
+        "embedding_dup_clusters_banded",
+        "banded_neardup_recall",
+        "embedding_band_skew_audit",
+    ]
+    r8_keys = {
+        "stream_daily_anomaly_readout",
+        "stream_freshness_readout",
+        "stream_reconciliation_readout",
+        "stream_dedup_index_readout",
+    }
+    assert r8_keys.isdisjoint(queries[:54]), "new keys jumped the refresh queue"
+    assert r8_keys.issubset(set(queries[54:62]))
