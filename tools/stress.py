@@ -351,6 +351,84 @@ def banded_main() -> None:
         print(f"banded x{mult} {name}: {n} rows {time.time() - t0:.2f}s")
 
 
+def readout_main() -> None:
+    """r8: streaming-fold history-independence. The four readout keys
+    (B135-B138) claim per-micro-batch cost is sized by the BATCH, not
+    by how much history has already been folded (mart_fold_batch
+    merges the batch aggregate into O(state), never rescanning
+    facts). This mode measures that statement: replicate events
+    ``mult``x, stage into ``n_files`` equal micro-batches, drain
+    through the D12 maintenance, and print each batch's wall duration
+    and input rows from the StreamingQuery progress log. A fold that
+    rescanned history would show linearly GROWING batch durations;
+    the protocol predicts a flat profile (equal batches, constant
+    state size).
+
+        python tools/stress.py readout 10 16
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.session import get_spark
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming.ops import (
+        read_mart,
+        stream_mart_maintenance,
+    )
+
+    spark = get_spark(app_name=f"stress-readout-{mult}x")
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "ts", "event_type", "value"
+    )
+    reps = [ev.withColumn("_r", F.lit(i)).drop("_r") for i in range(mult)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+
+    base = os.path.join(tempfile.gettempdir(), f"stress_readout_{mult}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "staging")
+    big.repartition(n_files).write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(big.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = stream_mart_maintenance(
+        stream, os.path.join(base, "mart"), os.path.join(base, "ckpt")
+    )
+    if not q.awaitTermination(1200):
+        q.stop()
+        raise RuntimeError("drain timed out")
+    prog = [
+        _json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+    durs = [
+        (p["numInputRows"], p["batchDuration"])
+        for p in prog
+        if p.get("numInputRows", 0) > 0
+    ]
+    for i, (rows, ms) in enumerate(durs):
+        print(f"readout x{mult} batch {i:2d}: {rows} rows  {ms} ms")
+    half = len(durs) // 2
+    first = sum(ms for _, ms in durs[:half]) / max(1, half)
+    second = sum(ms for _, ms in durs[half:]) / max(1, len(durs) - half)
+    n_mart = read_mart(spark, os.path.join(base, "mart")).count()
+    print(
+        f"readout x{mult}: {len(durs)} batches, mart {n_mart} rows, "
+        f"mean batch ms first-half {first:.0f} vs second-half {second:.0f} "
+        f"(ratio {second / first:.2f}; history rescan would trend ~2x+)"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "planted":
         planted_main()
@@ -360,6 +438,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "banded":
         banded_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "readout":
+        readout_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = "/root/testdata/sf0.1"
