@@ -1747,3 +1747,75 @@ def stream_dedup_index_readout(
         partial(stream_block_index_maintenance, block_tokens=block_tokens),
     )
     return block_index_probe(new_docs, index, block_tokens, dup_threshold_ppm)
+
+
+def apply_mart_retention(mart: DataFrame, retention_days: int) -> DataFrame:
+    """Collapse day-grain mart rows older than ``max(day) -
+    retention_days`` into ONE archive row per event_type (day = NULL,
+    measures summed); rows inside the horizon keep their day grain.
+    Sum-preserving by construction, and the horizon is DATA-DRIVEN
+    (the mart's own max day, watermark-style), never wall-clock — so
+    the result is a pure function of the mart and the drain==batch
+    identity below is deterministic."""
+    from pyspark.sql import functions as F
+
+    horizon = mart.agg(
+        F.date_sub(F.max("day"), retention_days).alias("h")
+    )
+    tagged = mart.crossJoin(F.broadcast(horizon))
+    return (
+        tagged.select(
+            "event_type",
+            F.when(F.col("day") >= F.col("h"), F.col("day")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+
+
+def stream_mart_retention_maintenance(
+    events: DataFrame, path: str, checkpoint: str, retention_days: int = 14
+):
+    """D36 (r8): BOUNDED-STATE streaming mart — the D12 additive daily
+    fold plus a retention policy applied inside every fold: day-grain
+    rows older than ``max(day) - retention_days`` collapse into one
+    archive row per event_type (day = NULL, measures summed), so the
+    committed state stays O(types x retention_days + types) FOREVER
+    while the archive row preserves exact lifetime totals. This is
+    the capability every other mart-family D-op defers (their state
+    grows with distinct keys or days without bound at 100 TB); here
+    eviction is part of the merge, not a side process.
+
+    Correctness argument (tested, any arrival order): the horizon is
+    the state's own MAX day minus the retention window. Max over a
+    subset of batches <= max over all batches, so any day an early
+    fold archives would ALSO be archived by the final horizon —
+    progressive collapse can never archive a day the batch-twin
+    (`apply_mart_retention` over the full mart) would keep — and both
+    measures are additive, so collapsed mass is preserved exactly.
+    Late data for an already-archived day lands at day grain in its
+    batch and is re-collapsed by the same fold (no state surgery).
+    Additive counts -> exactly-once per batch via the batch_id guard
+    (the D13 contract class). Read with read_mart. Returns the query.
+    """
+    from ..operators.gold import merge_mart_increment
+
+    def merge(existing, batch_df):
+        return apply_mart_retention(
+            merge_mart_increment(existing, batch_df), retention_days
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1337,3 +1337,59 @@ def test_stream_embedding_bands_index_and_probe(spark, tmp_path):
     }
     # every verified cross pair's candidate must come out of the index
     assert cross <= cand_pairs and len(cross) > 0
+
+
+def test_stream_mart_retention_bounded_state_any_order(spark, tmp_path):
+    """D36: the retention fold's drained state equals the batch twin
+    (full mart -> apply_mart_retention) under adversarial arrival
+    order, keeps exact lifetime totals in the archive row, and stays
+    bounded at O(types x retention + types) rows."""
+    from github_issues_lakehouse_spark.operators.gold import daily_event_mart
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        apply_mart_retention,
+        read_mart,
+        stream_mart_retention_maintenance,
+    )
+
+    retention = 7
+    events = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "ev_src")
+    # reverse-ish split: the NEWEST days land in the FIRST files, so
+    # early folds set a high horizon and archive aggressively; later
+    # batches deliver old days straight into re-collapse — the late-
+    # data-for-archived-day path
+    events.withColumn(
+        "_b", F.pmod(-F.unix_micros("ts"), F.lit(4))
+    ).repartition(4, "_b").drop("_b").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    mart_path = str(tmp_path / "retention_mart")
+    q = stream_mart_retention_maintenance(
+        stream, mart_path, str(tmp_path / "ckpt"), retention_days=retention
+    )
+    assert q.awaitTermination(300)
+
+    def key(r):
+        return (r.event_type, None if r.day is None else str(r.day))
+
+    got = {key(r): (r.n_events, float(r.total_value)) for r in read_mart(spark, mart_path).collect()}
+    full = daily_event_mart(spark.read.parquet(src))
+    want = {
+        key(r): (r.n_events, float(r.total_value))
+        for r in apply_mart_retention(full, retention).collect()
+    }
+    assert got == want and len(got) > 0
+    # the archive actually fired and lifetime totals are conserved
+    assert any(day is None for (_, day) in got)
+    tot_state = sum(n for n, _ in got.values())
+    tot_full = full.agg(F.sum("n_events")).collect()[0][0]
+    assert tot_state == tot_full
+    # bounded: per type, at most retention+1 day-grain rows + 1 archive
+    from collections import Counter
+
+    per_type = Counter(t for (t, _) in got)
+    assert max(per_type.values()) <= retention + 2
