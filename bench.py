@@ -23,14 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 STDERR_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STDERR.log")
 
 
-def _tee_stderr(path: str) -> int:
+def _tee_stderr(path: str):
     """OS-level tee of fd 2 (VERDICT r7 task 5): the JVM writes Spark
     logs straight to fd 2, bypassing sys.stderr, and the driver's
     ~2.2 KB output-tail capture truncates any stack trace that lands
     there (the r7 anonymous DAGScheduler fragment). Route fd 2
     through a pipe pumped to BOTH the real stderr and ``path`` so
     the console behavior is unchanged while the FULL untruncated log
-    survives for naming. Returns the saved real-stderr fd."""
+    survives for naming. Returns a ``finish()`` that restores the
+    real fd 2 (EOF-ing the pipe) and JOINS the pump thread, so the
+    log is provably fully drained before it is read — a fixed sleep
+    cannot guarantee that on a loaded host."""
     real = os.dup(2)
     logfd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
     r, w = os.pipe()
@@ -48,8 +51,19 @@ def _tee_stderr(path: str) -> int:
             os.write(real, chunk)
             os.write(logfd, chunk)
 
-    threading.Thread(target=pump, daemon=True).start()
-    return real
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    def finish() -> None:
+        # restoring the real fd closes the pipe's only write end ->
+        # the pump sees EOF after draining every buffered byte
+        os.dup2(real, 2)
+        t.join(timeout=30)
+        os.close(logfd)
+        os.close(r)
+        os.close(real)
+
+    return finish
 
 
 def _exception_blocks(text: str) -> list[dict]:
@@ -64,11 +78,15 @@ def _exception_blocks(text: str) -> list[dict]:
         return t.startswith("at ") or t.startswith("Caused by") or t.startswith("... ")
 
     while i < len(lines):
-        if is_frame(lines[i]) and i > 0 and not is_frame(lines[i - 1]):
+        if is_frame(lines[i]) and (i == 0 or not is_frame(lines[i - 1])):
             j = i
             while j < len(lines) and is_frame(lines[j]):
                 j += 1
-            blocks.append({"head": lines[i - 1][-300:], "frames": j - i})
+            # a frame run at line 0 means the log starts mid-trace
+            # (truncated capture) — report it with a placeholder head
+            # rather than dropping the whole block
+            head = lines[i - 1][-300:] if i > 0 else "(log starts mid-trace)"
+            blocks.append({"head": head, "frames": j - i})
             i = j
         else:
             i += 1
@@ -337,7 +355,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    _tee_stderr(STDERR_LOG)
+    _finish_tee = _tee_stderr(STDERR_LOG)
 
     from github_issues_lakehouse_spark import queries as Q
     from github_issues_lakehouse_spark.session import get_spark
@@ -387,7 +405,7 @@ def main() -> None:
     # is NAMED in the side file — no anonymous truncated fragments
     # in the driver tail; the full text stays in BENCH_STDERR.log)
     spark.stop()
-    time.sleep(0.5)
+    _finish_tee()  # restore fd 2 and JOIN the pump: log fully drained
     try:
         with open(STDERR_LOG) as f:
             blocks = _exception_blocks(f.read())

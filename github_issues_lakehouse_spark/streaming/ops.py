@@ -1582,10 +1582,20 @@ def _stage_and_drain(spark, df, tag: str, maintain, n_files: int = 8, timeout: i
     committed state table. Every B13x streaming readout key rides
     this, so the driver gate exercises one staging write + the real
     D-op fold protocol + a committed-state read per key."""
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
+
+    # sweep dirs left by DEAD processes (same-pid reruns clean their
+    # own dir below; a fresh pid never matches an old dir, so without
+    # this, every finished bench/test/driver process would leak its
+    # corpus-scale staging copy in /tmp)
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "sgl_readout_*_*")):
+        pid = stale.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     base = os.path.join(
         tempfile.gettempdir(),
@@ -1806,9 +1816,13 @@ def stream_mart_retention_maintenance(
     from ..operators.gold import merge_mart_increment
 
     def merge(existing, batch_df):
-        return apply_mart_retention(
-            merge_mart_increment(existing, batch_df), retention_days
-        )
+        # pin the merged mart ONCE: apply_mart_retention reads it in
+        # two branches (the horizon aggregate and the collapse probe)
+        # and Spark re-evaluates common subtrees per branch — without
+        # this every micro-batch would pay the state read + batch
+        # aggregate twice; the pinned frame is O(state) rows
+        merged = merge_mart_increment(existing, batch_df).localCheckpoint(eager=True)
+        return apply_mart_retention(merged, retention_days)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         mart_fold_batch(batch_df, batch_id, path, merge=merge)

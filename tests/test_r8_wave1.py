@@ -259,6 +259,10 @@ def test_bench_exception_block_parser():
     assert "DAGScheduler: accumulator update failed" in blocks[0]["head"]
     assert "TaskSetManager" in blocks[1]["head"]
     assert _exception_blocks("clean\nlines\nonly\n") == []
+    # a log that STARTS mid-trace (truncated capture) still reports
+    # the leading block, with a placeholder head
+    lead = _exception_blocks("\tat a.b(c.scala:3)\n\tat d.e(f.scala:4)\nok\n")
+    assert lead == [{"head": "(log starts mid-trace)", "frames": 2}]
 
 
 def test_window_warning_suppression_opt_out(monkeypatch):
