@@ -90,7 +90,26 @@ def _exception_blocks(text: str) -> list[dict]:
             i = j
         else:
             i += 1
-    return blocks
+    return _dedupe_blocks(blocks)
+
+
+def _dedupe_blocks(blocks: list[dict]) -> list[dict]:
+    """Aggregate blocks whose heads differ only by embedded numbers
+    (accumulator/stage/task ids): one benign class can fire dozens of
+    times per run (77 'non-existent accumulator NNN' blocks observed)
+    and would bloat the side artifact without adding information.
+    Output per CLASS: the digit-normalized head, occurrence count,
+    and the frame count of the first instance."""
+    import re
+
+    agg: dict[str, dict] = {}
+    for b in blocks:
+        key = re.sub(r"\d+", "N", b["head"])
+        if key in agg:
+            agg[key]["count"] += 1
+        else:
+            agg[key] = {"head": key, "count": 1, "frames": b["frames"]}
+    return list(agg.values())
 
 # The r1 driver-measured baseline set (BASELINE.md pins 28.493 s at
 # sf0.1 to EXACTLY these 22 queries). A named frozen list (ADVICE r4):

@@ -262,7 +262,15 @@ def test_bench_exception_block_parser():
     # a log that STARTS mid-trace (truncated capture) still reports
     # the leading block, with a placeholder head
     lead = _exception_blocks("\tat a.b(c.scala:3)\n\tat d.e(f.scala:4)\nok\n")
-    assert lead == [{"head": "(log starts mid-trace)", "frames": 2}]
+    assert lead == [{"head": "(log starts mid-trace)", "count": 1, "frames": 2}]
+    # blocks differing only by embedded ids collapse to one CLASS row
+    sample = (
+        "ERROR x: accumulator 101 gone\n\tat a.b(c.scala:1)\n"
+        "ok\nERROR x: accumulator 202 gone\n\tat a.b(c.scala:1)\n"
+    )
+    agg = _exception_blocks(sample)
+    assert len(agg) == 1 and agg[0]["count"] == 2
+    assert agg[0]["head"] == "ERROR x: accumulator N gone"
 
 
 def test_window_warning_suppression_opt_out(monkeypatch):
