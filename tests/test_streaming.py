@@ -1393,3 +1393,55 @@ def test_stream_mart_retention_bounded_state_any_order(spark, tmp_path):
 
     per_type = Counter(t for (t, _) in got)
     assert max(per_type.values()) <= retention + 2
+
+
+def test_retention_fold_replay_patterns_converge(spark, tmp_path):
+    """D36: the retention merge composes with the batch_id guard
+    exactly like the plain mart fold — additive counts are NOT
+    idempotent, so replay absorption is the guard's job; any replay
+    pattern must converge to apply_mart_retention over the full
+    corpus, archive row included."""
+    from functools import partial
+
+    from github_issues_lakehouse_spark.operators.gold import (
+        daily_event_mart,
+        merge_mart_increment,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+    from github_issues_lakehouse_spark.streaming import (
+        apply_mart_retention,
+        mart_fold_batch,
+        read_mart,
+    )
+
+    retention = 7
+    events = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    batches = [events.filter(F.col("event_id") % 3 == k) for k in range(3)]
+
+    def merge(existing, batch_df):
+        return apply_mart_retention(
+            merge_mart_increment(existing, batch_df), retention
+        )
+
+    def run(pattern, path):
+        for bid in pattern:
+            mart_fold_batch(batches[bid], bid, path, merge=merge)
+        return {
+            (r.event_type, None if r.day is None else str(r.day)): (
+                r.n_events,
+                float(r.total_value),
+            )
+            for r in read_mart(spark, path).collect()
+        }
+
+    want = {
+        (r.event_type, None if r.day is None else str(r.day)): (
+            r.n_events,
+            float(r.total_value),
+        )
+        for r in apply_mart_retention(daily_event_mart(events), retention).collect()
+    }
+    for i, pat in enumerate([[0, 1, 2], [0, 0, 1, 1, 2, 2], [0, 1, 2, 0, 1, 2, 2]]):
+        got = run(pat, str(tmp_path / f"rmart{i}"))
+        assert got == want, pat
+    assert any(day is None for (_, day) in want)
