@@ -494,86 +494,37 @@ FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap (r3-r7 each checked exactly 50).
-# Round 8 ordering (VERDICT.md r7, tasks 1+6): positions 1-4 are the
-# 4 r7 additions that have never been driver-checked — closing them
-# makes the registry 294/294 driver-proven at least once. Positions
-# 5-50 are 46 of the 50 keys whose latest driver evidence is r2
-# vintage (five rounds old), heavy dedup/ANN composites first so a
-# budget cutoff sacrifices trivial scans, not depth. 4+46 fills the
-# 50-row budget exactly; the 4 remaining r2-vintage keys (trivial
-# text scans) sit at positions 51-54, first in line for r9. NEW
-# operators registered this round ride below THOSE (never-checked,
-# but must not displace the committed refresh queue — the r5/r6/r7
-# discipline), then the 45 r3-stale keys as overflow.
-_DRIVER_PRIORITY_R8 = [
-    # -- positions 1-4: never driver-checked (r7 additions) ---------
-    "mad_anomaly_from_counts_daily",
-    "embedding_dup_clusters_banded",
-    "banded_neardup_recall",
-    "embedding_band_skew_audit",
-    # -- positions 5-50: r2-stale evidence (five rounds old),
-    # -- heavy dedup/ANN composites first ---------------------------
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "semdedup",
-    "kmeans_embeddings",
-    "neardup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_bruteforce_topk",
-    "ann_recall_at_k",
-    "ann_ivf_recall_at_k",
-    "knn_label_purity",
-    "hard_negative_mining",
-    "paragraph_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_keep_best",
-    "duplication_profile",
-    "dedup_rate_mart",
-    "decontaminate_ngram",
-    "decontaminate_bloom",
-    "chunk_documents",
-    "pack_sequences",
-    "unigram_perplexity",
-    "dsir_importance_weights",
-    "tfidf_top_terms",
-    "embedding_centroids",
-    "quantize_embeddings",
-    "vocab_stats",
-    "source_mixing_weights",
-    "repetition_filter",
-    "pii_redact",
-    "sample_stratified",
-    "training_corpus_filter",
-    "multimodal_meta",
-    "frame_sample",
-    "audio_features",
-    "corpus_stats",
-    "bronze_issues",
-    "silver_issues",
-    "silver_merge_dedup",
-    "label_catalog",
-    "gold_kpi_component_tier",
-    "gold_kpi_global",
-    "gold_kpi_mom",
-    "snapshot_diff",
-    # -- positions 51-54: the 4 remaining r2-vintage keys (trivial
-    # -- text scans), first in line for r9's budget -----------------
+# order under a ~50-entry budget cap (r3-r8 each checked exactly 50).
+# Round 9 ordering (VERDICT.md r8, task 1): positions 1-4 retire the
+# last r2-vintage evidence (trivial text scans, parked at 51-54 last
+# round); 5-8 are the four r8 streaming readouts that have never been
+# driver-checked (closing them makes the registry 100% driver-proven
+# at least once); 9-10 are the two keys whose CODE changed in r8
+# AFTER their latest driver row (embedding_decontaminate: Arrow
+# signature switch, last driver r4; dedup_against_index: probe
+# factoring, last driver r6) — the driver must hash the new code
+# paths, not just the builder's tri-scale gate; 11-50 are the 40
+# oldest r3-stale keys, composites first so a budget cutoff
+# sacrifices trivial scans. The 5 remaining r3-stale keys sit at
+# 51-55, first in line for r10 (VERDICT r8 task 7). NEW operators
+# registered this round ride below THOSE (never-checked, but must
+# not displace the committed refresh queue — the r5-r8 discipline).
+_DRIVER_PRIORITY_R9 = [
+    # -- positions 1-4: the last r2-stale evidence ------------------
     "lang_id",
     "quality_score",
     "token_count",
     "doc_fingerprint",
-    # -- new keys registered this round (never-checked, below the
-    # -- committed refresh queue per the r5-r7 discipline) ----------
+    # -- positions 5-8: never driver-checked (r8 streaming readouts)
     "stream_daily_anomaly_readout",
     "stream_freshness_readout",
     "stream_reconciliation_readout",
     "stream_dedup_index_readout",
-    # -- overflow: r3-stale evidence (checked only if the driver
-    # -- budget ever exceeds the keys above), composites first ------
+    # -- positions 9-10: code edited in r8 after last driver row ----
+    "embedding_decontaminate",
+    "dedup_against_index",
+    # -- positions 11-50: the 40 oldest r3-stale keys, composites
+    # -- first -------------------------------------------------------
     "scd2_priority_history",
     "dq_violations",
     "quality_classifier",
@@ -614,11 +565,18 @@ _DRIVER_PRIORITY_R8 = [
     "top_supplier_revenue",
     "important_parts_share",
     "min_cost_supplier",
+    # -- positions 51-55: the 5 remaining r3-stale keys, first in
+    # -- line for r10's budget (VERDICT r8 task 7) -------------------
     "contingency_orders",
     "histogram_prices",
     "profile_orders",
     "label_array_funcs",
     "null_semantics_orders",
+    # -- new keys registered this round (never-checked, below the
+    # -- committed refresh queue per the r5-r8 discipline) ----------
+    "stream_sessionize_readout",
+    # -- overflow: r4-stale evidence next if the driver budget ever
+    # -- exceeds the keys above (dict order of queries() applies) ---
 ]
 
 def _stream_daily_anomaly_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,7 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reconciliation_readout": _stream_reconciliation_readout,
         "stream_dedup_index_readout": _stream_dedup_index_readout,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R8 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R9 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 

@@ -63,20 +63,30 @@ def test_every_headline_query_has_a_baseline():
 
 def test_driver_priority_prefix_is_the_evidence_queue():
     queries, _ = _registry_keys()
-    # r8 plan: the 4 never-driver-checked r7 keys lead; everything in
-    # the first 54 positions predates the r8 additions (which sit
-    # below the refresh queue).
-    assert queries[:4] == [
-        "mad_anomaly_from_counts_daily",
-        "embedding_dup_clusters_banded",
-        "banded_neardup_recall",
-        "embedding_band_skew_audit",
-    ]
-    r8_keys = {
+    # r9 plan (VERDICT r8 task 1): 1-4 = last r2-stale scans, 5-8 =
+    # never-driver-checked r8 readouts, 9-10 = keys edited in r8
+    # after their latest driver row, 11-50 = 40 oldest r3-stale keys.
+    assert queries[:10] == [
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "doc_fingerprint",
         "stream_daily_anomaly_readout",
         "stream_freshness_readout",
         "stream_reconciliation_readout",
         "stream_dedup_index_readout",
-    }
-    assert r8_keys.isdisjoint(queries[:54]), "new keys jumped the refresh queue"
-    assert r8_keys.issubset(set(queries[54:62]))
+        "embedding_decontaminate",
+        "dedup_against_index",
+    ]
+    # 51-55: the 5 remaining r3-stale keys (r10 positions 1-5).
+    assert queries[50:55] == [
+        "contingency_orders",
+        "histogram_prices",
+        "profile_orders",
+        "label_array_funcs",
+        "null_semantics_orders",
+    ]
+    # New r9 keys must not jump the refresh queue.
+    r9_keys = {"stream_sessionize_readout"}
+    present = r9_keys & set(queries)
+    assert present.isdisjoint(queries[:55]), "new keys jumped the refresh queue"
