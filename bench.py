@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 STDERR_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STDERR.log")
 
 
+# End-of-capture marker finish() writes into the pipe. EOF can NEVER
+# arrive at the pump (ADVICE r8): the py4j JVM child inherits fd 2 —
+# i.e. the pipe write end — at launch and survives spark.stop(), so
+# restoring python's fd 2 does not close the last writer. The pump
+# therefore terminates on this sentinel instead of EOF.
+_TEE_SENTINEL = b"\x00__SGL_TEE_DONE__\x00"
+
+
 def _tee_stderr(path: str):
     """OS-level tee of fd 2 (VERDICT r7 task 5): the JVM writes Spark
     logs straight to fd 2, bypassing sys.stderr, and the driver's
@@ -30,35 +38,63 @@ def _tee_stderr(path: str):
     there (the r7 anonymous DAGScheduler fragment). Route fd 2
     through a pipe pumped to BOTH the real stderr and ``path`` so
     the console behavior is unchanged while the FULL untruncated log
-    survives for naming. Returns a ``finish()`` that restores the
-    real fd 2 (EOF-ing the pipe) and JOINS the pump thread, so the
-    log is provably fully drained before it is read — a fixed sleep
-    cannot guarantee that on a loaded host."""
+    survives for naming. Returns a ``finish()`` that signals the pump
+    with an in-band sentinel (pipe EOF cannot happen: the JVM child
+    holds an inherited copy of the write end — ADVICE r8) and JOINS
+    it, so the log is drained up to the sentinel before it is read;
+    on a join timeout the capture fds are deliberately leaked instead
+    of closed, because closing them under a pump still blocked in
+    ``os.read`` would race a late JVM write into reused fd numbers
+    (the artifact-corruption scenario ADVICE r8 describes)."""
     real = os.dup(2)
     logfd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
     r, w = os.pipe()
     os.dup2(w, 2)
     os.close(w)
 
+    hold = len(_TEE_SENTINEL) - 1
+
+    def _emit(data: bytes) -> None:
+        if data:
+            os.write(real, data)
+            os.write(logfd, data)
+
     def pump() -> None:
+        # ``pend`` holds back the last len(sentinel)-1 bytes of each
+        # chunk so a sentinel split across two reads is still found.
+        pend = b""
         while True:
             try:
                 chunk = os.read(r, 65536)
             except OSError:
-                break
-            if not chunk:
-                break
-            os.write(real, chunk)
-            os.write(logfd, chunk)
+                return
+            if not chunk:  # all write ends closed (JVM already gone)
+                _emit(pend)
+                return
+            buf = pend + chunk
+            idx = buf.find(_TEE_SENTINEL)
+            if idx != -1:
+                _emit(buf[:idx])
+                return
+            _emit(buf[:-hold] if len(buf) > hold else b"")
+            pend = buf[-hold:] if len(buf) > hold else buf
 
     t = threading.Thread(target=pump, daemon=True)
     t.start()
 
     def finish() -> None:
-        # restoring the real fd closes the pipe's only write end ->
-        # the pump sees EOF after draining every buffered byte
+        try:
+            os.write(2, _TEE_SENTINEL)  # fd 2 is still the pipe here
+        except OSError:
+            pass
         os.dup2(real, 2)
         t.join(timeout=30)
+        if t.is_alive():
+            # pump still blocked in os.read(r): leak r/logfd (the
+            # process exits right after the artifact write) rather
+            # than close them under a thread that may yet wake up
+            os.close(real)
+            return
         os.close(logfd)
         os.close(r)
         os.close(real)
@@ -424,7 +460,7 @@ def main() -> None:
     # is NAMED in the side file — no anonymous truncated fragments
     # in the driver tail; the full text stays in BENCH_STDERR.log)
     spark.stop()
-    _finish_tee()  # restore fd 2 and JOIN the pump: log fully drained
+    _finish_tee()  # sentinel-stop the pump: log drained up to here
     try:
         with open(STDERR_LOG) as f:
             blocks = _exception_blocks(f.read())

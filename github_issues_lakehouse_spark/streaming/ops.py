@@ -1570,42 +1570,107 @@ def stream_stitch_index_maintenance(
     )
 
 
-def _stage_and_drain(spark, df, tag: str, maintain, n_files: int = 8, timeout: int = 600):
+# Staging parquet dirs already written by THIS process, keyed by the
+# caller's stage_key: bench/driver passes invoke each readout several
+# times (warmup + best-of-N) and B135/B136 share one events staging —
+# the corpus-scale write is input prep, not part of the protocol under
+# measurement, so paying it once per (process, key) is honest
+# (VERDICT r8 task 3). Pid-scoped dirs keep concurrent sessions apart.
+_STAGING_CACHE: dict = {}
+
+
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe (ADVICE r8): /proc only exists on
+    Linux — probing it elsewhere calls every other session's dir dead
+    and rmtree's it mid-run. EPERM means the pid exists but belongs
+    to another user: alive."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_dead_dirs() -> None:
+    """Reclaim corpus-scale tmp dirs left by DEAD processes (a fresh
+    pid never matches an old dir, so without this every finished
+    bench/test/driver process would leak its staging copy in /tmp).
+    Covers the pid-suffixed readout/staging layouts, stress-run dirs
+    (tools/stress.py uses the same <name>_<mult>_<pid> shape), and —
+    one-time upgrade path (ADVICE r8) — pre-r8 ``sgl_readout_<hash>``
+    dirs whose suffix is not a digit pid."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    for pattern in ("sgl_readout_*", "sgl_stage_*", "stress_readout_*"):
+        for stale in glob.glob(os.path.join(tmp, pattern)):
+            suffix = stale.rsplit("_", 1)[-1]
+            if suffix.isdigit():
+                if not _pid_alive(int(suffix)):
+                    shutil.rmtree(stale, ignore_errors=True)
+            elif pattern == "sgl_readout_*":
+                # old fixed-name layout (no pid): no owner to probe,
+                # reclaim unconditionally
+                shutil.rmtree(stale, ignore_errors=True)
+
+
+def _stage_and_drain(
+    spark,
+    df,
+    tag: str,
+    maintain,
+    n_files: int = 8,
+    timeout: int = 600,
+    stage_key: str | None = None,
+):
     """Shared readout plumbing (r8): stage a batch table as a file
     stream (``n_files`` part files -> that many micro-batches via
     maxFilesPerTrigger=1), drain it through ``maintain(stream, path,
-    checkpoint)`` into a CLEAN tmp root (md5-keyed by ``tag`` PLUS
-    the pid: same-process reruns reuse-and-clean one dir instead of
-    leaking a corpus-scale staging copy per run, while two concurrent
-    sessions running the same key — e.g. the test suite beside a
-    bench — can never race each other's rmtree/write), and return the
-    committed state table. Every B13x streaming readout key rides
-    this, so the driver gate exercises one staging write + the real
-    D-op fold protocol + a committed-state read per key."""
-    import glob
+    checkpoint)`` into a CLEAN run dir (md5-keyed by ``tag`` PLUS the
+    pid, so two concurrent sessions running the same key — e.g. the
+    test suite beside a bench — can never race each other's
+    rmtree/write), and return the committed state table. Every B13x
+    streaming readout key rides this, so the driver gate exercises
+    the real D-op fold protocol + a committed-state read per call.
+
+    The staging WRITE is cached per (process, ``stage_key``): repeat
+    invocations — and keys that consume the same frame, like
+    B135/B136 over events — reuse one on-disk copy instead of
+    re-writing the corpus per call (r8 paid 4 independent staging
+    writes per bench pass; 3 were redundant). The DRAIN always runs
+    fresh: the mart/checkpoint dirs are wiped per call, so every
+    invocation still pays the full micro-batch fold protocol."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    # sweep dirs left by DEAD processes (same-pid reruns clean their
-    # own dir below; a fresh pid never matches an old dir, so without
-    # this, every finished bench/test/driver process would leak its
-    # corpus-scale staging copy in /tmp)
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "sgl_readout_*_*")):
-        pid = stale.rsplit("_", 1)[-1]
-        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
+    _sweep_dead_dirs()
+
+    pid = os.getpid()
+    skey = stage_key or tag
+    staging = _STAGING_CACHE.get(skey)
+    if staging is None or not os.path.isdir(staging):
+        staging = os.path.join(
+            tempfile.gettempdir(),
+            "sgl_stage_" + hashlib.md5(skey.encode()).hexdigest()[:12] + f"_{pid}",
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        _STAGING_CACHE[skey] = staging
 
     base = os.path.join(
         tempfile.gettempdir(),
-        "sgl_readout_"
-        + hashlib.md5(tag.encode()).hexdigest()[:12]
-        + f"_{os.getpid()}",
+        "sgl_readout_" + hashlib.md5(tag.encode()).hexdigest()[:12] + f"_{pid}",
     )
     shutil.rmtree(base, ignore_errors=True)
-    staging = os.path.join(base, "staging")
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1655,10 +1720,16 @@ def stream_daily_anomaly_readout(
 
     # stage only the columns the D12 fold reads (ts/event_type/value)
     # — the corpus-scale staging write is the readout's dominant cost
-    # and the pruned schema cannot change the drained mart
+    # and the pruned schema cannot change the drained mart; the
+    # staging is SHARED with B136 (same frame, one on-disk copy per
+    # process — VERDICT r8 task 3)
     events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     mart = _stage_and_drain(
-        spark, events, f"d33:{os.path.abspath(sf_dir)}", stream_mart_maintenance
+        spark,
+        events,
+        f"d33:{os.path.abspath(sf_dir)}",
+        stream_mart_maintenance,
+        stage_key=f"events3:{os.path.abspath(sf_dir)}",
     )
     daily = mart.select("event_type", F.to_date("day").alias("day"), "n_events")
     return mad_anomaly_from_counts(daily, trailing_days, min_trailing, thresh_e3)
@@ -1676,9 +1747,17 @@ def stream_freshness_readout(spark, sf_dir: str, stale_days: int = 7) -> DataFra
 
     from ..sources.registry import load_table
 
-    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    # staged frame is deliberately B135's (ts/event_type/value) so the
+    # two readouts share ONE staging copy per process; the D32 fold
+    # aggregates by event_type and never reads the extra value column,
+    # so the drained state is unchanged (VERDICT r8 task 3)
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     state = _stage_and_drain(
-        spark, events, f"d32:{os.path.abspath(sf_dir)}", stream_freshness_maintenance
+        spark,
+        events,
+        f"d32:{os.path.abspath(sf_dir)}",
+        stream_freshness_maintenance,
+        stage_key=f"events3:{os.path.abspath(sf_dir)}",
     )
     return freshness_from_state(state, stale_days)
 
@@ -1707,6 +1786,7 @@ def stream_reconciliation_readout(spark, sf_dir: str) -> DataFrame:
         lineitem,
         f"d30:{os.path.abspath(sf_dir)}",
         stream_reconciliation_maintenance,
+        stage_key=f"lineitem4:{os.path.abspath(sf_dir)}",
     )
     orders = load_table(spark, sf_dir, "orders")
     return reconciliation_finalize(spark, orders, state)
@@ -1755,6 +1835,7 @@ def stream_dedup_index_readout(
         old_docs,
         f"d19:{os.path.abspath(sf_dir)}",
         partial(stream_block_index_maintenance, block_tokens=block_tokens),
+        stage_key=f"docs_old{old_permille}:{os.path.abspath(sf_dir)}",
     )
     return block_index_probe(new_docs, index, block_tokens, dup_threshold_ppm)
 

@@ -421,10 +421,14 @@ def readout_main() -> None:
     first = sum(ms for _, ms in durs[:half]) / max(1, half)
     second = sum(ms for _, ms in durs[half:]) / max(1, len(durs) - half)
     n_mart = read_mart(spark, os.path.join(base, "mart")).count()
+    # the ratio needs >=2 samples and a nonzero first half (an all-0ms
+    # first half is possible on sub-ms batches) — don't lose the run's
+    # output to a ZeroDivisionError after the drain completed
+    ratio = f"{second / first:.2f}" if len(durs) >= 2 and first > 0 else "n/a"
     print(
         f"readout x{mult}: {len(durs)} batches, mart {n_mart} rows, "
         f"mean batch ms first-half {first:.0f} vs second-half {second:.0f} "
-        f"(ratio {second / first:.2f}; history rescan would trend ~2x+)"
+        f"(ratio {ratio}; history rescan would trend ~2x+)"
     )
     shutil.rmtree(base, ignore_errors=True)
 
