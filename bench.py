@@ -390,6 +390,8 @@ HEADLINE = [
     "stream_freshness_readout",
     "stream_reconciliation_readout",
     "stream_dedup_index_readout",
+    # r9 addition: the keyed-state streaming class (D2 drain == B11)
+    "stream_sessionize_readout",
 ]
 
 

@@ -605,6 +605,12 @@ def _stream_dedup_index_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_index_readout(spark, sf_dir)
 
 
+def _stream_sessionize_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_sessionize_readout
+
+    return stream_sessionize_readout(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
@@ -950,6 +956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_freshness_readout": _stream_freshness_readout,
         "stream_reconciliation_readout": _stream_reconciliation_readout,
         "stream_dedup_index_readout": _stream_dedup_index_readout,
+        # r9 addition — below the refresh queue per the r5-r8
+        # discipline: the keyed-state streaming class's driver
+        # surface (D2 applyInPandasWithState drain == batch B11)
+        "stream_sessionize_readout": _stream_sessionize_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R9 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2489,6 +2499,10 @@ FROM d GROUP BY 1
             "stream_dedup_index_readout": _dedup_against_index_oracle(),
         }
     )
+    # r9 addition: the keyed-state sessionization readout drains D2's
+    # applyInPandasWithState fold then ranks/format-matches batch B11
+    # — drain == batch, so the oracle IS B11's oracle verbatim
+    out["stream_sessionize_readout"] = out["sessionize_events"]
     return out
 
 

@@ -1,0 +1,157 @@
+"""Round-9 wave 1: the keyed-state streaming readout (B139) and the
+r9 infrastructure fixes.
+
+- B139 `stream_sessionize_readout` drains events through the real
+  applyInPandasWithState gap sessionization (D2's class) under the
+  versioned-commit protocol and must equal batch B11 exactly.
+- The readout staging cache (VERDICT r8 task 3) writes the corpus
+  once per (process, stage key); repeats and same-frame keys reuse it.
+- bench.py's stderr tee terminates on an in-band sentinel because the
+  py4j JVM child holds an inherited copy of the pipe write end and
+  EOF can never arrive (ADVICE r8 medium).
+"""
+
+from __future__ import annotations
+
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_sessionize_readout_equals_batch(spark):
+    """B139: staged time-ordered drain through the keyed-state
+    sessionizer + sentinel flush + union-append mart + read-time rank
+    equals batch sessionize_events row-for-row (including the
+    formatted timestamps and 6dp value) — the drain==batch identity
+    on the driver-facing surface itself."""
+    from github_issues_lakehouse_spark.operators.relational import sessionize_events
+    from github_issues_lakehouse_spark.streaming import stream_sessionize_readout
+
+    got = sorted(map(tuple, stream_sessionize_readout(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, sessionize_events(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+    # multi-session users exist, so the gap split + seq rank are
+    # genuinely exercised (not a one-session-per-user degenerate run)
+    assert max(r[1] for r in got) > 1
+
+
+def test_sessionize_mart_replay_absorbed(spark, tmp_path):
+    """The union-append session mart inherits the exactly-once
+    batch_id guard: replaying a batch (same batch_id) is a no-op, so
+    at-least-once foreachBatch delivery cannot duplicate a session."""
+    from github_issues_lakehouse_spark.streaming.ops import (
+        mart_fold_batch,
+        read_mart,
+    )
+
+    path = str(tmp_path / "sessions")
+    union = lambda existing, b: b if existing is None else existing.unionByName(b)
+    batch = spark.createDataFrame(
+        [(7, 1000, 2000, 3, 1.5)],
+        "user_id long, start_us long, end_us long, n_events long, session_value double",
+    )
+    assert mart_fold_batch(batch, 0, path, merge=union) is True
+    assert mart_fold_batch(batch, 0, path, merge=union) is False  # replay
+    assert read_mart(spark, path).count() == 1
+
+
+def test_staging_cache_reuses_on_disk_copy(spark, tmp_path):
+    """VERDICT r8 task 3: two _stage_and_drain calls with the same
+    stage_key in one process write the staging parquet ONCE — the
+    second call must reuse the first's files (same paths, same
+    mtimes), while each call still runs a fresh drain."""
+    import glob
+
+    from github_issues_lakehouse_spark.streaming.ops import (
+        _STAGING_CACHE,
+        _stage_and_drain,
+        stream_freshness_maintenance,
+    )
+
+    df = spark.range(64).selectExpr(
+        "timestamp_micros(1700000000000000 + id * 60000000) as ts",
+        "concat('t', cast(id % 3 as string)) as event_type",
+    )
+    skey = f"test-cache:{tmp_path}"
+    _stage_and_drain(
+        spark, df, f"run1:{tmp_path}", stream_freshness_maintenance,
+        n_files=2, stage_key=skey,
+    )
+    staging = _STAGING_CACHE[skey]
+    before = {p: os.path.getmtime(p) for p in glob.glob(f"{staging}/part-*")}
+    assert len(before) >= 1
+    _stage_and_drain(
+        spark, df, f"run2:{tmp_path}", stream_freshness_maintenance,
+        n_files=2, stage_key=skey,
+    )
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{staging}/part-*")}
+    assert after == before  # bitwise same staging files, no rewrite
+    _STAGING_CACHE.pop(skey, None)
+
+
+def test_ordered_staging_files_are_time_ranges(spark):
+    """The B139 staging contract: part files are range-partitioned on
+    ts_us with mtimes bumped in range order, so the file source's
+    oldest-first pickup IS event-time order (keyed sessionization's
+    cross-batch arrival requirement)."""
+    import duckdb
+
+    from github_issues_lakehouse_spark.streaming.ops import _STAGING_CACHE
+
+    # the equals-batch test above has already staged this key
+    skey = f"events_us30:{os.path.abspath(SF_DIR)}"
+    staging = _STAGING_CACHE.get(skey)
+    if staging is None:  # test ran standalone: stage via the readout
+        from github_issues_lakehouse_spark.streaming import (
+            stream_sessionize_readout,
+        )
+
+        stream_sessionize_readout(spark, SF_DIR).count()
+        staging = _STAGING_CACHE[skey]
+    parts = sorted(
+        p for p in os.listdir(staging)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    assert len(parts) >= 2
+    con = duckdb.connect()
+    spans = [
+        con.execute(
+            f"select min(ts_us), max(ts_us) from read_parquet('{staging}/{p}')"
+        ).fetchone()
+        for p in parts
+    ]
+    mtimes = [os.path.getmtime(os.path.join(staging, p)) for p in parts]
+    # name order == mtime order == disjoint ascending time ranges
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
+
+
+def test_tee_sentinel_terminates_pump_with_live_writer():
+    """ADVICE r8 medium: finish() must return promptly even though a
+    'JVM' still holds an inherited copy of the pipe write end (EOF
+    never arrives), and a sentinel split across two reads must not
+    leak partial bytes or swallow following output."""
+    import time
+
+    import bench
+
+    finish = bench._tee_stderr("/tmp/sgl_tee_test.log")
+    jvm_fd = os.dup(2)  # stand-in for the JVM's inherited fd 2
+    try:
+        os.write(2, b"python line\n")
+        os.write(jvm_fd, b"jvm line\n")
+        os.write(2, b"partial" + bench._TEE_SENTINEL[:5])
+        time.sleep(0.1)
+        os.write(2, b"X\n")  # disproves the sentinel prefix
+        time.sleep(0.1)
+        t0 = time.time()
+        finish()
+        took = time.time() - t0
+    finally:
+        os.close(jvm_fd)
+    data = open("/tmp/sgl_tee_test.log", "rb").read()
+    assert took < 5, "finish() hit the join timeout despite the sentinel"
+    assert b"python line" in data and b"jvm line" in data
+    assert b"partial" in data and b"X\n" in data
+    assert bench._TEE_SENTINEL not in data
