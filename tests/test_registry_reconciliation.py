@@ -90,3 +90,105 @@ def test_driver_priority_prefix_is_the_evidence_queue():
     r9_keys = {"stream_sessionize_readout"}
     present = r9_keys & set(queries)
     assert present.isdisjoint(queries[:55]), "new keys jumped the refresh queue"
+
+
+def _last_round_close() -> str | None:
+    """The driver closes each round with a commit titled
+    'round N: verdict/advice/...'; the latest one is the evidence
+    horizon — driver rows predate it, code after it is unhashed."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--grep", r"^round [0-9]\+:", "-1", "--format=%H"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    sha = out.stdout.strip()
+    return sha or None
+
+
+def _base_function_source(sha: str, relpath: str, name: str) -> str | None:
+    """Source segment of top-level function ``name`` in ``relpath``
+    at commit ``sha``; None if the file or function is absent."""
+    import ast
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "show", f"{sha}:{relpath}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    if out.returncode != 0:
+        return None
+    try:
+        tree = ast.parse(out.stdout)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name == name:
+            return ast.get_source_segment(out.stdout, node)
+    return None
+
+
+def test_edited_keys_are_in_the_driver_budget_prefix():
+    """VERDICT r8 task 2 (the C92/C104 lesson, made mechanical): a
+    registry key whose IMPLEMENTING FUNCTION source differs from the
+    last round-close commit carries driver evidence that predates its
+    code — it must sit inside the next driver-budget prefix (the
+    first 50 queries() positions) so the driver re-hashes the new
+    path, or be a new key (absent at the round close), which the
+    queue-discipline test above already pins below the refresh queue.
+
+    Granularity is the top-level function the registry maps to (lazy
+    ``_stream_*`` wrappers resolve to their streaming.ops target); a
+    helper-only refactor that leaves every registry function's source
+    byte-identical is out of scope by design — the r8 cases both
+    edited the registry function body itself."""
+    import inspect
+
+    import pytest
+
+    sha = _last_round_close()
+    if sha is None:
+        pytest.skip("no git history / round-close commit available")
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+    from github_issues_lakehouse_spark import queries as Q
+
+    reg = Q.queries()
+    order = list(reg)
+    budget = set(order[:50])
+    new_region = set(order[55:])  # below the committed refresh queue
+
+    offenders = []
+    for key, fn in reg.items():
+        if fn.__module__ == Q.__name__ and fn.__name__.startswith("_stream_"):
+            from github_issues_lakehouse_spark.streaming import ops
+
+            fn = getattr(ops, fn.__name__.lstrip("_"))
+        relpath = os.path.relpath(inspect.getsourcefile(fn), REPO)
+        current = inspect.getsource(fn)
+        base = _base_function_source(sha, relpath, fn.__name__)
+        if base is None:
+            # new or moved since the round close: must not sit in the
+            # stale-refresh middle where it displaces nothing and the
+            # driver may never reach it
+            if key not in budget and key not in new_region:
+                offenders.append((key, "new/moved but parked mid-queue"))
+            continue
+        if base.strip() != current.strip() and key not in budget:
+            offenders.append((key, f"{relpath}:{fn.__name__} edited since {sha[:9]}"))
+    assert offenders == [], (
+        "keys edited after their last possible driver evidence must "
+        f"lead the next driver budget: {offenders}"
+    )
