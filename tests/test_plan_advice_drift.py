@@ -45,6 +45,25 @@ def _kind(warning: str) -> str:
     return "other:" + warning[:40]
 
 
+def test_plans_md_covers_registry():
+    """VERDICT r8 task 4: PLANS.md is the committed plan-shape
+    evidence — it must hold one `## <key>` section per registry key
+    (tools/dump_plans.py dumps the full registry; a key missing here
+    means its plan claims rest on docstrings alone)."""
+    import re
+
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(plans_path).read()
+    dumped = set(re.findall(r"^## ([a-z0-9_]+)$", md, re.M))
+    reg = set(Q.queries())
+    missing = sorted(reg - dumped)
+    stray = sorted(dumped - reg)
+    assert missing == [] and stray == [], (
+        f"PLANS.md drift — missing: {missing}, stray: {stray}; "
+        "regenerate with: python tools/dump_plans.py"
+    )
+
+
 def test_plan_advice_snapshot(spark):
     # cached subtrees registered by earlier tests OR by earlier
     # iterations of this very loop (persist() inside an operator

@@ -28,6 +28,18 @@ post-confirmation list is printed as one JSON line (quote THAT in
 VERIFY_SNAPSHOT instead of hand-adjudicating). Flags that evaporate
 on a quiet re-run were host noise by the repo's documented
 run-twice rule — on identical code a real regression reproduces.
+
+Variance bands (VERDICT r8 task 5): a baseline stamped on a HOT run
+under-states the query's true floor, so sub-second lines flag round
+after round with disjoint culprits (pii/kmv on the quiet close,
+holt/sla_mom on the driver host — four rounds of churn). A baseline
+entry may carry ``band_hi_sec``: the measured upper edge of the
+query's isolated-fresh-session variance on UNCHANGED code (max of
+>=6 warm samples, +10%% headroom). ``--confirm`` reports a
+re-measure that exceeds the ratio cap but stays inside the band as
+the distinct verdict WITHIN_BAND — a hot-stamped-baseline artifact,
+not an actionable regression — and exits 0 for it. The ratio cap
+itself is never overwritten; bands only annotate adjudication.
 """
 
 from __future__ import annotations
@@ -65,10 +77,11 @@ def rebase(data: dict, round_tag: str) -> None:
 
 def confirm_flags(
     flagged: list[tuple[str, float, float]], threshold: float
-) -> list[dict]:
+) -> tuple[list[dict], list[dict]]:
     """Re-run each flagged query isolated+warm in one fresh session;
-    return the flags that survive (still over threshold on the
-    better of the original and the re-measured best-of-N)."""
+    return (confirmed, within_band): flags still over threshold AND
+    past the baseline's measured variance band, vs flags whose
+    re-measure stays inside the band of the hot-stamped baseline."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import time
 
@@ -76,12 +89,22 @@ def confirm_flags(
     from github_issues_lakehouse_spark import queries as Q
     from github_issues_lakehouse_spark.session import get_spark
 
+    bands: dict[str, float] = {}
+    if os.path.exists(BASELINE_JSON):
+        with open(BASELINE_JSON) as f:
+            bands = {
+                q: v["band_hi_sec"]
+                for q, v in json.load(f).items()
+                if "band_hi_sec" in v
+            }
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     spark = get_spark(app_name="regress-confirm")
     qs = {**Q.queries(), **_extra_queries()}
-    survived = []
+    survived: list[dict] = []
+    within: list[dict] = []
     for q, base, orig_sec in flagged:
         if q not in qs:
             survived.append(
@@ -96,18 +119,32 @@ def confirm_flags(
             t0 = time.time()
             qs[q](spark, sf_dir).count()
             best = min(best, time.time() - t0)
-        status = "CONFIRMED" if best > base * threshold else "noise"
+        band = bands.get(q)
+        if best <= base * threshold:
+            status = "noise"
+        elif band is not None and best <= band:
+            status = "WITHIN_BAND"
+            within.append(
+                {
+                    "query": q,
+                    "base": base,
+                    "band_hi_sec": band,
+                    "sec": round(best, 3),
+                    "flagged_sec": orig_sec,
+                }
+            )
+        else:
+            status = "CONFIRMED"
+            survived.append(
+                {"query": q, "base": base, "sec": round(best, 3), "flagged_sec": orig_sec}
+            )
         print(
             f"confirm {q:34s} base {base:6.2f}  flagged {orig_sec:6.2f}"
             f"  isolated {best:6.2f}  -> {status}",
             file=sys.stderr,
         )
-        if status == "CONFIRMED":
-            survived.append(
-                {"query": q, "base": base, "sec": round(best, 3), "flagged_sec": orig_sec}
-            )
     spark.stop()
-    return survived
+    return survived, within
 
 
 def main() -> None:
@@ -156,7 +193,7 @@ def main() -> None:
         b = f"{base:6.2f}" if base is not None else "     -"
         print(f"{q:34s} base {b}  now {sec:6.2f}  {r}{tag}")
     if confirm and flagged:
-        survived = confirm_flags(flagged, threshold)
+        survived, within = confirm_flags(flagged, threshold)
         print(
             json.dumps(
                 {
@@ -164,6 +201,7 @@ def main() -> None:
                         "threshold": threshold,
                         "initial_flags": len(flagged),
                         "confirmed": survived,
+                        "within_band": within,
                     }
                 },
                 separators=(",", ":"),
