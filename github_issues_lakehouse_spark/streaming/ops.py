@@ -1630,6 +1630,7 @@ def _stage_and_drain(
     timeout: int = 600,
     stage_key: str | None = None,
     ordered_on: str | None = None,
+    drain_partitions: int = 8,
 ):
     """Shared readout plumbing (r8): stage a batch table as a file
     stream (``n_files`` part files -> that many micro-batches via
@@ -1702,10 +1703,27 @@ def _stage_and_drain(
         .parquet(staging)
     )
     mart_path = os.path.join(base, "mart")
-    q = maintain(stream, mart_path, os.path.join(base, "ckpt"))
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise RuntimeError(f"{tag}: streaming drain timed out")
+    # Pin the drain's shuffle/state partitioning to the readout's
+    # actual key cardinality class (O(types)/O(users)/O(orders) keyed
+    # state, never millions of keys) instead of the session default:
+    # each stateful micro-batch pays task + state-store-commit
+    # overhead PER PARTITION PER BATCH, so a plain driver session's
+    # 200 partitions x 8 batches is ~1600 near-empty state commits
+    # for a 150-key state. Partition count is fixed at the query's
+    # first checkpoint; the checkpoint here is fresh per call, and
+    # the conf is restored before any batch query runs. At real
+    # scale this is the same sizing rule, just with a bigger number:
+    # state partitions track key cardinality / executor count, not
+    # the global shuffle default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = maintain(stream, mart_path, os.path.join(base, "ckpt"))
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise RuntimeError(f"{tag}: streaming drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     state = read_mart(spark, mart_path)
     if state is None:
         raise RuntimeError(f"{tag}: no committed mart version")
