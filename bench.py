@@ -390,8 +390,10 @@ HEADLINE = [
     "stream_freshness_readout",
     "stream_reconciliation_readout",
     "stream_dedup_index_readout",
-    # r9 addition: the keyed-state streaming class (D2 drain == B11)
+    # r9 additions: the keyed-state streaming class (D2 drain == B11)
+    # and the native watermark-emission class (D8 drain == B11)
     "stream_sessionize_readout",
+    "stream_session_window_readout",
 ]
 
 

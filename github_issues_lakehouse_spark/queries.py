@@ -575,6 +575,7 @@ _DRIVER_PRIORITY_R9 = [
     # -- new keys registered this round (never-checked, below the
     # -- committed refresh queue per the r5-r8 discipline) ----------
     "stream_sessionize_readout",
+    "stream_session_window_readout",
     # -- overflow: r4-stale evidence next if the driver budget ever
     # -- exceeds the keys above (dict order of queries() applies) ---
 ]
@@ -609,6 +610,12 @@ def _stream_sessionize_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.ops import stream_sessionize_readout
 
     return stream_sessionize_readout(spark, sf_dir)
+
+
+def _stream_session_window_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_session_window_readout
+
+    return stream_session_window_readout(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -956,10 +963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_freshness_readout": _stream_freshness_readout,
         "stream_reconciliation_readout": _stream_reconciliation_readout,
         "stream_dedup_index_readout": _stream_dedup_index_readout,
-        # r9 addition — below the refresh queue per the r5-r8
-        # discipline: the keyed-state streaming class's driver
-        # surface (D2 applyInPandasWithState drain == batch B11)
+        # r9 additions — below the refresh queue per the r5-r8
+        # discipline: the keyed-state class (D2 applyInPandasWithState
+        # drain == batch B11) and the watermark-emission class (D8
+        # native session_window drain == the same oracle)
         "stream_sessionize_readout": _stream_sessionize_readout,
+        "stream_session_window_readout": _stream_session_window_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R9 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2503,6 +2512,10 @@ FROM d GROUP BY 1
     # applyInPandasWithState fold then ranks/format-matches batch B11
     # — drain == batch, so the oracle IS B11's oracle verbatim
     out["stream_sessionize_readout"] = out["sessionize_events"]
+    # ... and the native session_window drain closes the SAME
+    # sessions by watermark instead of a gap-proving event, so both
+    # readouts share B11's oracle — cross-implementation equality
+    out["stream_session_window_readout"] = out["sessionize_events"]
     return out
 
 

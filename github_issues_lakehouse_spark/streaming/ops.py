@@ -2034,6 +2034,57 @@ def stream_sessionize_keyed_maintenance(
     )
 
 
+def _sessionize_staged_frame(spark, sf_dir: str, gap_minutes: int):
+    """Shared B139/B140 staging input: (user_id, ts_us, value) plus
+    ONE sentinel event per user strictly more than a gap after the
+    corpus max ts. The sentinel provably closes every user's final
+    real session during a drain; its own session stays open (keyed
+    state) / its window never passes the watermark (native
+    session_window), so it is never emitted. ts_us is unix_micros
+    computed JVM-side so no pandas/session-tz conversion can move a
+    boundary."""
+    from ..sources.registry import load_table
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    max_us = e.agg(F.max("ts_us")).first()[0]  # O(1) driver scalar
+    sentinels = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(max_us + gap_us + 3_600_000_000).alias("ts_us"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    return e.unionByName(sentinels)
+
+
+def _ranked_session_readout(sessions: DataFrame) -> DataFrame:
+    """Shared B139/B140 read: assign session_seq by start-time rank
+    (a user's sessions are disjoint in time, so the rank is
+    unambiguous) and format exactly like batch ``sessionize_events``
+    (operators/relational.py — the B11 twin both keys register
+    against)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.timestamp_micros("end_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.round("session_value", 6).alias("session_value"),
+    )
+
+
 def stream_sessionize_readout(
     spark, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
@@ -2065,27 +2116,9 @@ def stream_sessionize_readout(
     """
     import os
 
-    from pyspark.sql.window import Window
-
-    from ..sources.registry import load_table
-
-    gap_us = gap_minutes * 60 * 1_000_000
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
-    )
-    max_us = e.agg(F.max("ts_us")).first()[0]  # O(1) driver scalar
-    sentinels = (
-        e.select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.lit(max_us + gap_us + 3_600_000_000).alias("ts_us"),
-            F.lit(0.0).alias("value"),
-        )
-    )
-    staged = e.unionByName(sentinels)
     from functools import partial
 
+    staged = _sessionize_staged_frame(spark, sf_dir, gap_minutes)
     sessions = _stage_and_drain(
         spark,
         staged,
@@ -2094,19 +2127,103 @@ def stream_sessionize_readout(
         stage_key=f"events_us{gap_minutes}:{os.path.abspath(sf_dir)}",
         ordered_on="ts_us",
     )
-    w = Window.partitionBy("user_id").orderBy("start_us")
-    return sessions.select(
-        "user_id",
-        F.row_number().over(w).cast("long").alias("session_seq"),
-        F.col("n_events").cast("long").alias("n_events"),
-        F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        F.date_format(F.timestamp_micros("end_us"), "yyyy-MM-dd HH:mm:ss").alias(
-            "session_end"
-        ),
-        F.round("session_value", 6).alias("session_value"),
+    return _ranked_session_readout(sessions)
+
+
+def stream_session_window_maintenance(
+    events_us: DataFrame, path: str, checkpoint: str, gap_minutes: int = 30
+):
+    """D8's NATIVE ``session_window`` aggregation under the
+    versioned-commit protocol — the JVM-state, watermark-driven twin
+    of ``stream_sessionize_keyed_maintenance``. Sessions live in the
+    streaming aggregation operator's state store (merged and evicted
+    JVM-side); append mode emits a session only when the watermark
+    passes its window end, so emitted rows are final by the engine's
+    own late-data contract rather than a gap-proving event in user
+    code. Watermark delay is 0: the staged input is time-ordered by
+    construction (``ordered_on``), so there is no late data to
+    tolerate and every real window closes as soon as the sentinel
+    advances event time past it.
+
+    Emitted rows are append-only facts (a window passes the
+    watermark exactly once), so the mart merge is the same union +
+    batch_id-guard shape as the keyed-state fold. The output maps
+    ``session_window``'s [first_ts, last_ts + gap) frame back to B11
+    grain: start_us = window.start, end_us = window.end - gap (the
+    last event's ts, exactly)."""
+    gap = f"{gap_minutes} minutes"
+    e = events_us.withColumn("ts", F.timestamp_micros("ts_us"))
+    agg = (
+        e.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            (
+                F.unix_micros("w.end") - F.lit(gap_minutes * 60 * 1_000_000)
+            ).alias("end_us"),
+            "n_events",
+            "session_value",
+        )
     )
+
+    def merge(existing, batch_df):
+        if existing is None:
+            return batch_df
+        return existing.unionByName(batch_df)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        agg.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_session_window_readout(
+    spark, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """B140 (r9) — the WATERMARK-emission streaming class as a
+    driver-checked surface: B135-B138 cover additive/idempotent
+    foreachBatch folds and B139 the python keyed-state class; none of
+    them exercise Spark's own event-time watermark contract. This
+    drains the SAME staged corpus as B139 through the native
+    ``session_window`` aggregation (D8) — JVM-side session state,
+    append-mode emission gated by the watermark, the sentinel
+    advancing event time so every real window finalizes during the
+    drain (the sentinel's own window never passes the watermark and
+    is never emitted) — and submits the committed sessions to batch
+    B11's DuckDB oracle verbatim, identical read/rank/format to B139.
+
+    The two readouts differ ONLY in which engine closes a session
+    (user-code gap proof vs watermark), so driver-hash equality on
+    both is a cross-implementation proof of the session semantics.
+
+    Plan/scale: state is the engine's merged session store (O(open
+    sessions)); per-batch cost is sized by the batch; the staging
+    copy is shared with B139 per (process, sf_dir)."""
+    import os
+
+    from functools import partial
+
+    staged = _sessionize_staged_frame(spark, sf_dir, gap_minutes)
+    sessions = _stage_and_drain(
+        spark,
+        staged,
+        f"d8:{os.path.abspath(sf_dir)}:{gap_minutes}",
+        partial(stream_session_window_maintenance, gap_minutes=gap_minutes),
+        stage_key=f"events_us{gap_minutes}:{os.path.abspath(sf_dir)}",
+        ordered_on="ts_us",
+    )
+    return _ranked_session_readout(sessions)
 
 
 def apply_mart_retention(mart: DataFrame, retention_days: int) -> DataFrame:

@@ -35,6 +35,46 @@ def test_stream_sessionize_readout_equals_batch(spark):
     assert max(r[1] for r in got) > 1
 
 
+def test_stream_session_window_readout_equals_batch_and_b139(spark):
+    """B140: the native session_window drain (JVM state, watermark
+    emission) equals batch B11 — and therefore B139 — row-for-row.
+    The two streaming readouts close sessions by entirely different
+    mechanisms (user-code gap proof vs engine watermark), so this
+    equality is a cross-implementation check of the session
+    semantics, not a re-run of the same code path."""
+    from github_issues_lakehouse_spark.operators.relational import sessionize_events
+    from github_issues_lakehouse_spark.streaming import (
+        stream_session_window_readout,
+    )
+
+    got = sorted(map(tuple, stream_session_window_readout(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, sessionize_events(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_session_window_gap_boundary_matches_batch_rule(spark):
+    """The batch rule splits on gap STRICTLY greater than 30 min
+    (epoch diff > 1800s); Spark's native session_window must agree at
+    the exact boundary or B140 would diverge from B11 on planted
+    ties: two events exactly one gap apart merge (one session), one
+    microsecond over splits (two sessions)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1_800_000_000), (2, 0), (2, 1_800_000_001)],
+        "user_id long, ts_us long",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us") + 1_700_000_000_000_000))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sessions"), F.sum("n").alias("events"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.sessions, r.events) for r in out] == [(1, 1, 2), (2, 2, 2)]
+
+
 def test_sessionize_mart_replay_absorbed(spark, tmp_path):
     """The union-append session mart inherits the exactly-once
     batch_id guard: replaying a batch (same batch_id) is a no-op, so
