@@ -167,6 +167,109 @@ def test_ordered_staging_files_are_time_ranges(spark):
         assert hi_a <= lo_b
 
 
+def test_sessionize_drain_crash_resume(spark, tmp_path, monkeypatch):
+    """The B139 exactly-once story is two-layered: the state store
+    rolls a failed micro-batch back (same sessions re-emitted on
+    replay) and the mart's batch_id guard absorbs duplicate folds.
+    Drive it: crash the fold once mid-drain (after some batches have
+    committed), restart the SAME query from its checkpoint, and the
+    final committed sessions must equal the batch sessionization of
+    the full input — no lost and no duplicated session."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.streaming import ops
+
+    # synthetic corpus: 3 users x 30 events, 10-minute steps with a
+    # >gap jump every 7 events; plus one sentinel per user
+    gap_min = 30
+    base_us = 1_700_000_000_000_000
+    rows = []
+    for u in range(3):
+        t = base_us + u * 17_000_000
+        for i in range(30):
+            t += (45 if i % 7 == 6 else 10) * 60_000_000  # 45min jump splits
+            rows.append((u, t, float(u + i)))
+    max_us = max(t for _, t, _ in rows)
+    sent_us = max_us + (gap_min * 60 + 3600) * 1_000_000
+    rows += [(u, sent_us, 0.0) for u in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+
+    staging = str(tmp_path / "staging")
+    (
+        df.repartitionByRange(4, F.col("ts_us"))
+        .sortWithinPartitions("ts_us")
+        .write.parquet(staging)
+    )
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{staging}/part-*"))):
+        os.utime(p, (now + 2 * i, now + 2 * i))
+
+    mart = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_fold = ops.mart_fold_batch
+    crashed = {"done": False}
+
+    def crashing_fold(batch_df, batch_id, path, merge=None):
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before batch 2 commits")
+        return real_fold(batch_df, batch_id, path, merge=merge)
+
+    monkeypatch.setattr(ops, "mart_fold_batch", crashing_fold)
+
+    def start():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        return ops.stream_sessionize_keyed_maintenance(
+            stream, mart, ckpt, gap_minutes=gap_min
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(300)
+        raised = q.exception() is not None
+    except Exception:
+        raised = True
+    assert raised and crashed["done"], "the injected crash must surface"
+
+    # restart from the same checkpoint: batch 2 replays (state store
+    # rolled back), later batches continue; guard absorbs any replays
+    q2 = start()
+    assert q2.awaitTermination(300)
+
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events, round(r.session_value, 6))
+        for r in ops.read_mart(spark, mart).collect()
+    )
+
+    # batch truth: python recompute with the same strict > gap rule,
+    # dropping each user's final (sentinel) open session
+    want = []
+    gap_us = gap_min * 60 * 1_000_000
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, t, v in rows:
+        by_user.setdefault(u, []).append((t, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess = []
+        for t, v in evs:
+            if not sess or t - sess[-1][1] > gap_us:
+                sess.append([t, t, 1, v])
+            else:
+                s = sess[-1]
+                s[1], s[2], s[3] = t, s[2] + 1, s[3] + v
+        for s in sess[:-1]:  # last = sentinel's open session, never emitted
+            want.append((u, s[0], s[1], s[2], round(s[3], 6)))
+    assert got == sorted(want) and len(got) > 6
+
+
 def test_tee_sentinel_terminates_pump_with_live_writer():
     """ADVICE r8 medium: finish() must return promptly even though a
     'JVM' still holds an inherited copy of the pipe write end (EOF
