@@ -78,11 +78,26 @@ def main():
     from github_issues_lakehouse_spark.session import get_spark
 
     spark = get_spark(cpus=8, shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh_con():
+        """DuckDB connection with the gate's resource posture: a
+        spill directory so blocking operators (the all-pairs cosine
+        oracles at sf0.1) spill instead of raising OOM, and a memory
+        ceiling that leaves headroom beside the Spark JVM. A 300-key
+        single-process run otherwise accumulates enough allocator
+        pressure that a heavy oracle ~290 keys in can fail
+        (r9: banded_neardup_recall DUCKDB ERROR at sf0.1 in the full
+        sweep, PASS in isolation and with its heavy neighbors)."""
+        c = duckdb.connect()
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        c.execute("SET memory_limit='24GB'")
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     qs = Q.queries()
     oracles = Q.oracle_sql()
@@ -109,10 +124,25 @@ def main():
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception:
-            print(f"FAIL  {name}: DUCKDB ERROR")
+            # a long-run resource failure is a harness artifact, not
+            # an engine verdict: retry ONCE on a fresh connection and
+            # only FAIL if the oracle fails clean too
             traceback.print_exc()
-            n_fail += 1
-            continue
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
+            try:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+                print(f"# {name}: oracle retried on a fresh connection", file=sys.stderr)
+            except Exception:
+                print(f"FAIL  {name}: DUCKDB ERROR")
+                traceback.print_exc()
+                n_fail += 1
+                continue
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
