@@ -390,10 +390,12 @@ HEADLINE = [
     "stream_freshness_readout",
     "stream_reconciliation_readout",
     "stream_dedup_index_readout",
-    # r9 additions: the keyed-state streaming class (D2 drain == B11)
-    # and the native watermark-emission class (D8 drain == B11)
+    # r9 additions: the keyed-state streaming class (D2 drain == B11),
+    # the native watermark-emission class (D8 drain == B11), and the
+    # IVFADC combined index tier
     "stream_sessionize_readout",
     "stream_session_window_readout",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -1448,3 +1448,111 @@ def ann_mrr_at_k(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method", "q_id")
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+) -> DataFrame:
+    """C149 (r9): IVF + PQ combined — the production ANN index shape
+    (Jegou et al.'s IVFADC): coarse inverted lists bound WHICH vectors
+    a query scores (C9's cell/probe assignment, verbatim semantics),
+    and product-quantization ADC bounds WHAT is read per candidate
+    (C130's LUT algebra: the query stays full precision, a database
+    vector is its ``n_sub`` small codes, distance = sum of
+    precomputed query-to-codeword integer distances). Neither tier
+    alone is the 100-TB design: IVF without PQ still reads full
+    vectors for every candidate; PQ without IVF still scans every
+    code row per query. Together the per-query cost is
+    O(|probed cells| x n_sub) LUT lookups over integer codes.
+
+    Determinism/oracle: cell assignment uses the proven 6dp-rounded
+    cosine argmax with centroid-id ties (C9); everything PQ-side is
+    e6-frozen BIGINT (md5 bottom-k codebooks, exact squared
+    distances, (d2, code) / (adc_d2, vec_id) tiebreaks — C129/C130),
+    so the output is hash-exact across engines. Assignment code is
+    deliberately self-contained rather than shared with C9: C9 is
+    driver-green and the edited-key CI gate makes churning it cost a
+    budget slot.
+
+    Output per (q_id, rank): neighbor_id and its BIGINT ADC distance.
+    """
+    from pyspark.sql import Window
+
+    from .scale import partial_topk
+    from .vectors2 import _pq_codes, _pq_d2, _pq_frames
+
+    corpus = _corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def assign(df, id_col, vec_col, keep_rank):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "c_id",
+            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_sim").desc(), F.col("c_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep_rank)
+            .select(id_col, F.col("c_id").alias("cell"))
+        )
+
+    cells = assign(corpus, "vec_id", "vec", 1)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    probes = assign(queries, "q_id", "q_vec", n_probe)
+    # a vector lives in exactly one cell and a query's probe cells are
+    # distinct, so (q_id, vec_id) is unique without a dropDuplicates
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+
+    tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
+    codes = _pq_codes(tall, codebook).select("vec_id", "sub", "code")
+    q_tall = tall.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sub").alias("q_sub"),
+        F.col("sv").alias("qv"),
+    )
+    lut = q_tall.join(
+        F.broadcast(codebook), F.col("q_sub") == F.col("c_sub")
+    ).select(
+        "q_id",
+        F.col("q_sub").alias("sub"),
+        "code",
+        _pq_d2("qv", "cv").alias("lut_d2"),
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
+    )
+    adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+        )
+    )

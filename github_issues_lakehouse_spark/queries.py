@@ -576,6 +576,7 @@ _DRIVER_PRIORITY_R9 = [
     # -- committed refresh queue per the r5-r8 discipline) ----------
     "stream_sessionize_readout",
     "stream_session_window_readout",
+    "ann_ivf_pq_topk",
     # -- overflow: r4-stale evidence next if the driver budget ever
     # -- exceeds the keys above (dict order of queries() applies) ---
 ]
@@ -969,6 +970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # native session_window drain == the same oracle)
         "stream_sessionize_readout": _stream_sessionize_readout,
         "stream_session_window_readout": _stream_session_window_readout,
+        # r9 batch addition: IVF + PQ combined — the production ANN
+        # index shape (coarse lists bound WHICH vectors a query
+        # scores, ADC bounds WHAT is read per candidate)
+        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R9 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2516,6 +2521,7 @@ FROM d GROUP BY 1
     # sessions by watermark instead of a gap-proving event, so both
     # readouts share B11's oracle — cross-implementation equality
     out["stream_session_window_readout"] = out["sessionize_events"]
+    out["ann_ivf_pq_topk"] = _ivf_pq_oracle()
     return out
 
 
@@ -7846,6 +7852,100 @@ SELECT tm.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   CAST({rec} AS BIGINT) AS recall_ppm, am.adc_d2_sum, tm.true_d2_sum
 FROM tm JOIN am ON tm.q_id = am.q_id LEFT JOIN h ON tm.q_id = h.q_id
 ORDER BY tm.q_id
+"""
+
+
+def _ivf_pq_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+) -> str:
+    """IVFADC twin: C9's cell/probe CTEs bound the candidate set,
+    C130's codebook/codes/LUT CTEs score it — exact BIGINT ADC
+    distances, (adc_d2, vec_id) top-k tiebreak."""
+    dim_per = 64 // n_sub
+    subs = ", ".join(str(s) for s in range(n_sub))
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS c_vec FROM c WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, c_id, {cos.format(a="v", b="c_vec")} AS c_sim
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < {n_queries}),
+qassign AS (
+  SELECT q_id, c_id, {cos.format(a="q_vec", b="c_vec")} AS c_sim
+  FROM q, cents
+),
+probes AS (
+  SELECT q_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM qassign) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, cc.vec_id
+  FROM probes p JOIN cells cc ON p.cell = cc.cell
+  WHERE cc.vec_id <> p.q_id
+),
+base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+tall AS (
+  SELECT vec_id, s.sub,
+    list_slice(v, s.sub * {dim_per} + 1, (s.sub + 1) * {dim_per}) AS sv
+  FROM base, (SELECT unnest([{subs}]) AS sub) s
+),
+cb AS (
+  SELECT sub AS c_sub, CAST(rk - 1 AS BIGINT) AS code, sv AS cv
+  FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)),
+               vec_id) AS rk
+    FROM tall
+  ) WHERE rk <= {codes_per_sub}
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT t.vec_id, t.sub, cb.code,
+      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+        list_sum(list_transform(range(1, {dim_per} + 1),
+          i -> (t.sv[i] - cb.cv[i]) * (t.sv[i] - cb.cv[i]))) ASC, cb.code ASC) AS rn
+    FROM tall t JOIN cb ON t.sub = cb.c_sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS q_id, q.sub, cb.code,
+    CAST(list_sum(list_transform(range(1, {dim_per} + 1),
+      i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS BIGINT) AS lut_d2
+  FROM tall q JOIN cb ON q.sub = cb.c_sub
+  WHERE q.vec_id < {n_queries}
+),
+adc AS (
+  SELECT ca.q_id, ca.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM cand ca JOIN codes co ON ca.vec_id = co.vec_id
+  JOIN lut l ON l.q_id = ca.q_id AND l.sub = co.sub AND l.code = co.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adc_d2
+FROM ranked WHERE rank <= {k}
 """
 
 

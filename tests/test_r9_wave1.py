@@ -270,6 +270,58 @@ def test_sessionize_drain_crash_resume(spark, tmp_path, monkeypatch):
     assert got == sorted(want) and len(got) > 6
 
 
+def test_ivf_pq_topk_respects_cell_restriction(spark):
+    """C149: every returned neighbor must live in one of its query's
+    probed IVF cells (the index may NOT silently fall back to a full
+    scan), the output is exactly n_queries x k rows, and a second
+    build returns bit-identical rows (no RNG anywhere in the index)."""
+    from pyspark.sql import functions as F
+
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _corpus,
+        ann_ivf_pq_topk,
+    )
+    from github_issues_lakehouse_spark.functions.vectors import cosine
+    from github_issues_lakehouse_spark.operators.relational import r6
+    from pyspark.sql import Window
+
+    n_queries, k, n_centroids, n_probe = 8, 5, 16, 2
+    out = ann_ivf_pq_topk(spark, SF_DIR, n_queries, k, n_centroids, n_probe)
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == n_queries * k
+    assert rows == sorted(map(tuple, ann_ivf_pq_topk(spark, SF_DIR).collect()))
+
+    # recompute cells/probes independently with the same public algebra
+    corpus = _corpus(spark, SF_DIR)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def assign(df, id_col, vec_col, keep):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col, "c_id", r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("s")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("c_id").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_col, "c_id")
+        )
+
+    cells = {(r[0], r[1]) for r in assign(corpus, "vec_id", "vec", 1).collect()}
+    probes: dict[int, set] = {}
+    q = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("qv")
+    )
+    for r in assign(q, "q_id", "qv", n_probe).collect():
+        probes.setdefault(r[0], set()).add(r[1])
+    cell_of = dict(cells)
+    for q_id, _rank, neighbor, _d2 in rows:
+        assert cell_of[neighbor] in probes[q_id], (
+            f"neighbor {neighbor} of query {q_id} outside its probed cells"
+        )
+
+
 def test_tee_sentinel_terminates_pump_with_live_writer():
     """ADVICE r8 medium: finish() must return promptly even though a
     'JVM' still holds an inherited copy of the pipe write end (EOF

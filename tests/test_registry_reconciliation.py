@@ -87,7 +87,11 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "null_semantics_orders",
     ]
     # New r9 keys must not jump the refresh queue.
-    r9_keys = {"stream_sessionize_readout", "stream_session_window_readout"}
+    r9_keys = {
+        "stream_sessionize_readout",
+        "stream_session_window_readout",
+        "ann_ivf_pq_topk",
+    }
     present = r9_keys & set(queries)
     assert present.isdisjoint(queries[:55]), "new keys jumped the refresh queue"
 
