@@ -90,10 +90,10 @@ def _tee_stderr(path: str):
         os.dup2(real, 2)
         t.join(timeout=30)
         if t.is_alive():
-            # pump still blocked in os.read(r): leak r/logfd (the
-            # process exits right after the artifact write) rather
-            # than close them under a thread that may yet wake up
-            os.close(real)
+            # pump still blocked in os.read(r): leak r/logfd AND real
+            # (the process exits right after the artifact write) —
+            # closing real here would let a file opened next reuse its
+            # fd number and receive a late _emit() write (ADVICE r9)
             return
         os.close(logfd)
         os.close(r)

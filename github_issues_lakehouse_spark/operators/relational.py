@@ -303,13 +303,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = gap_minutes * 60
-    # cast("double") keeps microsecond precision (unix_timestamp
-    # truncates to seconds, which would misplace sub-second gaps)
+    # exact integer microseconds (ADVICE r9): the streaming twins
+    # (B139 keyed-state, B140 native session_window) compare gaps as
+    # int64 µs — a double epoch compare can flip the strict > at a
+    # gap of exactly gap_minutes and split a session the streaming
+    # surfaces merge. unix_micros keeps all three surfaces (and the
+    # DuckDB oracle, epoch_us) on ONE tie rule.
+    gap_us = gap_minutes * 60 * 1_000_000
     with_flag = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > gap, 1
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > gap_us, 1
         ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
     )
     with_sess = with_flag.withColumn(

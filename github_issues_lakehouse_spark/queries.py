@@ -1148,7 +1148,7 @@ GROUP BY 1, 2
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL THEN 1
-         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
          ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

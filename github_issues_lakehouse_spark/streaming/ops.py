@@ -1583,7 +1583,10 @@ def _pid_alive(pid: int) -> bool:
     """Portable liveness probe (ADVICE r8): /proc only exists on
     Linux — probing it elsewhere calls every other session's dir dead
     and rmtree's it mid-run. EPERM means the pid exists but belongs
-    to another user: alive."""
+    to another user: alive. A numeric suffix above pid_t max (e.g. a
+    legacy all-digit hash suffix) is not a pid at all — os.kill would
+    raise OverflowError and crash the sweep (ADVICE r9); treat it as
+    dead so the foreign dir is reclaimed instead."""
     import os
 
     try:
@@ -1592,6 +1595,8 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True
+    except (OverflowError, ValueError):
+        return False
     return True
 
 
@@ -1658,7 +1663,22 @@ def _stage_and_drain(
 
     pid = os.getpid()
     skey = stage_key or tag
-    staging = _STAGING_CACHE.get(skey)
+    # the cached path is only valid for the exact staged layout: a
+    # future caller reusing a stage_key with a different frame shape,
+    # file count, or ordering would silently drain the FIRST caller's
+    # files (ADVICE r9) — fingerprint the layout and fail loudly on a
+    # mismatched reuse instead
+    fprint = (df.schema.simpleString(), n_files, ordered_on)
+    cached = _STAGING_CACHE.get(skey)
+    staging = None
+    if cached is not None:
+        staging, cached_fp = cached
+        if cached_fp != fprint:
+            raise ValueError(
+                f"_stage_and_drain: stage_key {skey!r} reused with a "
+                f"different layout (cached {cached_fp}, got {fprint}) — "
+                "use a distinct stage_key per staged frame shape"
+            )
     if staging is None or not os.path.isdir(staging):
         staging = os.path.join(
             tempfile.gettempdir(),
@@ -1690,7 +1710,7 @@ def _stage_and_drain(
                 os.utime(part, (now + 2 * i, now + 2 * i))
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(staging)
-        _STAGING_CACHE[skey] = staging
+        _STAGING_CACHE[skey] = (staging, fprint)
 
     base = os.path.join(
         tempfile.gettempdir(),
@@ -1907,9 +1927,10 @@ def sessionize_flush_stream(events_us: DataFrame, gap_minutes: int = 30) -> Data
     """Keyed-state gap sessionization at MICROSECOND precision — the
     driver-readout twin of D2's ``sessionize_stream`` (which keeps
     the original ms-grain tested contract). Differences, both forced
-    by the batch-equality requirement (batch ``sessionize_events``
-    compares gaps on fractional-second doubles and the DuckDB oracle
-    on ``epoch(ts)`` with microseconds):
+    by the batch-equality requirement (since ADVICE r9 batch
+    ``sessionize_events`` compares gaps as ``unix_micros`` int64 and
+    the DuckDB oracle as ``epoch_us`` — the same exact-µs strict->
+    tie rule as this fold and the native session_window drain):
 
     - input is ``(user_id, ts_us, value)`` with ts_us = unix_micros
       computed JVM-side, so no pandas-timestamp timezone conversion
@@ -1941,7 +1962,12 @@ def sessionize_flush_stream(events_us: DataFrame, gap_minutes: int = 30) -> Data
             return
         rows = rows.sort_values("ts_us")
         ts = rows["ts_us"].to_numpy(dtype="int64")
-        vals = rows["value"].to_numpy(dtype="float64")
+        # null values must not poison the numpy fold: SQL SUM (batch
+        # F.sum and the DuckDB oracle) SKIPS nulls, while a NaN in a
+        # reduceat propagates (ADVICE r9) — fillna(0.0) matches SUM
+        # for any session with >=1 non-null value (the testdata
+        # contract; an all-null session would be 0.0 here vs SQL NULL)
+        vals = rows["value"].fillna(0.0).to_numpy(dtype="float64")
 
         prev = np.empty_like(ts)
         prev[1:] = ts[:-1]

@@ -117,7 +117,7 @@ def test_staging_cache_reuses_on_disk_copy(spark, tmp_path):
         spark, df, f"run1:{tmp_path}", stream_freshness_maintenance,
         n_files=2, stage_key=skey,
     )
-    staging = _STAGING_CACHE[skey]
+    staging, _fp = _STAGING_CACHE[skey]
     before = {p: os.path.getmtime(p) for p in glob.glob(f"{staging}/part-*")}
     assert len(before) >= 1
     _stage_and_drain(
@@ -126,6 +126,17 @@ def test_staging_cache_reuses_on_disk_copy(spark, tmp_path):
     )
     after = {p: os.path.getmtime(p) for p in glob.glob(f"{staging}/part-*")}
     assert after == before  # bitwise same staging files, no rewrite
+
+    # ADVICE r9: reusing the key with a DIFFERENT layout (here: a
+    # different n_files) must fail loudly, not silently drain run1's
+    # staged files
+    import pytest
+
+    with pytest.raises(ValueError, match="different layout"):
+        _stage_and_drain(
+            spark, df, f"run3:{tmp_path}", stream_freshness_maintenance,
+            n_files=3, stage_key=skey,
+        )
     _STAGING_CACHE.pop(skey, None)
 
 
@@ -140,14 +151,15 @@ def test_ordered_staging_files_are_time_ranges(spark):
 
     # the equals-batch test above has already staged this key
     skey = f"events_us30:{os.path.abspath(SF_DIR)}"
-    staging = _STAGING_CACHE.get(skey)
-    if staging is None:  # test ran standalone: stage via the readout
+    cached = _STAGING_CACHE.get(skey)
+    if cached is None:  # test ran standalone: stage via the readout
         from github_issues_lakehouse_spark.streaming import (
             stream_sessionize_readout,
         )
 
         stream_sessionize_readout(spark, SF_DIR).count()
-        staging = _STAGING_CACHE[skey]
+        cached = _STAGING_CACHE[skey]
+    staging, _fp = cached
     parts = sorted(
         p for p in os.listdir(staging)
         if p.startswith("part-") and p.endswith(".parquet")
