@@ -494,92 +494,93 @@ FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap (r3-r8 each checked exactly 50).
-# Round 9 ordering (VERDICT.md r8, task 1): positions 1-4 retire the
-# last r2-vintage evidence (trivial text scans, parked at 51-54 last
-# round); 5-8 are the four r8 streaming readouts that have never been
-# driver-checked (closing them makes the registry 100% driver-proven
-# at least once); 9-10 are the two keys whose CODE changed in r8
-# AFTER their latest driver row (embedding_decontaminate: Arrow
-# signature switch, last driver r4; dedup_against_index: probe
-# factoring, last driver r6) — the driver must hash the new code
-# paths, not just the builder's tri-scale gate; 11-50 are the 40
-# oldest r3-stale keys, composites first so a budget cutoff
-# sacrifices trivial scans. The 5 remaining r3-stale keys sit at
-# 51-55, first in line for r10 (VERDICT r8 task 7). NEW operators
-# registered this round ride below THOSE (never-checked, but must
-# not displace the committed refresh queue — the r5-r8 discipline).
-_DRIVER_PRIORITY_R9 = [
-    # -- positions 1-4: the last r2-stale evidence ------------------
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    # -- positions 5-8: never driver-checked (r8 streaming readouts)
-    "stream_daily_anomaly_readout",
-    "stream_freshness_readout",
-    "stream_reconciliation_readout",
-    "stream_dedup_index_readout",
-    # -- positions 9-10: code edited in r8 after last driver row ----
-    "embedding_decontaminate",
-    "dedup_against_index",
-    # -- positions 11-50: the 40 oldest r3-stale keys, composites
-    # -- first -------------------------------------------------------
-    "scd2_priority_history",
-    "dq_violations",
-    "quality_classifier",
-    "cross_source_overlap",
-    "winnow_overlap_pairs",
-    "weighted_sample",
-    "label_separability",
-    "embedding_norm_outliers",
-    "modality_qa_join",
-    "cross_split_leakage",
-    "tokenizer_fertility",
-    "source_drift_kl",
-    "vocab_coverage",
-    "token_histogram",
-    "holdout_split",
-    "plan_token_shards",
-    "length_outliers",
-    "ttr_stats",
-    "bpe_pair_counts",
-    "event_path_match",
-    "activity_streaks",
-    "time_weighted_value",
-    "variant_events",
-    "session_window_batch",
-    "trailing_window_user_value",
-    "concurrent_sessions",
-    "q6_forecast_revenue",
-    "excess_supply_suppliers",
-    "parts_supplier_count",
-    "promo_revenue_share",
-    "late_shipment_priority",
-    "returned_items_top_customers",
-    "product_profit",
-    "national_market_share",
-    "order_priority_checking",
-    "idle_rich_customers",
-    "returns_blame_suppliers",
-    "top_supplier_revenue",
-    "important_parts_share",
-    "min_cost_supplier",
-    # -- positions 51-55: the 5 remaining r3-stale keys, first in
-    # -- line for r10's budget (VERDICT r8 task 7) -------------------
+# order under a ~50-entry budget cap (r3-r9 each checked exactly 50).
+# Round 10 ordering (VERDICT.md r9, task 1): positions 1-3 are the
+# three r9 additions that have NEVER been driver-checked (judge
+# tri-canon-verified only) - converting their evidence to driver
+# grade is the round's highest-leverage item; 4-8 retire the last
+# r3-vintage evidence (simple relational scans, parked at 51-55 last
+# round); 9-11 are keys whose CODE changed in r10 AFTER their latest
+# driver row (sessionize_events: the ADVICE r9 exact-us tie rule,
+# last driver r6; ivf_nprobe_recall_curve / pq_adc_recall: the
+# trained-vs-baseline codebook rows, VERDICT r9 task 3, last driver
+# r9) - the driver must hash the new code paths; 12-50 are 39 of the
+# 45 r4-stale keys, composites first so a budget cutoff sacrifices
+# trivial scans. The 6 remaining r4-stale keys sit at 51-56, first
+# in line for r11. NEW operators registered this round ride below
+# THOSE (never-checked, but must not displace the committed refresh
+# queue - the r5-r10 discipline).
+_DRIVER_PRIORITY_R10 = [
+    # -- positions 1-3: never driver-checked (r9 additions) ---------
+    "stream_sessionize_readout",
+    "stream_session_window_readout",
+    "ann_ivf_pq_topk",
+    # -- positions 4-8: the last r3-stale evidence ------------------
     "contingency_orders",
     "histogram_prices",
     "profile_orders",
     "label_array_funcs",
     "null_semantics_orders",
+    # -- positions 9-11: code edited in r10 after last driver row ---
+    "sessionize_events",
+    "ivf_nprobe_recall_curve",
+    "pq_adc_recall",
+    # -- positions 12-50: 39 of the 45 r4-stale keys, composites
+    # -- first -------------------------------------------------------
+    "dedup_exact_substrings",
+    "token_dedup_savings",
+    "pagerank_trade_graph",
+    "bpe_merge_learning",
+    "bpe_tokenize_stats",
+    "pca_top_component",
+    "pca_projection_outliers",
+    "bm25_topk",
+    "rrf_hybrid_topk",
+    "supplier_neighbor_jaccard",
+    "lsh_recall_vs_exact",
+    "neardup_keep_best",
+    "bigram_perplexity",
+    "contamination_attribution",
+    "cluster_mixing_weights",
+    "detector_agreement",
+    "edit_distance_pairs",
+    "supplier_cosupply_triangles",
+    "part_copurchase_lift",
+    "term_cooccurrence_pmi",
+    "feature_hash_counts",
+    "kmv_distinct_terms",
+    "cms_term_counts",
+    "embedding_covariance",
+    "classifier_pr_curve",
+    "seasonal_decompose_daily",
+    "cusum_changepoint",
+    "attribution_touchpoints",
+    "ewma_user_value",
+    "label_association_rules",
+    "daily_anomaly_events",
+    "doc_entropy",
+    "zipf_slope",
+    "term_source_association",
+    "event_dedup_windowed",
+    "redact_contaminated_spans",
+    "length_bucketed_batches",
+    "source_interleave_plan",
+    "gold_sla_stability",
+    # -- positions 51-56: the 6 remaining r4-stale keys, first in
+    # -- line for r11's budget --------------------------------------
+    "unpivot_lineitem_metrics",
+    "corr_matrix_lineitem",
+    "equi_depth_histogram",
+    "table_stats_mart",
+    "gopher_quality_rules",
+    "join_key_skew",
     # -- new keys registered this round (never-checked, below the
-    # -- committed refresh queue per the r5-r8 discipline) ----------
-    "stream_sessionize_readout",
-    "stream_session_window_readout",
-    "ann_ivf_pq_topk",
-    # -- overflow: r4-stale evidence next if the driver budget ever
+    # -- committed refresh queue per the r5-r10 discipline) ---------
+    # (r10 additions appended here as they land)
+    # -- overflow: r5-stale evidence next if the driver budget ever
     # -- exceeds the keys above (dict order of queries() applies) ---
 ]
+
 
 def _stream_daily_anomaly_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy import wrapper: keep the streaming module out of the
@@ -975,7 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scores, ADC bounds WHAT is read per candidate)
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R9 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 

@@ -63,37 +63,38 @@ def test_every_headline_query_has_a_baseline():
 
 def test_driver_priority_prefix_is_the_evidence_queue():
     queries, _ = _registry_keys()
-    # r9 plan (VERDICT r8 task 1): 1-4 = last r2-stale scans, 5-8 =
-    # never-driver-checked r8 readouts, 9-10 = keys edited in r8
-    # after their latest driver row, 11-50 = 40 oldest r3-stale keys.
-    assert queries[:10] == [
-        "lang_id",
-        "quality_score",
-        "token_count",
-        "doc_fingerprint",
-        "stream_daily_anomaly_readout",
-        "stream_freshness_readout",
-        "stream_reconciliation_readout",
-        "stream_dedup_index_readout",
-        "embedding_decontaminate",
-        "dedup_against_index",
-    ]
-    # 51-55: the 5 remaining r3-stale keys (r10 positions 1-5).
-    assert queries[50:55] == [
+    # r10 plan (VERDICT r9 task 1): 1-3 = the never-driver-checked r9
+    # additions, 4-8 = the last r3-stale scans, 9-11 = keys edited in
+    # r10 after their latest driver row, 12-50 = 39 of the 45
+    # r4-stale keys (composites first).
+    assert queries[:11] == [
+        "stream_sessionize_readout",
+        "stream_session_window_readout",
+        "ann_ivf_pq_topk",
         "contingency_orders",
         "histogram_prices",
         "profile_orders",
         "label_array_funcs",
         "null_semantics_orders",
+        "sessionize_events",
+        "ivf_nprobe_recall_curve",
+        "pq_adc_recall",
     ]
-    # New r9 keys must not jump the refresh queue.
-    r9_keys = {
-        "stream_sessionize_readout",
-        "stream_session_window_readout",
-        "ann_ivf_pq_topk",
+    # 51-56: the 6 remaining r4-stale keys (r11 positions 1-6).
+    assert queries[50:56] == [
+        "unpivot_lineitem_metrics",
+        "corr_matrix_lineitem",
+        "equi_depth_histogram",
+        "table_stats_mart",
+        "gopher_quality_rules",
+        "join_key_skew",
+    ]
+    # New r10 keys must not jump the refresh queue.
+    r10_keys = {
+        "stream_ann_index_readout",
     }
-    present = r9_keys & set(queries)
-    assert present.isdisjoint(queries[:55]), "new keys jumped the refresh queue"
+    present = r10_keys & set(queries)
+    assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
 
 
 def _last_round_close() -> str | None:
@@ -172,7 +173,7 @@ def test_edited_keys_are_in_the_driver_budget_prefix():
     reg = Q.queries()
     order = list(reg)
     budget = set(order[:50])
-    new_region = set(order[55:])  # below the committed refresh queue
+    new_region = set(order[56:])  # below the committed refresh queue
 
     offenders = []
     for key, fn in reg.items():
