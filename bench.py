@@ -399,6 +399,60 @@ HEADLINE = [
 ]
 
 
+# Self-adjudicating contention annotations (VERDICT r9 task 2): a
+# pinned CONTROL query is interleaved every CONTROL_EVERY headline
+# lines; each measurement is stamped with the ratio of its NEAREST
+# control sample to the control's floor, so a flag raised on a
+# contended host window carries its own evidence (r5-r9 each paid
+# judge/builder adjudication time to host noise the artifact could
+# not prove). The control is the cheapest stable headline scan-agg:
+# a fixed plan, no python, sub-second at sf0.1.
+CONTROL_QUERY = "q1_pricing_summary"
+CONTROL_EVERY = 10
+CONTENTION_RATIO = 1.5
+
+
+def _control_floor(samples: list[dict], sf_val=0.1) -> float:
+    """The control's reference floor: the baseline stamp if present
+    (quiet-window provenance), else the run's own best sample — a
+    fully-contended run then under-flags rather than mis-flags. The
+    stamp is an sf0.1 measurement, so it is only consulted at sf0.1:
+    at any other SF it would mis-scale every ratio (the r10 smoke at
+    sf0.001 read 6.6x on quiet windows against the 0.23s stamp)."""
+    floor = min((s["sec"] for s in samples), default=0.0)
+    if sf_val != 0.1:
+        return floor
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
+        ) as f:
+            base = json.load(f)[CONTROL_QUERY]["sec"]
+        floor = min(floor, base) if floor else base
+    except (OSError, KeyError, ValueError):
+        pass
+    return floor
+
+
+def _annotate_contention(
+    names: list[str], samples: list[dict], floor: float, ratio_cap: float = CONTENTION_RATIO
+) -> tuple[dict[str, float], list[str]]:
+    """Map each measured query to its nearest control sample's ratio
+    vs the floor (pos p means the sample ran just BEFORE headline
+    index p, so query i sits between controls at pos<=i and pos>i).
+    Returns ({query: ratio}, [queries whose window was contended])."""
+    if not samples or floor <= 0:
+        return {}, []
+    ratios: dict[str, float] = {}
+    contended: list[str] = []
+    for i, name in enumerate(names):
+        nearest = min(samples, key=lambda s: abs(s["pos"] - (i + 0.5)))
+        r = round(nearest["sec"] / floor, 2)
+        ratios[name] = r
+        if r > ratio_cap:
+            contended.append(name)
+    return ratios, contended
+
+
 def _extra_queries() -> dict:
     """Bench-only callables not in the oracle registry (approx
     percentiles have no DuckDB twin)."""
@@ -415,6 +469,7 @@ def _extra_queries() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     _finish_tee = _tee_stderr(STDERR_LOG)
 
@@ -446,8 +501,24 @@ def main() -> None:
     # a cache read — every sample measures the full computation.
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    control_samples: list[dict] = []
+
+    def _sample_control(pos: int) -> None:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[CONTROL_QUERY](spark, sf_dir).count()
+        control_samples.append({"pos": pos, "sec": round(time.time() - t0, 3)})
+
+    # control samples are single-shot (unlike the best-of-N headline
+    # lines), so the first one must not pay codegen compile: one
+    # untimed run at the bench SF warms its plan even when
+    # BENCH_WARMUP=0 skipped the sf0.001 warmup pass
+    qs[CONTROL_QUERY](spark, sf_dir).count()
+
     total = 0.0
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i % CONTROL_EVERY == 0:
+            _sample_control(i)
         best, n = float("inf"), 0
         for _ in range(repeats):
             spark.catalog.clearCache()
@@ -457,9 +528,18 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+    _sample_control(len(HEADLINE))
     spark.catalog.clearCache()
 
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    floor = _control_floor(control_samples, sf_val)
+    contention, contended = _annotate_contention(HEADLINE, control_samples, floor)
+    if contended:
+        print(
+            f"# contended windows (control >{CONTENTION_RATIO}x its {floor:.2f}s floor): "
+            f"{len(contended)} queries: {' '.join(contended[:12])}"
+            + (" ..." if len(contended) > 12 else ""),
+            file=sys.stderr,
+        )
 
     # quiesce the JVM before reading the stderr log so the capture
     # holds every stack frame the run produced (task 5: every block
@@ -484,6 +564,15 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": timings,
+                "control": {
+                    "query": CONTROL_QUERY,
+                    "every": CONTROL_EVERY,
+                    "floor_sec": round(floor, 3),
+                    "ratio_cap": CONTENTION_RATIO,
+                    "samples": control_samples,
+                },
+                "contention": contention,
+                "contended": contended,
                 "stderr_log": STDERR_LOG,
                 "stderr_exception_blocks": blocks,
             },
@@ -503,6 +592,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "baseline22_total": round(sum(baseline22.values()), 3),
+                "contended_n": len(contended),
                 "queries": baseline22,
             },
             separators=(",", ":"),

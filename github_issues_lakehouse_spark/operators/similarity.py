@@ -1116,6 +1116,7 @@ def ivf_nprobe_recall_curve(
     k: int = 5,
     n_centroids: int = 16,
     probes: tuple = (1, 2, 4, 8),
+    train_iters: int = 2,
 ) -> DataFrame:
     """C119 (r5): the IVF recall-vs-cost CURVE — recall@k and
     candidates-scored for each n_probe setting, the table that picks
@@ -1125,71 +1126,90 @@ def ivf_nprobe_recall_curve(
     space, this maps the IVF one.
 
     One brute-force ground truth (the expensive side, computed ONCE),
-    one corpus cell assignment (once); each probe setting re-probes
-    the same cells and counts exact hits. The cost column is the
-    exact candidate count: sum of probed-cell sizes minus the query
-    itself (a query's rank-1 probe is always its own cell). Recall
-    in exact ppm of n_queries*k.
+    one corpus cell assignment per geometry; each probe setting
+    re-probes the same cells and counts exact hits. The cost column
+    is the exact candidate count: sum of probed-cell sizes minus the
+    query itself (a query's rank-1 probe is always its own cell —
+    true under ANY centroid set, since query and corpus share the
+    assignment rule). Recall in exact ppm of n_queries*k.
+
+    Trained-vs-baseline comparison (VERDICT r9 task 3 + stretch 8):
+    the ``centroids`` label distinguishes 'first_k' rows (the
+    untrained first-k-vectors geometry) from 'trained' rows (the
+    deterministic ``ivf_trained_centroids`` k-means geometry,
+    ``train_iters`` Lloyd rounds — C33's unrolled-iteration oracle
+    pattern keeps it SQL-reproducible). Same truth, same probe
+    counts, so each (n_probe, recall, candidates) pair prices what
+    training the coarse quantizer buys the serving tier.
     """
     from ..functions.exact import ppm_expr as _ppm
+    from .clustering import ivf_trained_centroids
 
     truth = ann_bruteforce_topk(spark, sf_dir, n_queries, k).localCheckpoint(
         eager=False
     )
     corpus = _corpus(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+    first_k = corpus.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
     )
-
-    def assign(df, id_col, vec_col, keep_rank):
-        from pyspark.sql import Window
-
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "c_id",
-            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_sim").desc(), F.col("c_id").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep_rank)
-            .select(id_col, F.col("c_id").alias("cell"), "crank")
-        )
-
-    cell_sizes = (
-        assign(corpus, "vec_id", "vec", 1)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint(eager=False)
-    )
+    trained = ivf_trained_centroids(
+        spark, sf_dir, k=n_centroids, n_iter=train_iters
+    ).localCheckpoint(eager=False)
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
-    q_probes = assign(queries, "q_id", "q_vec", max(probes)).localCheckpoint(
-        eager=False
-    )
+
     out = None
-    for np_ in probes:
-        approx = ann_ivf_topk(spark, sf_dir, n_queries, k, n_centroids, n_probe=np_)
-        hits = (
-            truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    for label, cents in (("first_k", first_k), ("trained", trained)):
+
+        def assign(df, id_col, vec_col, keep_rank, cents=cents):
+            from pyspark.sql import Window
+
+            scored = df.crossJoin(F.broadcast(cents)).select(
+                id_col,
+                "c_id",
+                r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
+            )
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("c_sim").desc(), F.col("c_id").asc()
+            )
+            return (
+                scored.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= keep_rank)
+                .select(id_col, F.col("c_id").alias("cell"), "crank")
+            )
+
+        cell_sizes = (
+            assign(corpus, "vec_id", "vec", 1)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .localCheckpoint(eager=False)
         )
-        cand = (
-            q_probes.filter(F.col("crank") <= np_)
-            .join(cell_sizes, "cell")
-            .agg((F.sum("sz") - F.lit(n_queries)).alias("n_candidates"))
+        q_probes = assign(queries, "q_id", "q_vec", max(probes)).localCheckpoint(
+            eager=False
         )
-        row = hits.join(F.broadcast(cand)).selectExpr(
-            f"CAST({np_} AS INT) AS n_probe",
-            "CAST(n_candidates AS BIGINT) AS n_candidates",
-            "CAST(n_hits AS BIGINT) AS n_hits",
-            f"CAST({_ppm('n_hits', str(n_queries * k))} AS BIGINT) AS recall_ppm",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_probe")
+        for np_ in probes:
+            approx = ann_ivf_topk(
+                spark, sf_dir, n_queries, k, n_centroids, n_probe=np_, centroids=cents
+            )
+            hits = (
+                truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+            )
+            cand = (
+                q_probes.filter(F.col("crank") <= np_)
+                .join(cell_sizes, "cell")
+                .agg((F.sum("sz") - F.lit(n_queries)).alias("n_candidates"))
+            )
+            row = hits.join(F.broadcast(cand)).selectExpr(
+                f"'{label}' AS centroids",
+                f"CAST({np_} AS INT) AS n_probe",
+                "CAST(n_candidates AS BIGINT) AS n_candidates",
+                "CAST(n_hits AS BIGINT) AS n_hits",
+                f"CAST({_ppm('n_hits', str(n_queries * k))} AS BIGINT) AS recall_ppm",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("centroids", "n_probe")
 
 
 def mmr_diverse_topk(
@@ -1459,6 +1479,9 @@ def ann_ivf_pq_topk(
     n_probe: int = 2,
     n_sub: int = 4,
     codes_per_sub: int = 16,
+    centroids: DataFrame | None = None,
+    pq_codebook: DataFrame | None = None,
+    train_pq: int = 0,
 ) -> DataFrame:
     """C149 (r9): IVF + PQ combined — the production ANN index shape
     (Jegou et al.'s IVFADC): coarse inverted lists bound WHICH vectors
@@ -1481,16 +1504,28 @@ def ann_ivf_pq_topk(
     driver-green and the edited-key CI gate makes churning it cost a
     budget slot.
 
+    Trained hooks (VERDICT r9 task 3): pass ``centroids`` (c_id,
+    c_vec — e.g. ``clustering.ivf_trained_centroids``) to swap the
+    coarse geometry, ``pq_codebook`` (c_sub, code, cv) to swap the
+    fine codebook, or ``train_pq=N`` to refine the md5 baseline
+    codebook with N Lloyd subspace iterations in place
+    (``_pq_trained_cb``). Defaults keep the registry behavior:
+    first-k cells, md5 bottom-k codes.
+
     Output per (q_id, rank): neighbor_id and its BIGINT ADC distance.
     """
     from pyspark.sql import Window
 
     from .scale import partial_topk
-    from .vectors2 import _pq_codes, _pq_d2, _pq_frames
+    from .vectors2 import _pq_codes, _pq_d2, _pq_frames, _pq_trained_cb
 
     corpus = _corpus(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+        )
     )
 
     def assign(df, id_col, vec_col, keep_rank):
@@ -1522,6 +1557,10 @@ def ann_ivf_pq_topk(
     )
 
     tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
+    if pq_codebook is not None:
+        codebook = pq_codebook
+    elif train_pq > 0:
+        codebook = _pq_trained_cb(tall, codebook, n_iter=train_pq, dim_per=64 // n_sub)
     codes = _pq_codes(tall, codebook).select("vec_id", "sub", "code")
     q_tall = tall.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),

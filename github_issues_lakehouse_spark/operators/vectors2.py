@@ -408,6 +408,48 @@ def _pq_frames(spark, sf_dir, n_sub: int, codes_per_sub: int):
     return tall, codebook
 
 
+def _pq_trained_cb(
+    tall: DataFrame, codebook: DataFrame, n_iter: int = 2, dim_per: int = 16
+) -> DataFrame:
+    """Trained PQ codebook (VERDICT r9 task 3): Lloyd k-means run
+    INSIDE each subspace on the e6-frozen integer sub-vectors,
+    initialised from the md5 bottom-k ``codebook`` (the documented
+    no-RNG baseline a trained codebook must beat — training starts
+    FROM the baseline, so the comparison is an ablation of the Lloyd
+    iterations alone). Per iteration: exact-BIGINT nearest-code
+    assignment ((d2, code) tiebreak — ``_pq_codes``), then codeword =
+    per-dimension mean of its members ROUNDED BACK to an integer
+    (``round(avg)``), keeping every distance in the exact-BIGINT e6
+    domain, so the whole training walk is engine-reproducible and the
+    DuckDB twin unrolls the identical iterations (the C33 kmeans
+    oracle pattern). Codes no member chooses drop out (same as the
+    batch kmeans contract).
+
+    Scale: each iteration is one broadcast assignment pass over the
+    (vec x subspace) tall frame + a (n_sub x codes_per_sub x dim_per)
+    mean shuffle; the codebook is localCheckpointed per round so plan
+    depth stays constant in n_iter. avg() over e6 ints is exact in
+    double below 2^53 — corpus sums reach ~2e11 at sf0.1."""
+    cb = codebook
+    for _ in range(n_iter):
+        best = _pq_codes(tall, cb).select("vec_id", "sub", "code")
+        members = best.join(tall, ["vec_id", "sub"])
+        means = members.groupBy(
+            F.col("sub").alias("c_sub"), F.col("code")
+        ).agg(
+            *[
+                F.round(F.avg(F.col("sv")[i])).cast("long").alias(f"m{i}")
+                for i in range(dim_per)
+            ]
+        )
+        cb = means.select(
+            "c_sub",
+            "code",
+            F.array(*[F.col(f"m{i}") for i in range(dim_per)]).alias("cv"),
+        ).localCheckpoint(eager=True)
+    return cb
+
+
 def _pq_codes(tall: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-code assignment (vec_id, sub, code, d2) — exact BIGINT
     distances, (d2, code) tiebreak."""
@@ -488,6 +530,7 @@ def pq_adc_recall(
     k: int = 5,
     n_sub: int = 4,
     codes_per_sub: int = 16,
+    train_iters: int = 2,
 ) -> DataFrame:
     """C130 (r5): PQ asymmetric-distance (ADC) top-k search + recall
     audit — turns the C129 codebooks into an actual index tier
@@ -513,37 +556,48 @@ def pq_adc_recall(
     invariant that does hold is that the picks' EXACT distance mass
     is >= the true top-k's mass (the true top-k minimizes it), which
     is what recall_ppm measures against (ADVICE r5 docstring fix).
+
+    Trained-vs-baseline comparison (VERDICT r9 task 3): the output
+    carries a ``codebook`` label — 'baseline' rows use the md5
+    bottom-k codebook, 'trained' rows the same codebook refined by
+    ``train_iters`` Lloyd iterations per subspace
+    (``_pq_trained_cb``); both score against the ONE exact truth,
+    so the recall delta is pure codebook quality.
     """
     from ..functions.exact import ppm_expr as _ppm_e
+    from .scale import partial_topk
 
     tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
-    codes = _pq_codes(tall, codebook).select("vec_id", "sub", "code")
     q_tall = tall.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("sub").alias("q_sub"), F.col("sv").alias("qv")
     )
-    lut = q_tall.join(
-        F.broadcast(codebook), F.col("q_sub") == F.col("c_sub")
-    ).select(
-        "q_id",
-        F.col("q_sub").alias("sub"),
-        "code",
-        _pq_d2("qv", "cv").alias("lut_d2"),
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
-    )
-    from .scale import partial_topk
 
-    adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
-    wa = Window.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
-    adc_k = (
-        adc_top.withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", "adc_d2")
-    )
+    def adc_k_for(cb: DataFrame) -> DataFrame:
+        codes = _pq_codes(tall, cb).select("vec_id", "sub", "code")
+        lut = q_tall.join(
+            F.broadcast(cb), F.col("q_sub") == F.col("c_sub")
+        ).select(
+            "q_id",
+            F.col("q_sub").alias("sub"),
+            "code",
+            _pq_d2("qv", "cv").alias("lut_d2"),
+        )
+        adc = (
+            codes.join(F.broadcast(lut), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
+        )
+        adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
+        wa = Window.partitionBy("q_id").orderBy(
+            F.col("adc_d2").asc(), F.col("vec_id").asc()
+        )
+        return (
+            adc_top.withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "adc_d2")
+        )
+
     # exact integer truth on the full frozen vectors
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _pq_sq_e6().alias("fv"))
     q_full = e.filter(F.col("vec_id") < n_queries).select(
@@ -559,21 +613,30 @@ def pq_adc_recall(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "true_d2")
     )
-    hits = adc_k.join(truth_k.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
-    per_q_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    adc_mass = adc_k.groupBy("q_id").agg(F.sum("adc_d2").cast("long").alias("adc_d2_sum"))
+    truth_ids = truth_k.select("q_id", "vec_id")
     true_mass = truth_k.groupBy("q_id").agg(
         F.sum("true_d2").cast("long").alias("true_d2_sum")
     )
-    return (
-        true_mass.join(adc_mass, "q_id")
-        .join(per_q_hits, "q_id", "left")
-        .selectExpr(
-            "q_id",
-            "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
-            f"CAST({_ppm_e('coalesce(n_hits, 0)', str(k))} AS BIGINT) AS recall_ppm",
-            "adc_d2_sum",
-            "true_d2_sum",
+    trained = _pq_trained_cb(tall, codebook, n_iter=train_iters, dim_per=64 // n_sub)
+    out = None
+    for label, cb in (("baseline", codebook), ("trained", trained)):
+        adc_k = adc_k_for(cb)
+        hits = adc_k.join(truth_ids, ["q_id", "vec_id"], "left_semi")
+        per_q_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        adc_mass = adc_k.groupBy("q_id").agg(
+            F.sum("adc_d2").cast("long").alias("adc_d2_sum")
         )
-        .orderBy("q_id")
-    )
+        rows = (
+            true_mass.join(adc_mass, "q_id")
+            .join(per_q_hits, "q_id", "left")
+            .selectExpr(
+                f"'{label}' AS codebook",
+                "q_id",
+                "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
+                f"CAST({_ppm_e('coalesce(n_hits, 0)', str(k))} AS BIGINT) AS recall_ppm",
+                "adc_d2_sum",
+                "true_d2_sum",
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("codebook", "q_id")

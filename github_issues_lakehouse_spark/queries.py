@@ -6759,51 +6759,82 @@ ORDER BY month
 
 
 def _ivf_curve_oracle(
-    n_queries: int = 8, k: int = 5, n_centroids: int = 16, probes: tuple = (1, 2, 4, 8)
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: tuple = (1, 2, 4, 8),
+    train_iters: int = 2,
 ) -> str:
-    """IVF curve twin: one IVF subquery per probe setting (the
-    per-config recall), plus the identical probed-cell-size candidate
-    accounting."""
+    """IVF curve twin (trained-vs-baseline, VERDICT r9 task 3): one
+    IVF subquery per (geometry, probe) pair over shared CTEs — the
+    'first_k' geometry uses the first n_centroids vectors, 'trained'
+    the unrolled-kmeans centroids (``_kmeans_ctes`` + one final
+    re-estimate, exactly ``ivf_trained_centroids``); identical probe
+    plans and the identical probed-cell-size candidate accounting."""
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    qc = cos.format(a="q.v", b="ct.v")
     head = f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS c_id, v FROM c WHERE vec_id < {n_centroids}),
-asg AS (
-  SELECT q.vec_id, ct.c_id,
-    row_number() OVER (PARTITION BY q.vec_id
-      ORDER BY {qc.replace('q.v', 'q.v').replace('ct.v', 'ct.v')} DESC, ct.c_id ASC) AS rn
-  FROM c q CROSS JOIN cents ct
+WITH {_kmeans_ctes(n_centroids, train_iters)},
+mT AS (
+  SELECT cluster AS c_id, i, round(avg(vec[i]), 6) AS m
+  FROM a{train_iters} CROSS JOIN dims GROUP BY 1, 2
 ),
-cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1),
-cell_sizes AS (SELECT cell, count(*) AS sz FROM cells GROUP BY 1),
-qasg AS (
-  SELECT vec_id AS q_id, c_id AS cell, rn FROM asg WHERE vec_id < {n_queries}
-),
+cT AS MATERIALIZED (SELECT c_id, list(m ORDER BY i) AS c_vec FROM mT GROUP BY 1),
+-- NOT materialized: bf nests its own WITH c; materializing the outer
+-- c alongside that shadowed name trips a DuckDB internal error
+-- ("Recursive CTE scan found without recursive CTE node")
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cF AS (SELECT vec_id AS c_id, v AS c_vec FROM c WHERE vec_id < {n_centroids}),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < {n_queries}),
 bf AS ({_ann_bf_oracle(n_queries, k)})"""
     parts = []
-    for i, np_ in enumerate(probes):
+    for suf, cents in (("f", "cF"), ("t", "cT")):
+        label = "first_k" if suf == "f" else "trained"
+        qc = cos.format(a="x.v", b="ct.c_vec")
         head += f""",
-ivf_{np_} AS ({_ann_ivf_oracle(n_queries, k, n_centroids, np_)}),
-hits_{np_} AS (
-  SELECT count(*) AS n_hits FROM bf
-  WHERE EXISTS (SELECT 1 FROM ivf_{np_} i
-                WHERE i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id)
+asg_{suf} AS MATERIALIZED (
+  SELECT x.vec_id, ct.c_id,
+    row_number() OVER (PARTITION BY x.vec_id
+      ORDER BY {qc} DESC, ct.c_id ASC) AS rn
+  FROM c x CROSS JOIN {cents} ct
 ),
-cand_{np_} AS (
-  SELECT CAST(sum(s.sz) - {n_queries} AS BIGINT) AS n_candidates
-  FROM qasg p JOIN cell_sizes s ON p.cell = s.cell WHERE p.rn <= {np_}
+cells_{suf} AS (SELECT vec_id, c_id AS cell FROM asg_{suf} WHERE rn = 1),
+sizes_{suf} AS (SELECT cell, count(*) AS sz FROM cells_{suf} GROUP BY 1),
+qasg_{suf} AS (
+  SELECT vec_id AS q_id, c_id AS cell, rn FROM asg_{suf} WHERE vec_id < {n_queries}
 )"""
-        parts.append(f"""
-SELECT CAST({np_} AS INT) AS n_probe,
-  (SELECT n_candidates FROM cand_{np_}) AS n_candidates,
-  CAST((SELECT n_hits FROM hits_{np_}) AS BIGINT) AS n_hits,
-  CAST({_ppm_sql(f'(SELECT n_hits FROM hits_{np_})', str(n_queries * k))} AS BIGINT)
+        for np_ in probes:
+            head += f""",
+ivf_{suf}_{np_} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT ca.q_id, ca.vec_id,
+      row_number() OVER (PARTITION BY ca.q_id
+        ORDER BY {cos.format(a="qq.q_vec", b="cv.v")} DESC, ca.vec_id ASC) AS rank
+    FROM (SELECT DISTINCT p.q_id, cc.vec_id
+          FROM qasg_{suf} p JOIN cells_{suf} cc ON p.cell = cc.cell
+          WHERE p.rn <= {np_} AND cc.vec_id <> p.q_id) ca
+    JOIN q qq ON ca.q_id = qq.q_id
+    JOIN c cv ON ca.vec_id = cv.vec_id
+  ) WHERE rank <= {k}
+),
+hits_{suf}_{np_} AS (
+  SELECT count(*) AS n_hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM ivf_{suf}_{np_} i
+                WHERE i.q_id = bf.q_id AND i.vec_id = bf.neighbor_id)
+),
+cand_{suf}_{np_} AS (
+  SELECT CAST(sum(s.sz) - {n_queries} AS BIGINT) AS n_candidates
+  FROM qasg_{suf} p JOIN sizes_{suf} s ON p.cell = s.cell WHERE p.rn <= {np_}
+)"""
+            parts.append(f"""
+SELECT '{label}' AS centroids, CAST({np_} AS INT) AS n_probe,
+  (SELECT n_candidates FROM cand_{suf}_{np_}) AS n_candidates,
+  CAST((SELECT n_hits FROM hits_{suf}_{np_}) AS BIGINT) AS n_hits,
+  CAST({_ppm_sql(f'(SELECT n_hits FROM hits_{suf}_{np_})', str(n_queries * k))} AS BIGINT)
     AS recall_ppm""")
-    return head + " UNION ALL ".join(parts) + " ORDER BY n_probe"
+    return head + " UNION ALL ".join(parts) + " ORDER BY centroids, n_probe"
 
 
 def _jaccard_sweep_oracle(
@@ -7773,27 +7804,23 @@ ORDER BY sub, code
 """
 
 
-def _pq_adc_oracle(
-    n_queries: int = 8, k: int = 5, n_sub: int = 4, codes_per_sub: int = 16
-) -> str:
-    """ADC twin: identical codebooks/codes as _pq_oracle, the
-    query-to-codeword LUT, the codes-join ADC sum, exact-integer L2
-    truth, and the same (distance, vec_id) top-k tiebreaks."""
+def _pq_base_ctes(n_sub: int, codes_per_sub: int) -> str:
+    """Shared PQ CTE prefix: e6-frozen ``base`` vectors, the
+    (vec x subspace) ``tall`` frame, and the md5 bottom-k baseline
+    codebook ``cb``. MATERIALIZED: every consumer re-reads them."""
     dim_per = 64 // n_sub
     subs = ", ".join(str(s) for s in range(n_sub))
-    rec = _ppm_sql("coalesce(h.n_hits, 0)", str(k))
-    return f"""
-WITH base AS (
+    return f"""base AS MATERIALIZED (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
   FROM embeddings
 ),
-tall AS (
+tall AS MATERIALIZED (
   SELECT vec_id, s.sub,
     list_slice(v, s.sub * {dim_per} + 1, (s.sub + 1) * {dim_per}) AS sv
   FROM base, (SELECT unnest([{subs}]) AS sub) s
 ),
-cb AS (
+cb AS MATERIALIZED (
   SELECT sub AS c_sub, CAST(rk - 1 AS BIGINT) AS code, sv AS cv
   FROM (
     SELECT sub, sv, row_number() OVER (PARTITION BY sub
@@ -7801,34 +7828,66 @@ cb AS (
                vec_id) AS rk
     FROM tall
   ) WHERE rk <= {codes_per_sub}
-),
-codes AS (
+)"""
+
+
+def _pq_trained_cb_ctes(n_iter: int, dim_per: int) -> str:
+    """Unrolled Lloyd subspace k-means mirroring vectors2's
+    ``_pq_trained_cb`` (VERDICT r9 task 3, the C33 kmeans oracle
+    pattern): cbt0 = the md5 baseline ``cb``; each round assigns
+    every ``tall`` sub-vector to its nearest codeword (exact BIGINT
+    d2, (d2, code) tiebreak) then re-estimates each codeword as the
+    integer-rounded per-dimension mean of its members. avg() over e6
+    ints stays exact in double below 2^53 and round() ties break
+    away from zero in both engines, so the trained codebook
+    ``cbt{n_iter}`` is byte-identical across engines."""
+    ctes = [
+        f"pdims AS (SELECT unnest(generate_series(1, {dim_per})) AS i)",
+        "cbt0 AS (SELECT c_sub, code, cv FROM cb)",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""tasg{it} AS (
   SELECT vec_id, sub, code FROM (
-    SELECT t.vec_id, t.sub, cb.code,
+    SELECT t.vec_id, t.sub, b.code,
       row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
         list_sum(list_transform(range(1, {dim_per} + 1),
-          i -> (t.sv[i] - cb.cv[i]) * (t.sv[i] - cb.cv[i]))) ASC, cb.code ASC) AS rn
-    FROM tall t JOIN cb ON t.sub = cb.c_sub
+          i -> (t.sv[i] - b.cv[i]) * (t.sv[i] - b.cv[i]))) ASC, b.code ASC) AS rn
+    FROM tall t JOIN cbt{it - 1} b ON t.sub = b.c_sub
   ) WHERE rn = 1
-),
-lut AS (
-  SELECT q.vec_id AS q_id, q.sub, cb.code,
-    CAST(list_sum(list_transform(range(1, {dim_per} + 1),
-      i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS BIGINT) AS lut_d2
-  FROM tall q JOIN cb ON q.sub = cb.c_sub
-  WHERE q.vec_id < {n_queries}
-),
-adc AS (
-  SELECT l.q_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
-  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-  WHERE c.vec_id <> l.q_id GROUP BY 1, 2
-),
-adck AS (
-  SELECT q_id, vec_id, adc_d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id
-      ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM adc
-  ) WHERE rk <= {k}
-),
+)"""
+        )
+        ctes.append(
+            f"""cbt{it} AS MATERIALIZED (
+  SELECT c_sub, code, list(mv ORDER BY i) AS cv FROM (
+    SELECT a.sub AS c_sub, a.code, d.i AS i,
+      CAST(round(avg(t.sv[d.i])) AS BIGINT) AS mv
+    FROM tasg{it} a JOIN tall t ON a.vec_id = t.vec_id AND a.sub = t.sub
+    CROSS JOIN pdims d
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _pq_adc_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+    train_iters: int = 2,
+) -> str:
+    """ADC twin: identical codebooks/codes as _pq_oracle, the
+    query-to-codeword LUT, the codes-join ADC sum, exact-integer L2
+    truth, and the same (distance, vec_id) top-k tiebreaks — emitted
+    once per codebook label ('baseline' md5 bottom-k vs 'trained'
+    Lloyd-refined, VERDICT r9 task 3) against ONE shared truth."""
+    dim_per = 64 // n_sub
+    rec = _ppm_sql("coalesce(h.n_hits, 0)", str(k))
+    head = f"""
+WITH {_pq_base_ctes(n_sub, codes_per_sub)},
+{_pq_trained_cb_ctes(train_iters, dim_per)},
 ex AS (
   SELECT q.vec_id AS q_id, f.vec_id,
     CAST(list_sum(list_transform(range(1, 65),
@@ -7836,24 +7895,61 @@ ex AS (
   FROM base f JOIN base q ON f.vec_id <> q.vec_id
   WHERE q.vec_id < {n_queries}
 ),
-exk AS (
+exk AS MATERIALIZED (
   SELECT q_id, vec_id, true_d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY true_d2 ASC, vec_id ASC) AS rk FROM ex
   ) WHERE rk <= {k}
 ),
-h AS (
+tm AS (SELECT q_id, CAST(sum(true_d2) AS BIGINT) AS true_d2_sum FROM exk GROUP BY 1)"""
+    parts = []
+    for label, cbn in (("baseline", "cb"), ("trained", f"cbt{train_iters}")):
+        head += f""",
+codes_{label} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT t.vec_id, t.sub, b.code,
+      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+        list_sum(list_transform(range(1, {dim_per} + 1),
+          i -> (t.sv[i] - b.cv[i]) * (t.sv[i] - b.cv[i]))) ASC, b.code ASC) AS rn
+    FROM tall t JOIN {cbn} b ON t.sub = b.c_sub
+  ) WHERE rn = 1
+),
+lut_{label} AS (
+  SELECT q.vec_id AS q_id, q.sub, b.code,
+    CAST(list_sum(list_transform(range(1, {dim_per} + 1),
+      i -> (q.sv[i] - b.cv[i]) * (q.sv[i] - b.cv[i]))) AS BIGINT) AS lut_d2
+  FROM tall q JOIN {cbn} b ON q.sub = b.c_sub
+  WHERE q.vec_id < {n_queries}
+),
+adc_{label} AS (
+  SELECT l.q_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM codes_{label} c JOIN lut_{label} l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.q_id GROUP BY 1, 2
+),
+adck_{label} AS MATERIALIZED (
+  SELECT q_id, vec_id, adc_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM adc_{label}
+  ) WHERE rk <= {k}
+),
+h_{label} AS (
   SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
-  FROM adck a JOIN exk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  FROM adck_{label} a JOIN exk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
   GROUP BY 1
 ),
-am AS (SELECT q_id, CAST(sum(adc_d2) AS BIGINT) AS adc_d2_sum FROM adck GROUP BY 1),
-tm AS (SELECT q_id, CAST(sum(true_d2) AS BIGINT) AS true_d2_sum FROM exk GROUP BY 1)
-SELECT tm.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+am_{label} AS (
+  SELECT q_id, CAST(sum(adc_d2) AS BIGINT) AS adc_d2_sum
+  FROM adck_{label} GROUP BY 1
+)"""
+        parts.append(
+            f"""
+SELECT '{label}' AS codebook, tm.q_id,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   CAST({rec} AS BIGINT) AS recall_ppm, am.adc_d2_sum, tm.true_d2_sum
-FROM tm JOIN am ON tm.q_id = am.q_id LEFT JOIN h ON tm.q_id = h.q_id
-ORDER BY tm.q_id
-"""
+FROM tm JOIN am_{label} am ON tm.q_id = am.q_id
+LEFT JOIN h_{label} h ON tm.q_id = h.q_id"""
+        )
+    return head + " UNION ALL ".join(parts) + " ORDER BY codebook, q_id"
 
 
 def _ivf_pq_oracle(

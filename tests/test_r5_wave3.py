@@ -757,7 +757,13 @@ def test_ivf_curve_monotone_recall_and_cost(spark):
         ivf_nprobe_recall_curve,
     )
 
-    rows = ivf_nprobe_recall_curve(spark, SF_DIR).collect()
+    # r10: the curve carries a trained-vs-first_k geometry label;
+    # the original invariants hold within the baseline geometry
+    rows = [
+        r
+        for r in ivf_nprobe_recall_curve(spark, SF_DIR).collect()
+        if r.centroids == "first_k"
+    ]
     assert [r.n_probe for r in rows] == [1, 2, 4, 8]
     recalls = [r.recall_ppm for r in rows]
     cands = [r.n_candidates for r in rows]

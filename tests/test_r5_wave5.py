@@ -706,7 +706,11 @@ def test_pq_adc_invariants(spark):
     from github_issues_lakehouse_spark.operators.vectors2 import pq_adc_recall
 
     K = 5
-    rows = pq_adc_recall(spark, SF_DIR).collect()
+    # r10: the mart carries a trained-vs-baseline codebook label; the
+    # python recompute below mirrors the md5 BASELINE codebook
+    rows = [
+        r for r in pq_adc_recall(spark, SF_DIR).collect() if r.codebook == "baseline"
+    ]
     assert len(rows) == 8
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
     ids = np.array(t["vec_id"])

@@ -40,6 +40,16 @@ re-measure that exceeds the ratio cap but stays inside the band as
 the distinct verdict WITHIN_BAND — a hot-stamped-baseline artifact,
 not an actionable regression — and exits 0 for it. The ratio cap
 itself is never overwritten; bands only annotate adjudication.
+
+Contention annotations (VERDICT r9 task 2): bench.py interleaves a
+pinned control query (``bench.CONTROL_QUERY``) through the headline
+pass and stamps BENCH_QUERIES.json with per-line nearest-control
+ratios (``contention``) plus the list of lines measured in a
+contended window (``contended``). A flag whose own window the
+control proves slow prints as ``host-contended window`` and is
+quoted in the --confirm JSON under ``contended_at_measure`` — the
+artifact now adjudicates the r5-r9 host-noise flag class by itself;
+the isolated --confirm re-run remains the decider.
 """
 
 from __future__ import annotations
@@ -178,16 +188,29 @@ def main() -> None:
         rebase(data, rebase_tag)
         return
     ref = baseline_table()
+    # Contention annotations (VERDICT r9 task 2): bench.py interleaves
+    # a pinned control query and stamps each line with the nearest
+    # control sample's ratio vs the control floor — a flag whose
+    # window the control also shows slow is host contention carrying
+    # its own evidence, not a code regression.
+    contention: dict[str, float] = data.get("contention", {}) or {}
+    ratio_cap = (data.get("control") or {}).get("ratio_cap", 1.5)
     rows = []
     for q, sec in data["queries"].items():
         base = ref.get(q)
         rows.append((sec / base if base else None, q, base, sec))
     rows.sort(key=lambda r: -(r[0] or 0))
     flagged = []
+    contended_flags = []
     for ratio, q, base, sec in rows:
         tag = ""
         if ratio is not None and ratio > threshold:
-            tag = "  <-- REGRESSION"
+            ctl = contention.get(q)
+            if ctl is not None and ctl > ratio_cap:
+                tag = f"  <-- REGRESSION (host-contended window: control {ctl:.2f}x)"
+                contended_flags.append(q)
+            else:
+                tag = "  <-- REGRESSION"
             flagged.append((q, base, sec))
         r = f"{ratio:5.2f}x" if ratio is not None else "  new "
         b = f"{base:6.2f}" if base is not None else "     -"
@@ -200,6 +223,7 @@ def main() -> None:
                     "confirm": {
                         "threshold": threshold,
                         "initial_flags": len(flagged),
+                        "contended_at_measure": contended_flags,
                         "confirmed": survived,
                         "within_band": within,
                     }
