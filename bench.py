@@ -396,6 +396,9 @@ HEADLINE = [
     "stream_sessionize_readout",
     "stream_session_window_readout",
     "ann_ivf_pq_topk",
+    # r10 addition: the streaming serving-ANN index (D37 drain ==
+    # C149 batch on the ingested corpus)
+    "stream_ann_index_readout",
 ]
 
 

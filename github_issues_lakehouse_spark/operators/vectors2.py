@@ -375,13 +375,15 @@ def _pq_d2(a: str, b: str) -> F.Column:
     )
 
 
-def _pq_frames(spark, sf_dir, n_sub: int, codes_per_sub: int):
-    """(tall sub-vector frame, md5-bottom-k codebook) shared by the
-    C129 distortion audit and the C130 ADC search tier."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _pq_tall(e: DataFrame, n_sub: int) -> DataFrame:
+    """(vec_id, sub, sv) e6-frozen sub-vector frame of any frame with
+    (vec_id, embedding) columns — shared by the batch PQ family and
+    the streaming ANN index fold (which quantizes ARRIVING batches
+    with frozen codebooks, so it needs the tall build off a batch
+    frame, not a table path)."""
     v = _pq_sq_e6()
     dim_per = 64 // n_sub
-    tall = e.select(
+    return e.select(
         "vec_id",
         F.explode(
             F.array(*[
@@ -393,6 +395,13 @@ def _pq_frames(spark, sf_dir, n_sub: int, codes_per_sub: int):
             ])
         ).alias("x"),
     ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+
+def _pq_frames(spark, sf_dir, n_sub: int, codes_per_sub: int):
+    """(tall sub-vector frame, md5-bottom-k codebook) shared by the
+    C129 distortion audit and the C130 ADC search tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tall = _pq_tall(e, n_sub)
     h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("sub").cast("string")))
     wcb = Window.partitionBy("sub").orderBy("h", "vec_id")
     codebook = (

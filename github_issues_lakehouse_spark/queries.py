@@ -620,6 +620,12 @@ def _stream_session_window_readout(spark: SparkSession, sf_dir: str) -> DataFram
     return stream_session_window_readout(spark, sf_dir)
 
 
+def _stream_ann_index_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_ann_index_readout
+
+    return stream_ann_index_readout(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
@@ -975,6 +981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index shape (coarse lists bound WHICH vectors a query
         # scores, ADC bounds WHAT is read per candidate)
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        # r10 addition — below the refresh queue per the r5-r10
+        # discipline: D37's streaming serving-ANN index as a
+        # driver-checked surface (frozen quantizers, append-only
+        # quantized index rows, probe-from-committed-state == C149)
+        "stream_ann_index_readout": _stream_ann_index_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2523,6 +2534,10 @@ FROM d GROUP BY 1
     # readouts share B11's oracle — cross-implementation equality
     out["stream_session_window_readout"] = out["sessionize_events"]
     out["ann_ivf_pq_topk"] = _ivf_pq_oracle()
+    # r10: the D37 streaming serving-index readout drains quantized
+    # index rows then probes the committed state — drain == batch, so
+    # the oracle IS C149's oracle verbatim
+    out["stream_ann_index_readout"] = out["ann_ivf_pq_topk"]
     return out
 
 

@@ -2326,3 +2326,205 @@ def stream_mart_retention_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_delta(batch_df: DataFrame, cents: DataFrame, codebook: DataFrame, n_sub: int = 4) -> DataFrame:
+    """Quantize one ARRIVING batch of vectors against FROZEN
+    quantizers into serving-index rows (vec_id, sub, code, cell) —
+    the per-batch delta of the D37 streaming ANN index. Cell = C9's
+    6dp-rounded cosine argmax over the coarse centroids (ties on
+    c_id); codes = C129's exact-BIGINT nearest-codeword assignment
+    ((d2, code) tiebreak). Both quantizers are inputs, never derived
+    from the batch: production trains them on a corpus snapshot and
+    the index ingests vectors incrementally against that frozen
+    geometry — a row is a pure function of (vector, quantizers), so
+    index rows are immutable facts and the mart merge is a plain
+    append (the D19/D24 idempotent-index class).
+
+    Plan/scale: one broadcast of the (small) centroid table + one of
+    the (n_sub x codes_per_sub) codebook per batch; cost is sized by
+    the BATCH, state by the corpus."""
+    from ..functions.vectors import cosine, to_double
+    from ..operators.relational import r6
+    from ..operators.vectors2 import _pq_codes, _pq_tall
+    from pyspark.sql import Window
+
+    vecs = batch_df.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id", r6(cosine(F.col("vec"), F.col("c_vec"))).alias("c_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id").asc())
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"))
+    )
+    codes = _pq_codes(_pq_tall(batch_df, n_sub), codebook).select(
+        "vec_id", "sub", "code"
+    )
+    return codes.join(cells, "vec_id").select("vec_id", "sub", "code", "cell")
+
+
+def stream_ann_index_maintenance(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    cents: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+):
+    """D37: maintain the IVFADC serving index as committed state —
+    each micro-batch of arriving vectors is quantized against the
+    frozen coarse/fine quantizers (``ann_index_delta``) and appended
+    under the versioned-commit protocol. Rows are immutable facts
+    (exactly one per (vec_id, sub), emitted in the batch the vector
+    arrives), so merge = union and a redelivered batch_id is a no-op
+    via the mart guard — retrieval gets the same incremental-ingest
+    story the dedup tier has (D19/C104-C105): the index is never
+    rebuilt, each batch pays one quantization pass sized by itself.
+    """
+
+    def merge(existing, batch_df):
+        if existing is None:
+            return batch_df
+        return existing.unionByName(batch_df)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(
+            ann_index_delta(batch_df, cents, codebook, n_sub), batch_id, path, merge=merge
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_index_probe(
+    queries: DataFrame,
+    q_tall: DataFrame,
+    index: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve top-k from the COMMITTED D37 index: probe the query's
+    ``n_probe`` nearest cells (same 6dp argmax as ingest), gather
+    candidate vec_ids from the index's cell column, score them with
+    C130's ADC LUT algebra over the index's code rows, rank with the
+    (adc_d2, vec_id) tiebreak — byte-identical output contract to
+    batch ``ann_ivf_pq_topk``. The full vectors are NEVER read at
+    serve time: everything after the probe is LUT lookups on the
+    index's small integer codes — the IVFADC point."""
+    from ..functions.vectors import cosine
+    from ..operators.relational import r6
+    from ..operators.scale import partial_topk
+    from ..operators.vectors2 import _pq_d2
+    from pyspark.sql import Window
+
+    scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("c_vec"))).alias("c_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("c_id").asc())
+    probes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", F.col("c_id").alias("cell"))
+    )
+    idx_cells = index.select("vec_id", "cell").distinct()
+    cand = (
+        idx_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut = q_tall.join(
+        F.broadcast(codebook), F.col("q_sub") == F.col("c_sub")
+    ).select(
+        "q_id", F.col("q_sub").alias("sub"), "code", _pq_d2("qv", "cv").alias("lut_d2")
+    )
+    adc = (
+        cand.join(index.select("vec_id", "sub", "code"), "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
+    )
+    adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
+    wr = Window.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        adc_top.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+        )
+    )
+
+
+def stream_ann_index_readout(
+    spark,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    codes_per_sub: int = 16,
+) -> DataFrame:
+    """B141 (r10, VERDICT r9 task 4) — D37 as a driver-checkable
+    surface: freeze C149's quantizers from the training snapshot (the
+    embeddings table: first-k coarse centroids, md5 bottom-k
+    codebooks — exactly what batch ``ann_ivf_pq_topk`` derives), then
+    drain the corpus micro-batch by micro-batch through
+    ``stream_ann_index_maintenance`` (append-only quantized index
+    rows under the exactly-once versioned-commit protocol) and serve
+    the query set from the COMMITTED index with ``ann_index_probe``.
+    Every candidate's (cell, codes) row was written by whichever
+    micro-batch ingested that vector; the probe reads ONLY the index.
+    Equals batch C149 on the same frame, so it registers with its
+    DuckDB oracle verbatim (reference: the pandas lakehouse has no
+    streaming or ANN tier — capability parity target only).
+
+    This closes retrieval's incremental-ingest loop: B138 proved the
+    dedup index class (D19), this proves the serving ANN index (D37)
+    — at 100 TB the index is maintained state, never rebuilt; a new
+    shard of vectors pays one quantization pass and the serving path
+    is unchanged."""
+    import os
+
+    from functools import partial
+
+    from ..operators.similarity import _corpus
+    from ..operators.vectors2 import _pq_frames
+    from ..sources.registry import load_table
+
+    corpus = _corpus(spark, sf_dir)
+    cents = (
+        corpus.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+        .localCheckpoint(eager=True)
+    )
+    tall, codebook = _pq_frames(spark, sf_dir, n_sub, codes_per_sub)
+    codebook = codebook.localCheckpoint(eager=True)
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index = _stage_and_drain(
+        spark,
+        e,
+        f"d37:{os.path.abspath(sf_dir)}",
+        partial(
+            stream_ann_index_maintenance, cents=cents, codebook=codebook, n_sub=n_sub
+        ),
+        stage_key=f"embeddings:{os.path.abspath(sf_dir)}",
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    q_tall = tall.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("sub").alias("q_sub"), F.col("sv").alias("qv")
+    )
+    return ann_index_probe(queries, q_tall, index, cents, codebook, k, n_probe)
