@@ -1179,21 +1179,50 @@ def ivf_nprobe_recall_curve(
                 .select(id_col, F.col("c_id").alias("cell"), "crank")
             )
 
+        cells = assign(corpus, "vec_id", "vec", 1).localCheckpoint(eager=False)
         cell_sizes = (
-            assign(corpus, "vec_id", "vec", 1)
-            .groupBy("cell")
+            cells.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("sz"))
             .localCheckpoint(eager=False)
         )
         q_probes = assign(queries, "q_id", "q_vec", max(probes)).localCheckpoint(
             eager=False
         )
+        # score candidates ONCE at the max probe setting, tagged with
+        # the probe rank of their cell; each n_probe's result is then
+        # a filter + top-k over the same scored frame (r10: the r9
+        # form re-ran the full assignment + scoring inside
+        # ann_ivf_topk per probe setting — 8 corpus passes for a
+        # 2-pass question). Scoring is ann_ivf_topk's verbatim
+        # algebra (r6 cosine, (cos DESC, vec_id ASC) top-k), so the
+        # per-probe rows are unchanged.
+        from pyspark.sql import Window
+
+        cand_all = (
+            corpus.join(cells.select("vec_id", "cell"), "vec_id")
+            .join(F.broadcast(q_probes), "cell")
+            .join(F.broadcast(queries), "q_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                "crank",
+                r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        wk = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
         for np_ in probes:
-            approx = ann_ivf_topk(
-                spark, sf_dir, n_queries, k, n_centroids, n_probe=np_, centroids=cents
+            approx_k = (
+                cand_all.filter(F.col("crank") <= np_)
+                .withColumn("rank", F.row_number().over(wk))
+                .filter(F.col("rank") <= k)
+                .select("q_id", F.col("vec_id").alias("neighbor_id"))
             )
             hits = (
-                truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+                truth.join(approx_k, ["q_id", "neighbor_id"], "left_semi")
                 .agg(F.count(F.lit(1)).alias("n_hits"))
             )
             cand = (
