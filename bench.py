@@ -396,9 +396,11 @@ HEADLINE = [
     "stream_sessionize_readout",
     "stream_session_window_readout",
     "ann_ivf_pq_topk",
-    # r10 addition: the streaming serving-ANN index (D37 drain ==
-    # C149 batch on the ingested corpus)
+    # r10 additions: the streaming serving-ANN index (D37 drain ==
+    # C149 batch on the ingested corpus) and the curriculum loader
+    # plan (C106 phases x mixture policy)
     "stream_ann_index_readout",
+    "curriculum_mixture_plan",
 ]
 
 

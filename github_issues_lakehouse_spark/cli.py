@@ -337,6 +337,13 @@ def run_corpus(
         dedup_rate_mart(spark, sf_dir), str(out / "dedup_rate.csv"),
         sort_by=["source"],
     )
+    from .operators.chunking import curriculum_mixture_plan
+
+    sinks.export_csv_single(
+        curriculum_mixture_plan(spark, sf_dir),
+        str(out / "curriculum_mixture.csv"),
+        sort_by=["phase", "source"],
+    )
     q = quality_score(spark, sf_dir).select(
         "doc_id",
         F.least(F.floor(F.col("quality_score") * 20), F.lit(19))
@@ -403,7 +410,13 @@ def run_export(
     if corpus_dir is not None:
         cdir = out / "corpus"
         cdir.mkdir(parents=True, exist_ok=True)
-        for name in ("summary.csv", "source_mix.csv", "dedup_rate.csv", "quality_hist.csv"):
+        for name in (
+            "summary.csv",
+            "source_mix.csv",
+            "dedup_rate.csv",
+            "quality_hist.csv",
+            "curriculum_mixture.csv",
+        ):
             src = os.path.join(corpus_dir, name)
             if not os.path.exists(src):
                 raise FileNotFoundError(f"Missing {src} (run corpus first)")

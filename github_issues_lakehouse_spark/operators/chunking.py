@@ -621,6 +621,97 @@ def curriculum_plan(
     )
 
 
+def curriculum_mixture_plan(
+    spark: SparkSession, sf_dir: str, bucket_width_e6: int = 10_000
+) -> DataFrame:
+    """C150 (r10, VERDICT r9 task 8): the LOADER PLAN a curriculum
+    trainer actually consumes — C106's quality-quintile phases
+    CROSSED with C-tier's source-mixture policy, one row per
+    (phase, source) cell: exact doc/token mass, the cell's doc share
+    within its phase, the source's mixture-equalizing sampling
+    probability, and the expected post-sampling mass. A training run
+    streams phase 1..5 in recipe order, sampling each source at
+    `sample_prob` to flatten the domain mix; this table prices that
+    schedule up front (which phases are dominated by which sources,
+    and what survives the mixture correction).
+
+    Exactness: phase banding is C106's percentile_disc threshold
+    identity (a data value, never an interpolated double);
+    `sample_prob_ppm` = min(1e6, floor-ppm of target/src_docs) is
+    computed as ppm(total, n_sources*src_docs) in pure BIGINT (the
+    r6-double `source_mixing_weights.sample_prob` is the human mart;
+    this is its exact-integer twin so the composition hashes
+    engine-identically), and expected masses are plain BIGINT
+    products in doc/token-ppm units — no float anywhere.
+
+    Scale shape: per-doc scoring is map-side; thresholds come from
+    the bucketed two-level prefix sums (no whole-table sort, 1-row
+    broadcast); the cells table is 5 x sources rows; the mixture is
+    one tiny aggregate broadcast back. Raw text never shuffles.
+    """
+    from ..functions import textfns as X
+    from ..functions.exact import ppm_expr
+    from .relational import r6
+    from .relational6 import disc_quintile_thresholds
+
+    t = F.col("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_size(norm_tokens(t)).cast("long").alias("n_tokens"),
+        F.round(r6(X.quality_score(t)) * 1_000_000).cast("long").alias("q_e6"),
+    ).localCheckpoint(eager=False)
+    th = disc_quintile_thresholds(d, "q_e6", bucket_width_e6, "q")
+    q = F.col("q_e6").cast("decimal(28,2)")
+    phase = (
+        F.when(q >= F.col("q80"), 5)
+        .when(q >= F.col("q60"), 4)
+        .when(q >= F.col("q40"), 3)
+        .when(q >= F.col("q20"), 2)
+        .otherwise(1)
+    )
+    cells = (
+        d.join(F.broadcast(th))
+        .groupBy(phase.cast("long").alias("phase"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    phase_tot = cells.groupBy("phase").agg(F.sum("n_docs").alias("phase_docs"))
+    src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_docs"))
+        .select(
+            "source",
+            "src_docs",
+            F.sum("src_docs").over(Window.partitionBy()).alias("total"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+        )
+        .selectExpr(
+            "source",
+            "least(CAST(1000000 AS BIGINT), CAST("
+            + ppm_expr("total", "n_sources * src_docs")
+            + " AS BIGINT)) AS sample_prob_ppm",
+        )
+    )
+    return (
+        cells.join(phase_tot, "phase")
+        .join(F.broadcast(src), "source")
+        .selectExpr(
+            "phase",
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            f"CAST({ppm_expr('n_docs', 'phase_docs')} AS BIGINT) AS phase_doc_share_ppm",
+            "sample_prob_ppm",
+            "CAST(n_docs * sample_prob_ppm AS BIGINT) AS exp_docs_ppm",
+            "CAST(n_tokens * sample_prob_ppm AS BIGINT) AS exp_tokens_ppm",
+        )
+        .orderBy("phase", "source")
+    )
+
+
 def span_corruption_plan(
     spark: SparkSession,
     sf_dir: str,

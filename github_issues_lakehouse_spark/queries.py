@@ -986,6 +986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-checked surface (frozen quantizers, append-only
         # quantized index rows, probe-from-committed-state == C149)
         "stream_ann_index_readout": _stream_ann_index_readout,
+        # r10 addition #2 (VERDICT r9 task 8): the curriculum loader
+        # plan — C106's quality phases crossed with the exact-integer
+        # source-mixture policy, the (phase, source) schedule a
+        # curriculum trainer streams
+        "curriculum_mixture_plan": chunking.curriculum_mixture_plan,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2538,6 +2543,7 @@ FROM d GROUP BY 1
     # index rows then probes the committed state — drain == batch, so
     # the oracle IS C149's oracle verbatim
     out["stream_ann_index_readout"] = out["ann_ivf_pq_topk"]
+    out["curriculum_mixture_plan"] = _curriculum_mixture_oracle()
     return out
 
 
@@ -5696,6 +5702,54 @@ SELECT CAST(phase AS BIGINT) AS phase, CAST(n_docs AS BIGINT) AS n_docs,
   CAST({_ppm_sql('n_docs', 'n_all')} AS BIGINT) AS doc_share_ppm,
   CAST({_ppm_sql('n_tokens', 'tok_all')} AS BIGINT) AS token_share_ppm
 FROM agg CROSS JOIN tot ORDER BY phase
+"""
+
+
+def _curriculum_mixture_oracle() -> str:
+    """C150 twin: the curriculum oracle's RANGE-cumulative phase
+    identity (proven == the Spark threshold banding) joined back to
+    each doc's source, crossed with the exact-integer mixture policy
+    (sample_prob_ppm = min(1e6, floor-ppm of total over
+    n_sources*src_docs) — pure BIGINT, the r6-double mart's exact
+    twin)."""
+    prob = _ppm_sql("total", "n_sources * src_docs")
+    return f"""
+WITH q0 AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(round(quality_score * 1000000) AS BIGINT) AS q_e6
+  FROM ({_quality_oracle()}) qq
+),
+q AS (
+  SELECT q0.doc_id, dd.source, q0.n_tokens, q0.q_e6
+  FROM q0 JOIN documents dd USING (doc_id)
+),
+c AS (
+  SELECT *, count(*) OVER (ORDER BY q_e6 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    count(*) OVER () AS n
+  FROM q
+),
+ph AS (SELECT source, n_tokens, 1 + least(4, (5 * cum) // n) AS phase FROM c),
+cells AS (
+  SELECT phase, source, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM ph GROUP BY 1, 2
+),
+ptot AS (SELECT phase, sum(n_docs) AS phase_docs FROM cells GROUP BY 1),
+src0 AS (SELECT source, count(*) AS src_docs FROM documents GROUP BY 1),
+srct AS (SELECT sum(src_docs) AS total, count(*) AS n_sources FROM src0),
+src AS (
+  SELECT source,
+    least(CAST(1000000 AS BIGINT), CAST({prob} AS BIGINT)) AS sample_prob_ppm
+  FROM src0, srct
+)
+SELECT CAST(c.phase AS BIGINT) AS phase, c.source,
+  CAST(c.n_docs AS BIGINT) AS n_docs,
+  CAST(c.n_tokens AS BIGINT) AS n_tokens,
+  CAST({_ppm_sql('c.n_docs', 'p.phase_docs')} AS BIGINT) AS phase_doc_share_ppm,
+  s.sample_prob_ppm,
+  CAST(c.n_docs * s.sample_prob_ppm AS BIGINT) AS exp_docs_ppm,
+  CAST(c.n_tokens * s.sample_prob_ppm AS BIGINT) AS exp_tokens_ppm
+FROM cells c JOIN ptot p USING (phase) JOIN src s USING (source)
+ORDER BY phase, source
 """
 
 
