@@ -418,24 +418,32 @@ CONTENTION_RATIO = 1.5
 
 
 def _control_floor(samples: list[dict], sf_val=0.1) -> float:
-    """The control's reference floor: the baseline stamp if present
-    (quiet-window provenance), else the run's own best sample — a
-    fully-contended run then under-flags rather than mis-flags. The
-    stamp is an sf0.1 measurement, so it is only consulted at sf0.1:
-    at any other SF it would mis-scale every ratio (the r10 smoke at
-    sf0.001 read 6.6x on quiet windows against the 0.23s stamp)."""
-    floor = min((s["sec"] for s in samples), default=0.0)
+    """The control's reference: the MEDIAN of the run's own samples —
+    robust to one outlier-fast sample (a single 0.213s control in an
+    otherwise-0.33s quiet run once flagged 160 quiet lines against a
+    min() floor), and sub-second single-shot jitter (~±0.1s) stays
+    well inside the 1.5x cap around the median. To keep a FULLY
+    contended run from self-normalizing (its median is itself
+    inflated), the reference is clamped to 1.5x the quiet-window
+    baseline stamp when one exists — the stamp is an sf0.1
+    measurement, so it is only consulted at sf0.1 (at any other SF it
+    would mis-scale every ratio: the r10 smoke at sf0.001 read 6.6x
+    on quiet windows against the 0.23s stamp)."""
+    secs = sorted(s["sec"] for s in samples)
+    if not secs:
+        return 0.0
+    ref = secs[len(secs) // 2]
     if sf_val != 0.1:
-        return floor
+        return ref
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
         ) as f:
             base = json.load(f)[CONTROL_QUERY]["sec"]
-        floor = min(floor, base) if floor else base
+        ref = min(ref, 1.5 * base)
     except (OSError, KeyError, ValueError):
         pass
-    return floor
+    return ref
 
 
 def _annotate_contention(

@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -41,22 +43,29 @@ def test_annotate_contention_degenerate_inputs():
     assert _annotate_contention(["a"], [{"pos": 0, "sec": 1.0}], 0.0) == ({}, [])
 
 
-def test_control_floor_prefers_quieter_of_baseline_and_run(tmp_path, monkeypatch):
+def test_control_reference_is_median_clamped_by_stamp(tmp_path, monkeypatch):
     import bench
 
-    # floor is min(run best, baseline stamp): a contended run must not
-    # raise its own floor and under-flag
     monkeypatch.setattr(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     (tmp_path / "BASELINE_QUERIES.json").write_text(
         json.dumps({bench.CONTROL_QUERY: {"sec": 0.4, "round": "r1"}})
     )
-    floor = bench._control_floor([{"pos": 0, "sec": 1.2}, {"pos": 10, "sec": 0.9}])
-    assert floor == 0.4
-    # no baseline file: the run's own best sample
+    # one outlier-fast sample must NOT become the reference (the r10
+    # 0.213s-floor incident: 160 quiet lines mis-flagged); the median
+    # of a quiet run is
+    quiet = [{"pos": p, "sec": s} for p, s in ((0, 0.21), (10, 0.33), (20, 0.34))]
+    assert bench._control_floor(quiet) == 0.33
+    # a fully-contended run cannot self-normalize: median 1.2 clamps
+    # to 1.5x the 0.4s quiet stamp
+    hot = [{"pos": p, "sec": s} for p, s in ((0, 1.1), (10, 1.2), (20, 1.3))]
+    assert bench._control_floor(hot) == pytest.approx(0.6)
+    # no baseline file: the plain median
     (tmp_path / "BASELINE_QUERIES.json").unlink()
-    assert bench._control_floor([{"pos": 0, "sec": 1.2}, {"pos": 10, "sec": 0.9}]) == 0.9
+    assert bench._control_floor(hot) == 1.2
+    # non-sf0.1 never consults the stamp
+    assert bench._control_floor(quiet, sf_val=0.001) == 0.33
 
 
 def test_regress_bench_quotes_contended_flags(tmp_path):
