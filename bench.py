@@ -401,6 +401,9 @@ HEADLINE = [
     # plan (C106 phases x mixture policy)
     "stream_ann_index_readout",
     "curriculum_mixture_plan",
+    # r10 addition #3: the streaming source-mixture readout (D38
+    # drain == C28 batch over the ingested corpus)
+    "stream_mixture_readout",
 ]
 
 

@@ -626,6 +626,12 @@ def _stream_ann_index_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ann_index_readout(spark, sf_dir)
 
 
+def _stream_mixture_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import stream_mixture_readout
+
+    return stream_mixture_readout(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A. lakehouse parity (r1: pass, cheap — keep up front as smoke)
@@ -991,6 +997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source-mixture policy, the (phase, source) schedule a
         # curriculum trainer streams
         "curriculum_mixture_plan": chunking.curriculum_mixture_plan,
+        # r10 addition #3: D38's streaming source-mixture maintenance
+        # as a driver-checked surface (additive per-source counts
+        # behind the exactly-once guard; mixture policy derived from
+        # committed state == batch C28)
+        "stream_mixture_readout": _stream_mixture_readout,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2544,6 +2555,11 @@ FROM d GROUP BY 1
     # the oracle IS C149's oracle verbatim
     out["stream_ann_index_readout"] = out["ann_ivf_pq_topk"]
     out["curriculum_mixture_plan"] = _curriculum_mixture_oracle()
+    # r10: the D38 streaming mixture readout drains additive
+    # per-source counts then applies C28's finalize over the
+    # committed state — drain == batch, so the oracle IS C28's
+    # oracle verbatim
+    out["stream_mixture_readout"] = out["source_mixing_weights"]
     return out
 
 

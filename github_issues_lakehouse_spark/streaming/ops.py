@@ -2528,3 +2528,99 @@ def stream_ann_index_readout(
         F.col("vec_id").alias("q_id"), F.col("sub").alias("q_sub"), F.col("sv").alias("qv")
     )
     return ann_index_probe(queries, q_tall, index, cents, codebook, k, n_probe)
+
+
+def mixture_delta(batch_df: DataFrame) -> DataFrame:
+    """Per-source document counts of ONE micro-batch — the additive
+    delta ``stream_mixture_maintenance`` folds. Counts are the only
+    state the mixture policy needs; shares/weights are derived at
+    read time (they are ratios of the folded totals, not foldable
+    themselves)."""
+    return batch_df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def stream_mixture_maintenance(docs: DataFrame, path: str, checkpoint: str):
+    """D38: streaming source-mixture maintenance — each micro-batch
+    of arriving documents folds its per-source counts into the stored
+    O(sources) state by ADDITIVE SUM under the exactly-once
+    versioned-commit protocol (the D12/D13 mergeable class: counts
+    over a disjoint batch partition sum to counts over the whole, so
+    micro-batch boundaries and arrival order cannot move the state,
+    and the batch_id guard makes an at-least-once redelivery a
+    no-op). After draining, the committed state equals the batch
+    per-source counts over every document ingested — the corpus-scale
+    input to the mixture policy maintained at per-batch cost, never a
+    history rescan. Read with ``read_mart``. Returns the query."""
+
+    def merge(existing, batch_df):
+        delta = mixture_delta(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("source")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mart_fold_batch(batch_df, batch_id, path, merge=merge)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mixture_from_counts(per_source: DataFrame) -> DataFrame:
+    """C28's mixture policy over a committed per-source count state:
+    share of the corpus, the up/down-sampling weight that equalizes
+    the mixture, and the capped sampling probability. Mirrors
+    ``operators.text2.source_mixing_weights``'s finalize verbatim
+    (kept separate so the batch registry function stays
+    byte-identical to its driver-hashed form); the state is
+    O(sources), so the single-partition window is a few rows."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import r6
+
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    target = total / n_sources
+    return per_source.select(
+        "source",
+        "n_docs",
+        r6(F.col("n_docs") / total).alias("share"),
+        r6(target / F.col("n_docs")).alias("weight"),
+        r6(F.least(F.lit(1.0), target / F.col("n_docs"))).alias("sample_prob"),
+    )
+
+
+def stream_mixture_readout(spark, sf_dir: str) -> DataFrame:
+    """B142 (r10) — D38 as a driver-checkable surface: drain the
+    documents stream through ``stream_mixture_maintenance`` (additive
+    per-source counts behind the exactly-once guard) and derive the
+    mixture policy from the COMMITTED O(sources) state. Equals batch
+    ``source_mixing_weights`` exactly (counts over disjoint batches
+    sum to corpus counts; the finalize is the same ratio algebra), so
+    it registers with C28's oracle verbatim — the mixture knob a
+    continuously-ingesting training-data pipeline reads without ever
+    rescanning the corpus (reference: the pandas lakehouse is
+    batch-only; capability parity target)."""
+    import os
+
+    from ..sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    state = _stage_and_drain(
+        spark,
+        docs,
+        f"d38:{os.path.abspath(sf_dir)}",
+        stream_mixture_maintenance,
+        stage_key=f"docs_source:{os.path.abspath(sf_dir)}",
+    )
+    return mixture_from_counts(state)

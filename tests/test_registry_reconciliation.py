@@ -92,6 +92,8 @@ def test_driver_priority_prefix_is_the_evidence_queue():
     # New r10 keys must not jump the refresh queue.
     r10_keys = {
         "stream_ann_index_readout",
+        "curriculum_mixture_plan",
+        "stream_mixture_readout",
     }
     present = r10_keys & set(queries)
     assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
