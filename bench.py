@@ -404,6 +404,10 @@ HEADLINE = [
     # r10 addition #3: the streaming source-mixture readout (D38
     # drain == C28 batch over the ingested corpus)
     "stream_mixture_readout",
+    # r10 additions #4-5: filtered vector search (pre-filter pushed
+    # into IVF probing) and greedy facility-location selection
+    "ann_filtered_topk",
+    "facility_location_selection",
 ]
 
 

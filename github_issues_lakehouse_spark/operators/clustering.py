@@ -323,3 +323,112 @@ def cluster_mixing_weights(
         r6(target / F.col("n_vecs")).alias("weight"),
         r6(F.least(F.lit(1.0), target / F.col("n_vecs"))).alias("sample_prob"),
     )
+
+
+def facility_location_selection(
+    spark: SparkSession, sf_dir: str, k: int = 8, pool: int = 64
+) -> DataFrame:
+    """C152 (r10): greedy facility-location data selection — the
+    submodular-coverage coreset picker (Mirzasoleiman et al.'s
+    CRAIG / coreset line): from a bounded candidate ``pool``, pick
+    ``k`` vectors one at a time, each maximizing the MARGINAL
+    coverage gain sum_v max(cov(v), sim(v,c)) - sum_v cov(v), where
+    cov(v) is how well corpus vector v is already represented by the
+    selected set. The classic diverse-representatives selection a
+    training pipeline runs to seed curricula, pick prototype docs,
+    or budget an annotation round — diminishing returns are the
+    contract (gains are monotonically non-increasing, pinned by the
+    wave test).
+
+    Determinism/oracle: similarities are frozen to BIGINT
+    sim_e6 = greatest(round(r6(cosine) * 1e6), 0) before ANY sum —
+    coverage totals are integer folds, immune to float summation
+    order (the EWMA/FMA lesson); negative cosines clamp to zero so
+    "covered not at all" is the floor. Argmax tiebreaks on
+    candidate id; the DuckDB twin unrolls the identical k greedy
+    rounds (the C33 pattern).
+
+    Plan/scale: the (pool x corpus) sim frame is ONE broadcast
+    nested-loop pass, localCheckpointed and re-aggregated per round
+    — k linear passes total, coverage joined at vec_id grain; the
+    per-round argmax is a bounded ONE-ROW collect (the
+    markov/k-means documented driver-fold class: the greedy
+    recurrence is inherently sequential in k, and k is a knob, not
+    data-sized). Coverage-after-pick is prev + gain (the marginal
+    identity), so no extra pass. At 100x corpus the sim frame and
+    every aggregate stay linear; pool and k do not grow with data.
+
+    Output per step: (step, vec_id, gain_e6, coverage_e6).
+    """
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    cand = corpus.filter(F.col("vec_id") < pool).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(cand))
+        .select(
+            "vec_id",
+            "c_id",
+            F.greatest(
+                F.round(r6(cosine(F.col("vec"), F.col("c_vec"))) * 1e6, 0).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sim_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    picked: list[tuple[int, int, int, int]] = []
+    picked_ids: list[int] = []
+    coverage = 0
+    cov = None  # (vec_id, cov_e6) after the latest pick
+    for step in range(1, k + 1):
+        base = sims if not picked_ids else sims.filter(
+            ~F.col("c_id").isin(picked_ids)
+        )
+        if cov is None:
+            gains = base.groupBy("c_id").agg(
+                F.sum("sim_e6").cast("long").alias("gain_e6")
+            )
+        else:
+            gains = (
+                base.join(cov, "vec_id", "left")
+                .select(
+                    "c_id",
+                    F.greatest(
+                        F.col("sim_e6") - F.coalesce("cov_e6", F.lit(0)),
+                        F.lit(0).cast("long"),
+                    ).alias("inc"),
+                )
+                .groupBy("c_id")
+                .agg(F.sum("inc").cast("long").alias("gain_e6"))
+            )
+        # bounded one-row collect: the greedy argmax of this round
+        best = gains.orderBy(
+            F.col("gain_e6").desc(), F.col("c_id").asc()
+        ).first()
+        coverage += int(best["gain_e6"])
+        picked.append((step, int(best["c_id"]), int(best["gain_e6"]), coverage))
+        picked_ids.append(int(best["c_id"]))
+        cov = (
+            sims.filter(F.col("c_id").isin(picked_ids))
+            .groupBy("vec_id")
+            .agg(F.max("sim_e6").alias("cov_e6"))
+            .localCheckpoint(eager=True)
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("gain_e6", T.LongType()),
+            T.StructField("coverage_e6", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(picked, schema)

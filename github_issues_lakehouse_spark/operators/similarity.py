@@ -1624,3 +1624,116 @@ def ann_ivf_pq_topk(
             "adc_d2",
         )
     )
+
+
+def ann_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+) -> DataFrame:
+    """C151 (r10): FILTERED vector search — top-k under a metadata
+    predicate (neighbors must share the query's ``label``), the
+    production problem every serving ANN index eventually hits
+    (multi-tenant isolation, language/split/freshness constraints).
+
+    Strategy is PRE-filtering: the predicate is evaluated against the
+    index's METADATA rows (vec_id, label, cell) during candidate
+    generation, BEFORE any full vector is read or any distance is
+    computed — the survivors alone fetch vectors for exact scoring.
+    The alternative (POST-filtering: take the unfiltered top-k, then
+    drop non-matching rows) silently returns fewer than k — or zero —
+    results whenever the filter is selective, because the k slots are
+    spent on vectors the predicate then discards; the wave test pins
+    the dominance (post-filter survivors are always a subset of this
+    operator's result set on the same probed cells). ``n_probe``
+    defaults one cell higher than C9's unfiltered default — probing
+    wider is the standard compensation for filter selectivity
+    shrinking each cell's eligible population.
+
+    At 100 TB the metadata join is the index's own columns (label
+    rides in the posting list / is a partition column), so the
+    filter prunes postings before the vector fetch — never a scan of
+    the vector payload. Cosines are 6dp-rounded before ranking (the
+    proven C9 discipline), ties break on vec_id: hash-exact across
+    engines.
+
+    Output per (q_id, rank): neighbor_id, cos_sim, and the shared
+    label for audit.
+    """
+    from pyspark.sql import Window
+
+    from .scale import partial_topk
+
+    corpus = _corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def assign(df, id_col, vec_col, keep_rank):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "c_id",
+            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_sim").desc(), F.col("c_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep_rank)
+            .select(id_col, F.col("c_id").alias("cell"))
+        )
+
+    # the index's metadata rows: (vec_id, label, cell) — no vectors
+    meta = corpus.select("vec_id", "label").join(
+        assign(corpus, "vec_id", "vec", 1), "vec_id"
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    probes = assign(queries, "q_id", "q_vec", n_probe)
+    # predicate pushed into candidate generation: probes x metadata
+    # only — a vector lives in exactly one cell and probe cells are
+    # distinct, so (q_id, vec_id) is unique without a dropDuplicates
+    survivors = (
+        meta.join(F.broadcast(probes), "cell")
+        .join(
+            F.broadcast(queries.select("q_id", "q_label")), "q_id"
+        )
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .select("q_id", "vec_id", "label")
+    )
+    # only survivors fetch vectors for exact scoring
+    scored = (
+        survivors.join(corpus.select("vec_id", "vec"), "vec_id")
+        .join(F.broadcast(queries.select("q_id", "q_vec")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
+            "label",
+        )
+    )
+    top = partial_topk(scored, ["q_id"], "cos_sim", "vec_id", k, ascending=False)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            "label",
+        )
+    )

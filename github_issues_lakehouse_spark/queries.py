@@ -1002,6 +1002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behind the exactly-once guard; mixture policy derived from
         # committed state == batch C28)
         "stream_mixture_readout": _stream_mixture_readout,
+        # r10 addition #4: filtered vector search — the metadata
+        # predicate pushed into IVF candidate generation (pre-filter;
+        # survivors alone fetch vectors for exact scoring)
+        "ann_filtered_topk": similarity.ann_filtered_topk,
+        # r10 addition #5: greedy facility-location data selection —
+        # submodular coverage coreset (e6-integer coverage folds,
+        # k unrolled greedy rounds, oracle = the C33 pattern)
+        "facility_location_selection": clustering.facility_location_selection,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2560,6 +2568,12 @@ FROM d GROUP BY 1
     # committed state — drain == batch, so the oracle IS C28's
     # oracle verbatim
     out["stream_mixture_readout"] = out["source_mixing_weights"]
+    # r10: filtered vector search — C9's probing algebra with the
+    # label predicate at candidate (metadata) grain
+    out["ann_filtered_topk"] = _ann_filtered_oracle()
+    # r10: greedy facility-location selection — k unrolled rounds,
+    # integer coverage algebra (the C33 unrolled-iteration pattern)
+    out["facility_location_selection"] = _facility_location_oracle()
     return out
 
 
@@ -3951,6 +3965,124 @@ ranked AS (
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _ann_filtered_oracle(
+    n_queries: int = 8, k: int = 5, n_centroids: int = 16, n_probe: int = 3
+) -> str:
+    """Filtered-search twin (C151): C9's cell/probe CTEs with the
+    label predicate applied at candidate grain (metadata rows only —
+    the pre-filter strategy), exact scoring of the survivors."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS c_vec FROM c WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, c_id, {cos.format(a="v", b="c_vec")} AS c_sim
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM c WHERE vec_id < {n_queries}),
+qassign AS (
+  SELECT q_id, c_id, {cos.format(a="q_vec", b="c_vec")} AS c_sim
+  FROM q, cents
+),
+probes AS (
+  SELECT q_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+    FROM qassign) WHERE rn <= {n_probe}
+),
+survivors AS (
+  SELECT p.q_id, cc.vec_id, cv.label
+  FROM probes p JOIN cells cc ON p.cell = cc.cell
+  JOIN c cv ON cc.vec_id = cv.vec_id
+  JOIN q ON p.q_id = q.q_id
+  WHERE cc.vec_id <> p.q_id AND cv.label = q.q_label
+),
+scored AS (
+  SELECT s.q_id, s.vec_id, {cos.format(a="q.q_vec", b="cv.v")} AS cos_sim, s.label
+  FROM survivors s JOIN q ON s.q_id = q.q_id JOIN c cv ON s.vec_id = cv.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _facility_location_oracle(k: int = 8, pool: int = 64) -> str:
+    """Facility-location twin (C152): the k greedy rounds unrolled as
+    CTE chains (the C33 pattern) — identical e6-frozen integer
+    coverage algebra, (gain DESC, c_id ASC) argmax per round, each
+    round's pick and coverage MATERIALIZED so the planner never
+    inlines the recurrence."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sim = cos.format(a="v.vec", b="c.c_vec")
+    ctes = [
+        "corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"cand AS (SELECT vec_id AS c_id, vec AS c_vec FROM corpus WHERE vec_id < {pool})",
+        f"""sims AS MATERIALIZED (
+  SELECT v.vec_id, c.c_id,
+    greatest(CAST(round({sim} * 1000000) AS BIGINT), CAST(0 AS BIGINT)) AS sim_e6
+  FROM corpus v CROSS JOIN cand c
+)""",
+    ]
+    for s in range(1, k + 1):
+        if s == 1:
+            ctes.append(
+                "g1 AS (SELECT c_id, CAST(sum(sim_e6) AS BIGINT) AS gain FROM sims GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"""g{s} AS (
+  SELECT s.c_id,
+    CAST(sum(greatest(s.sim_e6 - coalesce(c.cov_e6, 0), 0)) AS BIGINT) AS gain
+  FROM sims s LEFT JOIN cov{s - 1} c USING (vec_id)
+  WHERE s.c_id NOT IN (SELECT c_id FROM sel{s - 1})
+  GROUP BY 1
+)"""
+            )
+        ctes.append(
+            f"p{s} AS MATERIALIZED (SELECT c_id, gain FROM g{s} ORDER BY gain DESC, c_id ASC LIMIT 1)"
+        )
+        if s == 1:
+            ctes.append("sel1 AS (SELECT c_id FROM p1)")
+        else:
+            ctes.append(
+                f"sel{s} AS (SELECT c_id FROM sel{s - 1} UNION ALL SELECT c_id FROM p{s})"
+            )
+        if s < k:
+            ctes.append(
+                f"""cov{s} AS MATERIALIZED (
+  SELECT vec_id, max(sim_e6) AS cov_e6 FROM sims
+  WHERE c_id IN (SELECT c_id FROM sel{s}) GROUP BY 1
+)"""
+            )
+    steps = "\nUNION ALL ".join(
+        f"SELECT {s} AS step, c_id, gain FROM p{s}" for s in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+steps AS ({steps})
+SELECT CAST(step AS INT) AS step, c_id AS vec_id, gain AS gain_e6,
+  CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS coverage_e6
+FROM steps ORDER BY step
+"""
+    )
 
 
 def _clusters_oracle() -> str:

@@ -1,0 +1,120 @@
+"""Round-10 wave 6: C151 `ann_filtered_topk` — filtered vector
+search with the predicate pushed into IVF candidate generation
+(pre-filter), and the dominance property over post-filtering."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+SF_DIR = "/root/testdata/sf0.001"
+
+N_PROBE = 3
+K = 5
+
+
+def test_filtered_topk_respects_the_predicate(spark):
+    """Every returned neighbor shares the query's label, never the
+    query itself; ranks are contiguous from 1 per query."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _corpus,
+        ann_filtered_topk,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _corpus(spark, SF_DIR).select("vec_id", "label").collect()
+    }
+    rows = ann_filtered_topk(spark, SF_DIR, k=K, n_probe=N_PROBE).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] != r["q_id"]
+        assert r["label"] == labels[r["q_id"]]
+        assert r["label"] == labels[r["neighbor_id"]]
+        per_q[r["q_id"]].append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_prefilter_dominates_postfilter(spark):
+    """The production argument for pre-filtering, pinned: take the
+    UNFILTERED IVF top-k over the same probed cells, then drop rows
+    that violate the predicate (post-filtering). Every surviving row
+    scores a within-label candidate the pre-filter search also
+    scored, so it must appear in the pre-filter top-k — and the
+    pre-filter result is never smaller (its k slots are spent only
+    on eligible candidates)."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        _corpus,
+        ann_filtered_topk,
+        ann_ivf_topk,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _corpus(spark, SF_DIR).select("vec_id", "label").collect()
+    }
+    pre = defaultdict(set)
+    for r in ann_filtered_topk(spark, SF_DIR, k=K, n_probe=N_PROBE).collect():
+        pre[r["q_id"]].add(r["neighbor_id"])
+    post = defaultdict(set)
+    for r in ann_ivf_topk(spark, SF_DIR, k=K, n_probe=N_PROBE).collect():
+        if labels[r["neighbor_id"]] == labels[r["q_id"]]:
+            post[r["q_id"]].add(r["neighbor_id"])
+    assert pre, "no pre-filter results at all"
+    for q, post_set in post.items():
+        assert post_set <= pre[q], f"post-filter found a neighbor pre missed (q={q})"
+        assert len(pre[q]) >= len(post_set)
+    # the dominance must be strict somewhere on this corpus, or the
+    # filter is vacuous and the test proves nothing
+    assert any(len(pre[q]) > len(post.get(q, set())) for q in pre)
+
+
+def test_facility_location_greedy_properties(spark):
+    """Submodularity in action: marginal gains are monotonically
+    non-increasing, coverage is the running sum of gains, picks are
+    distinct pool members, and step 1 is the argmax of total clamped
+    similarity (python recompute)."""
+    import numpy as np
+
+    from github_issues_lakehouse_spark.operators.clustering import (
+        facility_location_selection,
+    )
+    from github_issues_lakehouse_spark.sources.registry import load_table
+
+    rows = facility_location_selection(spark, SF_DIR, k=8, pool=64).collect()
+    assert [r["step"] for r in rows] == list(range(1, 9))
+    gains = [r["gain_e6"] for r in rows]
+    assert gains == sorted(gains, reverse=True), "gains must be non-increasing"
+    cov = 0
+    for r in rows:
+        cov += r["gain_e6"]
+        assert r["coverage_e6"] == cov
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(v < 64 for v in ids)
+
+    # python recompute of the full greedy walk on the exact algebra
+    e = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    def sim_e6(a, b):
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return max(int(round(round(c, 6) * 1e6)), 0)
+    pool_ids = sorted(v for v in vecs if v < 64)
+    sims = {
+        c: np.array([sim_e6(vecs[v], vecs[c]) for v in sorted(vecs)], dtype=np.int64)
+        for c in pool_ids
+    }
+    covv = np.zeros(len(vecs), dtype=np.int64)
+    picked = []
+    for step in range(8):
+        best = None
+        for c in pool_ids:
+            if c in picked:
+                continue
+            g = int(np.maximum(sims[c] - covv, 0).sum())
+            if best is None or g > best[1] or (g == best[1] and c < best[0]):
+                best = (c, g)
+        picked.append(best[0])
+        covv = np.maximum(covv, sims[best[0]])
+        r = rows[step]
+        assert (r["vec_id"], r["gain_e6"]) == best, f"step {step + 1} diverges"

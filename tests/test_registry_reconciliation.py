@@ -94,6 +94,8 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "stream_ann_index_readout",
         "curriculum_mixture_plan",
         "stream_mixture_readout",
+        "ann_filtered_topk",
+        "facility_location_selection",
     }
     present = r10_keys & set(queries)
     assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
