@@ -408,6 +408,9 @@ HEADLINE = [
     # into IVF probing) and greedy facility-location selection
     "ann_filtered_topk",
     "facility_location_selection",
+    # r10 additions #6-7: their quality/pricing audit twins
+    "filtered_ann_recall_at_k",
+    "selection_coverage_audit",
 ]
 
 

@@ -432,3 +432,70 @@ def facility_location_selection(
         ]
     )
     return spark.createDataFrame(picked, schema)
+
+
+def selection_coverage_audit(
+    spark: SparkSession, sf_dir: str, k: int = 8, pool: int = 64
+) -> DataFrame:
+    """C154 (r10): prices C152's greedy — facility-location coverage
+    at every step vs the no-optimization baseline (taking the first
+    ``step`` pool candidates in id order, the same no-RNG stand-in
+    the IVF/PQ tiers use as their untrained geometry). The audit that
+    justifies paying k sequential rounds instead of a blind prefix:
+    lift_ppm = floor(greedy_coverage * 1e6 / baseline_coverage) per
+    step, exact BIGINT via the two-level remainder split (safe while
+    coverage < ~9.2e15, i.e. corpora to ~9e9 vectors at e6 scale —
+    the ``ppm_expr`` contract).
+
+    Baseline coverage per step is ONE pass: running max of sim_e6
+    per corpus vector over the id-ordered candidate prefix (a
+    k-row window per vector), summed per prefix length. Greedy
+    coverage comes from C152's own walk (its marginal-gain identity,
+    not recomputed).
+    """
+    from ..functions.exact import ppm_expr
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    cand = corpus.filter(F.col("vec_id") < pool).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    # the baseline prefix: first k pool candidates in id order
+    wc = Window.partitionBy().orderBy(F.col("c_id").asc())
+    prefix = (
+        cand.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= k)
+        .select("c_id", "c_vec", "crank")
+    )
+    sims = corpus.crossJoin(F.broadcast(prefix)).select(
+        "vec_id",
+        "crank",
+        F.greatest(
+            F.round(r6(cosine(F.col("vec"), F.col("c_vec"))) * 1e6, 0).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("sim_e6"),
+    )
+    wv = (
+        Window.partitionBy("vec_id")
+        .orderBy("crank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    baseline = (
+        sims.withColumn("cov_e6", F.max("sim_e6").over(wv))
+        .groupBy(F.col("crank").cast("int").alias("step"))
+        .agg(F.sum("cov_e6").cast("long").alias("baseline_coverage_e6"))
+    )
+    greedy = facility_location_selection(spark, sf_dir, k, pool).select(
+        "step", F.col("coverage_e6").alias("greedy_coverage_e6")
+    )
+    return (
+        greedy.join(baseline, "step")
+        .withColumn(
+            "lift_ppm",
+            F.expr(ppm_expr("greedy_coverage_e6", "baseline_coverage_e6")).cast(
+                "long"
+            ),
+        )
+        .orderBy("step")
+    )

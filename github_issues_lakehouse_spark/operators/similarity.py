@@ -1737,3 +1737,67 @@ def ann_filtered_topk(
             "label",
         )
     )
+
+
+def filtered_ann_recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """C153 (r10): recall@k of the FILTERED search tier (C151's
+    pre-filter IVF) against the exact FILTERED brute force — the
+    quality loop the unfiltered tiers already have (C26/C58),
+    extended to the constrained case, where recall is structurally
+    harder: the true within-label top-k may live in cells the probe
+    never visits, and post-filter designs can't even see the loss
+    because they under-return instead. Both sides share C151's
+    eligibility rule (same label, never self), so the measurement
+    isolates PROBING loss, not predicate differences.
+
+    Truth is one broadcast-queries pass over the corpus with the
+    predicate applied before scoring (map-side ``partial_topk``
+    bounds per-task memory, the C7 discipline); the join is on tiny
+    top-k sets.
+    """
+    from pyspark.sql import Window
+
+    from .scale import partial_topk
+
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos_sim"),
+        )
+    )
+    top = partial_topk(scored, ["q_id"], "cos_sim", "vec_id", k, ascending=False)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    approx = ann_filtered_topk(spark, sf_dir, n_queries, k, n_probe=n_probe)
+    hits = truth.join(approx, ["q_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        r6(F.coalesce("n_hits", F.lit(0)) / float(k)).alias("recall"),
+    )

@@ -1010,6 +1010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # submodular coverage coreset (e6-integer coverage folds,
         # k unrolled greedy rounds, oracle = the C33 pattern)
         "facility_location_selection": clustering.facility_location_selection,
+        # r10 additions #6-7: the quality/pricing audits of #4-5 —
+        # recall of the filtered tier vs exact filtered truth, and
+        # the greedy's coverage lift vs the id-ordered prefix
+        "filtered_ann_recall_at_k": similarity.filtered_ann_recall_at_k,
+        "selection_coverage_audit": clustering.selection_coverage_audit,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2574,6 +2579,11 @@ FROM d GROUP BY 1
     # r10: greedy facility-location selection — k unrolled rounds,
     # integer coverage algebra (the C33 unrolled-iteration pattern)
     out["facility_location_selection"] = _facility_location_oracle()
+    # r10: the quality/pricing audits of the two keys above —
+    # filtered recall vs exact filtered truth, greedy coverage lift
+    # vs the id-ordered baseline prefix
+    out["filtered_ann_recall_at_k"] = _filtered_ann_recall_oracle()
+    out["selection_coverage_audit"] = _selection_coverage_oracle()
     return out
 
 
@@ -4083,6 +4093,84 @@ SELECT CAST(step AS INT) AS step, c_id AS vec_id, gain AS gain_e6,
 FROM steps ORDER BY step
 """
     )
+
+
+def _filtered_ann_recall_oracle(
+    n_queries: int = 8, k: int = 5, n_probe: int = 3
+) -> str:
+    """Filtered-recall twin (C153): exact filtered brute force and
+    C151's pre-filter oracle as subqueries; recall = |truth ∩
+    approx| / k per query. Both outer CTEs stay unmaterialized —
+    their nested WITHs share names (the DuckDB shadowed-CTE trap)."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH bf AS (
+  WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+  q AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM c WHERE vec_id < {n_queries}),
+  scored AS (
+    SELECT q.q_id, c.vec_id, {cos.format(a="q.q_vec", b="c.v")} AS cos_sim
+    FROM q JOIN c ON c.label = q.q_label AND c.vec_id <> q.q_id
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+  )
+  SELECT q_id, vec_id AS neighbor_id FROM ranked WHERE rank <= {k}
+),
+fa AS ({_ann_filtered_oracle(n_queries, k, 16, n_probe)})
+SELECT bf.q_id,
+  CAST(count(fa.neighbor_id) AS BIGINT) AS n_hits,
+  round(count(fa.neighbor_id) / {float(k)}, 6) AS recall
+FROM bf LEFT JOIN fa
+  ON bf.q_id = fa.q_id AND bf.neighbor_id = fa.neighbor_id
+GROUP BY 1
+"""
+
+
+def _selection_coverage_oracle(k: int = 8, pool: int = 64) -> str:
+    """Coverage-audit twin (C154): C152's unrolled greedy as a
+    subquery beside the id-ordered baseline prefix (running max per
+    vector over the candidate prefix, summed per prefix length);
+    lift in exact floor-ppm. Outer CTE names are disjoint from the
+    greedy subquery's nested names (the shadowed-CTE trap)."""
+    from .functions.exact import ppm_sql
+
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sim = cos.format(a="v.vec", b="p.c_vec")
+    return f"""
+WITH greedy AS ({_facility_location_oracle(k, pool)}),
+bcorpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+bprefix AS (
+  SELECT c_id, c_vec, crank FROM (
+    SELECT vec_id AS c_id, vec AS c_vec,
+      row_number() OVER (ORDER BY vec_id ASC) AS crank
+    FROM bcorpus WHERE vec_id < {pool}
+  ) WHERE crank <= {k}
+),
+bsims AS (
+  SELECT v.vec_id, p.crank,
+    greatest(CAST(round({sim} * 1000000) AS BIGINT), CAST(0 AS BIGINT)) AS sim_e6
+  FROM bcorpus v CROSS JOIN bprefix p
+),
+brun AS (
+  SELECT vec_id, crank,
+    max(sim_e6) OVER (PARTITION BY vec_id ORDER BY crank ROWS UNBOUNDED PRECEDING) AS cov_e6
+  FROM bsims
+),
+baseline AS (
+  SELECT CAST(crank AS INT) AS step, CAST(sum(cov_e6) AS BIGINT) AS baseline_coverage_e6
+  FROM brun GROUP BY 1
+)
+SELECT g.step, g.coverage_e6 AS greedy_coverage_e6, b.baseline_coverage_e6,
+  CAST({ppm_sql("g.coverage_e6", "b.baseline_coverage_e6")} AS BIGINT) AS lift_ppm
+FROM greedy g JOIN baseline b USING (step) ORDER BY step
+"""
 
 
 def _clusters_oracle() -> str:

@@ -118,3 +118,38 @@ def test_facility_location_greedy_properties(spark):
         covv = np.maximum(covv, sims[best[0]])
         r = rows[step]
         assert (r["vec_id"], r["gain_e6"]) == best, f"step {step + 1} diverges"
+
+
+def test_filtered_recall_monotone_in_probes(spark):
+    """More probes can only widen the candidate set, so filtered
+    recall@k is monotone in n_probe; recall stays in [0, 1]."""
+    from github_issues_lakehouse_spark.operators.similarity import (
+        filtered_ann_recall_at_k,
+    )
+
+    def total(n_probe):
+        rows = filtered_ann_recall_at_k(spark, SF_DIR, k=K, n_probe=n_probe).collect()
+        assert all(0 <= r["n_hits"] <= K for r in rows)
+        assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+        return sum(r["n_hits"] for r in rows)
+
+    assert total(1) <= total(3) <= total(8)
+
+
+def test_selection_coverage_audit_structure(spark):
+    """Greedy's first pick is provably at least the baseline's first
+    pick (argmax beats any single candidate); both coverage columns
+    are monotone; lift is exact floor-ppm of the two BIGINTs."""
+    from github_issues_lakehouse_spark.operators.clustering import (
+        selection_coverage_audit,
+    )
+
+    rows = selection_coverage_audit(spark, SF_DIR, k=8, pool=64).collect()
+    assert [r["step"] for r in rows] == list(range(1, 9))
+    assert rows[0]["greedy_coverage_e6"] >= rows[0]["baseline_coverage_e6"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["greedy_coverage_e6"] >= a["greedy_coverage_e6"]
+        assert b["baseline_coverage_e6"] >= a["baseline_coverage_e6"]
+    for r in rows:
+        g, b = r["greedy_coverage_e6"], r["baseline_coverage_e6"]
+        assert r["lift_ppm"] == g * 10**6 // b

@@ -96,6 +96,8 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "stream_mixture_readout",
         "ann_filtered_topk",
         "facility_location_selection",
+        "filtered_ann_recall_at_k",
+        "selection_coverage_audit",
     }
     present = r10_keys & set(queries)
     assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
