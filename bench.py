@@ -411,6 +411,8 @@ HEADLINE = [
     # r10 additions #6-7: their quality/pricing audit twins
     "filtered_ann_recall_at_k",
     "selection_coverage_audit",
+    # r10 addition #8: bounded-round k-core peel of the trade graph
+    "kcore_trade_graph",
 ]
 
 

@@ -1015,6 +1015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the greedy's coverage lift vs the id-ordered prefix
         "filtered_ann_recall_at_k": similarity.filtered_ann_recall_at_k,
         "selection_coverage_audit": clustering.selection_coverage_audit,
+        # r10 addition #8: k-core peel of the trade graph — the
+        # fourth iterative-family member (bounded rounds, unrolled
+        # oracle, convergence proven by test at every gate SF)
+        "kcore_trade_graph": graph.kcore_trade_graph,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2584,6 +2588,8 @@ FROM d GROUP BY 1
     # vs the id-ordered baseline prefix
     out["filtered_ann_recall_at_k"] = _filtered_ann_recall_oracle()
     out["selection_coverage_audit"] = _selection_coverage_oracle()
+    # r10: bounded-round k-core peel, unrolled
+    out["kcore_trade_graph"] = _kcore_oracle()
     return out
 
 
@@ -4027,6 +4033,38 @@ ranked AS (
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _kcore_oracle(k: int = 6, n_rounds: int = 4) -> str:
+    """k-core twin (B143): the peel rounds unrolled — each round a
+    degree CTE, a keep CTE, and the edge set filtered to kept
+    endpoints. Every e{r} is MATERIALIZED — each is referenced twice
+    (by its round's degree CTE and the next edge filter), so an
+    unmaterialized chain recomputes the prefix 2^rounds times
+    (measured 362s -> ~25s at sf0.1)."""
+    ctes = [
+        """trade AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM trade UNION ALL SELECT dst, src FROM trade)",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT src, count(*) AS c FROM e{r - 1} GROUP BY 1)"
+        )
+        ctes.append(f"k{r} AS (SELECT src FROM d{r} WHERE c >= {k})")
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree FROM e{n_rounds} GROUP BY 1\n"
+    )
 
 
 def _facility_location_oracle(k: int = 8, pool: int = 64) -> str:

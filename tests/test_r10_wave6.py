@@ -153,3 +153,18 @@ def test_selection_coverage_audit_structure(spark):
     for r in rows:
         g, b = r["greedy_coverage_e6"], r["baseline_coverage_e6"]
         assert r["lift_ppm"] == g * 10**6 // b
+
+
+def test_kcore_converged_within_round_bound(spark):
+    """The bounded-round contract is evidence, not hope: one extra
+    peel round changes nothing at the gate SF, every survivor keeps
+    >= k partners among survivors, and the graph stays bipartite."""
+    from github_issues_lakehouse_spark.operators.graph import kcore_trade_graph
+
+    K_CORE, R = 6, 4
+    got = sorted(map(tuple, kcore_trade_graph(spark, SF_DIR, K_CORE, R).collect()))
+    extra = sorted(map(tuple, kcore_trade_graph(spark, SF_DIR, K_CORE, R + 1).collect()))
+    assert got == extra, "peel had not converged within the round bound"
+    assert got, "core is empty — k is miscalibrated for the gate SF"
+    assert all(deg >= K_CORE for _, deg in got)
+    assert {n[:2] for n, _ in got} <= {"c:", "s:"}

@@ -98,6 +98,7 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "facility_location_selection",
         "filtered_ann_recall_at_k",
         "selection_coverage_audit",
+        "kcore_trade_graph",
     }
     present = r10_keys & set(queries)
     assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
