@@ -413,6 +413,8 @@ HEADLINE = [
     "selection_coverage_audit",
     # r10 addition #8: bounded-round k-core peel of the trade graph
     "kcore_trade_graph",
+    # r10 addition #9: the int8 rung of the quantization-audit ladder
+    "sq_int8_recall",
 ]
 
 

@@ -649,3 +649,85 @@ def pq_adc_recall(
         )
         out = rows if out is None else out.unionByName(rows)
     return out.orderBy("codebook", "q_id")
+
+
+def sq_int8_recall(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """C155 (r10): recall@k of int8 scalar-quantized max-inner-product
+    search against the exact dot-product truth — the audit that
+    prices C24's symmetric int8 quantization the way `pq_adc_recall`
+    prices PQ: both sides rank by INNER PRODUCT (MIPS, the embedding-
+    serving mode where norms carry signal), so the measurement
+    isolates QUANTIZATION loss alone, not a normalization change.
+
+    Exactness: codes are C24's floor(x/scale + 0.5) BIGINTs verbatim
+    (scale = max|v|/127 per vector); the approximate score is a pure
+    BIGINT integer dot of two code arrays — no float accumulates —
+    and truth uses the 6dp-rounded double dot with vec_id ties, the
+    proven C7 discipline.
+
+    Plan/scale: queries broadcast both ways; the corpus streams once
+    per side with map-side ``partial_topk`` (C7's shape); the recall
+    join is on tiny top-k sets. int8 at 64 dims means the quantized
+    scorer reads 64 small ints per candidate — the memory-bandwidth
+    win that makes SQ the first rung of the quantization ladder
+    (int8 -> PQ -> IVFADC, all priced by their own audit keys).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, to_double
+    from .relational import r6
+    from .scale import partial_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    corpus = e.select("vec_id", v.alias("vec"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x))), F.lit(1e-12)
+    ) / 127.0
+    codes = corpus.select(
+        "vec_id",
+        F.transform(
+            F.col("vec"), lambda x: F.floor(x / scale + 0.5).cast("long")
+        ).alias("qv"),
+    )
+
+    def topk(frame, id_col, vec_col, score):
+        queries = frame.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
+        )
+        scored = frame.join(
+            F.broadcast(queries), F.col(id_col) != F.col("q_id")
+        ).select(
+            "q_id", F.col(id_col).alias("vec_id"), score(F.col("q_v"), F.col(vec_col)).alias("s")
+        )
+        pruned = partial_topk(scored, ["q_id"], "s", "vec_id", k, ascending=False)
+        w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        return (
+            pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    truth = topk(corpus, "vec_id", "vec", lambda a, b: r6(dot(a, b)))
+    approx = topk(
+        codes,
+        "vec_id",
+        "qv",
+        lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # both sides are k-rows-per-query sets — broadcast the approx
+    # list so the recall join never sort-merges two tiny frames
+    hits = truth.join(F.broadcast(approx), ["q_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = truth.select("q_id").distinct()
+    return base.join(F.broadcast(per_q), "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        r6(F.coalesce("n_hits", F.lit(0)) / float(k)).alias("recall"),
+    )

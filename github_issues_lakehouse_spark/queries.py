@@ -1019,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fourth iterative-family member (bounded rounds, unrolled
         # oracle, convergence proven by test at every gate SF)
         "kcore_trade_graph": graph.kcore_trade_graph,
+        # r10 addition #9: int8 scalar-quantization recall audit —
+        # prices C24 the way pq_adc_recall prices PQ (BIGINT integer
+        # dot vs 6dp double-dot truth, MIPS mode)
+        "sq_int8_recall": V2.sq_int8_recall,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2590,6 +2594,8 @@ FROM d GROUP BY 1
     out["selection_coverage_audit"] = _selection_coverage_oracle()
     # r10: bounded-round k-core peel, unrolled
     out["kcore_trade_graph"] = _kcore_oracle()
+    # r10: int8 SQ recall audit
+    out["sq_int8_recall"] = _sq_recall_oracle()
     return out
 
 
@@ -4032,6 +4038,51 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sq_recall_oracle(n_queries: int = 8, k: int = 5, dim: int = 64) -> str:
+    """int8-SQ recall twin (C155): C24's quantization expression
+    verbatim, BIGINT integer dot for the approximate ranking, 6dp
+    double dot for the truth; recall per query."""
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q8 AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(floor(
+      x / (greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127.0)
+      + 0.5) AS BIGINT)) AS qv
+  FROM c
+),
+tq AS (SELECT vec_id AS q_id, v AS q_vec FROM c WHERE vec_id < {n_queries}),
+tscored AS (
+  SELECT q_id, vec_id, round(list_dot_product(q_vec, v), 6) AS s
+  FROM tq, c WHERE vec_id <> q_id
+),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rn
+    FROM tscored
+  ) WHERE rn <= {k}
+),
+aq AS (SELECT vec_id AS q_id, qv AS q_qv FROM q8 WHERE vec_id < {n_queries}),
+ascored AS (
+  SELECT q_id, q8.vec_id,
+    CAST(list_sum(list_transform(range(1, {dim} + 1), i -> q_qv[i] * qv[i])) AS BIGINT) AS s
+  FROM aq, q8 WHERE q8.vec_id <> q_id
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rn
+    FROM ascored
+  ) WHERE rn <= {k}
+)
+SELECT truth.q_id,
+  CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+  round(count(approx.vec_id) / {float(k)}, 6) AS recall
+FROM truth LEFT JOIN approx
+  ON truth.q_id = approx.q_id AND truth.vec_id = approx.vec_id
+GROUP BY 1
 """
 
 

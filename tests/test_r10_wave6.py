@@ -168,3 +168,17 @@ def test_kcore_converged_within_round_bound(spark):
     assert got, "core is empty — k is miscalibrated for the gate SF"
     assert all(deg >= K_CORE for _, deg in got)
     assert {n[:2] for n, _ in got} <= {"c:", "s:"}
+
+
+def test_sq_int8_recall_bounds_and_information(spark):
+    """int8 recall is a real measurement: bounded, and the int8
+    ranking is informative (mean recall well above the ~k/n random
+    floor) — 8 bits per dim at 64 dims should retain most of the
+    inner-product ordering."""
+    from github_issues_lakehouse_spark.operators.vectors2 import sq_int8_recall
+
+    rows = sq_int8_recall(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.5, f"int8 MIPS recall suspiciously low: {mean}"
