@@ -415,6 +415,8 @@ HEADLINE = [
     "kcore_trade_graph",
     # r10 addition #9: the int8 rung of the quantization-audit ladder
     "sq_int8_recall",
+    # r10 addition #10: lead/lag cross-correlation between series
+    "xcorr_daily_events",
 ]
 
 

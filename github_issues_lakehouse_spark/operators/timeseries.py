@@ -1275,3 +1275,71 @@ def watermark_lateness_audit(
         )
         .orderBy("event_type")
     )
+
+
+def xcorr_daily_events(
+    spark: SparkSession, sf_dir: str, max_lag: int = 3
+) -> DataFrame:
+    """B144 (r10): lead/lag CROSS-correlation between the daily
+    volume series of every event-type pair on the gap-filled grid —
+    the companion `autocorr_daily` (B102) can't give: which signals
+    LEAD which (does a 'view' surge foreshadow a 'purchase' surge k
+    days later?), the causal-ordering diagnostic a monitoring/
+    attribution pipeline checks before trusting any same-day
+    correlation. Lag k pairs (x_t, y_{t-k}) for k in -max_lag..
+    +max_lag; positive k means type_b LEADS type_a by k days.
+    Unordered pairs only (type_a < type_b) — corr(a,b,k) ==
+    corr(b,a,-k), so ordered pairs would be pure duplication.
+
+    Exactness (B102's discipline verbatim): every moment is an exact
+    BIGINT aggregate of integer daily counts; one final double
+    expression with an identical tree on both engines, 6dp, NULL on
+    zero variance.
+
+    Plan/scale: the corpus-scale stage is the shared daily
+    aggregate; everything after is day-grain x types^2 x lags —
+    calendar-bounded at any corpus size (the theil_sen argument).
+    """
+    grid = _daily_grid(spark, sf_dir)
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("x")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("y"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_day") == F.date_sub(F.col("day"), F.col("lag")))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .select("type_a", "type_b", "lag", "x", "y")
+    )
+    mom = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        r6(num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double"))),
+    )
+    return mom.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        corr.alias("xcorr"),
+    ).orderBy("type_a", "type_b", "lag")

@@ -1023,6 +1023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prices C24 the way pq_adc_recall prices PQ (BIGINT integer
         # dot vs 6dp double-dot truth, MIPS mode)
         "sq_int8_recall": V2.sq_int8_recall,
+        # r10 addition #10: lead/lag cross-correlation between
+        # event-type daily series (which signals LEAD which — the
+        # companion B102's self-correlation can't give)
+        "xcorr_daily_events": timeseries.xcorr_daily_events,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2596,6 +2600,8 @@ FROM d GROUP BY 1
     out["kcore_trade_graph"] = _kcore_oracle()
     # r10: int8 SQ recall audit
     out["sq_int8_recall"] = _sq_recall_oracle()
+    # r10: lead/lag cross-correlation (B102 template, two series)
+    out["xcorr_daily_events"] = _xcorr_oracle()
     return out
 
 
@@ -4038,6 +4044,37 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _xcorr_oracle(max_lag: int = 3) -> str:
+    """Cross-correlation twin (B144): the complete grid makes the
+    lagged pairing a day-arithmetic join; unordered type pairs,
+    moments as exact BIGINTs, identical final double tree, NULL on
+    zero variance (the B102 template with two series)."""
+    return f"""
+WITH {_DAILY_GRID_SQL},
+ks AS (SELECT unnest(generate_series(-{max_lag}, {max_lag})) AS lag),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, ks.lag,
+    CAST(a.n AS BIGINT) AS x, CAST(b.n AS BIGINT) AS y
+  FROM grid a CROSS JOIN ks
+  JOIN grid b ON a.event_type < b.event_type
+             AND b.day = a.day - CAST(ks.lag AS INT)
+),
+mom AS (
+  SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+  END AS xcorr
+FROM mom ORDER BY type_a, type_b, lag
 """
 
 

@@ -182,3 +182,42 @@ def test_sq_int8_recall_bounds_and_information(spark):
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert mean >= 0.5, f"int8 MIPS recall suspiciously low: {mean}"
+
+
+def test_xcorr_symmetry_and_lag_zero(spark):
+    """corr(a,b,0) is symmetric Pearson of the aligned series (equals
+    a direct recompute), and the (a,b,k) grain is the unordered-pair
+    half of the full matrix: every pair appears with all 2*L+1 lags
+    exactly once."""
+    import math
+    from collections import defaultdict
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        _daily_grid,
+        xcorr_daily_events,
+    )
+
+    L = 3
+    rows = xcorr_daily_events(spark, SF_DIR, max_lag=L).collect()
+    per_pair = defaultdict(set)
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        per_pair[(r["type_a"], r["type_b"])].add(r["lag"])
+    assert all(lags == set(range(-L, L + 1)) for lags in per_pair.values())
+
+    series = defaultdict(dict)
+    for g in _daily_grid(spark, SF_DIR).collect():
+        series[g["event_type"]][g["day"]] = g["n"]
+    for r in rows:
+        if r["lag"] != 0 or r["xcorr"] is None:
+            continue
+        days = sorted(set(series[r["type_a"]]) & set(series[r["type_b"]]))
+        xs = [series[r["type_a"]][d] for d in days]
+        ys = [series[r["type_b"]][d] for d in days]
+        n = len(days)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        want = round((n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        assert abs(r["xcorr"] - want) < 1e-9
+        assert r["n_pairs"] == n
