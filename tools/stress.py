@@ -150,6 +150,17 @@ HEAVY = [
     "idf_jaccard_pairs",
     "table_checksum_manifest",
     "term_burst_detection",
+    # r10 continuation: the trade graph DENSIFIES under replication
+    # (same customers/suppliers, 10x orders -> distinct-pair edges
+    # grow toward the complete bipartite graph — the adversarial
+    # direction for a peel), daily grids carry 10x counts on the
+    # same calendar (moments must stay day-grain), and the D38
+    # mixture drain stages/folds a 10x corpus (state stays
+    # O(sources)); the embedding-side r10 keys get no signal here —
+    # embeddings is a FIXED dim in this harness
+    "kcore_trade_graph",
+    "xcorr_daily_events",
+    "stream_mixture_readout",
 ]
 
 
