@@ -417,6 +417,8 @@ HEADLINE = [
     "sq_int8_recall",
     # r10 addition #10: lead/lag cross-correlation between series
     "xcorr_daily_events",
+    # r10 addition #11: post-stratification weights for eval splits
+    "holdout_stratum_weights",
 ]
 
 

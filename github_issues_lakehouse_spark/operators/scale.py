@@ -466,3 +466,52 @@ def incremental_mart_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
     )
     return merged.filter(F.col("n_orders") > 0).orderBy("bucket")
+
+
+def holdout_stratum_weights(
+    spark: SparkSession, sf_dir: str, val_permille: int = 10, test_permille: int = 10
+) -> DataFrame:
+    """C156 (r10): post-stratification weights for the eval splits —
+    the survey-sampling correction an eval harness applies on top of
+    `holdout_split` (C49): the hash split is uniform in expectation
+    but any FINITE split leaves stratum imbalance (a source slightly
+    over/under-represented in val/test vs the corpus), and metrics
+    averaged over the raw split estimate the SPLIT mixture, not the
+    corpus. Per (split, source): document count, the source's share
+    WITHIN the split, its share in the corpus, and
+    weight_ppm = floor(corpus_share_ppm * 1e6 / split_share_ppm) —
+    multiply each doc's metric contribution by weight_ppm/1e6 and
+    the split-level average becomes corpus-representative.
+
+    All shares/weights are exact floor-ppm BIGINTs (the ppm_expr
+    two-level remainder split — engine-bit-identical); grain is
+    3 x sources rows off one groupBy of the split assignment.
+    """
+    from ..functions.exact import ppm_expr
+
+    s = holdout_split(spark, sf_dir, val_permille, test_permille)
+    per = s.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    split_tot = per.groupBy("split").agg(F.sum("n_docs").alias("split_total"))
+    src_tot = per.groupBy("source").agg(F.sum("n_docs").alias("src_total"))
+    w = Window.partitionBy()
+    corpus_total = F.sum("n_docs").over(w)
+    base = (
+        per.join(split_tot, "split")
+        .join(src_tot, "source")
+        .withColumn("corpus_total", corpus_total)
+    )
+    return base.select(
+        "split",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr(ppm_expr("n_docs", "split_total")).cast("long").alias("split_share_ppm"),
+        F.expr(ppm_expr("src_total", "corpus_total")).cast("long").alias("corpus_share_ppm"),
+        F.expr(
+            ppm_expr(
+                f"({ppm_expr('src_total', 'corpus_total')})",
+                f"({ppm_expr('n_docs', 'split_total')})",
+            )
+        )
+        .cast("long")
+        .alias("weight_ppm"),
+    ).orderBy("split", "source")

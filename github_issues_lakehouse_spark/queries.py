@@ -1027,6 +1027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-type daily series (which signals LEAD which — the
         # companion B102's self-correlation can't give)
         "xcorr_daily_events": timeseries.xcorr_daily_events,
+        # r10 addition #11: post-stratification weights for the eval
+        # splits (survey-sampling correction over C49's hash split,
+        # exact floor-ppm)
+        "holdout_stratum_weights": scale.holdout_stratum_weights,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2602,6 +2606,8 @@ FROM d GROUP BY 1
     out["sq_int8_recall"] = _sq_recall_oracle()
     # r10: lead/lag cross-correlation (B102 template, two series)
     out["xcorr_daily_events"] = _xcorr_oracle()
+    # r10: post-stratification weights over the C49 split
+    out["holdout_stratum_weights"] = _holdout_stratum_oracle()
     return out
 
 
@@ -4044,6 +4050,43 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _holdout_stratum_oracle(val_permille: int = 10, test_permille: int = 10) -> str:
+    """Post-stratification twin (C156): C49's bucket expression
+    verbatim, shares/weights in exact floor-ppm (ppm_sql)."""
+    from .functions.exact import ppm_sql
+
+    split_share = ppm_sql("per.n_docs", "st.split_total")
+    corpus_share = ppm_sql("sr.src_total", "ct.corpus_total")
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#split')), 1, 15)) AS BIGINT)
+      % 1000 AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT source,
+    CASE WHEN bucket < {test_permille} THEN 'test'
+         WHEN bucket < {test_permille + val_permille} THEN 'val'
+         ELSE 'train' END AS split
+  FROM b
+),
+per AS (SELECT split, source, count(*) AS n_docs FROM assigned GROUP BY 1, 2),
+st AS (SELECT split, sum(n_docs) AS split_total FROM per GROUP BY 1),
+sr AS (SELECT source, sum(n_docs) AS src_total FROM per GROUP BY 1),
+ct AS (SELECT sum(n_docs) AS corpus_total FROM per)
+SELECT per.split, per.source, CAST(per.n_docs AS BIGINT) AS n_docs,
+  CAST({split_share} AS BIGINT) AS split_share_ppm,
+  CAST({corpus_share} AS BIGINT) AS corpus_share_ppm,
+  CAST({ppm_sql(f'({corpus_share})', f'({split_share})')} AS BIGINT) AS weight_ppm
+FROM per
+JOIN st ON per.split = st.split
+JOIN sr ON per.source = sr.source
+CROSS JOIN ct
+ORDER BY per.split, per.source
 """
 
 

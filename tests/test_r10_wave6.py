@@ -221,3 +221,28 @@ def test_xcorr_symmetry_and_lag_zero(spark):
         want = round((n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         assert abs(r["xcorr"] - want) < 1e-9
         assert r["n_pairs"] == n
+
+
+def test_holdout_stratum_weights_identities(spark):
+    """Post-stratification identities: per-split shares sum to ~1e6
+    (floor-ppm undershoot < n_strata), weight_ppm is the exact floor
+    quotient of the two shares, and applying the weights to the
+    split counts recovers corpus-share mass (weighted share within
+    rounding of corpus share)."""
+    from collections import defaultdict
+
+    from github_issues_lakehouse_spark.operators.scale import holdout_stratum_weights
+
+    rows = holdout_stratum_weights(spark, SF_DIR).collect()
+    by_split = defaultdict(list)
+    for r in rows:
+        by_split[r["split"]].append(r)
+        assert r["weight_ppm"] == r["corpus_share_ppm"] * 10**6 // r["split_share_ppm"]
+    assert set(by_split) <= {"train", "val", "test"}
+    for split, rs in by_split.items():
+        tot = sum(r["split_share_ppm"] for r in rs)
+        assert 10**6 - len(rs) < tot <= 10**6, (split, tot)
+        for r in rs:
+            # weighted split share ~= corpus share (floor-ppm error)
+            w_share = r["split_share_ppm"] * r["weight_ppm"] // 10**6
+            assert abs(w_share - r["corpus_share_ppm"]) <= 2
