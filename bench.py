@@ -419,6 +419,8 @@ HEADLINE = [
     "xcorr_daily_events",
     # r10 addition #11: post-stratification weights for eval splits
     "holdout_stratum_weights",
+    # r10 addition #12: trailing-window exact percentile baselines
+    "rolling_percentiles_daily",
 ]
 
 

@@ -1343,3 +1343,58 @@ def xcorr_daily_events(
         F.col("n").cast("long").alias("n_pairs"),
         corr.alias("xcorr"),
     ).orderBy("type_a", "type_b", "lag")
+
+
+def rolling_percentiles_daily(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """B145 (r10): trailing-window EXACT percentiles of daily event
+    volume per type on the gap-filled grid — the adaptive-baseline
+    mart an SLO monitor reads (today's volume vs the trailing week's
+    p50/p90: 'normal for this signal', not a fixed threshold; the
+    robust sibling of the MAD alarm family, in the original count
+    units).
+
+    Exactness: Spark's percentile_approx is APPROXIMATE — unusable
+    under a hash gate — so both engines index the SAME sorted
+    trailing array with percentile_disc's rule spelled in pure
+    integers: p50 at ceil(n/2) = (n+1) DIV 2, p90 at ceil(9n/10) =
+    (9n+9) DIV 10 (1-based). Counts are BIGINTs; no float touches
+    anything.
+
+    Plan/scale: the trailing set is a day-arithmetic self-join of
+    the grid (the B102/B144 idiom — day-grain x window_days rows),
+    grouped once; per-group state is window_days integers. Short
+    leading windows emit with their true n_days rather than NULL —
+    the consumer sees exactly how much history backs each row.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    offs = spark.range(window_days).select(F.col("id").cast("int").alias("off"))
+    a = grid.select("event_type", "day")
+    b = grid.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("x"),
+    )
+    trailing = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day") == F.date_sub(F.col("day"), F.col("off"))),
+        )
+        .select("event_type", "day", "x")
+    )
+    agg = trailing.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sort_array(F.collect_list("x")).alias("xs"),
+    )
+    idx50 = F.expr("(n_days + 1) DIV 2").cast("int")
+    idx90 = F.expr("(9 * n_days + 9) DIV 10").cast("int")
+    return agg.select(
+        "event_type",
+        "day",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.element_at("xs", idx50).cast("long").alias("p50"),
+        F.element_at("xs", idx90).cast("long").alias("p90"),
+    ).orderBy("event_type", "day")

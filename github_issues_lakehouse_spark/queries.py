@@ -1031,6 +1031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # splits (survey-sampling correction over C49's hash split,
         # exact floor-ppm)
         "holdout_stratum_weights": scale.holdout_stratum_weights,
+        # r10 addition #12: trailing-window exact percentiles of
+        # daily volume (adaptive SLO baseline; integer-indexed
+        # sorted arrays — percentile_approx is unusable under a
+        # hash gate)
+        "rolling_percentiles_daily": timeseries.rolling_percentiles_daily,
     }
     ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
@@ -2608,6 +2613,8 @@ FROM d GROUP BY 1
     out["xcorr_daily_events"] = _xcorr_oracle()
     # r10: post-stratification weights over the C49 split
     out["holdout_stratum_weights"] = _holdout_stratum_oracle()
+    # r10: trailing-window exact percentiles
+    out["rolling_percentiles_daily"] = _rolling_pct_oracle()
     return out
 
 
@@ -4050,6 +4057,30 @@ ranked AS (
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_sim, label
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _rolling_pct_oracle(window_days: int = 7) -> str:
+    """Rolling-percentile twin (B145): identical day-arithmetic
+    trailing join, identical sorted-array integer indexing
+    (percentile_disc's rule, 1-based, pure integer index math)."""
+    return f"""
+WITH {_DAILY_GRID_SQL},
+offs AS (SELECT unnest(generate_series(0, {window_days - 1})) AS off),
+tr AS (
+  SELECT a.event_type, a.day, CAST(b.n AS BIGINT) AS x
+  FROM grid a CROSS JOIN offs
+  JOIN grid b ON b.event_type = a.event_type
+             AND b.day = a.day - CAST(offs.off AS INT)
+),
+agg AS (
+  SELECT event_type, day, count(*) AS n_days, list_sort(list(x)) AS xs
+  FROM tr GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(n_days AS BIGINT) AS n_days,
+  CAST(xs[CAST((n_days + 1) // 2 AS INT)] AS BIGINT) AS p50,
+  CAST(xs[CAST((9 * n_days + 9) // 10 AS INT)] AS BIGINT) AS p90
+FROM agg ORDER BY event_type, day
 """
 
 

@@ -246,3 +246,32 @@ def test_holdout_stratum_weights_identities(spark):
             # weighted split share ~= corpus share (floor-ppm error)
             w_share = r["split_share_ppm"] * r["weight_ppm"] // 10**6
             assert abs(w_share - r["corpus_share_ppm"]) <= 2
+
+
+def test_rolling_percentiles_python_recompute(spark):
+    """Exact trailing-window percentiles: full python recompute of
+    the percentile_disc indexing over the gap-filled grid."""
+    from collections import defaultdict
+
+    from github_issues_lakehouse_spark.operators.timeseries import (
+        _daily_grid,
+        rolling_percentiles_daily,
+    )
+
+    W = 7
+    series = defaultdict(dict)
+    for g in _daily_grid(spark, SF_DIR).collect():
+        series[g["event_type"]][g["day"]] = g["n"]
+    rows = rolling_percentiles_daily(spark, SF_DIR, window_days=W).collect()
+    assert rows
+    import datetime
+
+    for r in rows:
+        days = [r["day"] - datetime.timedelta(days=o) for o in range(W)]
+        xs = sorted(
+            series[r["event_type"]][d] for d in days if d in series[r["event_type"]]
+        )
+        n = len(xs)
+        assert r["n_days"] == n
+        assert r["p50"] == xs[(n + 1) // 2 - 1]
+        assert r["p90"] == xs[(9 * n + 9) // 10 - 1]

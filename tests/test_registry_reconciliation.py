@@ -102,6 +102,7 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "sq_int8_recall",
         "xcorr_daily_events",
         "holdout_stratum_weights",
+        "rolling_percentiles_daily",
     }
     present = r10_keys & set(queries)
     assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
