@@ -358,40 +358,100 @@ def components_from_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation over an undirected pair list — the
     connected-components core shared by ``dedup_clusters`` and the
     cluster-aware holdout. Returns (doc_id, cluster_id = min
-    reachable id). Each round is one shuffle join + one aggregate;
-    localCheckpoint keeps plan depth flat across iterations."""
+    reachable id) — the unique fixpoint the recursive-CTE oracle
+    computes, so HOW fast the walk reaches it is a pure performance
+    degree of freedom.
+
+    r10 optimization (guide §1.2 "the distributed algorithm" + §2.4):
+    each round is ONE action instead of three — the convergence flag
+    is folded into the label frame itself (sum(changed) both
+    materializes the lazily-localCheckpointed round AND answers the
+    early-exit question; the r9 form paid a separate eager-checkpoint
+    job plus a labels⋈labels count join per round), and a POINTER-JUMP
+    term (comp[cand], the pointer-doubling half of the two-phase CC
+    algorithms) is folded into the per-round minimum so label distance
+    to the component minimum contracts ~2x per round instead of 1 hop.
+    comp always holds the id of a node in the same component (neighbor
+    labels and comp[comp] both are), values only decrease, and the
+    early-exit fires only at a full plain-propagation fixpoint, so the
+    result is the same unique fixpoint (min reachable id) the
+    recursive-CTE oracle computes.
+
+    Round partitioning is SCALE-ADAPTIVE (guide §2): derived from the
+    measured edge count, not the session default — a near-dup graph is
+    typically a tiny fraction of the corpus, and a 32-partition x
+    multi-stage AQE walk over a few thousand labels paid ~5 driver
+    round-trips per round for data a single task handles (measured
+    3-5x per-round overhead at sf0.1). Above ``_CC_SMALL_EDGES`` the
+    session conf (AQE, skew handling) is left untouched, so corpus-
+    scale graphs keep the adaptive machinery."""
+    import os
+
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.id)
-            .groupBy(F.col("doc_a").alias("id"))
-            .agg(F.min("comp").alias("nbr_min"))
+    # one cheap job: materializes the persisted edge set (paid lazily
+    # by round 1 before) and sizes the propagation rounds
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    small_cap = int(os.environ.get("SGL_CC_SMALL_EDGES", "5000000"))
+    small = n_edges < small_cap
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, n_edges // 250_000))
         )
-        nxt = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+    try:
+        labels = (
+            edges.select(F.col("doc_a").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.doc_b == labels.id)
+                .groupBy(F.col("doc_a").alias("id"))
+                .agg(F.min("comp").alias("nbr_min"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
-            break
+            cand = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.col("comp").alias("prev"),
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                    "cand"
+                ),
+            )
+            # pointer jump: comp[cand] — cand is a node in this
+            # component, so its label is too; the jump join sees the
+            # small label table and halves long-chain convergence
+            jump = labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+            nxt = (
+                cand.join(jump, cand.cand == jump.jid, "left")
+                .select(
+                    "id",
+                    F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand"))).alias(
+                        "comp"
+                    ),
+                    (
+                        F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand")))
+                        != F.col("prev")
+                    )
+                    .cast("int")
+                    .alias("changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            # ONE action: materializes the checkpointed round and reads
+            # the convergence count off it (no second labels⋈labels pass)
+            changed = nxt.agg(F.sum("changed")).first()[0] or 0
+            labels = nxt.drop("changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
