@@ -32,20 +32,41 @@ DIM = 64  # embeddings table vector width (TESTDATA.md)
 
 def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: argmin of squared L2, 6dp-rounded,
-    ties on centroid id. Centroids are k rows — forced broadcast."""
-    dist = r6(
+    ties on centroid id.
+
+    r10 optimization (guide §2.4 "remove shuffles outright"): the
+    centroid table is packed into ONE broadcast row of (c_id, c_vec)
+    structs and the argmin is a pure array expression —
+    array_min(transform(cents, c -> struct(d2, c_id))) — so the
+    assignment is a NARROW map over the corpus. The r9 form exploded
+    corpus x k rows through a crossJoin and ran a row_number window
+    (one full Exchange + Sort of the exploded frame) per assignment
+    call. Struct ordering is lexicographic (d2 asc, then c_id asc) —
+    exactly the window's (d2 asc, c_id asc) rank-1 row, so every
+    assignment (and every downstream centroid walk) is unchanged."""
+    dist = lambda cv: r6(  # noqa: E731 — verbatim assignment algebra
         dot(F.col("vec"), F.col("vec"))
-        - 2 * dot(F.col("vec"), F.col("c_vec"))
-        + dot(F.col("c_vec"), F.col("c_vec"))
+        - 2 * dot(F.col("vec"), cv)
+        + dot(cv, cv)
     )
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "vec", "c_id", dist.alias("d2")
+    cents_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("c_id", "c_vec"))).alias("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(dist(c["c_vec"]).alias("d2"), c["c_id"].alias("c_id")),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("c_id").alias("cluster"), "d2")
+        corpus.crossJoin(F.broadcast(cents_row))
+        .filter(F.size("_cents") > 0)  # empty-centroid set: no rows (r9 parity)
+        .select(
+            "vec_id",
+            "vec",
+            best["c_id"].alias("cluster"),
+            best["d2"].alias("d2"),
+        )
     )
 
 
@@ -359,67 +380,24 @@ def facility_location_selection(
     every aggregate stay linear; pool and k do not grow with data.
 
     Output per step: (step, vec_id, gain_e6, coverage_e6).
+
+    r10 optimization (guide §2.3/§2.4 + §1.2): the (corpus x pool) sim
+    frame is ARRAY-PACKED — one row per corpus vector holding the
+    pool-length sim_e6 array in candidate-id order — instead of a
+    pool-times-exploded row set. Each greedy round is then ONE
+    map-side-combinable aggregate (pool sum expressions over the
+    checkpointed frame; coverage-so-far is a pure expression
+    greatest(s[p1..pr]) over the picked indices, never a maintained
+    state frame), so the whole walk is k single-stage jobs with ZERO
+    shuffles — the r9 form paid per round a groupBy exchange, a
+    cov-join exchange and an eager checkpoint job (58 jobs -> ~11 at
+    sf0.1). Per-element algebra (r6 cosine -> round e6 -> clamp 0,
+    BIGINT sums, (gain desc, c_id asc) argmax) is verbatim, so every
+    pick and every output row is unchanged.
     """
     from ..functions.vectors import cosine
 
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    cand = corpus.filter(F.col("vec_id") < pool).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
-    sims = (
-        corpus.crossJoin(F.broadcast(cand))
-        .select(
-            "vec_id",
-            "c_id",
-            F.greatest(
-                F.round(r6(cosine(F.col("vec"), F.col("c_vec"))) * 1e6, 0).cast(
-                    "long"
-                ),
-                F.lit(0).cast("long"),
-            ).alias("sim_e6"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    picked: list[tuple[int, int, int, int]] = []
-    picked_ids: list[int] = []
-    coverage = 0
-    cov = None  # (vec_id, cov_e6) after the latest pick
-    for step in range(1, k + 1):
-        base = sims if not picked_ids else sims.filter(
-            ~F.col("c_id").isin(picked_ids)
-        )
-        if cov is None:
-            gains = base.groupBy("c_id").agg(
-                F.sum("sim_e6").cast("long").alias("gain_e6")
-            )
-        else:
-            gains = (
-                base.join(cov, "vec_id", "left")
-                .select(
-                    "c_id",
-                    F.greatest(
-                        F.col("sim_e6") - F.coalesce("cov_e6", F.lit(0)),
-                        F.lit(0).cast("long"),
-                    ).alias("inc"),
-                )
-                .groupBy("c_id")
-                .agg(F.sum("inc").cast("long").alias("gain_e6"))
-            )
-        # bounded one-row collect: the greedy argmax of this round
-        best = gains.orderBy(
-            F.col("gain_e6").desc(), F.col("c_id").asc()
-        ).first()
-        coverage += int(best["gain_e6"])
-        picked.append((step, int(best["c_id"]), int(best["gain_e6"]), coverage))
-        picked_ids.append(int(best["c_id"]))
-        cov = (
-            sims.filter(F.col("c_id").isin(picked_ids))
-            .groupBy("vec_id")
-            .agg(F.max("sim_e6").alias("cov_e6"))
-            .localCheckpoint(eager=True)
-        )
+    picked, _sims, _ids, _k = _facility_greedy_walk(spark, sf_dir, k, pool)
 
     from pyspark.sql import types as T
 
@@ -432,6 +410,85 @@ def facility_location_selection(
         ]
     )
     return spark.createDataFrame(picked, schema)
+
+
+def _facility_greedy_walk(spark: SparkSession, sf_dir: str, k: int, pool: int):
+    """Shared core of C152/C154: the array-packed sim frame, the
+    candidate-id order, and the k-round greedy walk. Returns
+    (picked rows, sims frame (vec_id, s: array<long> in candidate-id
+    order), candidate ids, k). The per-round argmax is a bounded
+    ONE-ROW collect of pool partial sums (the markov/k-means
+    documented driver-fold class: the greedy recurrence is inherently
+    sequential in k, and pool is a knob, not data-sized)."""
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    cand = corpus.filter(F.col("vec_id") < pool).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    # bounded driver fold: the pool candidate ids (id order == array
+    # index order below)
+    ids = [int(r["c_id"]) for r in cand.select("c_id").orderBy("c_id").collect()]
+    # ONE row holding every candidate in id order; the cross join
+    # broadcasts it so the packed sim frame is a single corpus pass
+    cands_row = cand.agg(
+        F.sort_array(F.collect_list(F.struct("c_id", "c_vec"))).alias("cands")
+    )
+    sim_e6 = lambda c_vec: F.greatest(  # noqa: E731 — verbatim C152 algebra
+        F.round(r6(cosine(F.col("vec"), c_vec)) * 1e6, 0).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(cands_row))
+        .select(
+            "vec_id",
+            F.transform(F.col("cands"), lambda c: sim_e6(c["c_vec"])).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    picked: list[tuple[int, int, int, int]] = []
+    picked_idx: list[int] = []
+    coverage = 0
+    n_cand = len(ids)
+    # each round's plan is scan -> partial agg -> Exchange(1 part) ->
+    # final agg: AQE has nothing to adapt there and only adds a
+    # per-stage job round-trip, so pin it off for the walk
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for step in range(1, k + 1):
+            cov = (
+                F.greatest(*[F.col("s")[i] for i in picked_idx])
+                if len(picked_idx) > 1
+                else (
+                    F.col("s")[picked_idx[0]] if picked_idx else F.lit(0).cast("long")
+                )
+            )
+            gains_row = sims.agg(
+                *[
+                    F.sum(
+                        F.greatest(F.col("s")[i] - cov, F.lit(0).cast("long"))
+                    )
+                    .cast("long")
+                    .alias(f"g{i}")
+                    for i in range(n_cand)
+                ]
+            ).first()
+            best_i, best_gain = -1, None
+            for i in range(n_cand):
+                if i in picked_idx:
+                    continue
+                g = int(gains_row[f"g{i}"])
+                if best_gain is None or g > best_gain:
+                    best_i, best_gain = i, g
+            coverage += best_gain
+            picked.append((step, ids[best_i], best_gain, coverage))
+            picked_idx.append(best_i)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return picked, sims, ids, k
 
 
 def selection_coverage_audit(
@@ -448,49 +505,49 @@ def selection_coverage_audit(
     the ``ppm_expr`` contract).
 
     Baseline coverage per step is ONE pass: running max of sim_e6
-    per corpus vector over the id-ordered candidate prefix (a
-    k-row window per vector), summed per prefix length. Greedy
-    coverage comes from C152's own walk (its marginal-gain identity,
-    not recomputed).
+    per corpus vector over the id-ordered candidate prefix, summed
+    per prefix length. Greedy coverage comes from C152's own walk
+    (its marginal-gain identity, not recomputed).
+
+    r10 optimization: rides C152's array-packed sim frame (ONE
+    corpus x pool pass shared by the walk and the baseline — the r9
+    form re-scored a second corpus x k sim frame and ran a per-vector
+    running-max window over it); the baseline's step sums are k
+    prefix-max sum expressions in the same single map-side aggregate
+    shape as the greedy rounds. Values are unchanged: prefix-max over
+    the id-ordered candidate array IS the running max the window
+    computed, summed per prefix length.
     """
     from ..functions.exact import ppm_expr
-    from ..functions.vectors import cosine
 
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    cand = corpus.filter(F.col("vec_id") < pool).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
-    # the baseline prefix: first k pool candidates in id order
-    wc = Window.partitionBy().orderBy(F.col("c_id").asc())
-    prefix = (
-        cand.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= k)
-        .select("c_id", "c_vec", "crank")
-    )
-    sims = corpus.crossJoin(F.broadcast(prefix)).select(
-        "vec_id",
-        "crank",
-        F.greatest(
-            F.round(r6(cosine(F.col("vec"), F.col("c_vec"))) * 1e6, 0).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("sim_e6"),
-    )
-    wv = (
-        Window.partitionBy("vec_id")
-        .orderBy("crank")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    baseline = (
-        sims.withColumn("cov_e6", F.max("sim_e6").over(wv))
-        .groupBy(F.col("crank").cast("int").alias("step"))
-        .agg(F.sum("cov_e6").cast("long").alias("baseline_coverage_e6"))
-    )
-    greedy = facility_location_selection(spark, sf_dir, k, pool).select(
-        "step", F.col("coverage_e6").alias("greedy_coverage_e6")
+    picked, sims, ids, _ = _facility_greedy_walk(spark, sf_dir, k, pool)
+    # baseline prefix = first k candidates in id order = array
+    # positions 0..k-1 of the packed sim frame
+    base_row = sims.agg(
+        *[
+            F.sum(F.greatest(*[F.col("s")[i] for i in range(step)])
+                  if step > 1 else F.col("s")[0])
+            .cast("long")
+            .alias(f"b{step}")
+            for step in range(1, k + 1)
+        ]
+    ).first()
+
+    rows = [
+        (step, gain_cov[3], int(base_row[f"b{step}"]))
+        for step, gain_cov in zip(range(1, k + 1), picked)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("greedy_coverage_e6", T.LongType()),
+            T.StructField("baseline_coverage_e6", T.LongType()),
+        ]
     )
     return (
-        greedy.join(baseline, "step")
+        spark.createDataFrame(rows, schema)
         .withColumn(
             "lift_ppm",
             F.expr(ppm_expr("greedy_coverage_e6", "baseline_coverage_e6")).cast(

@@ -28,6 +28,50 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", to_double(F.col("embedding")).alias("vec"), "label")
 
 
+def _packed_cell_assign(df, id_col: str, vec_col: str, cents, keep_rank: int):
+    """Top-``keep_rank`` IVF cells per row as a NARROW expression
+    (r10, guide §2.4): the centroid table is packed into ONE broadcast
+    row of (c_id, c_vec) structs; per input row the cells are scored
+    with the family's verbatim r6-cosine, sorted by a comparator that
+    reproduces the previous window's (c_sim DESC, c_id ASC) ordering
+    under Spark's total order (NaN largest, -0.0 == 0.0), and the
+    first ``keep_rank`` are posexploded with crank = position + 1.
+    Replaces a crossJoin row explosion (rows x n_centroids) plus a
+    full row_number Exchange+Sort per assignment call — the
+    assignment stage no longer shuffles at all. Rows are identical:
+    same scores, same ordering, same rank filter.
+
+    Returns (id_col, cell, crank)."""
+    cents_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("c_id", "c_vec"))).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            r6(cosine(F.col(vec_col), c["c_vec"])).alias("c_sim"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    cmp = lambda l, r: (  # noqa: E731 — (c_sim desc, c_id asc), Spark total order
+        F.when(l["c_sim"] > r["c_sim"], F.lit(-1))
+        .when(l["c_sim"] < r["c_sim"], F.lit(1))
+        .when(l["c_id"] < r["c_id"], F.lit(-1))
+        .when(l["c_id"] > r["c_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    top = F.slice(F.array_sort(scored, cmp), 1, keep_rank)
+    return (
+        df.crossJoin(F.broadcast(cents_row))
+        .filter(F.size("_cents") > 0)  # empty centroid set: no rows (window parity)
+        .select(id_col, F.posexplode(top).alias("_pos", "_cell"))
+        .select(
+            id_col,
+            F.col("_cell")["c_id"].alias("cell"),
+            (F.col("_pos") + 1).alias("crank"),
+        )
+    )
+
+
 def _partial_topk(
     scored: DataFrame, group_cols: list[str], score_col: str, tie_col: str, k: int
 ) -> DataFrame:
@@ -229,16 +273,9 @@ def ann_ivf_topk(
     )
 
     def assign(df, id_col, vec_col, keep_rank):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "c_id",
-            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id").asc())
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep_rank)
-            .select(id_col, F.col("c_id").alias("cell"))
+        # narrow packed-centroid assignment (see _packed_cell_assign)
+        return _packed_cell_assign(df, id_col, vec_col, cents, keep_rank).select(
+            id_col, "cell"
         )
 
     cells = assign(corpus, "vec_id", "vec", 1)
@@ -1163,21 +1200,8 @@ def ivf_nprobe_recall_curve(
     for label, cents in (("first_k", first_k), ("trained", trained)):
 
         def assign(df, id_col, vec_col, keep_rank, cents=cents):
-            from pyspark.sql import Window
-
-            scored = df.crossJoin(F.broadcast(cents)).select(
-                id_col,
-                "c_id",
-                r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
-            )
-            w = Window.partitionBy(id_col).orderBy(
-                F.col("c_sim").desc(), F.col("c_id").asc()
-            )
-            return (
-                scored.withColumn("crank", F.row_number().over(w))
-                .filter(F.col("crank") <= keep_rank)
-                .select(id_col, F.col("c_id").alias("cell"), "crank")
-            )
+            # narrow packed-centroid assignment (see _packed_cell_assign)
+            return _packed_cell_assign(df, id_col, vec_col, cents, keep_rank)
 
         cells = assign(corpus, "vec_id", "vec", 1).localCheckpoint(eager=False)
         cell_sizes = (
@@ -1189,13 +1213,16 @@ def ivf_nprobe_recall_curve(
             eager=False
         )
         # score candidates ONCE at the max probe setting, tagged with
-        # the probe rank of their cell; each n_probe's result is then
-        # a filter + top-k over the same scored frame (r10: the r9
-        # form re-ran the full assignment + scoring inside
-        # ann_ivf_topk per probe setting — 8 corpus passes for a
-        # 2-pass question). Scoring is ann_ivf_topk's verbatim
-        # algebra (r6 cosine, (cos DESC, vec_id ASC) top-k), so the
-        # per-probe rows are unchanged.
+        # the probe rank of their cell; every n_probe's top-k then
+        # comes from ONE probe-exploded window over the same scored
+        # frame (r10 second pass: the per-probe python loop built 8
+        # separate window+semi-join+agg branches per geometry — 128
+        # Exchanges across the union; exploding n_probe as a COLUMN
+        # collapses them to one window, one hits join and one
+        # candidate-count aggregate per geometry). Scoring is
+        # ann_ivf_topk's verbatim algebra (r6 cosine, (cos DESC,
+        # vec_id ASC) top-k) and rank is computed per (q_id, n_probe)
+        # partition, so the per-probe rows are unchanged.
         from pyspark.sql import Window
 
         cand_all = (
@@ -1211,33 +1238,43 @@ def ivf_nprobe_recall_curve(
             )
             .localCheckpoint(eager=False)
         )
-        wk = Window.partitionBy("q_id").orderBy(
+        probe_col = F.explode(
+            F.array(*[F.lit(int(p)).cast("int") for p in probes])
+        ).alias("n_probe")
+        wk = Window.partitionBy("q_id", "n_probe").orderBy(
             F.col("cos_sim").desc(), F.col("vec_id").asc()
         )
-        for np_ in probes:
-            approx_k = (
-                cand_all.filter(F.col("crank") <= np_)
-                .withColumn("rank", F.row_number().over(wk))
-                .filter(F.col("rank") <= k)
-                .select("q_id", F.col("vec_id").alias("neighbor_id"))
-            )
-            hits = (
-                truth.join(approx_k, ["q_id", "neighbor_id"], "left_semi")
-                .agg(F.count(F.lit(1)).alias("n_hits"))
-            )
-            cand = (
-                q_probes.filter(F.col("crank") <= np_)
-                .join(cell_sizes, "cell")
-                .agg((F.sum("sz") - F.lit(n_queries)).alias("n_candidates"))
-            )
-            row = hits.join(F.broadcast(cand)).selectExpr(
+        approx_k = (
+            cand_all.select("q_id", "vec_id", "crank", "cos_sim", probe_col)
+            .filter(F.col("crank") <= F.col("n_probe"))
+            .withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("n_probe", "q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        hits = (
+            truth.join(approx_k, ["q_id", "neighbor_id"])
+            .groupBy("n_probe")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        cand = (
+            q_probes.select("cell", "crank", probe_col)
+            .filter(F.col("crank") <= F.col("n_probe"))
+            .join(cell_sizes, "cell")
+            .groupBy("n_probe")
+            .agg((F.sum("sz") - F.lit(n_queries)).alias("n_candidates"))
+        )
+        rows = (
+            cand.join(hits, "n_probe", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+            .selectExpr(
                 f"'{label}' AS centroids",
-                f"CAST({np_} AS INT) AS n_probe",
+                "CAST(n_probe AS INT) AS n_probe",
                 "CAST(n_candidates AS BIGINT) AS n_candidates",
                 "CAST(n_hits AS BIGINT) AS n_hits",
                 f"CAST({_ppm('n_hits', str(n_queries * k))} AS BIGINT) AS recall_ppm",
             )
-            out = row if out is None else out.unionByName(row)
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("centroids", "n_probe")
 
 
@@ -1558,18 +1595,9 @@ def ann_ivf_pq_topk(
     )
 
     def assign(df, id_col, vec_col, keep_rank):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "c_id",
-            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_sim").desc(), F.col("c_id").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep_rank)
-            .select(id_col, F.col("c_id").alias("cell"))
+        # narrow packed-centroid assignment (see _packed_cell_assign)
+        return _packed_cell_assign(df, id_col, vec_col, cents, keep_rank).select(
+            id_col, "cell"
         )
 
     cells = assign(corpus, "vec_id", "vec", 1)
@@ -1673,18 +1701,9 @@ def ann_filtered_topk(
     )
 
     def assign(df, id_col, vec_col, keep_rank):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "c_id",
-            r6(cosine(F.col(vec_col), F.col("c_vec"))).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_sim").desc(), F.col("c_id").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep_rank)
-            .select(id_col, F.col("c_id").alias("cell"))
+        # narrow packed-centroid assignment (see _packed_cell_assign)
+        return _packed_cell_assign(df, id_col, vec_col, cents, keep_rank).select(
+            id_col, "cell"
         )
 
     # the index's metadata rows: (vec_id, label, cell) — no vectors
