@@ -564,6 +564,12 @@ def main() -> None:
     _sample_control(len(HEADLINE))
     spark.catalog.clearCache()
 
+    # VERDICT r10 task 2: make the scaling contract self-proving —
+    # record the EFFECTIVE parallelism and master the run actually got
+    # (read before spark.stop(); annotation only, never the timing loop)
+    parallelism = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
+
     floor = _control_floor(control_samples, sf_val)
     contention, contended = _annotate_contention(HEADLINE, control_samples, floor)
     if contended:
@@ -596,6 +602,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "sf": sf_val,
+                "parallelism": parallelism,
+                "master": master,
                 "queries": timings,
                 "control": {
                     "query": CONTROL_QUERY,
@@ -624,6 +632,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "parallelism": parallelism,
+                "master": master,
                 "baseline22_total": round(sum(baseline22.values()), 3),
                 "contended_n": len(contended),
                 "queries": baseline22,

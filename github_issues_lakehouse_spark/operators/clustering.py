@@ -395,9 +395,7 @@ def facility_location_selection(
     BIGINT sums, (gain desc, c_id asc) argmax) is verbatim, so every
     pick and every output row is unchanged.
     """
-    from ..functions.vectors import cosine
-
-    picked, _sims, _ids, _k = _facility_greedy_walk(spark, sf_dir, k, pool)
+    picked, _sims, _ids, _base = _facility_greedy_walk(spark, sf_dir, k, pool)
 
     from pyspark.sql import types as T
 
@@ -412,14 +410,38 @@ def facility_location_selection(
     return spark.createDataFrame(picked, schema)
 
 
-def _facility_greedy_walk(spark: SparkSession, sf_dir: str, k: int, pool: int):
+def _facility_greedy_walk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    pool: int,
+    baseline_steps: int = 0,
+):
     """Shared core of C152/C154: the array-packed sim frame, the
     candidate-id order, and the k-round greedy walk. Returns
     (picked rows, sims frame (vec_id, s: array<long> in candidate-id
-    order), candidate ids, k). The per-round argmax is a bounded
-    ONE-ROW collect of pool partial sums (the markov/k-means
-    documented driver-fold class: the greedy recurrence is inherently
-    sequential in k, and pool is a knob, not data-sized)."""
+    order), candidate ids, baseline prefix sums). The per-round argmax
+    is a bounded ONE-ROW collect of pool partial sums (the
+    markov/k-means documented driver-fold class: the greedy recurrence
+    is inherently sequential in k, and pool is a knob, not data-sized).
+
+    r11 (VERDICT r10 tasks 8+9): no session-conf mutation — instead of
+    flipping spark.sql.adaptive.enabled off for the walk, the sim
+    frame is checkpointed as a SINGLE partition when the corpus is
+    small (below ``SPARK_GRAFT_FACILITY_SMALL`` rows, default 2M; the
+    sim computation itself stays parallel — only the checkpointed
+    result is repartition(1)'d), so each round's 1-row aggregate needs
+    NO Exchange at all (SinglePartition requirement already satisfied)
+    and AQE never engages — plan-local, concurrency-safe. Above the
+    cap the frame keeps its scan partitioning and AQE (on, untouched)
+    coalesces the per-round exchange. The audit's ``baseline_steps``
+    prefix-max sums are FUSED into round 1's aggregate (the r10 form
+    paid a separate k-expression scan). Guards (ADVICE r10): k clamps
+    to the candidate count; an empty pool raises instead of
+    TypeError-ing. Plan width grows linearly with ``pool`` (one sum
+    expression per candidate) — pool is a knob, keep it O(100)."""
+    import os
+
     from ..functions.vectors import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -430,6 +452,14 @@ def _facility_greedy_walk(spark: SparkSession, sf_dir: str, k: int, pool: int):
     # bounded driver fold: the pool candidate ids (id order == array
     # index order below)
     ids = [int(r["c_id"]) for r in cand.select("c_id").orderBy("c_id").collect()]
+    n_cand = len(ids)
+    if n_cand == 0:
+        raise ValueError(
+            f"facility pool is empty (no vec_id < {pool} in {sf_dir!r} embeddings): "
+            "greedy selection needs at least one candidate"
+        )
+    k = min(k, n_cand)
+    baseline_steps = min(baseline_steps, n_cand)
     # ONE row holding every candidate in id order; the cross join
     # broadcasts it so the packed sim frame is a single corpus pass
     cands_row = cand.agg(
@@ -439,56 +469,61 @@ def _facility_greedy_walk(spark: SparkSession, sf_dir: str, k: int, pool: int):
         F.round(r6(cosine(F.col("vec"), c_vec)) * 1e6, 0).cast("long"),
         F.lit(0).cast("long"),
     )
-    sims = (
-        corpus.crossJoin(F.broadcast(cands_row))
-        .select(
-            "vec_id",
-            F.transform(F.col("cands"), lambda c: sim_e6(c["c_vec"])).alias("s"),
-        )
-        .localCheckpoint(eager=True)
+    sims = corpus.crossJoin(F.broadcast(cands_row)).select(
+        "vec_id",
+        F.transform(F.col("cands"), lambda c: sim_e6(c["c_vec"])).alias("s"),
     )
+    small_cap = int(os.environ.get("SPARK_GRAFT_FACILITY_SMALL", "2000000"))
+    # metadata-only parquet count: sizes the round-frame layout
+    if e.count() < small_cap:
+        sims = sims.repartition(1)
+    sims = sims.localCheckpoint(eager=True)
+
+    def _prefix_max(n: int):
+        return (
+            F.greatest(*[F.col("s")[i] for i in range(n)])
+            if n > 1
+            else F.col("s")[0]
+        )
 
     picked: list[tuple[int, int, int, int]] = []
     picked_idx: list[int] = []
+    base_vals: list[int] = []
     coverage = 0
-    n_cand = len(ids)
-    # each round's plan is scan -> partial agg -> Exchange(1 part) ->
-    # final agg: AQE has nothing to adapt there and only adds a
-    # per-stage job round-trip, so pin it off for the walk
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for step in range(1, k + 1):
-            cov = (
-                F.greatest(*[F.col("s")[i] for i in picked_idx])
-                if len(picked_idx) > 1
-                else (
-                    F.col("s")[picked_idx[0]] if picked_idx else F.lit(0).cast("long")
-                )
+    for step in range(1, k + 1):
+        cov = (
+            F.greatest(*[F.col("s")[i] for i in picked_idx])
+            if len(picked_idx) > 1
+            else (
+                F.col("s")[picked_idx[0]] if picked_idx else F.lit(0).cast("long")
             )
-            gains_row = sims.agg(
-                *[
-                    F.sum(
-                        F.greatest(F.col("s")[i] - cov, F.lit(0).cast("long"))
-                    )
-                    .cast("long")
-                    .alias(f"g{i}")
-                    for i in range(n_cand)
-                ]
-            ).first()
-            best_i, best_gain = -1, None
-            for i in range(n_cand):
-                if i in picked_idx:
-                    continue
-                g = int(gains_row[f"g{i}"])
-                if best_gain is None or g > best_gain:
-                    best_i, best_gain = i, g
-            coverage += best_gain
-            picked.append((step, ids[best_i], best_gain, coverage))
-            picked_idx.append(best_i)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return picked, sims, ids, k
+        )
+        aggs = [
+            F.sum(F.greatest(F.col("s")[i] - cov, F.lit(0).cast("long")))
+            .cast("long")
+            .alias(f"g{i}")
+            for i in range(n_cand)
+        ]
+        if step == 1 and baseline_steps:
+            # audit baseline fused into the first round's scan
+            aggs += [
+                F.sum(_prefix_max(n)).cast("long").alias(f"b{n}")
+                for n in range(1, baseline_steps + 1)
+            ]
+        gains_row = sims.agg(*aggs).first()
+        if step == 1 and baseline_steps:
+            base_vals = [int(gains_row[f"b{n}"]) for n in range(1, baseline_steps + 1)]
+        best_i, best_gain = -1, None
+        for i in range(n_cand):
+            if i in picked_idx:
+                continue
+            g = int(gains_row[f"g{i}"])
+            if best_gain is None or g > best_gain:
+                best_i, best_gain = i, g
+        coverage += best_gain
+        picked.append((step, ids[best_i], best_gain, coverage))
+        picked_idx.append(best_i)
+    return picked, sims, ids, base_vals
 
 
 def selection_coverage_audit(
@@ -520,22 +555,16 @@ def selection_coverage_audit(
     """
     from ..functions.exact import ppm_expr
 
-    picked, sims, ids, _ = _facility_greedy_walk(spark, sf_dir, k, pool)
     # baseline prefix = first k candidates in id order = array
-    # positions 0..k-1 of the packed sim frame
-    base_row = sims.agg(
-        *[
-            F.sum(F.greatest(*[F.col("s")[i] for i in range(step)])
-                  if step > 1 else F.col("s")[0])
-            .cast("long")
-            .alias(f"b{step}")
-            for step in range(1, k + 1)
-        ]
-    ).first()
+    # positions 0..k-1 of the packed sim frame; r11: the k prefix-max
+    # sums ride round 1's aggregate instead of a separate scan
+    picked, sims, ids, base_vals = _facility_greedy_walk(
+        spark, sf_dir, k, pool, baseline_steps=k
+    )
 
     rows = [
-        (step, gain_cov[3], int(base_row[f"b{step}"]))
-        for step, gain_cov in zip(range(1, k + 1), picked)
+        (step, gain_cov[3], base_vals[step - 1])
+        for step, gain_cov in zip(range(1, len(picked) + 1), picked)
     ]
     from pyspark.sql import types as T
 

@@ -362,96 +362,128 @@ def components_from_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     computes, so HOW fast the walk reaches it is a pure performance
     degree of freedom.
 
-    r10 optimization (guide §1.2 "the distributed algorithm" + §2.4):
-    each round is ONE action instead of three — the convergence flag
-    is folded into the label frame itself (sum(changed) both
-    materializes the lazily-localCheckpointed round AND answers the
-    early-exit question; the r9 form paid a separate eager-checkpoint
-    job plus a labels⋈labels count join per round), and a POINTER-JUMP
-    term (comp[cand], the pointer-doubling half of the two-phase CC
-    algorithms) is folded into the per-round minimum so label distance
-    to the component minimum contracts ~2x per round instead of 1 hop.
-    comp always holds the id of a node in the same component (neighbor
-    labels and comp[comp] both are), values only decrease, and the
-    early-exit fires only at a full plain-propagation fixpoint, so the
-    result is the same unique fixpoint (min reachable id) the
-    recursive-CTE oracle computes.
+    r11 optimization (guide §1.2 "the distributed algorithm"; VERDICT
+    r10 task 9): the two regimes are now split WITHOUT touching any
+    session conf (the r10 version flipped spark.sql.adaptive.enabled /
+    shuffle.partitions on the shared session — process-global state a
+    concurrently planned query would see).
 
-    Round partitioning is SCALE-ADAPTIVE (guide §2): derived from the
-    measured edge count, not the session default — a near-dup graph is
-    typically a tiny fraction of the corpus, and a 32-partition x
-    multi-stage AQE walk over a few thousand labels paid ~5 driver
-    round-trips per round for data a single task handles (measured
-    3-5x per-round overhead at sf0.1). Above ``_CC_SMALL_EDGES`` the
-    session conf (AQE, skew handling) is left untouched, so corpus-
-    scale graphs keep the adaptive machinery."""
+    - Small graphs (edge count below ``SPARK_GRAFT_CC_SMALL_EDGES``,
+      default 2,000,000): a near-dup graph is typically a tiny
+      fraction of the corpus, and even the r10 one-action-per-round
+      walk paid ~4 jobs x several AQE replans for data one task
+      handles. The component fold now runs as a SINGLE-TASK union-find
+      (path-halving, union-by-min-id, so each tree's root is the
+      component minimum == the oracle's min-reachable-id fixpoint)
+      over the cached edge list via ``mapInPandas`` — one action, zero
+      shuffles, zero rounds. The closure is self-contained (no
+      package-level references), so it survives the driver's
+      plain-session / foreign-cwd pickling.
+    - Large graphs: the r10 distributed walk, unchanged — one action
+      per round (convergence flag folded into the lazily
+      localCheckpointed round frame) plus the pointer-jump term
+      (comp[cand], the pointer-doubling half of two-phase CC, so label
+      distance to the component minimum contracts ~2x per round).
+      comp always holds the id of a node in the same component, values
+      only decrease, and the early-exit fires only at a full
+      plain-propagation fixpoint, so the result is the same unique
+      fixpoint (min reachable id) the recursive-CTE oracle computes.
+      AQE (including skew-join handling) stays ON in this regime.
+    """
     import os
 
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     # one cheap job: materializes the persisted edge set (paid lazily
-    # by round 1 before) and sizes the propagation rounds
+    # by round 1 before) and picks the regime
     n_edges = edges.count()
-    spark = pairs.sparkSession
-    small_cap = int(os.environ.get("SGL_CC_SMALL_EDGES", "5000000"))
-    small = n_edges < small_cap
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if small:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(max(8, n_edges // 250_000))
-        )
-    try:
+    small_cap = int(os.environ.get("SPARK_GRAFT_CC_SMALL_EDGES", "2000000"))
+    if n_edges < small_cap:
+        id_type = dict(pairs.dtypes)["doc_a"]
+
+        def _unionfind(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]  # path halving
+                    x = parent[x]
+                return x
+
+            for b in batches:
+                for u, v in zip(b["doc_a"].tolist(), b["doc_b"].tolist()):
+                    if u not in parent:
+                        parent[u] = u
+                    if v not in parent:
+                        parent[v] = v
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        if rv < ru:
+                            ru, rv = rv, ru
+                        parent[rv] = ru  # min id stays root
+            ids = list(parent.keys())
+            yield pd.DataFrame(
+                {"doc_id": ids, "cluster_id": [find(i) for i in ids]}
+            )
+
         labels = (
-            edges.select(F.col("doc_a").alias("id"))
-            .distinct()
-            .withColumn("comp", F.col("id"))
+            edges.coalesce(1)
+            .mapInPandas(_unionfind, schema=f"doc_id {id_type}, cluster_id {id_type}")
+            # eager: materialize the node-grain result BEFORE the edge
+            # cache is dropped (the consumer's action may run later)
+            .localCheckpoint(eager=True)
+        )
+        edges.unpersist()
+        return labels
+
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        cand = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("prev"),
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                "cand"
+            ),
+        )
+        # pointer jump: comp[cand] — cand is a node in this
+        # component, so its label is too; the jump join sees the
+        # small label table and halves long-chain convergence
+        jump = labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+        nxt = (
+            cand.join(jump, cand.cand == jump.jid, "left")
+            .select(
+                "id",
+                F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand"))).alias(
+                    "comp"
+                ),
+                (
+                    F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand")))
+                    != F.col("prev")
+                )
+                .cast("int")
+                .alias("changed"),
+            )
             .localCheckpoint(eager=False)
         )
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(labels, edges.doc_b == labels.id)
-                .groupBy(F.col("doc_a").alias("id"))
-                .agg(F.min("comp").alias("nbr_min"))
-            )
-            cand = labels.join(nbr_min, "id", "left").select(
-                "id",
-                F.col("comp").alias("prev"),
-                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
-                    "cand"
-                ),
-            )
-            # pointer jump: comp[cand] — cand is a node in this
-            # component, so its label is too; the jump join sees the
-            # small label table and halves long-chain convergence
-            jump = labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
-            nxt = (
-                cand.join(jump, cand.cand == jump.jid, "left")
-                .select(
-                    "id",
-                    F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand"))).alias(
-                        "comp"
-                    ),
-                    (
-                        F.least(F.col("cand"), F.coalesce("jcomp", F.col("cand")))
-                        != F.col("prev")
-                    )
-                    .cast("int")
-                    .alias("changed"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            # ONE action: materializes the checkpointed round and reads
-            # the convergence count off it (no second labels⋈labels pass)
-            changed = nxt.agg(F.sum("changed")).first()[0] or 0
-            labels = nxt.drop("changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # ONE action: materializes the checkpointed round and reads
+        # the convergence count off it (no second labels⋈labels pass)
+        changed = nxt.agg(F.sum("changed")).first()[0] or 0
+        labels = nxt.drop("changed")
+        if changed == 0:
+            break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
