@@ -69,9 +69,22 @@ def pagerank_trade_graph(
     n_nodes = nodes.count()  # graph dimension (scalar for the teleport term)
 
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
+    # r11 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the pair-grain share table is hash-partitioned by
+    # dst ONCE — localCheckpoint preserves the partitioning, so every
+    # iteration's contribution groupBy("dst") needs NO Exchange when
+    # the rank join broadcasts (auto: the rank table is node-grain,
+    # far smaller than the pair-grain shares, and checkpoint stats are
+    # exact — no hint, so a cluster-scale node table that outgrows the
+    # threshold degrades to SMJ instead of OOMing the driver).
+    # Per-round checkpoints are
+    # LAZY: no driver-side convergence read exists (fixed n_iter), so
+    # the whole walk materializes under ONE action instead of one
+    # eager-checkpoint job per iteration.
     weighted = (
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
 
@@ -102,7 +115,7 @@ def pagerank_trade_graph(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.orderBy("node")
 
@@ -149,12 +162,23 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> Dat
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
 
+    # r11 (guide §2.4 + VERDICT r10 task 4): TWO partitioned copies of
+    # the pair-grain trade frame — one hashed by sk (feeds the
+    # authority groupBy), one by ck (feeds the hub groupBy) — so when
+    # the node-grain score join broadcasts (auto), neither
+    # half-iteration shuffles the pair-grain side: 2 up-front shuffles
+    # replace 2 per iteration. Normalize checkpoints are LAZY — no
+    # driver-side read exists in the loop (fixed n_iter), so the whole
+    # walk materializes under ONE action instead of 2 eager-checkpoint
+    # jobs per iteration.
     trade = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint(eager=True)
     )
+    trade_by_sk = trade.repartition("sk").localCheckpoint(eager=False)
+    trade_by_ck = trade.repartition("ck").localCheckpoint(eager=False)
 
     def _normalize(raw_df: DataFrame, key: str) -> DataFrame:
         # empty/zero-weight graph: sum(raw) is NULL or 0 — emit 0
@@ -175,7 +199,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> Dat
                 .otherwise(F.lit(0).cast("long"))
                 .alias("score_e6"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     hub = customer.select(
@@ -184,13 +208,13 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> Dat
     auth = None
     for _ in range(n_iter):
         araw = (
-            trade.join(hub.withColumnRenamed("score_e6", "h"), "ck")
+            trade_by_sk.join(hub.withColumnRenamed("score_e6", "h"), "ck")
             .groupBy("sk")
             .agg(F.sum(F.col("w") * F.col("h")).alias("raw"))
         )
         auth = _normalize(araw, "sk")
         hraw = (
-            trade.join(auth.withColumnRenamed("score_e6", "a"), "sk")
+            trade_by_ck.join(auth.withColumnRenamed("score_e6", "a"), "sk")
             .groupBy("ck")
             .agg(F.sum(F.col("w") * F.col("a")).alias("raw"))
         )
@@ -243,16 +267,25 @@ def kcore_trade_graph(
         )
         .distinct()
     )
+    # r11 (guide §2.4 + VERDICT r10 task 4): the symmetric edge list is
+    # hash-partitioned by src ONCE — localCheckpoint preserves the
+    # partitioning and the keep-filter semi-joins broadcast (node-grain
+    # survivor set vs edge-grain list), so every round's degree
+    # groupBy("src") and the final core-degree aggregate run with NO
+    # Exchange: 1 up-front shuffle replaces n_rounds+1 per-round ones.
+    # Round checkpoints are LAZY — no driver-side convergence read
+    # exists (fixed rounds), so the whole peel materializes under ONE
+    # action instead of one eager-checkpoint job per round.
     edges = trade.unionByName(
         trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).repartition("src").localCheckpoint(eager=True)
     for _ in range(n_rounds):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= k).select("src")
         edges = (
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")

@@ -865,116 +865,85 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale; residuals stay inside int64 for daily revenue up to
     ~9e12 cents.
 
-    Plan/scale: ONE corpus-scale aggregate (priority x day); the
-    pairwise stage is day-grain — quadratic in DAYS (calendar-
-    bounded: ~2.4k days -> ~2.9M slopes per priority), never in
-    orders. The slope median uses the weighted_median_price
-    two-level discipline: map-side-combinable BUCKET counts (the
-    slope rows never shuffle — a full-sort window here measured
-    15.6s vs ~4s at sf0.1), a cumulative carry over ~1e3 bucket
-    rows to locate the median bucket, then a rank window over only
-    that bucket's slice. The day-grain residual median is small
-    enough for the direct rank window.
+    Plan/scale (r11 rewrite, guide §4.2 + VERDICT r10 task 3): ONE
+    corpus-scale aggregate (priority x day) — the only stage that
+    grows with data — then the calendar-bounded day-grain series
+    (~2.4k days -> ~2.9M slopes per priority, NEVER corpus-sized) is
+    folded per priority by a vectorized numpy kernel inside
+    ``applyInPandas``: np.triu_indices generates the n(n-1)/2 pairs,
+    the two-level remainder split runs as int64 array arithmetic
+    (floor-div == SQL DIV for the non-negative operands here), and
+    both DISC medians are one np.sort + index. The r10 form built the
+    pairwise frame TWICE via per-priority sort-merge self-joins (one
+    pass for bucket counts, one for the median-bucket slice) plus a
+    carry window — ~20 stages and 2 shuffles of ~14M slope rows; an
+    intermediate r11 attempt as flatten/transform array expressions
+    was 4x SLOWER than r10 (higher-order-function lambdas are
+    interpreted per element, not codegen'd — measured 43s vs 10.3s at
+    sf0.1), which is exactly the guide §4.2 case for handing the
+    bounded batch to native vectorized code. Exactness contract
+    unchanged (|dc| <= ~9.2e12, residuals < 2^63): int64 numpy == SQL
+    BIGINT on this domain, so the oracle hash is identical.
     """
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            F.to_date("o_orderdate").alias("day"),
-        )
-        .agg(
-            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-            .alias("cents")
-        )
-        .withColumn("x", F.datediff("day", F.lit("1992-01-01").cast("date")))
-        .repartition("priority")
-        .localCheckpoint(eager=False)  # pin: feeds pairs AND residuals
-    )
-    a, b = daily.alias("a"), daily.alias("b")
-    dc = "(CAST(b.cents AS BIGINT) - CAST(a.cents AS BIGINT))"
-    # greatest(.,1) guard: join-condition evaluation order is not
-    # guaranteed, so the pushed bucket filter can evaluate the slope
-    # on a dd == 0 (same-day) candidate BEFORE the a.x < b.x check —
-    # ANSI DIV-by-zero; the guard never changes a surviving row
-    dd = "greatest(b.x - a.x, 1)"
-    slope = (
-        f"CAST(CASE WHEN {dc} >= 0 THEN 1 ELSE -1 END"
-        f" * CAST({_ppm(f'abs({dc})', dd)} AS BIGINT) AS BIGINT)"
-    )
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    ).withColumn("x", F.datediff("day", F.lit("1992-01-01").cast("date")))
 
-    def _pairs() -> DataFrame:
-        return a.join(
-            b,
-            (F.col("a.priority") == F.col("b.priority")) & (F.col("a.x") < F.col("b.x")),
-        ).selectExpr("a.priority AS priority", f"{slope} AS slope_e6")
+    def _sen_fold(pdf):
+        import numpy as np
+        import pandas as pd
 
-    # level 1: bucket counts (partial-agg combinable). Width 1e9
-    # measured best on the slope spread: 1e7 left 2M buckets (the
-    # groupBy dominated wall), 1e9 gives ~200k buckets with a max
-    # in-bucket slice of ~14k rows at sf0.1
-    bkt = F.expr("slope_e6 DIV 1000000000")
-    bcounts = _pairs().groupBy("priority", bkt.alias("b")).agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    w_carry = (
-        Window.partitionBy("priority")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carried = bcounts.withColumn(
-        "carry_in", F.coalesce(F.sum("bn").over(w_carry), F.lit(0))
-    ).withColumn("cum", F.col("carry_in") + F.col("bn"))
-    totals = carried.groupBy("priority").agg(
-        F.sum("bn").cast("long").alias("n_pairs")
-    )
-    sel = carried.join(F.broadcast(totals), "priority").withColumn(
-        "target", F.expr("CAST((n_pairs + 1) DIV 2 AS BIGINT)")
-    )
-    # level 2: the bucket holding the target rank, with its carry-in
-    binfo = (
-        sel.filter(F.col("cum") >= F.col("target"))
-        .groupBy("priority")
-        .agg(
-            F.min("b").alias("mb"),
-            F.first("n_pairs").alias("n_pairs"),
-            F.first("target").alias("target"),
-        )
-        .join(
-            sel.select("priority", F.col("b").alias("mb"), "carry_in"),
-            ["priority", "mb"],
-        )
-        .localCheckpoint(eager=False)  # tiny: one row per priority
-    )
-    w_in = Window.partitionBy("priority").orderBy("slope_e6")
-    med_slope = (
-        _pairs()
-        .join(F.broadcast(binfo), "priority")
-        .filter(F.expr("slope_e6 DIV 1000000000") == F.col("mb"))
-        .withColumn("rn", F.row_number().over(w_in))
-        .filter(F.col("rn") == F.col("target") - F.col("carry_in"))
-        .select("priority", "n_pairs", "slope_e6")
-        .localCheckpoint(eager=False)  # pin: residual branch + final join
-    )
-    resid = daily.join(F.broadcast(med_slope), "priority").selectExpr(
-        "priority",
-        "CAST(cents AS BIGINT) * 1000000 - slope_e6 * CAST(x AS BIGINT) AS r_e6",
-    )
-    w_r = Window.partitionBy("priority").orderBy("r_e6")
-    n_w = Window.partitionBy("priority")
-    intercept = (
-        resid.withColumn("rn", F.row_number().over(w_r))
-        .withColumn("n_days", F.count(F.lit(1)).over(n_w))
-        .filter(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
-        .select("priority", "n_days", F.col("r_e6").alias("intercept_cents_e6"))
-    )
-    return (
-        med_slope.join(F.broadcast(intercept), "priority")
-        .selectExpr(
+        pdf = pdf.sort_values("x")
+        x = pdf["x"].to_numpy().astype(np.int64)
+        c = pdf["cents"].to_numpy().astype(np.int64)
+        n = len(x)
+        cols = [
             "priority",
-            "CAST(n_days AS BIGINT) AS n_days",
-            "CAST(n_pairs AS BIGINT) AS n_pairs",
-            "slope_e6 AS slope_cents_per_day_e6",
+            "n_days",
+            "n_pairs",
+            "slope_cents_per_day_e6",
             "intercept_cents_e6",
+        ]
+        if n < 2:
+            # single-day priorities have no pairs: the median join of
+            # the pre-r11 forms dropped them — keep that contract
+            return pd.DataFrame({k: [] for k in cols})
+        iu, ju = np.triu_indices(n, 1)
+        dc = c[ju] - c[iu]
+        dd = x[ju] - x[iu]  # > 0: x strictly increasing after the sort
+        p1000 = np.abs(dc) * 1000
+        # two-level remainder split == ppm_expr: exact for |dc| <= ~9.2e12
+        q = (p1000 // dd) * 1000 + ((p1000 % dd) * 1000) // dd
+        slopes = np.where(dc >= 0, q, -q)
+        slopes.sort()
+        n_pairs = int(slopes.size)
+        med = int(slopes[(n_pairs + 1) // 2 - 1])  # DISC rn == (n+1) DIV 2
+        resid = c * 1_000_000 - med * x
+        resid.sort()
+        intercept = int(resid[(n + 1) // 2 - 1])
+        return pd.DataFrame(
+            {
+                "priority": [pdf["priority"].iloc[0]],
+                "n_days": [n],
+                "n_pairs": [n_pairs],
+                "slope_cents_per_day_e6": [med],
+                "intercept_cents_e6": [intercept],
+            }
+        )
+
+    return (
+        daily.groupBy("priority")
+        .applyInPandas(
+            _sen_fold,
+            schema=(
+                "priority string, n_days bigint, n_pairs bigint, "
+                "slope_cents_per_day_e6 bigint, intercept_cents_e6 bigint"
+            ),
         )
         .orderBy("priority")
     )
