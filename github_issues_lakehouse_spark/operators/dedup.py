@@ -1540,6 +1540,19 @@ def minhash_band_tuning(
     per config are counted under the SAME bucket_cap skew guard as
     the production candidate stage, so the numbers predict the real
     pipeline's cost.
+
+    r11 (guide §2.4 + VERDICT r10 task 5, the probe-fold pattern):
+    the config grid is EXPLODED AS A COLUMN — one posting frame
+    carrying a ``bands`` key holds every configuration's postings
+    (sum(b) = 28 rows/doc vs 12/doc x 6 sequential configs), so the
+    whole tuning mart is ONE bucket groupBy, ONE capped self-join and
+    ONE distinct-pair aggregate instead of 6 plan branches x (groupBy
+    + self-join + two 1-row joins) — the r10 plan had 12 cartesian
+    1-row joins and ~1900 plan lines. Per-config literals
+    (rows_per_band, thresh_e6) ride a CASE over the bands key.
+    Identical rows: banding, cap semantics and the distinct-pair
+    count are per-config unchanged — the bands key just labels them
+    in one frame.
     """
     d = (
         load_table(spark, sf_dir, "documents")
@@ -1547,45 +1560,84 @@ def minhash_band_tuning(
         .withColumn("_toks", tokens())
         .withColumn("sh", shingles_from(F.col("_toks"), 3))
         .select("doc_id", minhash_signature_from(F.col("sh"), num_hashes).alias("sig"))
-        .localCheckpoint(eager=False)
     )
-    out = None
+    # every config's postings in one bounded explode: (bands, band_id,
+    # band_key) per doc — band_key spelling identical to band_postings
+    structs = []
     for b in BAND_CONFIGS:
         r = num_hashes // b
-        posts = band_postings(d, num_hashes=num_hashes, bands=b)
-        buckets = posts.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        bstats = buckets.agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.when(F.col("cnt") > bucket_cap, 1).otherwise(0)).alias(
-                "n_buckets_capped"
-            ),
-        )
-        ok = buckets.filter(F.col("cnt") <= bucket_cap).select("band_id", "band_key")
-        kept = posts.join(ok, ["band_id", "band_key"])
-        pairs = (
-            kept.alias("a")
-            .join(
-                kept.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+        for band in range(b):
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(band).alias("band_id"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(F.col("sig"), band * r + i + 1)
+                            for i in range(r)
+                        ],
+                    ).alias("band_key"),
+                )
             )
-            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    posts = (
+        d.select("doc_id", F.explode(F.array(*structs)).alias("p"))
+        .select("doc_id", "p.bands", "p.band_id", "p.band_key")
+        .localCheckpoint(eager=False)
+    )
+    buckets = posts.groupBy("bands", "band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bstats = buckets.groupBy("bands").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("cnt") > bucket_cap, 1).otherwise(0)).alias(
+            "n_buckets_capped"
+        ),
+    )
+    ok = buckets.filter(F.col("cnt") <= bucket_cap).select(
+        "bands", "band_id", "band_key"
+    )
+    kept = posts.join(ok, ["bands", "band_id", "band_key"])
+    pair_counts = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        row = bstats.join(F.broadcast(pairs)).selectExpr(
-            f"CAST({b} AS INT) AS bands",
-            f"CAST({r} AS INT) AS rows_per_band",
-            f"CAST({lsh_scurve_thresh_e6(b, r)} AS BIGINT) AS thresh_e6",
-            "CAST(n_buckets AS BIGINT) AS n_buckets",
-            "CAST(n_buckets_capped AS BIGINT) AS n_buckets_capped",
-            "CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs",
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("bands")
+        .distinct()
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    )
+    rpb = F.lit(None).cast("int")
+    thr = F.lit(None).cast("long")
+    for b in BAND_CONFIGS:
+        r = num_hashes // b
+        rpb = F.when(F.col("bands") == b, F.lit(r).cast("int")).otherwise(rpb)
+        thr = F.when(
+            F.col("bands") == b, F.lit(lsh_scurve_thresh_e6(b, r)).cast("long")
+        ).otherwise(thr)
+    return (
+        bstats.join(pair_counts, "bands", "left")
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            rpb.alias("rows_per_band"),
+            thr.alias("thresh_e6"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_buckets_capped").cast("long").alias("n_buckets_capped"),
+            F.coalesce(F.col("n_candidate_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("bands")
+    )
 
 
 def jaccard_threshold_sweep(
@@ -1638,28 +1690,65 @@ def jaccard_threshold_sweep(
         )
         .localCheckpoint(eager=False)
     )
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", whitespace_token_count(F.col("text")).alias("n_tok"))
-        .localCheckpoint(eager=False)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tok")
     )
-    out = None
-    for t in thresholds_ppm:
-        kept = pairs.filter(F.col("jacc_ppm") >= t)
-        n_pairs = kept.agg(F.count(F.lit(1)).alias("n_pairs"))
-        flagged = kept.select(F.col("doc_b").alias("doc_id")).distinct()
-        saved = flagged.join(toks, "doc_id").agg(
-            F.count(F.lit(1)).alias("n_docs_flagged"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tokens_saved"),
+    # r11 (guide §2.4 + VERDICT r10 task 5, the probe-fold pattern):
+    # a doc is flagged at threshold t iff max(jacc over its pairs as
+    # doc_b) >= t, so ONE per-doc max + token join serves every
+    # threshold; the per-threshold counts/sums are conditional
+    # aggregates in TWO 1-row scans (pairs, doc-max) instead of 4 plan
+    # branches x (filter+count, distinct+join+agg) — the r10 plan had
+    # 8 cartesian 1-row joins. Values are identical: count(jacc >= t)
+    # == the filtered count, and sum(n_tok | max >= t) == the
+    # distinct-flagged-doc token sum (doc_b is unique in the doc-max
+    # frame by construction).
+    pstats = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("jacc_ppm") >= t, F.lit(1))), F.lit(0)
+            ).alias(f"p{t}")
+            for t in thresholds_ppm
+        ]
+    )
+    docmax = (
+        pairs.groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.max("jacc_ppm").alias("mx"))
+        .join(toks, "doc_id")
+    )
+    dstats = docmax.agg(
+        *(
+            [
+                F.coalesce(
+                    F.sum(F.when(F.col("mx") >= t, F.lit(1))), F.lit(0)
+                ).alias(f"d{t}")
+                for t in thresholds_ppm
+            ]
+            + [
+                F.coalesce(
+                    F.sum(F.when(F.col("mx") >= t, F.col("n_tok"))), F.lit(0)
+                ).alias(f"s{t}")
+                for t in thresholds_ppm
+            ]
         )
-        row = n_pairs.join(F.broadcast(saved)).selectExpr(
-            f"CAST({t} AS BIGINT) AS threshold_ppm",
-            "CAST(n_pairs AS BIGINT) AS n_pairs",
-            "CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged",
-            "CAST(tokens_saved AS BIGINT) AS tokens_saved",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("threshold_ppm")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("threshold_ppm"),
+                F.col(f"p{t}").cast("long").alias("n_pairs"),
+                F.col(f"d{t}").cast("long").alias("n_docs_flagged"),
+                F.col(f"s{t}").cast("long").alias("tokens_saved"),
+            )
+            for t in thresholds_ppm
+        ]
+    )
+    return (
+        pstats.join(F.broadcast(dstats))
+        .select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("threshold_ppm")
+    )
 
 
 def containment_pairs(
