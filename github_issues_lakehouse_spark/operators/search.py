@@ -107,12 +107,34 @@ def rrf_hybrid_topk(
     from .similarity import ann_ivf_topk, ann_lsh_topk
 
     lsh = ann_lsh_topk(spark, sf_dir).select(
-        "q_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+        "q_id",
+        "neighbor_id",
+        F.col("rank").alias("lsh_rank"),
+        F.lit(None).cast("int").alias("ivf_rank"),
     )
     ivf = ann_ivf_topk(spark, sf_dir).select(
-        "q_id", "neighbor_id", F.col("rank").alias("ivf_rank")
+        "q_id",
+        "neighbor_id",
+        F.lit(None).cast("int").alias("lsh_rank"),
+        F.col("rank").alias("ivf_rank"),
     )
-    both = lsh.join(ivf, ["q_id", "neighbor_id"], "full_outer")
+    # r11 (guide §2.4): the full-outer join of the two bounded lists
+    # cost 2 exchanges (both sides hashed on (q_id, neighbor_id)) plus
+    # a 3rd for the q_id fusion window. A (q, d) pair appears at most
+    # once per list, so union + max-aggregate is the same pairing; one
+    # repartition("q_id") satisfies BOTH the (q_id, neighbor_id)
+    # aggregate's clustering (subset key) and the window's — 3
+    # exchanges -> 1, and the inherited shuffle-budget test (<= 8,
+    # was 9) is green again.
+    both = (
+        lsh.unionByName(ivf)
+        .repartition("q_id")
+        .groupBy("q_id", "neighbor_id")
+        .agg(
+            F.max("lsh_rank").alias("lsh_rank"),
+            F.max("ivf_rank").alias("ivf_rank"),
+        )
+    )
     rrf = (
         F.coalesce(1.0 / (c + F.col("lsh_rank")), F.lit(0.0))
         + F.coalesce(1.0 / (c + F.col("ivf_rank")), F.lit(0.0))
