@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, to_double
+from ..functions.vectors import dot, norm, to_double
 from ..sources.registry import load_table
 from .relational import r6
 
@@ -430,24 +430,39 @@ def _facility_greedy_walk(
     frame is checkpointed as a SINGLE partition when the corpus is
     small (below ``SPARK_GRAFT_FACILITY_SMALL`` rows, default 2M; the
     sim computation itself stays parallel — only the checkpointed
-    result is repartition(1)'d), so each round's 1-row aggregate needs
-    NO Exchange at all (SinglePartition requirement already satisfied)
-    and AQE never engages — plan-local, concurrency-safe. Above the
-    cap the frame keeps its scan partitioning and AQE (on, untouched)
-    coalesces the per-round exchange. The audit's ``baseline_steps``
-    prefix-max sums are FUSED into round 1's aggregate (the r10 form
-    paid a separate k-expression scan). Guards (ADVICE r10): k clamps
-    to the candidate count; an empty pool raises instead of
-    TypeError-ing. Plan width grows linearly with ``pool`` (one sum
-    expression per candidate) — pool is a knob, keep it O(100)."""
+    result is repartition(1)'d). In that single-partition regime the
+    ENTIRE k-round greedy walk (plus the audit's baseline prefix-max
+    sums) runs as ONE vectorized numpy job over the checkpointed
+    integer sim arrays (guide §1.2/§4.2): the r10 form planned k
+    separate pool-wide aggregates, and measured cost was dominated by
+    DRIVER-side work — pool x k expression construction over py4j plus
+    per-round analysis/codegen — not by execution (~6.5s of a 10.3s
+    warm walk at sf0.1). All walk arithmetic is int64 (sim_e6 sums and
+    maxes), so the numpy fold is bit-identical to the JVM aggregates —
+    no float order risk. Above the cap the frame keeps its scan
+    partitioning and the distributed per-round aggregate loop (AQE on,
+    untouched; the audit's baseline sums fused into round 1). Guards
+    (ADVICE r10): k clamps to the candidate count; an empty pool
+    raises instead of TypeError-ing. Plan width in the large regime
+    grows linearly with ``pool`` — pool is a knob, keep it O(100);
+    the small regime holds corpus x pool int64 in one task (~0.5 KB a
+    row at pool=64), which SPARK_GRAFT_FACILITY_SMALL bounds at ~1 GB."""
     import os
 
-    from ..functions.vectors import cosine
-
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    corpus = e.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("vec"),
+    )
     cand = corpus.filter(F.col("vec_id") < pool).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        # candidate norm hoisted out of the per-row transform (r11):
+        # the r10 form recomputed norm(c_vec) AND norm(vec) once per
+        # (row, candidate) inside cosine — 3x the interpreted-HOF work
+        # of the dot product itself. Same expression on the same
+        # values, so the double (and the e6 freeze) is bit-identical.
+        norm(F.col("c_vec")).alias("c_nrm"),
     )
     # bounded driver fold: the pool candidate ids (id order == array
     # index order below)
@@ -463,21 +478,33 @@ def _facility_greedy_walk(
     # ONE row holding every candidate in id order; the cross join
     # broadcasts it so the packed sim frame is a single corpus pass
     cands_row = cand.agg(
-        F.sort_array(F.collect_list(F.struct("c_id", "c_vec"))).alias("cands")
+        F.sort_array(F.collect_list(F.struct("c_id", "c_vec", "c_nrm"))).alias("cands")
     )
-    sim_e6 = lambda c_vec: F.greatest(  # noqa: E731 — verbatim C152 algebra
-        F.round(r6(cosine(F.col("vec"), c_vec)) * 1e6, 0).cast("long"),
+    nv = norm(F.col("vec"))
+    sim_e6 = lambda c: F.greatest(  # noqa: E731 — verbatim C152 algebra
+        F.round(
+            r6(dot(F.col("vec"), c["c_vec"]) / (F.col("_nv") * c["c_nrm"])) * 1e6, 0
+        ).cast("long"),
         F.lit(0).cast("long"),
     )
-    sims = corpus.crossJoin(F.broadcast(cands_row)).select(
-        "vec_id",
-        F.transform(F.col("cands"), lambda c: sim_e6(c["c_vec"])).alias("s"),
+    sims = (
+        corpus.withColumn("_nv", nv)
+        .crossJoin(F.broadcast(cands_row))
+        .select(
+            "vec_id",
+            F.transform(F.col("cands"), sim_e6).alias("s"),
+        )
     )
     small_cap = int(os.environ.get("SPARK_GRAFT_FACILITY_SMALL", "2000000"))
     # metadata-only parquet count: sizes the round-frame layout
-    if e.count() < small_cap:
+    small = e.count() < small_cap
+    if small:
         sims = sims.repartition(1)
     sims = sims.localCheckpoint(eager=True)
+
+    if small:
+        picked, base_vals = _facility_numpy_fold(sims, n_cand, k, baseline_steps, ids)
+        return picked, sims, ids, base_vals
 
     def _prefix_max(n: int):
         return (
@@ -524,6 +551,64 @@ def _facility_greedy_walk(
         picked.append((step, ids[best_i], best_gain, coverage))
         picked_idx.append(best_i)
     return picked, sims, ids, base_vals
+
+
+def _facility_numpy_fold(sims: DataFrame, n_cand: int, k: int, baseline_steps: int, ids):
+    """Single-partition regime of the greedy walk (r11): the whole
+    k-round argmax recurrence and the audit's baseline prefix-max sums
+    in ONE ``mapInPandas`` job over the checkpointed (vec_id, s) frame
+    — int64 end to end, so every gain/coverage/baseline value is
+    bit-identical to the JVM per-round aggregates it replaces.
+    Tiebreak parity: ``np.argmax`` returns the FIRST max index, which
+    is exactly the old loop's "strictly greater wins, lowest candidate
+    index on ties" scan. Emits (t, step, idx, gain) rows: t=0 greedy
+    picks, t=1 baseline prefix sums — a bounded k + baseline_steps
+    rows, the documented driver-fold class."""
+
+    def _greedy(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = []
+        for b in batches:
+            if len(b):
+                mats.append(np.stack(b["s"].to_numpy()))
+        if not mats:
+            return
+        S = np.vstack(mats).astype(np.int64, copy=False)  # (n_rows, n_cand)
+        t_o, step_o, idx_o, gain_o = [], [], [], []
+        if baseline_steps:
+            run = np.maximum.accumulate(S[:, :baseline_steps], axis=1)
+            for n in range(1, baseline_steps + 1):
+                t_o.append(1)
+                step_o.append(n)
+                idx_o.append(-1)
+                gain_o.append(int(run[:, n - 1].sum()))
+        cov = np.zeros(S.shape[0], dtype=np.int64)
+        taken = np.zeros(S.shape[1], dtype=bool)
+        for step in range(1, k + 1):
+            gains = np.maximum(S - cov[:, None], 0).sum(axis=0)
+            gains[taken] = -1  # real gains are >= 0, so never re-picked
+            best = int(gains.argmax())
+            t_o.append(0)
+            step_o.append(step)
+            idx_o.append(best)
+            gain_o.append(int(gains[best]))
+            taken[best] = True
+            cov = np.maximum(cov, S[:, best])
+        yield pd.DataFrame({"t": t_o, "step": step_o, "idx": idx_o, "gain": gain_o})
+
+    rows = sims.mapInPandas(_greedy, "t int, step int, idx int, gain long").collect()
+    base_vals = [
+        int(r["gain"])
+        for r in sorted((r for r in rows if r["t"] == 1), key=lambda r: r["step"])
+    ]
+    picked: list[tuple[int, int, int, int]] = []
+    coverage = 0
+    for r in sorted((r for r in rows if r["t"] == 0), key=lambda r: r["step"]):
+        coverage += int(r["gain"])
+        picked.append((int(r["step"]), ids[int(r["idx"])], int(r["gain"]), coverage))
+    return picked, base_vals
 
 
 def selection_coverage_audit(

@@ -223,41 +223,67 @@ def pca_top_component(
 
     The corpus is touched ONCE: the same single-pass moment aggregate
     as embedding_covariance. Everything after operates on the
-    dim x dim covariance rows — dim^2 values, bounded by embedding
-    width, never by data — as tiny DataFrame joins (matvec = join on
-    j + groupBy i), localCheckpointed per iteration like the other
-    iterative families. Determinism contract: v0 = 1/sqrt(dim), each
+    dim x dim covariance values — bounded by embedding width, never
+    by data — as a driver-side float fold (r11; the documented
+    bounded driver-fold class). Determinism contract: v0 = 1/sqrt(dim), each
     iterate is normalized then rounded to 6dp, so both engines walk
     identical vector sequences and the DuckDB oracle unrolls the same
     iterations as CTEs. Output: one row per dimension with the
     loading, plus the Rayleigh-quotient eigenvalue estimate.
     """
     cov, vec = _pca_power(spark, sf_dir, dim, n_iter)
-    # Rayleigh quotient lambda = v' C v (v is unit up to rounding)
-    cv = (
-        cov.join(F.broadcast(vec), "j")
-        .groupBy("i")
-        .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("cv"))
+    # Rayleigh quotient lambda = v' C v (v is unit up to rounding) —
+    # dim^2 driver floats, same left-to-right fold as the matvec
+    cv = [_r6d(sum(cov[i][j] * vec[j] for j in range(dim))) for i in range(dim)]
+    lam = _r6d(sum(cv[i] * vec[i] for i in range(dim)))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("dim_i", T.IntegerType()),
+            T.StructField("loading", T.DoubleType()),
+            T.StructField("eigenvalue", T.DoubleType()),
+        ]
     )
-    lam = (
-        cv.join(F.broadcast(vec.select(F.col("j").alias("i"), "x")), "i")
-        .agg(F.round(F.sum(F.col("cv") * F.col("x")), 6).alias("eigenvalue"))
+    return spark.createDataFrame(
+        [(j, vec[j], lam) for j in range(dim)], schema
     )
-    return (
-        vec.crossJoin(F.broadcast(lam))
-        .select(
-            F.col("j").cast("int").alias("dim_i"),
-            F.col("x").alias("loading"),
-            "eigenvalue",
-        )
-    )
+
+
+def _r6d(val: float) -> float:
+    """Driver-side twin of the r6 Column helper: Spark's
+    ``round(double, 6)`` goes through ``BigDecimal.valueOf`` (the
+    shortest round-trip decimal string of the double) and HALF_UP at
+    scale 6 — ``Decimal(repr(x))`` is the identical shortest string,
+    quantized the identical way, so the folded double is the one the
+    JVM expression would have produced."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if val != val or val in (float("inf"), float("-inf")):
+        return val
+    return float(Decimal(repr(val)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def _pca_power(
     spark: SparkSession, sf_dir: str, dim: int, n_iter: int
-) -> tuple[DataFrame, DataFrame]:
-    """Shared power-iteration core: returns (cov rows (i, j, c),
-    unit eigenvector (j, x)) — both checkpointed, dim-sized."""
+) -> tuple[list[list[float]], list[float]]:
+    """Shared power-iteration core: returns (cov matrix, unit
+    eigenvector) as plain dim-sized python floats.
+
+    r11 (guide §1.2 + the documented bounded driver-fold class): the
+    corpus is touched ONCE — the same single-pass moment aggregate —
+    collected as one row (dim + dim*(dim+1)/2 doubles, bounded by
+    embedding width, never by data). The power iteration itself is
+    dim x dim arithmetic; the r10 form ran it as n_iter tiny
+    DataFrame joins with an EAGER localCheckpoint per iterate (plus
+    one for the cov rows), which cost ~30 Spark jobs / ~3s of pure
+    orchestration per pca_* key at sf0.1 for 8x8 floats. Algebra is
+    verbatim: cov c_ij = r6(p_ij - m_i * m_j) on the exact moment
+    doubles, each matvec component r6-rounded, normalized by
+    sqrt(sum wx^2), v0 = round(1/sqrt(dim), 6) — the same 6dp-rounded
+    iterate sequence both engines walk (the DuckDB oracle unrolls the
+    identical CTEs; the per-sum float order differs across engines by
+    construction and the 6dp rounding is the documented shield)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = to_double(F.col("embedding"))
     x = [F.element_at(v, i + 1) for i in range(dim)]
@@ -267,42 +293,25 @@ def _pca_power(
         for i in range(dim)
         for j in range(i, dim)
     ]
-    moments = e.agg(*aggs)
-    # full (mirrored) matrix so the matvec is a plain join on j
-    rows = []
-    for i in range(dim):
-        for j in range(dim):
-            lo, hi = min(i, j), max(i, j)
-            rows.append(
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.lit(j).alias("j"),
-                    F.round(
-                        F.col(f"p{lo}_{hi}") - F.col(f"m{lo}") * F.col(f"m{hi}"), 6
-                    ).alias("c"),
-                )
+    mo = e.agg(*aggs).first()  # ONE corpus job, one bounded row
+    cov = [
+        [
+            _r6d(
+                mo[f"p{min(i, j)}_{max(i, j)}"]
+                - mo[f"m{min(i, j)}"] * mo[f"m{max(i, j)}"]
             )
-    cov = (
-        moments.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.i", "r.j", "r.c")
-        .localCheckpoint(eager=True)
-    )
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
     v0 = round(1.0 / dim**0.5, 6)
-    vec = spark.range(dim).select(
-        F.col("id").cast("int").alias("j"), F.lit(v0).alias("x")
-    )
+    vec = [v0] * dim
+    import math
+
     for _ in range(n_iter):
-        w = (
-            cov.join(F.broadcast(vec), "j")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("wx"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("wx") * F.col("wx"))).alias("n"))
-        vec = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(F.col("i").alias("j"), F.round(F.col("wx") / F.col("n"), 6).alias("x"))
-            .localCheckpoint(eager=True)
-        )
+        w = [_r6d(sum(cov[i][j] * vec[j] for j in range(dim))) for i in range(dim)]
+        nn = math.sqrt(sum(wx * wx for wx in w))
+        vec = [_r6d(wx / nn) for wx in w]
     return cov, vec
 
 
@@ -315,29 +324,24 @@ def pca_projection_outliers(
     flag |z| > ``z_cap`` projection outliers — the rogue-vector QA
     pass an embedding pipeline runs after indexing.
 
-    The eigenvector is dim rows, pivoted wide and broadcast; the
-    projection is a fixed left-to-right dot-product expression (same
-    association order in the oracle, so doubles match bit-for-bit
-    before rounding); mean/std of the projection come from one 1-row
-    aggregate, broadcast back — two corpus passes total, no shuffle
-    wider than the global aggregate.
+    The eigenvector is dim driver floats (r11 driver fold); the
+    projection is a fixed left-to-right dot-product expression over
+    literal loadings (same association order in the oracle, so
+    doubles match bit-for-bit before rounding); mean/std of the
+    projection come from one 1-row aggregate, broadcast back — two
+    corpus passes total, no shuffle wider than the global aggregate.
     """
     _cov, vec = _pca_power(spark, sf_dir, dim, n_iter)
-    wide = (
-        vec.groupBy()
-        .pivot("j", list(range(dim)))
-        .agg(F.first("x"))
-        .select(*[F.col(f"`{j}`").alias(f"x{j}") for j in range(dim)])
-    )
     e = load_table(spark, sf_dir, "embeddings")
     v = to_double(F.col("embedding"))
+    # loadings are dim driver floats (r11): literal coefficients in the
+    # projection expression — same doubles, same left-to-right
+    # association — instead of a pivot + crossJoin of a 1-row frame
     proj_expr = None
     for j in range(dim):
-        term = F.col(f"x{j}") * F.element_at(v, j + 1)
+        term = F.lit(vec[j]) * F.element_at(v, j + 1)
         proj_expr = term if proj_expr is None else proj_expr + term
-    projected = e.crossJoin(F.broadcast(wide)).select(
-        "vec_id", "label", r6(proj_expr).alias("proj")
-    )
+    projected = e.select("vec_id", "label", r6(proj_expr).alias("proj"))
     stats = projected.agg(
         F.avg("proj").alias("mu"), F.stddev_pop("proj").alias("sd")
     )
@@ -472,42 +476,72 @@ def _pq_codes(tall: DataFrame, codebook: DataFrame, keep_sv: bool = False) -> Da
     """Nearest-code assignment (vec_id, sub, code, d2) — exact BIGINT
     distances, (d2, code) tiebreak.
 
-    r11 (guide §2.4, the `_packed_cell_assign` pattern + VERDICT r10
-    task 6): the codebook is packed into ONE broadcast row and the
-    argmin is array_min over (d2, code) structs — struct ordering IS
-    the (d2 asc, code asc) tiebreak — instead of a broadcast-join row
-    explosion (rows x codes_per_sub) plus a row_number Exchange+Sort
-    per assignment call (pq_adc_recall paid that window 4x: baseline
-    ADC, 2 training iterations, trained ADC). Rows are identical.
+    r11 (guide §4.2 + VERDICT r10 task 6): the codebook is a BOUNDED
+    table (n_sub x codes_per_sub codewords — knobs, never data-sized),
+    so it is collected once (the documented bounded driver-fold class)
+    and the assignment runs as ONE vectorized numpy pass over the tall
+    frame — no join, no window Exchange+Sort, and no interpreted
+    higher-order-function distance lambdas (a packed-broadcast
+    array_min form was tried first and measured 15-30% SLOWER than the
+    r10 broadcast-join it replaced: HOF lambdas are interpreted and
+    the packed row's candidate arrays were copied per row). All
+    arithmetic is int64 (e6-frozen components, exact squared L2), so
+    the numpy fold is bit-identical to the JVM expressions; argmin
+    over code-ascending candidates IS the (d2 asc, code asc) tiebreak
+    (np.argmin returns the first minimum). Rows whose sub has no
+    codebook entries are dropped — the old inner-join parity.
     ``keep_sv=True`` carries the sub-vector through, so the training
     loop's members frame needs no (vec_id, sub) re-join with tall."""
-    cb_row = codebook.agg(
-        F.sort_array(F.collect_list(F.struct("c_sub", "code", "cv"))).alias("_cb")
-    )
-    cands = F.filter(F.col("_cb"), lambda c: c["c_sub"] == F.col("sub"))
-    best = F.array_min(
-        F.transform(
-            cands,
-            lambda c: F.struct(
-                _pq_d2c(F.col("sv"), c["cv"]).alias("d2"),
-                c["code"].alias("code"),
-            ),
+    import numpy as np
+
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in codebook.select("c_sub", "code", "cv").collect():
+        by_sub.setdefault(int(r["c_sub"]), []).append((int(r["code"]), list(r["cv"])))
+    cb = {
+        s: (
+            np.array([c for c, _ in sorted(entries)], dtype=np.int64),
+            np.array([v for _, v in sorted(entries)], dtype=np.int64),
         )
+        for s, entries in by_sub.items()
+    }
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            sub = b["sub"].to_numpy()
+            sv = np.stack(b["sv"].to_numpy()).astype(np.int64, copy=False)
+            n = len(b)
+            keep = np.zeros(n, dtype=bool)
+            code_o = np.zeros(n, dtype=np.int64)
+            d2_o = np.zeros(n, dtype=np.int64)
+            for s, (codes_arr, mat) in cb.items():
+                m = sub == s
+                if not m.any():
+                    continue
+                diff = sv[m][:, None, :] - mat[None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                idx = d2.argmin(axis=1)
+                code_o[m] = codes_arr[idx]
+                d2_o[m] = d2[np.arange(len(idx)), idx]
+                keep[m] = True
+            out = {
+                "vec_id": b["vec_id"].to_numpy()[keep],
+                "sub": sub[keep],
+                "code": code_o[keep],
+                "d2": d2_o[keep],
+            }
+            if keep_sv:
+                out["sv"] = b["sv"].to_numpy()[keep]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, sub int, code long, d2 long" + (
+        ", sv array<long>" if keep_sv else ""
     )
-    return (
-        tall.crossJoin(F.broadcast(cb_row))
-        .withColumn("_best", best)
-        # a sub with no codebook entries yielded no row from the old
-        # inner join — array_min(empty) is NULL, filter for parity
-        .filter(F.col("_best").isNotNull())
-        .select(
-            "vec_id",
-            "sub",
-            F.col("_best.code").alias("code"),
-            F.col("_best.d2").alias("d2"),
-            *(["sv"] if keep_sv else []),
-        )
-    )
+    return tall.mapInPandas(assign, schema)
 
 
 def pq_codebook_stats(
@@ -616,68 +650,27 @@ def pq_adc_recall(
         F.col("vec_id").alias("q_id"), F.col("sub").alias("q_sub"), F.col("sv").alias("qv")
     )
 
-    # key = q_id * (n_sub * cps) + sub * cps + code — collision-free
-    # (sub < n_sub, code < cps), so ONE broadcast map row serves every
-    # (query, sub, code) LUT lookup
-    cps = codes_per_sub
-
     def adc_k_for(cb: DataFrame) -> DataFrame:
-        # r11 (guide §2.4 + VERDICT r10 task 6): the database side is
-        # packed to one row per vector (its n_sub codes), the LUT to
-        # ONE broadcast map row — the per-query ADC sums are then a
-        # narrow explode + aggregate expression instead of a
-        # (codes x queries) broadcast join followed by a
-        # (q_id, vec_id)-grain groupBy shuffle.
+        # ADC = codes join the broadcast (query, sub, code) -> lut_d2
+        # table, summed per (q_id, vec_id): one broadcast hash join +
+        # one map-side-combinable groupBy at (codes x queries) grain.
+        # r11 note: a packed one-row-LUT variant (explode + aggregate
+        # + map/array lookups per row) was tried and measured SLOWER —
+        # interpreted HOF lambdas against a codegen'd join+aggregate.
         codes = _pq_codes(tall, cb).select("vec_id", "sub", "code")
-        codes_packed = codes.groupBy("vec_id").agg(
-            F.collect_list(F.struct("sub", "code")).alias("cs")
-        )
-        lut_row = (
-            q_tall.join(F.broadcast(cb), F.col("q_sub") == F.col("c_sub"))
-            .select(
-                "q_id",
-                (
-                    F.col("q_id") * (n_sub * cps)
-                    + F.col("q_sub") * cps
-                    + F.col("code")
-                ).cast("long").alias("kk"),
-                _pq_d2("qv", "cv").alias("lut_d2"),
-            )
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct(F.col("kk"), F.col("lut_d2")))
-                ).alias("_lut"),
-                F.sort_array(F.collect_set("q_id")).alias("_qids"),
-            )
+        lut = q_tall.join(
+            F.broadcast(cb), F.col("q_sub") == F.col("c_sub")
+        ).select(
+            "q_id",
+            F.col("q_sub").alias("sub"),
+            "code",
+            _pq_d2("qv", "cv").alias("lut_d2"),
         )
         adc = (
-            codes_packed.crossJoin(F.broadcast(lut_row))
-            .select(
-                "vec_id",
-                F.explode(
-                    F.transform(
-                        F.col("_qids"),
-                        lambda q: F.struct(
-                            q.alias("q_id"),
-                            F.aggregate(
-                                F.col("cs"),
-                                F.lit(0).cast("long"),
-                                lambda acc, c: acc
-                                + F.element_at(
-                                    F.col("_lut"),
-                                    (
-                                        q * (n_sub * cps)
-                                        + c["sub"] * cps
-                                        + c["code"]
-                                    ).cast("long"),
-                                ),
-                            ).alias("adc_d2"),
-                        ),
-                    )
-                ).alias("a"),
-            )
-            .select("vec_id", F.col("a.q_id").alias("q_id"), F.col("a.adc_d2").alias("adc_d2"))
+            codes.join(F.broadcast(lut), ["sub", "code"])
             .filter(F.col("vec_id") != F.col("q_id"))
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("lut_d2").cast("long").alias("adc_d2"))
         )
         adc_top = partial_topk(adc, ["q_id"], "adc_d2", "vec_id", k, ascending=True)
         wa = Window.partitionBy("q_id").orderBy(

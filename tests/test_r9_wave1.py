@@ -225,11 +225,13 @@ def test_sessionize_drain_crash_resume(spark, tmp_path, monkeypatch):
     real_fold = ops.mart_fold_batch
     crashed = {"done": False}
 
-    def crashing_fold(batch_df, batch_id, path, merge=None):
+    def crashing_fold(batch_df, batch_id, path, merge=None, **kw):
+        # **kw passes through new fold options (append_only, r11) so the
+        # crash-resume proof covers the production fold path verbatim
         if batch_id == 2 and not crashed["done"]:
             crashed["done"] = True
             raise RuntimeError("injected crash before batch 2 commits")
-        return real_fold(batch_df, batch_id, path, merge=merge)
+        return real_fold(batch_df, batch_id, path, merge=merge, **kw)
 
     monkeypatch.setattr(ops, "mart_fold_batch", crashing_fold)
 
