@@ -494,91 +494,72 @@ FROM sla WINDOW w AS (PARTITION BY component ORDER BY month)
 # ------------------------------------------------------------- registry
 
 # Registry ORDER matters: the external driver checks entries in dict
-# order under a ~50-entry budget cap (r3-r9 each checked exactly 50).
-# Round 10 ordering (VERDICT.md r9, task 1): positions 1-3 are the
-# three r9 additions that have NEVER been driver-checked (judge
-# tri-canon-verified only) - converting their evidence to driver
-# grade is the round's highest-leverage item; 4-8 retire the last
-# r3-vintage evidence (simple relational scans, parked at 51-55 last
-# round); 9-11 are keys whose CODE changed in r10 AFTER their latest
-# driver row (sessionize_events: the ADVICE r9 exact-us tie rule,
-# last driver r6; ivf_nprobe_recall_curve / pq_adc_recall: the
-# trained-vs-baseline codebook rows, VERDICT r9 task 3, last driver
-# r9) - the driver must hash the new code paths; 12-50 are 39 of the
-# 45 r4-stale keys, composites first so a budget cutoff sacrifices
-# trivial scans. The 6 remaining r4-stale keys sit at 51-56, first
-# in line for r11. NEW operators registered this round ride below
-# THOSE (never-checked, but must not displace the committed refresh
-# queue - the r5-r10 discipline).
-_DRIVER_PRIORITY_R10 = [
-    # -- positions 1-3: never driver-checked (r9 additions) ---------
-    "stream_sessionize_readout",
-    "stream_session_window_readout",
-    "ann_ivf_pq_topk",
-    # -- positions 4-8: the last r3-stale evidence ------------------
-    "contingency_orders",
-    "histogram_prices",
-    "profile_orders",
-    "label_array_funcs",
-    "null_semantics_orders",
-    # -- positions 9-11: code edited in r10 after last driver row ---
-    "sessionize_events",
-    "ivf_nprobe_recall_curve",
+# order under a ~50-entry budget cap (r3-r10 each checked exactly 50).
+# Round 11 ordering (optimization round): positions 1-12 are the 12
+# keys that have NEVER been driver-checked (the r10 additions — no
+# CORRECTNESS_r* file ever sampled them; facility_location_selection /
+# selection_coverage_audit / kcore_trade_graph were ALSO rewritten for
+# performance this round, so their first driver row lands on the
+# optimized code); 13-21 are the remaining keys whose IMPLEMENTING
+# FUNCTION changed in r11 after their latest driver row (pq_adc_recall
+# / pagerank / pca pair / rrf: r10 rows; theil_sen / minhash_band /
+# jaccard_sweep: r6; hits: r7 — the driver must re-hash every
+# optimizer-touched path, the r11 gate test_registry_reconciliation
+# enforces mechanically); 22-27 retire the 6 remaining r4-stale keys
+# (promised "first in line for r11" at r10 close); 28-50 refresh the
+# oldest surviving evidence (r5-vintage rows, registry order within
+# the round). No new operators this round (optimization only).
+_DRIVER_PRIORITY_R11 = [
+    "stream_ann_index_readout",
+    "curriculum_mixture_plan",
+    "stream_mixture_readout",
+    "ann_filtered_topk",
+    "facility_location_selection",
+    "filtered_ann_recall_at_k",
+    "selection_coverage_audit",
+    "kcore_trade_graph",
+    "sq_int8_recall",
+    "xcorr_daily_events",
+    "holdout_stratum_weights",
+    "rolling_percentiles_daily",
     "pq_adc_recall",
-    # -- positions 12-50: 39 of the 45 r4-stale keys, composites
-    # -- first -------------------------------------------------------
-    "dedup_exact_substrings",
-    "token_dedup_savings",
     "pagerank_trade_graph",
-    "bpe_merge_learning",
-    "bpe_tokenize_stats",
     "pca_top_component",
     "pca_projection_outliers",
-    "bm25_topk",
     "rrf_hybrid_topk",
-    "supplier_neighbor_jaccard",
-    "lsh_recall_vs_exact",
-    "neardup_keep_best",
-    "bigram_perplexity",
-    "contamination_attribution",
-    "cluster_mixing_weights",
-    "detector_agreement",
-    "edit_distance_pairs",
-    "supplier_cosupply_triangles",
-    "part_copurchase_lift",
-    "term_cooccurrence_pmi",
-    "feature_hash_counts",
-    "kmv_distinct_terms",
-    "cms_term_counts",
-    "embedding_covariance",
-    "classifier_pr_curve",
-    "seasonal_decompose_daily",
-    "cusum_changepoint",
-    "attribution_touchpoints",
-    "ewma_user_value",
-    "label_association_rules",
-    "daily_anomaly_events",
-    "doc_entropy",
-    "zipf_slope",
-    "term_source_association",
-    "event_dedup_windowed",
-    "redact_contaminated_spans",
-    "length_bucketed_batches",
-    "source_interleave_plan",
-    "gold_sla_stability",
-    # -- positions 51-56: the 6 remaining r4-stale keys, first in
-    # -- line for r11's budget --------------------------------------
+    "theil_sen_trend",
+    "minhash_band_tuning",
+    "jaccard_threshold_sweep",
+    "hits_hub_authority",
     "unpivot_lineitem_metrics",
     "corr_matrix_lineitem",
     "equi_depth_histogram",
     "table_stats_mart",
     "gopher_quality_rules",
     "join_key_skew",
-    # -- new keys registered this round (never-checked, below the
-    # -- committed refresh queue per the r5-r10 discipline) ---------
-    # (r10 additions appended here as they land)
-    # -- overflow: r5-stale evidence next if the driver budget ever
-    # -- exceeds the keys above (dict order of queries() applies) ---
+    "gold_sla_mom",
+    "dedup_cluster_size_profile",
+    "minhash_calibration",
+    "quality_length_bias",
+    "pack_efficiency",
+    "media_dedup_stats",
+    "substring_phase_audit",
+    "char_class_stats",
+    "kfold_assignment",
+    "filtered_agg_orders",
+    "order_seasonality",
+    "customer_rfm",
+    "revenue_concentration",
+    "mmr_diverse_topk",
+    "ann_ndcg_at_k",
+    "mann_whitney_price",
+    "spearman_daily_trend",
+    "classifier_calibration",
+    "trimmed_winsorized_price",
+    "containment_pairs",
+    "epoch_shuffle_plan",
+    "markov_attribution",
+    "bot_regularity_flags",
 ]
 
 
@@ -1037,7 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash gate)
         "rolling_percentiles_daily": timeseries.rolling_percentiles_daily,
     }
-    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R10 if k in reg}
+    ordered = {k: reg[k] for k in _DRIVER_PRIORITY_R11 if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
 

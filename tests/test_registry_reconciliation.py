@@ -63,34 +63,14 @@ def test_every_headline_query_has_a_baseline():
 
 def test_driver_priority_prefix_is_the_evidence_queue():
     queries, _ = _registry_keys()
-    # r10 plan (VERDICT r9 task 1): 1-3 = the never-driver-checked r9
-    # additions, 4-8 = the last r3-stale scans, 9-11 = keys edited in
-    # r10 after their latest driver row, 12-50 = 39 of the 45
-    # r4-stale keys (composites first).
-    assert queries[:11] == [
-        "stream_sessionize_readout",
-        "stream_session_window_readout",
-        "ann_ivf_pq_topk",
-        "contingency_orders",
-        "histogram_prices",
-        "profile_orders",
-        "label_array_funcs",
-        "null_semantics_orders",
-        "sessionize_events",
-        "ivf_nprobe_recall_curve",
-        "pq_adc_recall",
-    ]
-    # 51-56: the 6 remaining r4-stale keys (r11 positions 1-6).
-    assert queries[50:56] == [
-        "unpivot_lineitem_metrics",
-        "corr_matrix_lineitem",
-        "equi_depth_histogram",
-        "table_stats_mart",
-        "gopher_quality_rules",
-        "join_key_skew",
-    ]
-    # New r10 keys must not jump the refresh queue.
-    r10_keys = {
+    # r11 plan (optimization round): 1-12 = the 12 never-driver-checked
+    # keys (r10 additions; three of them — facility/selection/kcore —
+    # were also rewritten this round, so their first driver row lands
+    # on the optimized code), 13-21 = the remaining r11-edited keys
+    # (the driver must re-hash every optimizer-touched path), 22-27 =
+    # the 6 r4-stale keys promised "first in line for r11" at the r10
+    # close, 28-50 = the oldest surviving (r5-vintage) evidence.
+    assert queries[:27] == [
         "stream_ann_index_readout",
         "curriculum_mixture_plan",
         "stream_mixture_readout",
@@ -103,9 +83,29 @@ def test_driver_priority_prefix_is_the_evidence_queue():
         "xcorr_daily_events",
         "holdout_stratum_weights",
         "rolling_percentiles_daily",
-    }
-    present = r10_keys & set(queries)
-    assert present.isdisjoint(queries[:56]), "new keys jumped the refresh queue"
+        "pq_adc_recall",
+        "pagerank_trade_graph",
+        "pca_top_component",
+        "pca_projection_outliers",
+        "rrf_hybrid_topk",
+        "theil_sen_trend",
+        "minhash_band_tuning",
+        "jaccard_threshold_sweep",
+        "hits_hub_authority",
+        "unpivot_lineitem_metrics",
+        "corr_matrix_lineitem",
+        "equi_depth_histogram",
+        "table_stats_mart",
+        "gopher_quality_rules",
+        "join_key_skew",
+    ]
+    # 28-50: oldest surviving evidence (every key's last driver row is
+    # r5-vintage — enforced by class, not by a second pinned list).
+    assert queries[27:50][:3] == [
+        "gold_sla_mom",
+        "dedup_cluster_size_profile",
+        "minhash_calibration",
+    ]
 
 
 def _last_round_close() -> str | None:

@@ -1,6 +1,7 @@
 """Capture .explain('formatted') output for named queries into
-plans/r10/<query>_<suffix>.txt (optimization-round evidence: the judge
-checks plan claims against these files).
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default round r11;
+optimization-round evidence: the judge checks plan claims against these
+files).
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
        python tools/capture_plans.py <suffix> @targets.txt
@@ -31,7 +32,9 @@ def main() -> None:
     spark = get_spark(app_name="capture-plans")
     qs = Q.queries()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
